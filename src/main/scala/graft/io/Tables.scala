@@ -1,0 +1,58 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table catalog over a scale-factor directory
+  * (see /root/repo/TESTDATA.md).
+  *
+  * Mirrors the reference's source surface (SURVEY.md §2.1): partitioned
+  * parquet scans with Catalyst partition pruning / filter pushdown doing the
+  * work (reference: LOADERS/GOLD-data-loader.py:377,383 reads one season
+  * partition by path; here the same pruning falls out of `.where` on the
+  * partition column).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The synthetic tables store TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read them as nano-longs and convert to micro timestamps (the
+    * generator emits micro-resolution values, so this is lossless). */
+  private val tsCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      import org.apache.spark.sql.functions.expr
+      d.schema(c).dataType match {
+        // nanos files surface as LongType under nanosAsLong; micros files
+        // load natively as timestamp_ntz and need no conversion.
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, expr(s"cast(timestamp_micros($c div 1000) as timestamp_ntz)"))
+        case _ => d
+      }
+    }
+  }
+
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  def events(spark: SparkSession, d: String): DataFrame    = load(spark, d, "events")
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Register every table as a temp view so compiled SQL (FeatureStore) can
+    * reference them by name — the reference's `createOrReplaceTempView` +
+    * `spark.sql` pattern (ADAPTERS/SILVER-adapter-wyscout.py:430-431). */
+  def createViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-based operators (SURVEY.md §2.7).
+  *
+  * One shuffle on the partition keys per window; when several of these run
+  * over the same keys Catalyst reuses the exchange, so chaining them is cheap.
+  */
+object Windows {
+
+  /** W1 — "last N games": rank rows per group by `order` descending, keep
+    * rank <= n (reference: ADAPTERS/SILVER-adapter-wyscout.py:436-451).
+    *
+    * Uses `rank()` (not `row_number`) to preserve the reference's tie
+    * semantics — ties share a rank, so >n rows can survive on ties
+    * (SURVEY.md §7.4 item 4). `strict = true` switches to `row_number`
+    * with `tieBreak` columns for a deterministic exactly-n variant.
+    */
+  def lastN(df: DataFrame, partitionCols: Seq[String], order: Column, n: Int,
+            strict: Boolean = false, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((order +: (if (strict) tieBreak else Nil)): _*)
+    val rk = if (strict) row_number() else rank()
+    df.withColumn("__rk", rk.over(w)).where(col("__rk") <= n).drop("__rk")
+  }
+
+  /** A7 — argmax-per-group dedup: keep the single best row per key by
+    * `order` (desc) with explicit deterministic tie-breaks — the engine's
+    * replacement for pandas `groupby().idxmax()` / order-dependent
+    * `drop_duplicates(keep='last')` (reference:
+    * DEPRECATED/statsbomb-silver.py:221-224; SURVEY.md W5 determinism note).
+    */
+  def keepBest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A8 — cumcount: 0-based position of each row within its group in the
+    * given order (reference: DEPRECATED/statsbomb-gold-temp-v2.py:296-300,
+    * used to suffix duplicate player names). */
+  def cumcount(df: DataFrame, keys: Seq[String], order: Seq[Column],
+               as: String = "cumcount"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(as, row_number().over(w) - 1)
+  }
+}
