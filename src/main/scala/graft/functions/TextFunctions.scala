@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, and the
+  * deterministic hashing primitive shared with the DuckDB oracle.
+  *
+  * All pure `functions._` compositions — codegen-friendly, no UDFs, so they
+  * stay inside whole-stage codegen on a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization with empty-string guard (split("") yields [""]
+    * in both Spark and DuckDB — the guard makes empty docs give []). */
+  def words(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** Deterministic 32-bit hash from the md5 hex prefix — identical in Spark
+    * (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+    * (`('0x' || substr(md5(x),1,8))::BIGINT`). The basis for MinHash /
+    * SimHash signatures that a SQL oracle can replay exactly. */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: an independent hash family member per integer seed. */
+  def md5IntSeeded(c: Column, seed: Int): Column =
+    md5Int(concat(lit(seed.toString), lit(":"), c))
+
+  /** Word n-gram shingles (distinct set), the MinHash input unit. */
+  def shingles(c: Column, n: Int): Column = {
+    val ws = words(c)
+    array_distinct(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Punctuation character ratio over total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0d)).otherwise(
+      (length(c) - length(regexp_replace(c, "[\\.,;:!\\?'\"()\\[\\]{}-]", "")))
+        .cast("double") / length(c))
+
+  /** Fraction of tokens that are in the given stopword list. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val ws = words(c)
+    when(size(ws) === 0, lit(0d)).otherwise(
+      size(filter(ws, w => w.isInCollection(stopwords))).cast("double") / size(ws))
+  }
+
+  def meanWordLen(c: Column): Column = {
+    val ws = words(c)
+    when(size(ws) === 0, lit(0d)).otherwise(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, penalises
+    * punctuation soup and stopword-free (non-linguistic) text. The exact
+    * formula is arbitrary; what matters is that it is deterministic and
+    * cheap (single pass, codegen). */
+  def qualityScore(c: Column, stopwords: Seq[String]): Column = {
+    val tokens = tokenCount(c)
+    val lenScore = least(tokens.cast("double") / 100d, lit(1d))
+    val punctPenalty = least(punctRatio(c) * 5d, lit(1d))
+    val stopScore = least(stopwordRatio(c, stopwords) * 4d, lit(1d))
+    greatest(lit(0d), least(lit(1d),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1d) - punctPenalty) * 0.2))
+  }
+
+  /** Stopword sets for the n-gram language-ID heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "dans"))
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts,
+    * deterministic tie-break in declaration order, 'unknown' when no
+    * stopword hits at all. */
+  def langId(c: Column): Column = {
+    val ws = words(c)
+    val scores = langStopwords.map { case (lang, sw) =>
+      lang -> size(filter(ws, w => w.isInCollection(sw)))
+    }
+    // argmax cascade: first language (declaration order) whose score is > 0
+    // and >= every later one; earlier branches failing implies a later
+    // language strictly beat them.
+    scores.zipWithIndex.foldRight(lit("unknown")) { case (((lang, score), i), els) =>
+      val later = scores.drop(i + 1).map(_._2)
+      val cond = later.foldLeft(score > 0)((acc, s2) => acc && score >= s2)
+      when(cond, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Document fingerprint: md5 of casefolded, punctuation-stripped,
+    * whitespace-collapsed text — the exact-dedup key that survives
+    * formatting noise. */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+      "\\s+", " ")).cast("binary"))
+}

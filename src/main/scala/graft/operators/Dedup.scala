@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard.
+  *
+  * Scale design (the point — these run over ~100 TB of documents):
+  *  - every stage is a hash-partitioned groupBy/join on doc or shingle keys,
+  *    no driver-side state, no cross product: LSH banding turns the O(n²)
+  *    pair space into equi-joins on (band, signature);
+  *  - signatures use the md5-prefix hash (TextFunctions.md5Int), so the
+  *    whole pipeline is replayable in any engine for verification;
+  *  - shingle explosion is the dominant cost; `shingleTable` keeps only
+  *    (id, shingle) distinct pairs and everything downstream aggregates it.
+  */
+object Dedup {
+
+  /** Exact dedup groups by normalized-text fingerprint: canonical id = min
+    * id per group, plus group size. One shuffle on the fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle) pairs — word n-grams. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+
+  /** k MinHash values per document: mh_i = min over shingles of the i-th
+    * seeded hash. Single hash-aggregate over the shingle table — partial
+    * (map-side) min per seed, so the shuffle carries k longs per doc. */
+  def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(md5IntSeeded(col("sh"), i)).as(s"mh_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: k minhashes split into `bands` bands of k/bands rows; a
+    * candidate pair is any two docs sharing one full band signature.
+    * Equi-join on (band, signature) — the scalable core of near-dedup. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val bandDfs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws(",", cols: _*).cast("binary")).as("bsig"))
+    }
+    val all = bandDfs.reduce(_.unionByName(_))
+    val x = all.as("x"); val y = all.as("y")
+    x.join(y,
+        col(s"x.band") === col(s"y.band") && col(s"x.bsig") === col(s"y.bsig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs: |A∩B| / |A∪B| via
+    * joins against the shingle table — computed only for candidates, never
+    * all pairs. */
+  def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    val inter = pairs
+      .join(a, "id_a").join(b, Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sz.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") * lit(1.0) /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash signature over distinct tokens: bit j of the signature is the
+    * sign of Σ_tokens (2·bit_j(hash(token)) − 1). One explode + one
+    * aggregate; `bits` ≤ 32 with the 32-bit md5Int hash. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 32): DataFrame = {
+    require(bits <= 32, "md5Int supplies 32 bits")
+    val tok = df.select(col(idCol),
+      explode(array_distinct(words(col(textCol)))).as("tok"))
+      .withColumn("h", md5Int(col("tok")))
+    val sums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b_$j")
+    }
+    val agged = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the signature into byte blocks (pigeonhole:
+    * hamming ≤ bands-1 guarantees one equal block), equi-join per block,
+    * then filter by exact hamming distance. */
+  def simhashPairs(sig: DataFrame, idCol: String, bits: Int, bands: Int,
+                   maxHamming: Int): DataFrame = {
+    val r = bits / bands
+    val mask = (1L << r) - 1
+    val bandDfs = (0 until bands).map { b =>
+      sig.select(col(idCol), lit(b).as("band"),
+        shiftright(col("simhash"), b * r).bitwiseAND(lit(mask)).as("bsig"))
+    }
+    val all = bandDfs.reduce(_.unionByName(_))
+    val cand = all.as("x").join(all.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val sa = sig.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val sb = sig.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Dedup
+import graft.queries.Qutil.dround
+
+/** Near-duplicate detection: MinHash+LSH, n-gram Jaccard, SimHash — each
+  * verifiable in DuckDB because signatures derive from the shared md5-prefix
+  * hash (TextFunctions.md5Int). The oracle SQL is generated from the same
+  * (k, bands, n) constants as the Spark operators.
+  */
+object DedupQueries {
+
+  private val ShingleN = 3
+  private val K = 16       // minhash functions
+  private val Bands = 4    // LSH bands (rows per band = K / Bands)
+  private val SimBits = 32
+  private val SimBands = 4
+  private val MaxHamming = 8
+
+  private def md5IntSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Shared shingle CTE (word 3-grams, distinct per doc). */
+  private val shingleCte: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ShingleN - 1}], ' ') AS sh
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${ShingleN - 1})) AS i
+       |        FROM w))""".stripMargin
+
+  private val minhashCtes: String = {
+    val mins = (0 until K)
+      .map(i => s"min(${md5IntSql(s"concat($i, ':', sh)")}) AS mh_$i")
+      .mkString(",\n         ")
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh_$i")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', ${cols.mkString(", ")})) AS bsig FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""mh AS (
+       |  SELECT doc_id,
+       |         $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // MinHash + LSH candidate pairs: shingle → 16 seeded min-hashes →
+    // 4 bands → equi-join on band signature. The scalable core of fuzzy
+    // dedup: no cross product anywhere.
+    Q.sql("q21_minhash_lsh_pairs",
+      s"""$shingleCte,
+         |$minhashCtes
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text", ShingleN)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", K)
+      Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Exact n-gram Jaccard over the LSH candidates (verification stage of
+    // the dedup pipeline) — candidates only, never all pairs.
+    Q.sql("q22_ngram_jaccard",
+      s"""$shingleCte,
+         |$minhashCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |       floor((CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.id_a
+         |JOIN sz sb ON sb.doc_id = i.id_b
+         |WHERE CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text", ShingleN)
+      val sig = Dedup.minhashSignatures(sh, "doc_id", K)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+      Dedup.jaccardForPairs(pairs, sh, "doc_id")
+        .where(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), dround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash signatures: 32-bit bitwise-majority over token hashes.
+    Q.sql("q23_simhash", {
+      val sums = (0 until SimBits)
+        .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n         ")
+      val sig = (0 until SimBits)
+        .map(j => s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, unnest(ws) AS tok FROM w),
+         |h AS (SELECT doc_id, ${md5IntSql("tok")} AS h FROM tok),
+         |b AS (
+         |  SELECT doc_id,
+         |         $sums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $sig AS simhash FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", SimBits)
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs via byte-block banding + hamming filter.
+    Q.sql("q24_simhash_pairs", {
+      val sums = (0 until SimBits)
+        .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b_$j")
+        .mkString(",\n         ")
+      val sigExpr = (0 until SimBits)
+        .map(j => s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      val r = SimBits / SimBands
+      val mask = (1L << r) - 1
+      val bandSelects = (0 until SimBands)
+        .map(b => s"SELECT doc_id, $b AS band, (simhash >> ${b * r}) & $mask AS bsig FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tok AS (SELECT DISTINCT doc_id, unnest(ws) AS tok FROM w),
+         |h AS (SELECT doc_id, ${md5IntSql("tok")} AS h FROM tok),
+         |b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigExpr AS simhash FROM b),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+         |FROM cand c
+         |JOIN sig sa ON sa.doc_id = c.id_a
+         |JOIN sig sb ON sb.doc_id = c.id_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= $MaxHamming
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val sig = Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text", SimBits)
+      Dedup.simhashPairs(sig, "doc_id", SimBits, SimBands, MaxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    })
+}

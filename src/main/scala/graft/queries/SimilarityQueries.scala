@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Similarity
+import graft.queries.Qutil.dround
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  * Brute-force cosine top-k is the oracle-checked baseline; hyperplane-LSH
+  * is the scale path (rows-only check — bucketing loses SQL expressibility
+  * but keeps the same scoring, so recall is testable in ScalaTest instead).
+  */
+object SimilarityQueries {
+
+  private val Dims = 64
+  private val TopK = 5
+  private val NQueries = 8 // query set = vec_id < 8
+
+  val all: Seq[Q] = Seq(
+
+    // Brute-force exact cosine top-5 for 8 query vectors. The fold order of
+    // the dot product matches DuckDB's list_reduce left fold, so cos values
+    // are bit-identical and the top-k sets cannot diverge.
+    Q.sql("q25_ann_cosine",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries),
+         |s AS (
+         |  SELECT qid, e.vec_id AS nid,
+         |         list_reduce(list_transform(generate_series(1, $Dims), i -> qv[i] * v[i]), (a, b) -> a + b)
+         |         / (sqrt(list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b))
+         |            * sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))) AS cos
+         |  FROM e, q WHERE e.vec_id != qid),
+         |r AS (SELECT qid, nid, cos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |      FROM s)
+         |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", TopK)
+        .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // Scale-path ANN: hyperplane-LSH bucketing — equi-join on bucket instead
+    // of a cross product. Approximate by construction → rows-only check.
+    Q.rowsOnly("q26_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", Dims, 8, TopK)
+        .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    })
+}

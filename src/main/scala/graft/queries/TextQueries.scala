@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.io.Tables
+import graft.operators.Dedup
+import graft.queries.Qutil.dround
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language ID, fingerprint dedup. The oracle SQL is
+  * generated from the same constants (stopword lists) that drive the Spark
+  * columns, so the two sides cannot drift.
+  */
+object TextQueries {
+
+  private def swList(sw: Seq[String]): String =
+    sw.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val enSw = TextFunctions.langStopwords.head._2
+
+  /** Shared CTE: whitespace tokens with the empty-doc guard. */
+  private val wsCte =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\s+') END AS ws
+      |  FROM documents)""".stripMargin
+
+  private val langCascadeSql: String = {
+    val scores = TextFunctions.langStopwords.map { case (lang, sw) =>
+      lang -> s"len(list_filter(ws, w -> list_contains(${swList(sw)}, w)))"
+    }
+    val branches = scores.zipWithIndex.map { case ((lang, expr), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      val cond = (s"$expr > 0" +: later.map(l => s"$expr >= $l")).mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE 'unknown' END"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Token counting, word-length, punctuation, stopword ratio, composite
+    // quality score — single-pass codegen'd column functions.
+    Q.sql("q18_text_stats",
+      s"""$wsCte
+         |SELECT doc_id,
+         |       len(ws) AS n_tokens,
+         |       CASE WHEN len(ws) = 0 THEN 0.0
+         |            ELSE CAST(list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS DOUBLE) / len(ws)
+         |       END AS mean_word_len,
+         |       CASE WHEN length(text) = 0 THEN 0.0
+         |            ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text)
+         |       END AS punct_ratio,
+         |       CASE WHEN len(ws) = 0 THEN 0.0
+         |            ELSE CAST(len(list_filter(ws, w -> list_contains(${swList(enSw)}, w))) AS DOUBLE) / len(ws)
+         |       END AS stopword_ratio,
+         |       floor(greatest(0.0, least(1.0,
+         |         least(CAST(len(ws) AS DOUBLE) / 100, 1.0) * 0.4
+         |         + least((CASE WHEN len(ws) = 0 THEN 0.0
+         |                       ELSE CAST(len(list_filter(ws, w -> list_contains(${swList(enSw)}, w))) AS DOUBLE) / len(ws) END) * 4, 1.0) * 0.4
+         |         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+         |                              ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END) * 5, 1.0)) * 0.2
+         |       )) * 10000 + 0.5) / 10000 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          meanWordLen(col("text")).as("mean_word_len"),
+          punctRatio(col("text")).as("punct_ratio"),
+          stopwordRatio(col("text"), enSw).as("stopword_ratio"),
+          dround(qualityScore(col("text"), enSw), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: stopword-hit argmax with deterministic
+    // tie-break; cascade generated from the same constant table both sides.
+    Q.sql("q19_lang_id",
+      s"""$wsCte
+         |SELECT doc_id, $langCascadeSql AS lang_guess
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup via normalized-text fingerprint (md5 of casefolded,
+    // punct-stripped, whitespace-collapsed text).
+    Q.sql("q20_fingerprint_dedup",
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |       min(doc_id) AS canonical_id,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("fp")
+    })
+}
