@@ -29,12 +29,28 @@ object Dedup {
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
 
-  /** k MinHash values per document: mh_i = min over shingles of the i-th
-    * seeded hash. Single hash-aggregate over the shingle table — partial
-    * (map-side) min per seed, so the shuffle carries k longs per doc. */
+  /** Mersenne-prime modulus and the deterministic universal-hash family
+    * h_i(x) = (a_i·x + b_i) mod M used for MinHash. One md5 per shingle
+    * mixed through k cheap multiply-adds — not k md5 evaluations — and the
+    * same integer arithmetic replays exactly in the SQL oracle. */
+  val HashM: Long = 2147483647L
+  def hashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % HashM
+      val b = (1103515245L * (i + 101) + 54321L) % HashM
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** k MinHash values per document: mh_i = min over shingles of
+    * (a_i·md5Int(shingle) + b_i) mod M. Single hash-aggregate over the
+    * shingle table — partial (map-side) min per seed, so the shuffle
+    * carries k longs per doc. */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i => min(md5IntSeeded(col("sh"), i)).as(s"mh_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hashed = sh.withColumn("h", md5Int(col("sh")))
+    val aggs = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % HashM).as(s"mh_$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: k minhashes split into `bands` bands of k/bands rows; a
@@ -43,12 +59,22 @@ object Dedup {
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val bandDfs = (0 until bands).map { b =>
+    // One pass over the signature table: explode the band structs instead of
+    // unioning `bands` selects — the upstream signature aggregate is then a
+    // single subplan whose shuffle Spark reuses across both join sides
+    // (ReuseExchange), instead of being recomputed 2·bands times.
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      sig.select(col(idCol), lit(b).as("band"),
+      struct(lit(b).as("band"),
         md5(concat_ws(",", cols: _*).cast("binary")).as("bsig"))
     }
-    val all = bandDfs.reduce(_.unionByName(_))
+    // Persisted: the band table is tiny (#docs × bands rows of (id, int,
+    // hash)) but its lineage is the whole shingle+signature pipeline, which
+    // would otherwise run once per join side (the broadcast side defeats
+    // ReuseExchange).
+    val all = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      .persist()
     val x = all.as("x"); val y = all.as("y")
     x.join(y,
         col(s"x.band") === col(s"y.band") && col(s"x.bsig") === col(s"y.bsig") &&
@@ -103,21 +129,25 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     val r = bits / bands
     val mask = (1L << r) - 1
-    val bandDfs = (0 until bands).map { b =>
-      sig.select(col(idCol), lit(b).as("band"),
+    // Single-pass banding (explode, not union — see lshCandidatePairs) and
+    // the signature carried through the band rows, so the hamming filter
+    // runs inline on the join output with no re-join against `sig`.
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
         shiftright(col("simhash"), b * r).bitwiseAND(lit(mask)).as("bsig"))
     }
-    val all = bandDfs.reduce(_.unionByName(_))
-    val cand = all.as("x").join(all.as("y"),
+    val all = sig.select(col(idCol), col("simhash"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("simhash"),
+        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+      .persist() // see lshCandidatePairs — avoids a per-join-side recompute
+    val x = all.as("x"); val y = all.as("y")
+    x.join(y,
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    val sa = sig.select(col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val sb = sig.select(col(idCol).as("id_b"), col("simhash").as("sig_b"))
-    cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

@@ -65,12 +65,16 @@ object Scoring {
     // C10: inverse stats contribute with flipped sign.
     val signedZs = when(col("inverse"), -col("zs")).otherwise(col("zs"))
 
+    // The metric level feeds four downstream frames (trait, rating, and two
+    // pivots); persist it so the unpivot+join+aggregate upstream runs once.
+    // Size is #profiles × #metrics — far smaller than the stat-level frame.
     val metric = joined
       .groupBy((keyCols :+ "metricName").map(col): _*)
       .agg((sum(signedZs * col("statWgt")) + baseConstant).as("metricScore"),
            first(col("metricWgt")).as("metricWgt"),
            first(col("traitName")).as("traitName"),
            first(col("traitWgt")).as("traitWgt"))
+      .persist()
 
     val trait_ = metric
       .groupBy((keyCols :+ "traitName").map(col): _*)
@@ -92,8 +96,11 @@ object Scoring {
     val traitsWide = trait_.groupBy(keyCols.map(col): _*)
       .pivot("traitName", traitNames).agg(first("traitScore"))
 
-    profiles.select(ids.map(col): _*).dropDuplicates(keyCols)
-      .join(metricsWide, keyCols, "left")
+    // Base the result on the (persisted) metric level rather than re-scanning
+    // `profiles`: only profiles whose position matched a weights row are
+    // scored, mirroring the reference's inner weights join
+    // (LOADERS/GOLD-data-loader.py:405 position allow-list).
+    metricsWide
       .join(traitsWide, keyCols, "left")
       .join(rating, keyCols, "left")
   }

@@ -24,9 +24,9 @@ object CoreQueries {
     FeatureSpec("sampleSize", "count(*)"),
     FeatureSpec("totalQty", "sum(l_quantity)"),
     FeatureSpec("revenue",
-      "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,6))) as double)"),
+      "cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double)"),
     FeatureSpec("avgDiscount",
-      "cast(sum(cast(l_discount as decimal(38,4))) as double) / count(*)"),
+      "cast(sum(cast(l_discount as decimal(18,4))) as double) / count(*)"),
     FeatureSpec("nOrders", "count(distinct l_orderkey)"))
 
   val all: Seq[Q] = Seq(
@@ -35,8 +35,8 @@ object CoreQueries {
     Q.sql("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       cast(sum(cast(l_extendedprice as decimal(38,4))) as double) AS sum_base_price,
-        |       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,6))) as double) AS sum_disc_price,
+        |       cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+        |       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS sum_disc_price,
         |       avg(l_quantity) AS avg_qty,
         |       count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
@@ -66,16 +66,16 @@ object CoreQueries {
       """SELECT user_id,
         |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
         |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |       cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END as decimal(38,4))) as double) AS spend,
-        |       cast(sum(cast(value as decimal(38,4))) as double) / count(*) AS avg_value
+        |       cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END as decimal(18,4))) as double) AS spend,
+        |       cast(sum(cast(value as decimal(18,4))) as double) / count(*) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       FeatureStore.aggregate(Tables.events(s, d), Seq("user_id"), Seq(
         FeatureSpec("clicks", "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"),
         FeatureSpec("purchases", "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"),
         FeatureSpec("spend",
-          "cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END as decimal(38,4))) as double)"),
+          "cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END as decimal(18,4))) as double)"),
         FeatureSpec("avg_value",
-          "cast(sum(cast(value as decimal(38,4))) as double) / count(*)")))
+          "cast(sum(cast(value as decimal(18,4))) as double) / count(*)")))
         .orderBy("user_id")
     },
 
@@ -83,7 +83,7 @@ object CoreQueries {
     // path (LOADERS/GOLD-data-loader.py:446-448).
     Q.sql("q04_group_stats",
       """SELECT o_orderstatus, o_orderpriority,
-        |       cast(sum(cast(o_totalprice as decimal(38,4))) as double) / count(*) AS mean_totalprice,
+        |       cast(sum(cast(o_totalprice as decimal(18,4))) as double) / count(*) AS mean_totalprice,
         |       floor(stddev_samp(o_totalprice) * 100 + 0.5) / 100 AS std_totalprice
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
@@ -137,7 +137,7 @@ object CoreQueries {
     // .py:364-373); revenue per region/nation (TPC-H Q5 shape).
     Q.sql("q08_regional_revenue",
       """SELECT r_name, n_name,
-        |       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,6))) as double) AS revenue,
+        |       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -199,7 +199,7 @@ object CoreQueries {
       """WITH u AS (SELECT event_type, value FROM events
         |           UNION ALL SELECT 'ANY' AS event_type, value FROM events)
         |SELECT event_type, count(*) AS n,
-        |       cast(sum(cast(value as decimal(38,4))) as double) AS total_value
+        |       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Groups.withAnyGroup(Tables.events(s, d).select("event_type", "value"), "event_type")
         .groupBy("event_type")
@@ -255,7 +255,7 @@ object CoreQueries {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |       count(*) AS n_orders,
-        |       cast(sum(cast(o_totalprice as decimal(38,4))) as double) AS total
+        |       cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("o_year"),

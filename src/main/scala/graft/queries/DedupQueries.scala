@@ -16,8 +16,9 @@ object DedupQueries {
   private val K = 16       // minhash functions
   private val Bands = 4    // LSH bands (rows per band = K / Bands)
   private val SimBits = 32
-  private val SimBands = 4
-  private val MaxHamming = 8
+  private val SimBands = 2   // 16-bit blocks: selective buckets (word-soup
+                             // docs cluster; 8-bit blocks → ~10M candidates)
+  private val MaxHamming = 2
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -35,8 +36,9 @@ object DedupQueries {
        |        FROM w))""".stripMargin
 
   private val minhashCtes: String = {
-    val mins = (0 until K)
-      .map(i => s"min(${md5IntSql(s"concat($i, ':', sh)")}) AS mh_$i")
+    val mins = graft.operators.Dedup.hashParams(K).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min((h * $a + $b) % ${graft.operators.Dedup.HashM}) AS mh_$i" }
       .mkString(",\n         ")
     val bandSelects = (0 until Bands).map { b =>
       val cols = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh_$i")
@@ -45,7 +47,7 @@ object DedupQueries {
     s"""mh AS (
        |  SELECT doc_id,
        |         $mins
-       |  FROM sh GROUP BY doc_id),
+       |  FROM (SELECT doc_id, ${md5IntSql("sh")} AS h FROM sh) GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
        |pairs AS (
@@ -88,7 +90,10 @@ object DedupQueries {
          |JOIN sz sb ON sb.doc_id = i.id_b
          |WHERE CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // sh fans out to the signature aggregation and both jaccard join
+      // sides — persist so the scan+explode runs once.
       val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text", ShingleN)
+        .persist()
       val sig = Dedup.minhashSignatures(sh, "doc_id", K)
       val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
       Dedup.jaccardForPairs(pairs, sh, "doc_id")

@@ -35,9 +35,11 @@ object Qutil {
   }
 
   /** Exact, order-independent sum of a money-like double column (true value
-    * has ≤ scale-2 decimal places). Result cast back to double. */
+    * has ≤ scale-2 decimal places). Result cast back to double.
+    * Precision 18 keeps Spark's Decimal long-backed (no BigDecimal boxing in
+    * the hot aggregate); terms must stay < 10^(18-scale). */
   def msum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(38, scale))).cast("double")
+    sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Exact mean: decimal sum divided by count — identical double division
     * on both engines. */

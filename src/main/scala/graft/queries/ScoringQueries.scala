@@ -25,8 +25,8 @@ object ScoringQueries {
       """WITH prof AS (
         |  SELECT l_suppkey AS s_suppkey,
         |         avg(l_quantity) AS qty,
-        |         cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(38,6))) as double) AS rev,
-        |         cast(sum(cast(l_discount as decimal(38,4))) as double) / count(*) AS disc
+        |         cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS rev,
+        |         cast(sum(cast(l_discount as decimal(18,4))) as double) / count(*) AS disc
         |  FROM lineitem GROUP BY 1),
         |posd AS (
         |  SELECT p.*, CASE WHEN s.s_nationkey < 13 THEN 'A' ELSE 'B' END AS pos

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup
+    (4L, "completely different words about spark partitions and shuffles here"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactGroups clusters identical normalized text (fingerprint)") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val dup = g.where($"n_docs" > 1).head()
+    assert(dup.getAs[Long]("canonical_id") == 1L && dup.getAs[Long]("n_docs") == 2L)
+  }
+
+  test("fingerprint ignores case / punctuation / whitespace noise") {
+    val noisy = Seq((1L, "Hello,  World!"), (2L, "hello world")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(noisy, "doc_id", "text")
+    assert(g.count() == 1 && g.head().getAs[Long]("n_docs") == 2L)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 16)
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))       // identical → all bands match
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
+  test("jaccard: identical docs 1.0, near dups in (0,1)") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccardForPairs(pairs, sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs share signatures; near dups are close") {
+    val sig = Dedup.simhashSignatures(docs.where($"doc_id" =!= 5L), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val hamming13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val hamming14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(hamming13 < hamming14)
+  }
+
+  test("simhashPairs surfaces the planted near-dup pair") {
+    val sig = Dedup.simhashSignatures(docs.where($"doc_id" =!= 5L), "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sig, "doc_id", 32, 2, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Double] = xs.toArray
+
+  private val emb = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(1, 0.01, 0, 0)),   // nearly parallel to 0
+    (2L, vec(0, 1, 0, 0)),      // orthogonal
+    (3L, vec(-1, 0, 0, 0)),     // opposite
+    (4L, vec(0.9, 0.1, 0, 0))).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine and excludes self") {
+    val q = emb.where($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 2)
+      .orderBy(desc("cos")).as[(Long, Long, Double)].collect()
+    assert(top.map(_._2).toSeq == Seq(1L, 4L))
+    assert(top.head._3 > 0.999)
+    assert(!top.map(_._2).contains(0L))
+  }
+
+  test("lshTopK returns a subset of the same-bucket candidates with exact cos") {
+    val q = emb.where($"vec_id" === 0L)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 4, 4, 4)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (_, nid, cos) =>
+      assert(math.abs(brute(nid) - cos) < 1e-12) // same scoring, fewer candidates
+    }
+  }
+}
