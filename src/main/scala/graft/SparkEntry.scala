@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     CoreQueries.all ++ ScoringQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ DomainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

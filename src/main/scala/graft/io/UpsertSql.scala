@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** The serving-side upsert sink, expressed as SQL generation + a
+  * foreachPartition JDBC writer (SURVEY.md §2.2 K3/K4/K5/K6).
+  *
+  * The reference upserts 100-row chunks of `INSERT … ON DUPLICATE KEY
+  * UPDATE` through the RDS Data API (LOADERS/GOLD-data-loader.py:278-303,
+  * 657-676) and bootstraps tables from DataFrame dtypes (:143-185). The
+  * statement builders are pure (testable without a database); the executor
+  * writer streams partitions — no driver-side collect, so the sink scales
+  * with the cluster, bounded by the database's ingest rate.
+  */
+object UpsertSql {
+
+  /** K4 — MySQL DDL from the DataFrame schema; dtype map mirrors
+    * LOADERS/GOLD-data-loader.py:143-152 (bool → TINYINT, string →
+    * VARCHAR(250), float → FLOAT), plus the auto-refreshing dateUpdated. */
+  def createTableDdl(schema: StructType, table: String,
+                     primaryKey: String): String = {
+    def sqlType(f: StructField): String = f.dataType match {
+      case BooleanType => "TINYINT(1)"
+      case IntegerType | ShortType | ByteType => "INT"
+      case LongType => "BIGINT"
+      case FloatType | DoubleType => "FLOAT"
+      case _: DecimalType => "DECIMAL(20,4)"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case _ => if (f.name == primaryKey) "VARCHAR(250)" else "VARCHAR(250)"
+    }
+    val cols = schema.fields.map { f =>
+      val pk = if (f.name == primaryKey) " PRIMARY KEY" else ""
+      s"`${f.name}` ${sqlType(f)}$pk"
+    }
+    (cols :+
+      "`dateUpdated` TIMESTAMP DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP")
+      .mkString(s"CREATE TABLE IF NOT EXISTS `$table` (\n  ", ",\n  ", "\n)")
+  }
+
+  /** K3 — parameterized upsert statement: INSERT … ON DUPLICATE KEY UPDATE
+    * over every non-key column (LOADERS/GOLD-data-loader.py:278-303). */
+  def upsertStatement(table: String, columns: Seq[String],
+                      primaryKey: String): String = {
+    val colList = columns.map(c => s"`$c`").mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    val updates = columns.filterNot(_ == primaryKey)
+      .map(c => s"`$c` = VALUES(`$c`)").mkString(", ")
+    s"INSERT INTO `$table` ($colList) VALUES ($placeholders) " +
+      s"ON DUPLICATE KEY UPDATE $updates"
+  }
+
+  /** K6 — dimension-table build: CREATE IF NOT EXISTS + INSERT IGNORE from
+    * SELECT DISTINCT (LOADERS/GOLD-rds-updater.py:81-114). The distinct
+    * itself runs in Spark (df.select(cols).distinct()); this emits the
+    * serving-side statements. */
+  def dimensionTableSql(dimTable: String, sourceTable: String,
+                        keyCol: String, nameCol: String): Seq[String] = Seq(
+    s"CREATE TABLE IF NOT EXISTS `$dimTable` (`$keyCol` VARCHAR(250) PRIMARY KEY, `$nameCol` VARCHAR(250))",
+    s"INSERT IGNORE INTO `$dimTable` (`$keyCol`, `$nameCol`) SELECT DISTINCT `$keyCol`, `$nameCol` FROM `$sourceTable`")
+
+  /** Executor-side batched upsert: each partition opens one connection and
+    * flushes `batchSize`-row addBatch groups (the reference's 100-row
+    * chunks, LOADERS/GOLD-data-loader.py:187-190). Requires a JDBC driver
+    * on the executor classpath. */
+  def writeJdbcUpsert(df: DataFrame, url: String, table: String,
+                      primaryKey: String, props: java.util.Properties,
+                      batchSize: Int = 100): Unit = {
+    val columns = df.columns.toSeq
+    val sql = upsertStatement(table, columns, primaryKey)
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch()
+          n += 1
+          if (n % batchSize == 0) { st.executeBatch(); conn.commit() }
+        }
+        st.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
+  }
+}
