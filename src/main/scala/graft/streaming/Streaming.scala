@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.9): the reference is batch-only
+  * — its incrementality is re-pull + dynamic-partition-overwrite — so this
+  * module maps that model onto streams: the bronze→silver hop becomes a file
+  * source with Trigger.AvailableNow, and the aggregations are the same
+  * transforms the batch queries use (write once, run either mode).
+  */
+object Streaming {
+
+  /** File-source stream over a landing directory (the bronze zone). */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Shared transform — hourly per-type event stats. Used by the batch
+    * oracle query (q29) and by `hourlyStream` below: identical logic, the
+    * only difference is the watermark on the streaming side. */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+
+  /** Streaming variant: watermarked, append-mode-safe windowed aggregation. */
+  def hourlyStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-user session state for mapGroupsWithState. */
+  final case class UserSession(userId: Long, events: Long, totalValue: Double,
+                               lastTs: java.sql.Timestamp)
+  final case class EventRow(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Custom stateful aggregation: running per-user session via
+    * mapGroupsWithState (the engine's slot for state the built-in windows
+    * can't express — KeyValueGroupedDataset keeps state partitioned by key
+    * in the state store, nothing on the driver). */
+  def userSessions(events: Dataset[EventRow],
+                   timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](timeout) {
+        case (uid, rows, state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(
+            UserSession(uid, 0L, 0d, new java.sql.Timestamp(0L)))
+          val next = rows.foldLeft(prev) { (s, e) =>
+            UserSession(uid, s.events + 1, s.totalValue + e.value,
+              if (e.ts.after(s.lastTs)) e.ts else s.lastTs)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch-style one-shot drain of everything available, then stop — the
+    * streaming equivalent of the reference's re-run model. */
+  def runAvailableNow(df: DataFrame, outPath: String, checkpoint: String,
+                      outputMode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(outPath)
+}

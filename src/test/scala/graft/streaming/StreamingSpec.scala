@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.streaming.Streaming.{EventRow, UserSession}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyStream: watermarked windowed aggregation over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streaming.hourlyStream(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 window
+      in.addData((ts("2024-01-01 13:00:00"), "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("event_type", "n", "total_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(rows.contains(("click", 2L, 3.0))) // 10:00 window closed and emitted
+    } finally q.stop()
+  }
+
+  test("userSessions: custom state via mapGroupsWithState") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = Streaming.userSessions(in.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventRow(1L, ts("2024-01-01 10:00:00"), 2.0),
+        EventRow(1L, ts("2024-01-01 10:01:00"), 3.0),
+        EventRow(2L, ts("2024-01-01 10:02:00"), 7.0))
+      q.processAllAvailable()
+      in.addData(EventRow(1L, ts("2024-01-01 10:03:00"), 5.0))
+      q.processAllAvailable()
+      val last = spark.table("sessions_test").as[UserSession].collect()
+        .groupBy(_.userId).map { case (k, v) => k -> v.maxBy(_.events) }
+      assert(last(1L).events == 3 && last(1L).totalValue == 10.0)
+      assert(last(2L).events == 1 && last(2L).totalValue == 7.0)
+      assert(last(1L).lastTs == ts("2024-01-01 10:03:00"))
+    } finally q.stop()
+  }
+
+  test("hourlyEventStats transform is batch/stream shared (same result on batch input)") {
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0)).toDF("ts", "event_type", "value")
+    val r = Streaming.hourlyEventStats(batch)
+      .select("event_type", "n", "total_value").as[(String, Long, Double)].head()
+    assert(r == (("click", 2L, 3.0)))
+  }
+}
