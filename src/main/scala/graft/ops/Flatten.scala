@@ -40,6 +40,18 @@ object Flatten {
   def renameAll(df: DataFrame, renames: Map[String, String]): DataFrame =
     df.withColumnsRenamed(renames)
 
+  /** K7-support — schema reconciliation on update: drop columns the target
+    * lacks, null-fill columns the frame lacks, reorder to the target
+    * (reference: DEPRECATED/statsbomb-silver.py:53-67). Lets a re-run whose
+    * feature CSV changed still overwrite partitions of an existing table. */
+  def reconcileSchema(df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** P8 — header cleanup: strip NBSP, collapse " - "/"-"/whitespace runs
     * (reference: DEPRECATED/champion-silver.py:193-194). */
   def cleanHeaders(df: DataFrame): DataFrame = {

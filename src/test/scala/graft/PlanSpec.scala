@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Union}
+import graft.ops.{Flatten, Groups, Profiling}
+
+/** Plan-shape assertions (SURVEY.md §4): the manual physical optimizations
+  * the reference relies on must actually appear in Catalyst's plans —
+  * broadcast of small dims, filter/projection pushdown through Union,
+  * parquet column pruning and predicate pushdown.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sf = "/root/testdata/sf0.001"
+
+  test("q08 star join broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("q08_regional_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("parquet scan prunes columns and pushes predicates") {
+    val df = graft.io.Tables.lineitem(spark, sf)
+      .where($"l_quantity" > 30).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"))
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+  }
+
+  test("filters push through the ANY-union (W2a relies on Catalyst pushdown)") {
+    val base = graft.io.Tables.lineitem(spark, sf)
+    val unioned = Groups.withAnyGroup(base, "l_returnflag").where($"l_quantity" > 30)
+    val optimized = unioned.queryExecution.optimizedPlan
+    val union = optimized.collectFirst { case u: Union => u }
+    assert(union.isDefined, "expected a Union in the optimized plan")
+    // the filter must sit below the union (in each branch), not above it
+    val filtersBelow = union.get.children.flatMap(_.collect { case f: Filter => f })
+    assert(filtersBelow.size == 2)
+    assert(optimized.collect { case f: Filter => f }.size == filtersBelow.size)
+  }
+
+  test("profiling runs as a single aggregation pass, not per-column jobs") {
+    val df = graft.io.Tables.lineitem(spark, sf)
+    val plan = Profiling.nullZeroProfile(df, Seq("l_discount", "l_tax"))
+      .queryExecution.executedPlan.toString
+    // exactly one scan of the input
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("reconcileSchema drops/null-fills/reorders to the target (K7)") {
+    val target = Seq((1, "x", 2.0)).toDF("a", "b", "c").schema
+    val df = Seq((5.0, 9)).toDF("c", "extra")
+    val out = Flatten.reconcileSchema(df, target)
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    val r = out.head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getDouble(2) == 5.0)
+  }
+}
