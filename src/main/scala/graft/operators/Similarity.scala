@@ -22,11 +22,14 @@ object Similarity {
   /** Sequential-fold dot product over two double arrays — bit-identical to
     * DuckDB's list_reduce((a,b)->a+b) left fold, which the oracle uses. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+    graft.functions.catalyst.VectorExpressions.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Fused single-pass native expression (see VectorExpressions scaladoc);
+    * same summation order as the HOF/DuckDB formulations. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.catalyst.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each row of `queries` (small — it gets
     * broadcast) against `corpus`. Self-matches on equal ids are excluded.
