@@ -53,6 +53,19 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sketch-aggregate variant of minhashSignatures: identical output, one
+    * TypedImperativeAggregate buffer per group instead of k min() aggregates
+    * (graft.functions.catalyst.MinHashAgg). Same column layout so the two
+    * are drop-in interchangeable. */
+  def minhashSignaturesSketch(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    import graft.functions.catalyst.MinHashAgg
+    val hashed = sh.withColumn("h", md5Int(col("sh")))
+    val sketch = hashed.groupBy(col(idCol))
+      .agg(MinHashAgg.minhashSketch(col("h"), k, hashParams(k), HashM).as("mh"))
+    sketch.select(
+      col(idCol) +: (0 until k).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
+  }
+
   /** LSH banding: k minhashes split into `bands` bands of k/bands rows; a
     * candidate pair is any two docs sharing one full band signature.
     * Equi-join on (band, signature) — the scalable core of near-dedup. */

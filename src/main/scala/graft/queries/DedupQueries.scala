@@ -66,7 +66,9 @@ object DedupQueries {
          |$minhashCtes
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text", ShingleN)
-      val sig = Dedup.minhashSignatures(sh, "doc_id", K)
+      // sketch-aggregate variant (TypedImperativeAggregate) — the DuckDB
+      // oracle replays the identical signature values
+      val sig = Dedup.minhashSignaturesSketch(sh, "doc_id", K)
       Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
         .orderBy("id_a", "id_b")
     },

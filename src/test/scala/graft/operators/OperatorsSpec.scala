@@ -34,6 +34,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
   }
 
+  test("minhash sketch aggregate ≡ declarative k-min formulation") {
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val a = Dedup.minhashSignatures(sh, "doc_id", 16).orderBy("doc_id").collect()
+    val b = Dedup.minhashSignaturesSketch(sh, "doc_id", 16).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("jaccard: identical docs 1.0, near dups in (0,1)") {
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
