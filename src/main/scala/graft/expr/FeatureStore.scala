@@ -18,11 +18,15 @@ final case class FeatureSpec(name: String, sql: String)
 
 object FeatureStore {
 
-  /** Compile specs to named Columns; report every failing spec at once. */
+  /** Compile specs to named Columns; report every syntactically-invalid
+    * spec at once (Spark 4's expr() defers parsing, so validation goes
+    * through the session parser eagerly — name-resolution errors still
+    * surface at analysis with the aliased feature name). */
   def compile(specs: Seq[FeatureSpec]): Seq[Column] = {
+    val parser = org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
     val errs = scala.collection.mutable.ListBuffer.empty[String]
     val cols = specs.flatMap { s =>
-      try Some(expr(s.sql).as(s.name))
+      try { parser.parseExpression(s.sql); Some(expr(s.sql).as(s.name)) }
       catch { case e: Exception => errs += s"${s.name}: ${e.getMessage}"; None }
     }
     if (errs.nonEmpty)

@@ -162,7 +162,10 @@ object Silver {
     val flat = Flatten.renameAll(flattenWithPrimaryPosition(raw), cfg.renames)
     val cleansed = cleanseEnrich(flat, cfg)
     val joined = attachLookups(cleansed, lineups, competitions, teams)
-    val derived = deriveColumns(joined, cfg)
+    // The match frame fans out to one aggregation per period plus the meta
+    // re-attach — persist it (spills to disk at scale) rather than re-running
+    // the scan+flatten+join upstream once per consumer.
+    val derived = deriveColumns(joined, cfg).persist()
     val profiles = aggregateProfiles(derived, cfg)
     val withMeta = attachMeta(profiles, derived, metaCols)
     Groups.enforceTypes(withMeta, cfg.intCols, cfg.stringCols)
