@@ -17,6 +17,20 @@ object Writers {
       .parquet(path)
   }
 
+  /** Bucketed managed table: co-locates both sides of a recurring
+    * fact-fact join (e.g. lineitem⋈orders on orderkey) so the join runs
+    * without any Exchange — the 100 TB answer to the plan's dominant
+    * shuffle (see SCALE.md). Requires saveAsTable (bucket metadata lives in
+    * the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("compression", "snappy")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K2 — single-file debug CSV (ADAPTERS/SILVER-adapter-wyscout.py:505-511).
     * coalesce(1) is for debug output only — never on the main path. */
   def debugCsv(df: DataFrame, path: String): Unit =

@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Skew
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join with no Exchange (co-located fact-fact join)") {
+    val facts = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "v")
+    val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
+    Writers.writeBucketed(facts, "bt_facts", "k", 8)
+    Writers.writeBucketed(dims, "bt_dims", "k", 8)
+    val joined = spark.table("bt_facts").join(spark.table("bt_dims"), "k")
+    // disable auto-broadcast so the bucketing, not a broadcast, removes the shuffle
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket-co-located join without shuffle, got:\n$plan")
+      assert(joined.count() == 1000)
+    }
+  }
+
+  test("writePartitioned: dynamic overwrite replaces only touched partitions (K1)") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    val v1 = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "season", "x")
+    Writers.writePartitioned(v1, dir, "season")
+    // overwrite only season=b
+    val v2 = Seq((3, "b", 99.0)).toDF("id", "season", "x")
+    Writers.writePartitioned(v2, dir, "season")
+    val out = spark.read.parquet(dir).orderBy("id").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 3)) // a kept, b replaced
+  }
+
+  test("saltedJoin equals the plain join (skew-spread is semantics-free)") {
+    val big = (1 to 500).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
+    val small = (1L to 500L).map(i => (i, s"n$i")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).orderBy("v")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), 4).orderBy("v")
+    assert(plain.collect().map(_.toSeq).toSeq == salted.collect().map(_.toSeq).toSeq)
+  }
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
