@@ -65,4 +65,17 @@ object Gold {
   def run(profiles: DataFrame, weights: DataFrame, statCols: Seq[String],
           cfg: GoldConfig = GoldConfig()): DataFrame =
     score(standardise(eligible(profiles, cfg), statCols, cfg), weights, cfg)
+
+  /** K6 — dimension-table builds from the scored output: one distinct
+    * projection per dimension (LOADERS/GOLD-rds-updater.py:81-114); pair
+    * each with `io.UpsertSql.dimensionTableSql` for the serving-side DDL. */
+  def dimensions(output: DataFrame): Seq[(String, DataFrame)] = Seq(
+    "competition" -> Seq("competitionName"),
+    "season" -> Seq("seasonName"),
+    "team" -> Seq("teamName"),
+    "position" -> Seq("positionGroup"))
+    .filter(_._2.forall(output.columns.contains))
+    .map { case (name, cols) =>
+      name -> output.select(cols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    }
 }

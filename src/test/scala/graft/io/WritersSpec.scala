@@ -8,6 +8,16 @@ class WritersSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join with no Exchange (co-located fact-fact join)") {
+    // clean any stale warehouse location from a previous JVM (the in-memory
+    // catalog forgets tables across runs but their files persist)
+    Seq("bt_facts", "bt_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val facts = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "v")
     val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
     Writers.writeBucketed(facts, "bt_facts", "k", 8)
