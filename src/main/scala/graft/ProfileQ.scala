@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: steady-state timing for one query (3 runs, noop sink). */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val name = args(0); val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      fn(spark, sf).write.format("noop").mode("overwrite").save()
+      println(f"[profile] run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
