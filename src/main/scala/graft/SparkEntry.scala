@@ -14,7 +14,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     CoreQueries.all ++ ScoringQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ DomainQueries.all ++
-      StreamingQueries.all ++ ProfilingQueries.all ++ OlapQueries.all
+      StreamingQueries.all ++ ProfilingQueries.all ++ OlapQueries.all ++
+      TemporalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed from existing
+  * operators per the preference order (compose > custom Expression >
+  * custom SparkPlan): no custom physical operator is needed because both
+  * reduce to one shuffle + one window / one equi-join.
+  */
+object AsOf {
+
+  /** As-of (backward) join: for every left row, attach the payload of the
+    * latest right row with the same key and `rightTime <= leftTime`.
+    *
+    * Implementation: tag and union both sides, sort each key partition by
+    * (time, rightness), and carry the last non-null payload forward with
+    * an unbounded-preceding window — ONE shuffle on the key, no range
+    * condition, no broadcast requirement on either side. Right rows sort
+    * before left rows at equal times (inclusive semantics). With several
+    * right rows at the exact same (key, time), the greatest `tieBreak`
+    * wins — deterministic, unlike engine-dependent ASOF tie handling.
+    *
+    * At scale this is the canonical formulation: a sort-merge-join-shaped
+    * single pass; skewed keys split fine because the window is sequential
+    * per key but keys are independent.
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payloadCols: Seq[String],
+               tieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isRight", lit(0))
+      .select((leftCols.map(col) :+ col("__t") :+ col("__isRight")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isRight", lit(1))
+      .select((leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__t") :+ col("__isRight")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    val ordering: Seq[Column] =
+      Seq(col("__t").asc, col("__isRight").desc) ++
+        tieBreak.map(c => col(s"__p_$c").asc).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withPayload = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    withPayload.where(col("__isRight") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Range (band) join: match each point row to interval rows with
+    * `lo <= point < hi`, by quantising both sides into fixed-width bands —
+    * an equi-join on the band id plus a residual filter, instead of the
+    * broadcast-nested-loop plan Spark gives a raw inequality join.
+    * Intervals explode into ceil(width/bandWidth) band rows; choose
+    * `bandWidth` near the typical interval width. */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bandWidth: Double, joinType: String = "inner"): DataFrame = {
+    val p = points.withColumn("__band", floor(col(pointCol) / bandWidth).cast("long"))
+    val i = intervals.withColumn("__band",
+      explode(sequence(
+        floor(col(loCol) / bandWidth).cast("long"),
+        // hi is exclusive: a hi exactly on a band boundary owes nothing to that band
+        floor((col(hiCol) - lit(1e-9)) / bandWidth).cast("long"))))
+    p.join(i, Seq("__band"), joinType)
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__band")
+  }
+}

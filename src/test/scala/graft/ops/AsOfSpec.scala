@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joinAsOf: backward match, inclusive at equal times, null when none") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 10L, "x"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (3L, 1L, "other"))
+      .toDF("k", "rt", "payload")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("payload"))
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    assert(out("e0").isEmpty)             // before any right row
+    assert(out("e1").contains("r@10"))    // inclusive: rt == t matches
+    assert(out("e2").contains("r@15"))    // latest earlier wins
+    assert(out("x").isEmpty)              // key with no right rows at all
+  }
+
+  test("joinAsOf deterministic tie-break on simultaneous right rows") {
+    val left = Seq((1L, 10L, "e")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "rt", "payload")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("payload"),
+      tieBreak = Some("payload"))
+    assert(out.head().getString(3) == "b") // greatest tie-break value wins
+  }
+
+  test("rangeJoin equals the plain inequality join") {
+    val points = (1 to 200).map(i => (i.toLong, i * 7.3 % 100)).toDF("id", "v")
+    val ivals = Seq(("a", 0.0, 25.0), ("b", 25.0, 50.0), ("c", 50.0, 100.0))
+      .toDF("name", "lo", "hi")
+    val banded = AsOf.rangeJoin(points, "v", ivals, "lo", "hi", bandWidth = 10.0)
+      .select("id", "name").orderBy("id").collect().map(_.toSeq).toSeq
+    val plain = points.join(ivals, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "name").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(banded == plain && banded.nonEmpty)
+  }
+
+  test("rangeJoin boundary: hi exactly on a band edge, point on lo edge") {
+    val points = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val ivals = Seq(("i", 10.0, 20.0)).toDF("name", "lo", "hi")
+    val out = AsOf.rangeJoin(points, "v", ivals, "lo", "hi", bandWidth = 10.0)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L)) // lo inclusive, hi exclusive
+  }
+}
