@@ -46,42 +46,57 @@ object Similarity {
       .select("qid", "nid", "cos")
   }
 
-  /** Deterministic random-hyperplane signature: plane p's component for
-    * dimension i is ±1 from the md5 hash of "p:i"; the signature bit is the
-    * sign of v·plane. `nPlanes` bits per bucket. */
-  def hyperplaneSig(vec: Column, dims: Int, nPlanes: Int): Column = {
+  /** Deterministic random-hyperplane signature for one hash table: plane
+    * p is a ±1 literal vector derived from md5("t:p:i"); the signature bit
+    * is the sign of v·plane, computed with the native DotProduct expression
+    * against the literal array — one compact codegen loop per plane rather
+    * than dims×planes expanded terms (which explodes Janino compile time). */
+  def hyperplaneSig(vec: Column, dims: Int, nPlanes: Int, table: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
-      // dot(v, plane_p) with hash-derived ±1 components, as a fold over dims
-      val s = (0 until dims).map { i =>
-        val sign = if (planeSign(p, i)) 1d else -1d
-        element_at(vec, i + 1) * lit(sign)
-      }.reduce(_ + _)
+      val plane = typedlit(planeVec(table, p, dims))
+      val s = graft.functions.catalyst.VectorExpressions.dotProduct(vec, plane)
       when(s > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** Precomputed deterministic plane component signs (md5 of "p:i"). */
-  private def planeSign(p: Int, i: Int): Boolean = {
+  /** Precomputed deterministic ±1 plane (md5 of "t:p:i" per component). */
+  private def planeVec(t: Int, p: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$p:$i".getBytes("UTF-8"))
-    (h(0) & 1) == 1
+    Array.tabulate(dims) { i =>
+      md.reset()
+      val h = md.digest(s"$t:$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1d else -1d
+    }
   }
 
-  /** Scale-path ANN: bucket corpus and queries by hyperplane signature, join
-    * on the bucket, rank within. Equi-join replaces the cross product;
-    * recall < 1 by construction (same-bucket candidates only). */
+  /** Scale-path ANN: multi-table hyperplane LSH. Each side gets one bucket
+    * per hash table; a candidate is any (query, corpus) pair sharing a
+    * bucket in ANY table — recall 1-(1-p^nPlanes)^nTables for collision
+    * probability p = 1 - θ/π, tuned by (nPlanes, nTables). The candidate
+    * generation is an equi-join on (table, bucket); candidates dedupe
+    * before scoring so each pair is scored once. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dims: Int, nPlanes: Int, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("nvec"))
-      .withColumn("bucket", hyperplaneSig(col("nvec"), dims, nPlanes))
-    val q = queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("bucket", hyperplaneSig(col("qvec"), dims, nPlanes))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+              vecCol: String, dims: Int, nPlanes: Int, k: Int,
+              nTables: Int = 8): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val base = df.select(col(idCol).as(id),
+        col(vecCol).cast("array<double>").as(vec))
+      val buckets = (0 until nTables).map { t =>
+        struct(lit(t).as("table"),
+          hyperplaneSig(col(vec), dims, nPlanes, t).as("bucket"))
+      }
+      base.withColumn("tb", explode(array(buckets: _*)))
+        .select(col(id), col(vec), col("tb.table").as("table"),
+          col("tb.bucket").as("bucket"))
+    }
+    val c = bucketed(corpus, "nid", "nvec")
+    val q = bucketed(queries, "qid", "qvec")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .select("qid", "qvec", "nid", "nvec")
+      .dropDuplicates("qid", "nid")
+    val scored = cand.withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "nid", "cos")

@@ -42,12 +42,15 @@ object SimilarityQueries {
         .orderBy("qid", "nid")
     },
 
-    // Scale-path ANN: hyperplane-LSH bucketing — equi-join on bucket instead
-    // of a cross product. Approximate by construction → rows-only check.
+    // Scale-path ANN: multi-table hyperplane LSH — equi-join on
+    // (table, bucket) instead of a cross product. Approximate by
+    // construction → rows-only check; recall properties pinned in
+    // SimilaritySpec (planted near-duplicates are always recalled).
     Q.rowsOnly("q26_ann_lsh") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < NQueries)
-      Similarity.lshTopK(emb, queries, "vec_id", "embedding", Dims, 8, TopK)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", Dims,
+          nPlanes = 6, k = TopK, nTables = 8)
         .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "nid")
     })

@@ -88,15 +88,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.map(_._2).contains(0L))
   }
 
-  test("lshTopK returns a subset of the same-bucket candidates with exact cos") {
+  test("lshTopK returns a subset of candidates with exact cos scores") {
     val q = emb.where($"vec_id" === 0L)
     val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 4)
       .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
-    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 4, 4, 4)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 4, 4, 4, nTables = 4)
       .as[(Long, Long, Double)].collect()
     assert(lsh.nonEmpty)
     lsh.foreach { case (_, nid, cos) =>
       assert(math.abs(brute(nid) - cos) < 1e-12) // same scoring, fewer candidates
     }
+  }
+
+  test("lshTopK always recalls planted near-duplicates (cos≈1 ⇒ same bucket in every table)") {
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7) * 3)
+    val nearDup = base.clone(); nearDup(0) += 1e-9
+    val corpus = ((0L, base) +: (1L, nearDup) +:
+      (2L until 60L).map(i => (i, Array.tabulate(16)(j => math.cos(i * 16 + j) * 3))))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 0L)
+    val lsh = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 16, 6, 1, nTables = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.head._2 == 1L && lsh.head._3 > 0.999999)
   }
 }
