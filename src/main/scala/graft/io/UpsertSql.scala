@@ -60,6 +60,12 @@ object UpsertSql {
     s"CREATE TABLE IF NOT EXISTS `$dimTable` (`$keyCol` VARCHAR(250) PRIMARY KEY, `$nameCol` VARCHAR(250))",
     s"INSERT IGNORE INTO `$dimTable` (`$keyCol`, `$nameCol`) SELECT DISTINCT `$keyCol`, `$nameCol` FROM `$sourceTable`")
 
+  /** Schema-compat guard before upsert: every DataFrame column must exist
+    * in the serving table (LOADERS/GOLD-data-loader.py:637-642). Returns
+    * the missing columns; callers raise. */
+  def schemaCompatViolations(df: DataFrame, tableCols: Set[String]): Seq[String] =
+    df.columns.filterNot(tableCols.contains).toSeq
+
   /** Executor-side batched upsert: each partition opens one connection and
     * flushes `batchSize`-row addBatch groups (the reference's 100-row
     * chunks, LOADERS/GOLD-data-loader.py:187-190). Requires a JDBC driver

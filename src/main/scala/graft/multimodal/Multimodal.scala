@@ -43,7 +43,7 @@ object Multimodal {
   /** STUB decoder: deterministic byte statistics standing in for a real
     * image/audio decode. Real implementation would decode `bytes` with a
     * codec and pool features; `???`-equivalent marked by this comment. */
-  private[multimodal] def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes == null || bytes.isEmpty) return out
     var i = 0

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck properties for the engine's pure (non-Spark) kernels. */
+object PureProps extends Properties("graft.pure") {
+
+  property("hashParams: a,b in [1,M) x [0,M), deterministic, distinct members") =
+    forAll(Gen.choose(1, 64)) { k =>
+      val ps = graft.operators.Dedup.hashParams(k)
+      val m = graft.operators.Dedup.HashM
+      ps.size == k &&
+        ps.forall { case (a, b) => a > 0 && a < m && b >= 0 && b < m } &&
+        ps == graft.operators.Dedup.hashParams(k) &&
+        ps.distinct.size == k
+    }
+
+  property("universal hash stays in [0, M) for any 32-bit input") =
+    forAll(Gen.choose(0L, (1L << 32) - 1), Gen.choose(0, 63)) { (h, i) =>
+      val (a, b) = graft.operators.Dedup.hashParams(64)(i)
+      val v = (a * h + b) % graft.operators.Dedup.HashM
+      v >= 0 && v < graft.operators.Dedup.HashM
+    }
+
+  property("upsertStatement: updates every non-key column, never the key") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier).map(_.distinct), Gen.identifier) {
+      (cols0, pk) =>
+        val cols = (pk :: cols0).distinct
+        val sql = graft.io.UpsertSql.upsertStatement("T", cols, pk)
+        val updates = sql.split("ON DUPLICATE KEY UPDATE")(1)
+        !updates.contains(s"`$pk` = VALUES") &&
+          cols.filterNot(_ == pk).forall(c => updates.contains(s"`$c` = VALUES(`$c`)")) &&
+          sql.count(_ == '?') == cols.size
+    }
+
+  property("stubDecode: fixed dim, deterministic, empty-safe") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)), Gen.choose(1, 64)) {
+      (bytes, dim) =>
+        val arr = bytes.toArray
+        val a = graft.multimodal.Multimodal.stubDecode(arr, dim)
+        val b = graft.multimodal.Multimodal.stubDecode(arr, dim)
+        a.length == dim && a.sameElements(b) && a.forall(v => !v.isNaN && v >= 0f)
+    }
+
+  property("createTableDdl mentions every field and exactly one primary key") =
+    Prop.secure {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", StringType), StructField("x", DoubleType),
+        StructField("n", LongType), StructField("ok", BooleanType)))
+      val ddl = graft.io.UpsertSql.createTableDdl(schema, "T", "id")
+      schema.fieldNames.forall(f => ddl.contains(s"`$f`")) &&
+        "PRIMARY KEY".r.findAllIn(ddl).size == 1
+    }
+}
