@@ -34,17 +34,17 @@ object AsOf {
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isRight", lit(0))
-      .select((leftCols.map(col) :+ col("__t") :+ col("__isRight")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+      .select(((leftCols.map(col).toIndexedSeq :+ col("__t") :+ col("__isRight")) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__isRight", lit(1))
-      .select((leftCols.map(c =>
+      .select(((leftCols.map(c =>
         if (c == key) col(key)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        else lit(null).cast(left.schema(c).dataType).as(c)).toIndexedSeq :+
         col("__t") :+ col("__isRight")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
-    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+        payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+    val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col).toIndexedSeq: _*))
     val ordering: Seq[Column] =
       Seq(col("__t").asc, col("__isRight").desc) ++
         tieBreak.map(c => col(s"__p_$c").asc).toSeq
@@ -54,8 +54,8 @@ object AsOf {
       df.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
     }
     withPayload.where(col("__isRight") === 0)
-      .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+      .select((leftCols.map(col).toIndexedSeq ++
+        payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
   }
 
   /** Range (band) join: match each point row to interval rows with

@@ -92,9 +92,9 @@ object Scoring {
       .collect().map(_.getString(0)).sorted
 
     val metricsWide = metric.groupBy(keyCols.map(col): _*)
-      .pivot("metricName", metricNames).agg(first("metricScore"))
+      .pivot("metricName", metricNames.toIndexedSeq).agg(first("metricScore"))
     val traitsWide = trait_.groupBy(keyCols.map(col): _*)
-      .pivot("traitName", traitNames).agg(first("traitScore"))
+      .pivot("traitName", traitNames.toIndexedSeq).agg(first("traitScore"))
 
     // Base the result on the (persisted) metric level rather than re-scanning
     // `profiles`: only profiles whose position matched a weights row are

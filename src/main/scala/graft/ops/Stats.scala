@@ -50,7 +50,7 @@ object Stats {
         .otherwise((col(s) - mean) / sd)
       coalesce(z, lit(0d)).as(prefix + s)
     }
-    df.select(df.columns.map(col) ++ zcols: _*)
+    df.select((df.columns.map(col).toIndexedSeq ++ zcols): _*)
   }
 
   /** C10 — flip the sign of configured inverse stats (turnovers, fouls…)
