@@ -42,13 +42,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // ctx.freshName for every local: many instances of this expression can
+      // land in one generated function (q26 projects 8 tables × 6 planes), and
+      // fixed names make Janino reject the class → silent interpreted fallback.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -81,18 +87,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // See DotProduct.doGenCode: freshName per local or Janino rejects the
+      // generated class when two instances share a function.
+      val n = ctx.freshName("n")
+      val xy = ctx.freshName("xy")
+      val xx = ctx.freshName("xx")
+      val yy = ctx.freshName("yy")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double xy = 0.0, xx = 0.0, yy = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  xy += xi * yi; xx += xi * xi; yy += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $xy = 0.0, $xx = 0.0, $yy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
          |}
-         |if (xx == 0.0 || yy == 0.0) {
+         |if ($xx == 0.0 || $yy == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = xy / (java.lang.Math.sqrt(xx) * java.lang.Math.sqrt(yy));
+         |  ${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
          |}
        """.stripMargin
     })

@@ -64,14 +64,17 @@ object CoreQueries {
     // (STAGING/SILVER-adapter-statsbomb-notebook.ipynb:171 pattern).
     Q.sql("q03_event_agg",
       """SELECT user_id,
-        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+        |       cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS clicks,
+        |       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS purchases,
         |       cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END as decimal(18,4))) as double) AS spend,
         |       cast(sum(cast(value as decimal(18,4))) as double) / count(*) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       FeatureStore.aggregate(Tables.events(s, d), Seq("user_id"), Seq(
-        FeatureSpec("clicks", "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"),
-        FeatureSpec("purchases", "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"),
+        // cast(… as bigint): no-op in Spark (sum(int) is already BIGINT) but
+        // pins DuckDB, whose sum over INTEGER returns HUGEINT — the driver's
+        // typed hasher treats BIGINT vs HUGEINT as a mismatch (round-1 red row).
+        FeatureSpec("clicks", "cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint)"),
+        FeatureSpec("purchases", "cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint)"),
         FeatureSpec("spend",
           "cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END as decimal(18,4))) as double)"),
         FeatureSpec("avg_value",

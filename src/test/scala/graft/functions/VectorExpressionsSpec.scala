@@ -43,6 +43,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(!r.isNullAt(0) && math.abs(r.getDouble(1)) > 0)
   }
 
+  test("q26-shaped projection (48 DotProducts in one function) compiles under CODEGEN_ONLY") {
+    // Regression for the round-1 Janino failure: fixed local names in
+    // doGenCode collided when ≥2 instances landed in one generated function,
+    // and Spark fell back to interpreted silently. CODEGEN_ONLY + no-fallback
+    // makes any recurrence a hard test failure instead.
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val bucketCols = (0 until 8).map { t =>
+        graft.operators.Similarity.hyperplaneSig($"v", 16, 6, t).as(s"b$t")
+      }
+      val out = vecs.select(($"id" +: bucketCols): _*)
+      assert(out.count() == 50)
+      // plus the fused cosine beside a dot product in the same projection
+      val mixed = vecs.as("a").join(vecs.as("b"), $"a.id" < $"b.id")
+        .select(
+          VectorExpressions.cosineSim($"a.v", $"b.v").as("c"),
+          VectorExpressions.dotProduct($"a.v", $"b.v").as("d"),
+          VectorExpressions.cosineSim($"b.v", $"a.v").as("c2"))
+      assert(mixed.where($"c" =!= $"c2").count() == 0)
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("type check rejects non-array arguments") {
     val e = intercept[Exception] {
       Seq((1, 2)).toDF("x", "y")
