@@ -81,12 +81,16 @@ object DemoFixture {
       FeatureSpec("totalDuels", "sum(duels)"),
       FeatureSpec("goals", "sum(goals)")))
 
-  val metaCols: Seq[String] = Seq("playerName", "teamName", "competitionName",
+  val metaCols: Seq[String] = Seq("playerId", "teamId", "seasonId",
+    "competitionId", "playerName", "teamName", "competitionName",
     "seasonName", "positionGroup", "age", "nationality",
     "playerTeamSeasonCompetition", "seasonPartition")
 
-  def goldWeights(spark: SparkSession): DataFrame = {
-    val rows = for {
+  /** One row per (position, stat): (pos, statName, statWgt, metricName,
+    * metricWgt, traitName, traitWgt, inverse). Shared by the Spark weights
+    * frame and the DuckDB oracle's VALUES clause so they can never drift. */
+  val goldWeightRows: Seq[(String, String, Double, String, Double, String, Double, Boolean)] =
+    for {
       pos <- Seq("GK", "CB", "MF", "FW")
       row <- Seq(
         (pos, "totalPasses", 0.5, "Distribution", 0.6, "OnBall", 0.7, false),
@@ -94,6 +98,7 @@ object DemoFixture {
         (pos, "totalDuels", 1.0, "Duelling", 0.4, "OnBall", 0.7, false),
         (pos, "goals", 1.0, "Scoring", 1.0, "Threat", 0.3, false))
     } yield row
-    graft.ops.Scoring.weightsDf(spark, rows)
-  }
+
+  def goldWeights(spark: SparkSession): DataFrame =
+    graft.ops.Scoring.weightsDf(spark, goldWeightRows)
 }

@@ -28,6 +28,21 @@ object EventSilver {
   def aggregateEvents(events: DataFrame, catalogue: Seq[FeatureSpec]): DataFrame =
     FeatureStore.aggregate(events, Seq("match_id", "player_id"), catalogue)
 
+  /** J6 — possession attach (…statsbomb-notebook.ipynb "Merge team
+    * possessions for adj stats derivations"): carry each player-match's
+    * possession share onto its events so the compiled catalogue can express
+    * possession-adjusted stats. Inner join like the reference — events
+    * without a match-stat row carry no usable possession. The stats side is
+    * per-(player, match) — orders of magnitude smaller than the event feed —
+    * so AQE resolves this to a broadcast at typical sizes; the keyed shuffle
+    * on (player_id, match_id) is the fallback and matches the aggregation
+    * key, so the exchange is reused by aggregateEvents. */
+  def attachPossession(events: DataFrame, matchStats: DataFrame,
+                       possessionCol: String = "player_match_possession"): DataFrame =
+    events.join(
+      matchStats.select(col("player_id"), col("match_id"), col(possessionCol)),
+      Seq("player_id", "match_id"))
+
   /** A3+J7 — per-colour card counts full-outer-joined and zero-filled
     * (…statsbomb-notebook.ipynb:187). */
   def cardCounts(lineupEvents: DataFrame): DataFrame = {
@@ -39,10 +54,15 @@ object EventSilver {
       .na.fill(0, Seq("yellowCards", "redCards"))
   }
 
-  /** Full event-level hop: events + lineup events → match-stat rows. */
+  /** Full event-level hop: events + lineup events → match-stat rows.
+    * `matchPossession`, when given, is attached before aggregation (J6) so
+    * catalogue snippets may reference `player_match_possession`. */
   def run(events: DataFrame, lineupEvents: DataFrame,
-          catalogue: Seq[FeatureSpec]): DataFrame = {
-    val stats = aggregateEvents(withLocationXY(events), catalogue)
+          catalogue: Seq[FeatureSpec],
+          matchPossession: Option[DataFrame] = None): DataFrame = {
+    val base = withLocationXY(events)
+    val enriched = matchPossession.fold(base)(attachPossession(base, _))
+    val stats = aggregateEvents(enriched, catalogue)
     stats.join(cardCounts(lineupEvents), Seq("match_id", "player_id"), "left")
       .na.fill(0, Seq("yellowCards", "redCards"))
   }

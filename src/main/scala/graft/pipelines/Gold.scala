@@ -53,13 +53,16 @@ object Gold {
       statCols, cfg.ddof)
 
   /** C12 — weighted hierarchy via Scoring (join-based), then the gold output
-    * convention: floats rounded to 2dp (LOADERS/GOLD-data-loader.py:549-551). */
+    * convention: floats rounded to 2dp (LOADERS/GOLD-data-loader.py:549-551).
+    * Rounding uses Qutil.dround's floor form rather than round(): identical
+    * IEEE ops in any engine, so the DuckDB oracle can replay it exactly. */
   def score(zscored: DataFrame, weights: DataFrame, cfg: GoldConfig): DataFrame = {
     val scored = Scoring.score(zscored, Seq("profileId"), "positionGroup",
       weights, cfg.baseConstant)
     val floatCols = scored.schema.fields
       .filter(_.dataType.typeName == "double").map(_.name)
-    floatCols.foldLeft(scored)((df, c) => df.withColumn(c, round(col(c), 2)))
+    floatCols.foldLeft(scored)((df, c) =>
+      df.withColumn(c, graft.queries.Qutil.dround(col(c), 2)))
   }
 
   def run(profiles: DataFrame, weights: DataFrame, statCols: Seq[String],

@@ -22,7 +22,8 @@ final case class SilverConfig(
     features: Seq[FeatureSpec] = Nil,
     renames: Map[String, String] = Map("birthArea_name" -> "birthArea"), // P5
     intCols: Set[String] = Set("seasonName", "startYear", "endYear", "age",
-      "height", "weight", "sampleSize"),
+      "height", "weight", "sampleSize", "totalMinutesInSample",
+      "totalMinutesForSeason", "appearancesForSeason"),
     stringCols: Set[String] = Set("profileId", "playerId", "teamId", "seasonId",
       "competitionId", "matchId", "playerName", "fullName", "firstName",
       "lastName", "teamName", "competitionName", "competitionShortName",
@@ -154,6 +155,26 @@ object Silver {
       .drop("__baseProfileId")
   }
 
+  /** J5 — season-totals self-join (ADAPTERS/SILVER-adapter-wyscout.py:
+    * 466-473): the ANY-position, season-period slice carries each
+    * (player, team, season, competition)'s full-season minutes and
+    * appearance count; left-join it back so every period/position row has
+    * `totalMinutesForSeason` / `appearancesForSeason`. No playtime
+    * re-thresholding here — the slice inherits whatever upstream filtering
+    * produced, same as the reference. The slice is ~1/(positions×periods)
+    * of the profile frame and keyed the same way, so AQE picks a broadcast
+    * at realistic slice sizes; the keyed shuffle is the fallback. */
+  def attachSeasonTotals(profiles: DataFrame): DataFrame = {
+    val keys = Seq("playerId", "teamId", "seasonId", "competitionId")
+    val seasonAny = profiles
+      .where(col("positionGroup") === "ANY" &&
+        col("aggregationPeriod") === "season")
+      .select(keys.map(col) :+
+        col("totalMinutesInSample").as("totalMinutesForSeason") :+
+        col("sampleSize").as("appearancesForSeason"): _*)
+    profiles.join(seasonAny, keys, "left")
+  }
+
   /** Full pipeline. `raw` is the provider player-stats feed (FIXTURES.md §1.1
     * shape); lineups/competitions/teams are the lookup feeds. */
   def run(raw: DataFrame, lineups: DataFrame, competitions: DataFrame,
@@ -168,6 +189,7 @@ object Silver {
     val derived = deriveColumns(joined, cfg).persist()
     val profiles = aggregateProfiles(derived, cfg)
     val withMeta = attachMeta(profiles, derived, metaCols)
-    Groups.enforceTypes(withMeta, cfg.intCols, cfg.stringCols)
+    val withSeasonTotals = attachSeasonTotals(withMeta)
+    Groups.enforceTypes(withSeasonTotals, cfg.intCols, cfg.stringCols)
   }
 }

@@ -4,20 +4,221 @@ import graft.pipelines.{DemoFixture, Gold, GoldConfig, Silver}
 
 /** The full domain lifecycle — provider JSON → silver profile rows → gold
   * Metric/Trait/Rating — driven end-to-end on the deterministic in-memory
-  * fixture (the driver's tables carry no provider-shaped data, so this is a
-  * rows-only check; values are pinned by the ScalaTest pipeline specs).
+  * fixture, with DuckDB oracles that REPLAY the whole pipeline.
+  *
+  * The oracle regenerates the fixture inside SQL (`range()` cross joins over
+  * the same modular arithmetic as DemoFixture) rather than reading a parquet
+  * dump: the driver's checker treats every directory in the verify output as
+  * a query result, so a side-band fixture dump would pollute its report,
+  * while a self-contained statement keeps the contract exactly "one SQL
+  * string per query". Any drift between the Scala fixture and the SQL
+  * arithmetic fails the hash compare, which is the point of the oracle.
+  *
+  * Determinism notes: every aggregated value is an integer-valued double
+  * (exact in IEEE at any summation order) until the z-score stage; the
+  * z-score → weighted-hierarchy stage mirrors q17's proven construction,
+  * and the final 2dp rounding is Qutil.dround's floor form on both sides.
   */
 object DomainQueries {
 
+  private val threshold = 33.0
+
+  /** Shared WITH-clause body reproducing Silver.run on the DemoFixture:
+    * flatten (rows generated directly at the flattened grain) → ANY union →
+    * playtime threshold (F2) → lookup joins (J1-J3, encoded in the row
+    * arithmetic) → derive (C1/C5/C6) → per-period aggregation (A1/W1) →
+    * meta re-attach (J4) → season-totals self-join (J5) → 3-way type
+    * enforcement (C8). */
+  private val silverCtes: String =
+    s"""base AS (
+       |  SELECT
+       |    555000 + m AS matchId,
+       |    1000 + t * 100 + p AS pid,
+       |    t,
+       |    CASE WHEN p = 9 THEN 15 ELSE 90 END AS minutes,
+       |    20 + ((1000 + t * 100 + p) * 7 + m * 13) % 40 AS passes,
+       |    5 + ((1000 + t * 100 + p) * 3 + m) % 10 AS duels,
+       |    CASE WHEN ((1000 + t * 100 + p) + m) % 17 = 0 THEN 1 ELSE 0 END AS goals,
+       |    CASE WHEN p = 0 THEN 'GK' WHEN p <= 3 THEN 'CB'
+       |         WHEN p <= 6 THEN 'MF' ELSE 'FW' END AS posGrp,
+       |    3000 + t AS teamId
+       |  FROM range(1, 7) r1(m)
+       |  CROSS JOIN range(0, 4) r2(t)
+       |  CROSS JOIN range(0, 10) r3(p)
+       |),
+       |keyed AS (
+       |  SELECT *,
+       |    CAST(pid AS VARCHAR) || CAST(teamId AS VARCHAR) ||
+       |      '190042' || '335' || positionGroup AS baseProfileId,
+       |    rank() OVER (PARTITION BY pid, teamId, positionGroup
+       |                 ORDER BY matchId DESC) AS rk
+       |  FROM (
+       |    SELECT matchId, pid, t, minutes, passes, duels, goals,
+       |           posGrp AS positionGroup, teamId FROM base
+       |    UNION ALL
+       |    SELECT matchId, pid, t, minutes, passes, duels, goals,
+       |           'ANY' AS positionGroup, teamId FROM base
+       |  ) u
+       |  WHERE minutes > $threshold OR positionGroup = 'ANY'
+       |),
+       |agg AS (
+       |  SELECT baseProfileId, 'season' AS aggregationPeriod,
+       |         count(*) AS sampleSize, sum(minutes) AS totalMinutesInSample,
+       |         sum(passes) AS totalPasses,
+       |         sum(passes) * 90.0 / sum(minutes) AS passesPerNinety,
+       |         sum(duels) AS totalDuels, sum(goals) AS goals
+       |  FROM keyed GROUP BY baseProfileId
+       |  UNION ALL
+       |  SELECT baseProfileId, 'lastFour', count(*), sum(minutes), sum(passes),
+       |         sum(passes) * 90.0 / sum(minutes), sum(duels), sum(goals)
+       |  FROM keyed WHERE rk <= 4 GROUP BY baseProfileId
+       |  UNION ALL
+       |  SELECT baseProfileId, 'lastEight', count(*), sum(minutes), sum(passes),
+       |         sum(passes) * 90.0 / sum(minutes), sum(duels), sum(goals)
+       |  FROM keyed WHERE rk <= 8 GROUP BY baseProfileId
+       |),
+       |meta AS (
+       |  SELECT DISTINCT
+       |    baseProfileId,
+       |    CAST(pid AS VARCHAR) AS playerId,
+       |    CAST(teamId AS VARCHAR) AS teamId,
+       |    '190042' AS seasonId,
+       |    '335' AS competitionId,
+       |    'P' || CAST(pid AS VARCHAR) AS playerName,
+       |    'Team' || CAST(t AS VARCHAR) AS teamName,
+       |    'Premier League' AS competitionName,
+       |    2024 AS seasonName,
+       |    positionGroup,
+       |    34 - pid % 14 - (CASE WHEN pid % 9 IN (7, 8) THEN 1 ELSE 0 END) AS age,
+       |    CASE pid % 3 WHEN 0 THEN 'Narnia' WHEN 1 THEN 'Oz'
+       |         ELSE 'Utopia' END AS nationality,
+       |    'P' || CAST(pid AS VARCHAR) || ' Team' || CAST(t AS VARCHAR) ||
+       |      ' 2024 EPL' AS playerTeamSeasonCompetition,
+       |    '190042' AS seasonPartition
+       |  FROM keyed
+       |),
+       |seasontot AS (
+       |  SELECT m.playerId, m.teamId, m.seasonId, m.competitionId,
+       |         a.totalMinutesInSample AS totalMinutesForSeason,
+       |         a.sampleSize AS appearancesForSeason
+       |  FROM agg a JOIN meta m USING (baseProfileId)
+       |  WHERE m.positionGroup = 'ANY' AND a.aggregationPeriod = 'season'
+       |),
+       |silver AS (
+       |  SELECT
+       |    CASE WHEN a.aggregationPeriod = 'season' THEN a.baseProfileId
+       |         ELSE a.baseProfileId || '-' || a.aggregationPeriod END AS profileId,
+       |    CAST(a.sampleSize AS INTEGER) AS sampleSize,
+       |    CAST(a.totalMinutesInSample AS INTEGER) AS totalMinutesInSample,
+       |    CAST(a.totalPasses AS DOUBLE) AS totalPasses,
+       |    CAST(a.passesPerNinety AS DOUBLE) AS passesPerNinety,
+       |    CAST(a.totalDuels AS DOUBLE) AS totalDuels,
+       |    CAST(a.goals AS DOUBLE) AS goals,
+       |    a.aggregationPeriod,
+       |    m.playerId, m.teamId, m.seasonId, m.competitionId,
+       |    m.playerName, m.teamName, m.competitionName,
+       |    CAST(m.seasonName AS INTEGER) AS seasonName,
+       |    m.positionGroup,
+       |    CAST(m.age AS INTEGER) AS age,
+       |    m.nationality, m.playerTeamSeasonCompetition, m.seasonPartition,
+       |    CAST(st.totalMinutesForSeason AS INTEGER) AS totalMinutesForSeason,
+       |    CAST(st.appearancesForSeason AS INTEGER) AS appearancesForSeason
+       |  FROM agg a
+       |  JOIN meta m USING (baseProfileId)
+       |  LEFT JOIN seasontot st
+       |    ON st.playerId = m.playerId AND st.teamId = m.teamId
+       |   AND st.seasonId = m.seasonId AND st.competitionId = m.competitionId
+       |)""".stripMargin
+
+  private val q27Oracle: String =
+    s"""WITH $silverCtes
+       |SELECT * FROM silver ORDER BY profileId""".stripMargin
+
+  /** Gold replay: eligibility (F4-F8) → per-cell z-scores (A5/C11, sample
+    * ddof) → weighted metric/trait/Rating hierarchy (C12) → dround 2dp. */
+  private val q28Oracle: String = {
+    val weightValues = DemoFixture.goldWeightRows.map { case (pos, stat, sw, mn, mw, tn, tw, inv) =>
+      s"('$pos', '$stat', $sw, '$mn', $mw, '$tn', $tw, $inv)"
+    }.mkString(",\n    ")
+    def zsCol(s: String): String =
+      s"""coalesce(CASE WHEN coalesce(stddev_samp($s) OVER w, 0) = 0 THEN 0
+         |      ELSE ($s - avg($s) OVER w) / stddev_samp($s) OVER w END, 0) AS zs_$s""".stripMargin
+    s"""WITH $silverCtes,
+       |weights(pos, statName, statWgt, metricName, metricWgt,
+       |        traitName, traitWgt, inverse) AS (VALUES
+       |    $weightValues
+       |),
+       |eligible AS (
+       |  SELECT * FROM silver
+       |  WHERE aggregationPeriod = 'season'
+       |    AND sampleSize >= 2 AND totalMinutesInSample >= 150
+       |    AND playerName IS NOT NULL AND teamName IS NOT NULL
+       |    AND seasonName IS NOT NULL AND competitionName IS NOT NULL
+       |    AND positionGroup <> 'ANY'
+       |),
+       |zs AS (
+       |  SELECT profileId, positionGroup,
+       |    ${zsCol("totalPasses")},
+       |    ${zsCol("passesPerNinety")},
+       |    ${zsCol("totalDuels")},
+       |    ${zsCol("goals")}
+       |  FROM eligible
+       |  WINDOW w AS (PARTITION BY positionGroup, competitionName, seasonName)
+       |),
+       |long AS (
+       |  SELECT profileId, positionGroup, 'totalPasses' AS statName, zs_totalPasses AS zs FROM zs
+       |  UNION ALL SELECT profileId, positionGroup, 'passesPerNinety', zs_passesPerNinety FROM zs
+       |  UNION ALL SELECT profileId, positionGroup, 'totalDuels', zs_totalDuels FROM zs
+       |  UNION ALL SELECT profileId, positionGroup, 'goals', zs_goals FROM zs
+       |),
+       |metric AS (
+       |  SELECT l.profileId, w.metricName,
+       |         sum((CASE WHEN w.inverse THEN -l.zs ELSE l.zs END) * w.statWgt) + 2.5 AS metricScore,
+       |         max(w.metricWgt) AS metricWgt,
+       |         max(w.traitName) AS traitName,
+       |         max(w.traitWgt) AS traitWgt
+       |  FROM long l JOIN weights w
+       |    ON l.statName = w.statName AND l.positionGroup = w.pos
+       |  GROUP BY l.profileId, w.metricName
+       |),
+       |tr AS (
+       |  SELECT profileId, traitName,
+       |         sum(metricScore * metricWgt) AS traitScore,
+       |         max(traitWgt) AS traitWgt
+       |  FROM metric GROUP BY profileId, traitName
+       |),
+       |rating AS (
+       |  SELECT profileId, sum(traitScore * traitWgt) AS r FROM tr GROUP BY profileId
+       |)
+       |SELECT p.profileId,
+       |  floor(p.d * 100 + 0.5) / 100 AS Distribution,
+       |  floor(p.u * 100 + 0.5) / 100 AS Duelling,
+       |  floor(p.s * 100 + 0.5) / 100 AS Scoring,
+       |  floor(t.ob * 100 + 0.5) / 100 AS OnBall,
+       |  floor(t.th * 100 + 0.5) / 100 AS Threat,
+       |  floor(r.r * 100 + 0.5) / 100 AS Rating
+       |FROM (SELECT profileId,
+       |        max(CASE WHEN metricName = 'Distribution' THEN metricScore END) AS d,
+       |        max(CASE WHEN metricName = 'Duelling' THEN metricScore END) AS u,
+       |        max(CASE WHEN metricName = 'Scoring' THEN metricScore END) AS s
+       |      FROM metric GROUP BY profileId) p
+       |JOIN (SELECT profileId,
+       |        max(CASE WHEN traitName = 'OnBall' THEN traitScore END) AS ob,
+       |        max(CASE WHEN traitName = 'Threat' THEN traitScore END) AS th
+       |      FROM tr GROUP BY profileId) t USING (profileId)
+       |JOIN rating r USING (profileId)
+       |ORDER BY p.profileId""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q.rowsOnly("q27_silver_profiles") { (s, _) =>
+    Q.sql("q27_silver_profiles", q27Oracle) { (s, _) =>
       Silver.run(DemoFixture.playerStats(s), DemoFixture.lineups(s),
         DemoFixture.competitions(s), DemoFixture.teams(s),
         DemoFixture.silverConfig, DemoFixture.metaCols)
         .orderBy("profileId")
     },
 
-    Q.rowsOnly("q28_gold_ratings") { (s, _) =>
+    Q.sql("q28_gold_ratings", q28Oracle) { (s, _) =>
       val silver = Silver.run(DemoFixture.playerStats(s), DemoFixture.lineups(s),
         DemoFixture.competitions(s), DemoFixture.teams(s),
         DemoFixture.silverConfig, DemoFixture.metaCols)

@@ -44,6 +44,30 @@ class EventSilverSpec extends SparkSpec {
     assert(p10m2.getAs[Long]("yellowCards") == 0L && p10m2.getAs[Long]("redCards") == 0L)
   }
 
+  test("possession attach feeds possession-adjusted catalogue stats (J6)") {
+    val matchStats = Seq(
+      (1L, 10L, 0.60), (1L, 11L, 0.40), (2L, 10L, 0.50))
+      .toDF("match_id", "player_id", "player_match_possession")
+    val adjCatalogue = catalogue :+
+      FeatureSpec("passesPerPossession",
+        // possession is constant within a (match, player) group; max() reads
+        // it back out of the grouped frame deterministically
+        "cast(sum(CASE WHEN type = 'Pass' THEN 1 ELSE 0 END) as double)" +
+          " / max(player_match_possession)")
+    val out = EventSilver.run(events, lineupEvents, adjCatalogue,
+      matchPossession = Some(matchStats))
+    val p10m1 = out.where($"match_id" === 1L && $"player_id" === 10L).head()
+    assert(math.abs(p10m1.getAs[Double]("passesPerPossession") - 2.0 / 0.60) < 1e-12)
+    val p11 = out.where($"match_id" === 1L && $"player_id" === 11L).head()
+    assert(math.abs(p11.getAs[Double]("passesPerPossession") - 1.0 / 0.40) < 1e-12)
+    // inner-join semantics: an event row without a match-stat row drops out
+    val missing = events.union(Seq((3L, 12L, "Pass", "Complete", Seq(1.0, 1.0)))
+      .toDF("match_id", "player_id", "type", "outcome", "location"))
+    val out2 = EventSilver.run(missing, lineupEvents, adjCatalogue,
+      matchPossession = Some(matchStats))
+    assert(out2.where($"player_id" === 12L).count() == 0)
+  }
+
   test("location array projection (P3)") {
     val xy = EventSilver.withLocationXY(events)
       .select("location_x", "location_y").head()

@@ -50,7 +50,8 @@ class SilverPipelineSpec extends SparkSpec {
       FeatureSpec("totalPasses", "sum(passes)"),
       FeatureSpec("goals", "sum(goals)")))
 
-  private lazy val metaCols = Seq("playerName", "teamName", "competitionName",
+  private lazy val metaCols = Seq("playerId", "teamId", "seasonId",
+    "competitionId", "playerName", "teamName", "competitionName",
     "seasonName", "positionGroup", "age", "nationality",
     "playerTeamSeasonCompetition", "seasonPartition")
 
@@ -69,7 +70,7 @@ class SilverPipelineSpec extends SparkSpec {
     val p1cb = out.where($"positionGroup" === "CB" && $"aggregationPeriod" === "season")
     val r = p1cb.select("sampleSize", "totalMinutesInSample", "totalPasses", "goals").head()
     assert(r.getInt(0) == 2)
-    assert(r.getDouble(1) == 180.0)
+    assert(r.getInt(1) == 180) // int per the reference's enforce-types map
     assert(r.getDouble(2) == 110.0)
     assert(r.getDouble(3) == 1.0)
   }
@@ -94,6 +95,17 @@ class SilverPipelineSpec extends SparkSpec {
     assert(sch("sampleSize") == "int")
     assert(sch("totalPasses") == "double")
     assert(sch("age") == "int")
+  }
+
+  test("silver end-to-end: season totals re-attach to every period/position row (J5)") {
+    // ANY+season slice: p70321 played 90+90 over 2 matches; p70999 20 over 1.
+    // Every row of each player carries the same full-season totals.
+    val p1 = out.where($"playerId" === "70321")
+      .select("totalMinutesForSeason", "appearancesForSeason").distinct().collect()
+    assert(p1.length == 1 && p1.head.getInt(0) == 180 && p1.head.getInt(1) == 2)
+    val p2 = out.where($"playerId" === "70999")
+      .select("totalMinutesForSeason", "appearancesForSeason").distinct().collect()
+    assert(p2.length == 1 && p2.head.getInt(0) == 20 && p2.head.getInt(1) == 1)
   }
 
   test("age falls back to endYear arithmetic outside the reference year (C6)") {
