@@ -33,7 +33,16 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val first = timeOne(name, fn)
-      name -> (if (first > 2.0) math.min(first, timeOne(name, fn)) else first)
+      // Drop persisted frames between runs (outside the timed regions): the
+      // confirming run must re-pay any persist() the query relies on, and
+      // caches from earlier queries must not evict or skew later ones.
+      spark.catalog.clearCache()
+      val best = if (first > 2.0) {
+        val second = math.min(first, timeOne(name, fn))
+        spark.catalog.clearCache()
+        second
+      } else first
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

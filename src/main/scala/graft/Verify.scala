@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release per-query persist() frames (Dedup band tables, Silver match
+      // frame, Scoring metric level): their consuming action was the write
+      // above, and 36 queries in one JVM would otherwise accumulate caches.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

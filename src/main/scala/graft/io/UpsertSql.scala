@@ -60,6 +60,37 @@ object UpsertSql {
     s"CREATE TABLE IF NOT EXISTS `$dimTable` (`$keyCol` VARCHAR(250) PRIMARY KEY, `$nameCol` VARCHAR(250))",
     s"INSERT IGNORE INTO `$dimTable` (`$keyCol`, `$nameCol`) SELECT DISTINCT `$keyCol`, `$nameCol` FROM `$sourceTable`")
 
+  /** K5 — serving-side search bootstrap (LOADERS/GOLD-data-loader.py:
+    * 593-604): utf8mb4 conversion, STORED generated columns normalising
+    * ø→o / Ø→O for each searchable name column, a composite FULLTEXT KEY
+    * over the normalised names + context columns, secondary lookup keys,
+    * and the universal FULLTEXT index. Pure statement generation — the
+    * normalisation itself runs in MySQL, complementing the in-engine C4
+    * `translate` cleanup. */
+  def searchIndexDdl(table: String,
+                     nameCols: Seq[String] = Seq("fullName", "playerName"),
+                     contextCols: Seq[String] =
+                       Seq("teamName", "competitionName", "positionName", "seasonName"),
+                     universalContextCols: Seq[String] =
+                       Seq("teamName", "competitionName")): Seq[String] = {
+    def norm(c: String) = s"${c}Normalised"
+    val generated = nameCols.map { c =>
+      s"ADD COLUMN `${norm(c)}` TEXT GENERATED ALWAYS AS " +
+        s"(REPLACE(REPLACE(`$c`, 'ø', 'o'), 'Ø', 'O')) STORED"
+    }
+    val fulltext = "ADD FULLTEXT KEY `playerFullTextIndex` (" +
+      (nameCols.map(norm) ++ contextCols).map(c => s"`$c`").mkString(", ") + ")"
+    val secondary = Seq(
+      "ADD KEY `idx_season_competition` (`seasonName`(25), `competitionName`(255))",
+      "ADD KEY `idx_player_team` (`playerId`(255), `teamName`(255))")
+    Seq(
+      s"ALTER TABLE `$table` CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_unicode_ci",
+      (generated ++ Seq(fulltext) ++ secondary)
+        .mkString(s"ALTER TABLE `$table`\n  ", ",\n  ", ""),
+      s"CREATE FULLTEXT INDEX `playerUniversalFullTextIndex` ON `$table` (" +
+        (nameCols.map(norm) ++ universalContextCols).map(c => s"`$c`").mkString(", ") + ")")
+  }
+
   /** Schema-compat guard before upsert: every DataFrame column must exist
     * in the serving table (LOADERS/GOLD-data-loader.py:637-642). Returns
     * the missing columns; callers raise. */

@@ -36,6 +36,26 @@ object Writers {
   def debugCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** K9 — duplicates report: every row whose key combination occurs more
+    * than once, written as a debug CSV before the dedup resolves them
+    * (DEPRECATED/statsbomb-silver.py:209-217, `keep=False` semantics: ALL
+    * members of each duplicate group are reported, not just the losers).
+    * Returns the duplicate-row count; nothing is written when it is zero.
+    * Diagnostic sink: the single count() action and coalesce(1) are the
+    * debug-path trade-off, never on the main path. */
+  def duplicatesReport(df: DataFrame, keys: Seq[String], path: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val w = Window.partitionBy(keys.map(col): _*)
+    val dups = df.withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") > 1).drop("__n")
+      .persist()
+    val n = dups.count()
+    if (n > 0) debugCsv(dups, path)
+    dups.unpersist()
+    n
+  }
+
   /** K8 — per-aggregation-period fan-out: one filtered write per period
     * table (STAGING/GOLD-data-loader-experiment-form.py:552-576). */
   def writePerPeriod(df: DataFrame, pathFor: String => String,

@@ -66,10 +66,38 @@ object Dedup {
       col(idCol) +: (0 until k).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Skew guard for banded pair joins: a band signature shared by b docs
+    * emits b² candidate pairs, so one boilerplate-heavy bucket (empty docs,
+    * shared licence headers) can dominate the whole join. Buckets larger
+    * than `cap` are dropped before the self-join, with the drop logged.
+    * Recall degrades gracefully: docs in a dropped bucket can still pair
+    * through their other bands, and a bucket of thousands of docs is
+    * boilerplate by construction, not near-duplication worth reporting.
+    * The bucket-size aggregate runs on the already-persisted band table and
+    * the hot set is tiny (it is the skew tail), so the extra pass is cheap
+    * and the anti-join broadcasts. */
+  private def capHotBuckets(all: DataFrame, keys: Seq[String], cap: Int,
+                            what: String): DataFrame = {
+    val hot = all.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+      .persist()
+    val stats = hot.agg(count(lit(1)).as("b"), sum("__n").as("rows")).head()
+    if (stats.getLong(0) > 0)
+      log.warn(s"$what: dropping ${stats.getLong(0)} hot buckets covering " +
+        s"${stats.getLong(1)} band rows (cap=$cap)")
+    val kept = all.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+    hot.unpersist()
+    kept
+  }
+
   /** LSH banding: k minhashes split into `bands` bands of k/bands rows; a
     * candidate pair is any two docs sharing one full band signature.
-    * Equi-join on (band, signature) — the scalable core of near-dedup. */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    * Equi-join on (band, signature) — the scalable core of near-dedup.
+    * `maxBucketSize` enables the hot-band skew cap (see capHotBuckets). */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
     // One pass over the signature table: explode the band structs instead of
@@ -85,9 +113,11 @@ object Dedup {
     // hash)) but its lineage is the whole shingle+signature pipeline, which
     // would otherwise run once per join side (the broadcast side defeats
     // ReuseExchange).
-    val all = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+    val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
       .persist()
+    val all = maxBucketSize.fold(banded)(
+      capHotBuckets(banded, Seq("band", "bsig"), _, "lshCandidatePairs"))
     val x = all.as("x"); val y = all.as("y")
     x.join(y,
         col(s"x.band") === col(s"y.band") && col(s"x.bsig") === col(s"y.bsig") &&
@@ -139,7 +169,7 @@ object Dedup {
     * hamming ≤ bands-1 guarantees one equal block), equi-join per block,
     * then filter by exact hamming distance. */
   def simhashPairs(sig: DataFrame, idCol: String, bits: Int, bands: Int,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, maxBucketSize: Option[Int] = None): DataFrame = {
     val r = bits / bands
     val mask = (1L << r) - 1
     // Single-pass banding (explode, not union — see lshCandidatePairs) and
@@ -149,11 +179,13 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * r).bitwiseAND(lit(mask)).as("bsig"))
     }
-    val all = sig.select(col(idCol), col("simhash"),
+    val banded = sig.select(col(idCol), col("simhash"),
         explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("simhash"),
         col("bs.band").as("band"), col("bs.bsig").as("bsig"))
       .persist() // see lshCandidatePairs — avoids a per-join-side recompute
+    val all = maxBucketSize.fold(banded)(
+      capHotBuckets(banded, Seq("band", "bsig"), _, "simhashPairs"))
     val x = all.as("x"); val y = all.as("y")
     x.join(y,
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&

@@ -44,6 +44,34 @@ class WritersSpec extends SparkSpec {
     assert(out.map(_.getInt(0)).toSeq == Seq(1, 3)) // a kept, b replaced
   }
 
+  test("duplicatesReport writes all members of duplicate key groups (K9)") {
+    val dir = java.nio.file.Files.createTempDirectory("dups").toString + "/report"
+    val df = Seq(
+      ("p1", "2024", 1.0), ("p1", "2024", 2.0), // dup pair on (profile, season)
+      ("p2", "2024", 3.0))
+      .toDF("profileId", "season", "x")
+    val n = Writers.duplicatesReport(df, Seq("profileId", "season"), dir)
+    assert(n == 2) // keep=False: both members reported
+    val written = spark.read.option("header", "true").csv(dir)
+    assert(written.count() == 2)
+    assert(written.where(col("profileId") === "p2").count() == 0)
+    // clean frame → nothing written, zero returned
+    val dir2 = java.nio.file.Files.createTempDirectory("dups").toString + "/report"
+    assert(Writers.duplicatesReport(df.dropDuplicates("profileId"),
+      Seq("profileId"), dir2) == 0)
+    assert(!new java.io.File(dir2).exists())
+  }
+
+  test("guards: hasAtLeast / writeIfAtLeast skip degenerate frames (F9)") {
+    import graft.ops.Guards
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(Guards.hasAtLeast(df, 3) && !Guards.hasAtLeast(df, 4))
+    var wrote = false
+    assert(!Guards.writeIfAtLeast(df.where(col("x") > 10), 1) { _ => wrote = true })
+    assert(!wrote)
+    assert(Guards.writeIfAtLeast(df, 2) { _ => wrote = true } && wrote)
+  }
+
   test("saltedJoin equals the plain join (skew-spread is semantics-free)") {
     val big = (1 to 500).map(i => (if (i % 10 == 0) 1L else i.toLong, i)).toDF("k", "v")
     val small = (1L to 500L).map(i => (i, s"n$i")).toDF("k", "name")

@@ -65,6 +65,46 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("hot-band cap drops boilerplate buckets but keeps ordinary near-dup pairs") {
+    // 20 copies of one boilerplate text: every band bucket they form has
+    // size 20. Two near-dup docs form buckets of ≤2. With cap=10, no pair
+    // among the boilerplate clones survives; the near-dup pair does.
+    val boiler = (100L until 120L)
+      .map(i => (i, "standard licence header text repeated verbatim in every file of this corpus"))
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val corpus = (boiler ++ near).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 16)
+    val uncapped = Dedup.lshCandidatePairs(sig, "doc_id", 16, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 20 * 19 / 2)
+    val capped = Dedup.lshCandidatePairs(sig, "doc_id", 16, 4, maxBucketSize = Some(10))
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L))
+    // same guard on the simhash path
+    val ssig = Dedup.simhashSignatures(corpus, "doc_id", "text")
+    val scapped = Dedup.simhashPairs(ssig, "doc_id", 32, 2, 8, maxBucketSize = Some(10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(scapped.contains((1L, 2L)))
+    assert(!scapped.exists(p => p._1 >= 100L && p._2 >= 100L))
+  }
+
+  test("query-scoped caches release cleanly (persist lifecycle)") {
+    // Mirrors Verify/Bench hygiene: a dedup query persists its band table;
+    // after the consuming action + clearCache no cached RDDs may linger.
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 16)
+    Dedup.lshCandidatePairs(sig, "doc_id", 16, 4).write
+      .format("noop").mode("overwrite").save()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

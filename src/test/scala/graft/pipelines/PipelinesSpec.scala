@@ -165,6 +165,22 @@ class UpsertSqlSpec extends SparkSpec {
         "ON DUPLICATE KEY UPDATE `Rating` = VALUES(`Rating`)")
   }
 
+  test("search index DDL: generated ø→o columns + FULLTEXT keys (K5)") {
+    val stmts = UpsertSql.searchIndexDdl("Output")
+    assert(stmts.head ==
+      "ALTER TABLE `Output` CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_unicode_ci")
+    val alter = stmts(1)
+    assert(alter.contains("ADD COLUMN `fullNameNormalised` TEXT GENERATED ALWAYS AS " +
+      "(REPLACE(REPLACE(`fullName`, 'ø', 'o'), 'Ø', 'O')) STORED"))
+    assert(alter.contains("ADD COLUMN `playerNameNormalised` TEXT GENERATED ALWAYS AS"))
+    assert(alter.contains("ADD FULLTEXT KEY `playerFullTextIndex` (`fullNameNormalised`, " +
+      "`playerNameNormalised`, `teamName`, `competitionName`, `positionName`, `seasonName`)"))
+    assert(alter.contains("ADD KEY `idx_season_competition` (`seasonName`(25), `competitionName`(255))"))
+    assert(alter.contains("ADD KEY `idx_player_team` (`playerId`(255), `teamName`(255))"))
+    assert(stmts(2) == "CREATE FULLTEXT INDEX `playerUniversalFullTextIndex` ON `Output` " +
+      "(`fullNameNormalised`, `playerNameNormalised`, `teamName`, `competitionName`)")
+  }
+
   test("dimension table sql (K6)") {
     val stmts = UpsertSql.dimensionTableSql("Competition", "Output",
       "competitionId", "competitionName")
