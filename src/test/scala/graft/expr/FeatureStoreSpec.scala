@@ -7,6 +7,7 @@ class FeatureStoreSpec extends SparkSpec {
   import spark.implicits._
 
   test("compile: valid specs become named columns; all failures reported at once") {
+    spark.sparkContext // force session init: compile() parses via the active session
     val cols = FeatureStore.compile(Seq(
       FeatureSpec("a", "sum(x)"), FeatureSpec("b", "count(*)")))
     assert(cols.map(_.toString).exists(_.contains("a")))
@@ -33,6 +34,29 @@ class FeatureStoreSpec extends SparkSpec {
     val df = Seq(("k", 1.0), ("k", 4.0)).toDF("id", "q")
     val out = FeatureStore.aggregate(df, Seq("id"), specs).head()
     assert(out.getDouble(1) == 5.0 && out.getDouble(2) == 4.0)
+  }
+
+  test("count(distinct) split plan ≡ fused plan, incl. nulls in keys and values") {
+    val df = Seq[(Integer, Integer, Double)](
+      (1, 10, 1.0), (1, 10, 2.0), (1, 20, 3.0), (1, null, 4.0),
+      (2, null, 5.0), // all-null distinct col → count 0
+      (null, 30, 6.0), (null, 30, 7.0)) // null key group
+      .toDF("k", "o", "v")
+    val specs = Seq(
+      FeatureSpec("n", "count(*)"),
+      FeatureSpec("nOrders", "count(distinct o)"),
+      FeatureSpec("total", "sum(v)"))
+    val split = FeatureStore.aggregate(df, Seq("k"), specs)
+    val fused = FeatureStore.aggregate(df, Seq("k"), specs, splitDistinct = false)
+    // same columns in the same order, same values, null keys included
+    assert(split.columns.toSeq == Seq("k", "n", "nOrders", "total"))
+    assert(split.orderBy("k").collect().map(_.toSeq).toSeq ==
+      fused.orderBy("k").collect().map(_.toSeq).toSeq)
+    val m = split.collect()
+      .map(r => Option(r.get(0)) -> r.getLong(2)).toMap
+    assert(m(Some(1)) == 2L && m(Some(2)) == 0L && m(None) == 1L)
+    // and the split plan really avoids Expand
+    assert(!split.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
   test("aggregate is order-insensitive to input partitioning (keepBest-style determinism)") {
