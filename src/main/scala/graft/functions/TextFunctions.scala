@@ -31,15 +31,25 @@ object TextFunctions {
   def md5IntSeeded(c: Column, seed: Int): Column =
     md5Int(concat(lit(seed.toString), lit(":"), c))
 
-  /** Word n-gram shingles (distinct set), the MinHash input unit. */
-  def shingles(c: Column, n: Int): Column = {
-    val ws = words(c)
+  /** Word n-gram shingles (distinct set) from an ALREADY-MATERIALIZED words
+    * array (a real column/attribute, not an inline `words(...)` tree).
+    *
+    * This two-step split matters: a higher-order function's lambda body is
+    * evaluated per array element, so an inline `words(c)` inside the
+    * `slice` re-runs the regex split once per shingle — measured ~50×
+    * per-doc overhead on the dedup path. Bind the split to a column first
+    * (one split per row), then shingle from the bound attribute. */
+  def shinglesFromWords(ws: Column, n: Int): Column =
     array_distinct(
       when(size(ws) < n, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(0), size(ws) - n),
           i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
-  }
+
+  /** Word n-gram shingles (distinct set), the MinHash input unit. Prefer
+    * `shinglesFromWords` over a materialized words column in hot paths —
+    * see its scaladoc. */
+  def shingles(c: Column, n: Int): Column = shinglesFromWords(words(c), n)
 
   /** Punctuation character ratio over total characters. */
   def punctRatio(c: Column): Column =

@@ -25,9 +25,13 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle) pairs — word n-grams. */
+  /** Distinct (id, shingle) pairs — word n-grams. Two projections: the
+    * regex split materializes once per row, then the shingle transform
+    * slices the bound array (see TextFunctions.shinglesFromWords — an
+    * inline split would re-run per shingle, ~50× the per-doc cost). */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh"))
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(shinglesFromWords(col("__ws"), n)).as("sh"))
 
   /** Mersenne-prime modulus and the deterministic universal-hash family
     * h_i(x) = (a_i·x + b_i) mod M used for MinHash. One md5 per shingle
@@ -128,12 +132,27 @@ object Dedup {
 
   /** Exact n-gram Jaccard for a set of candidate pairs: |A∩B| / |A∪B| via
     * joins against the shingle table — computed only for candidates, never
-    * all pairs. */
+    * all pairs.
+    *
+    * The shingle table is first semi-joined down to docs that appear in a
+    * candidate pair (broadcast — the candidate id set is pair-bounded and
+    * ≪ corpus): without this, the (id, shingle) intersection join shuffles
+    * the ENTIRE corpus shingle table even when candidates are a handful of
+    * docs. Candidates ≪ corpus is the invariant that makes LSH worth it,
+    * so the verify stage's cost should scale with candidates too. */
   def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("id_a"), col("sh"))
-    val b = sh.select(col(idCol).as("id_b"), col("sh"))
-    val inter = pairs
+    // The pair set feeds both the candidate-id broadcast and the
+    // intersection join; persist it (tiny — it IS the candidate list) or
+    // its whole upstream LSH pipeline re-runs once per reference
+    // (measured 24 s → 1.6 s at sf0.1).
+    val p = pairs.persist()
+    val ids = p.select(col("id_a").as(idCol))
+      .union(p.select(col("id_b").as(idCol))).distinct()
+    val shCand = sh.join(broadcast(ids), Seq(idCol), "left_semi")
+    val sz = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shCand.select(col(idCol).as("id_a"), col("sh"))
+    val b = shCand.select(col(idCol).as("id_b"), col("sh"))
+    val inter = p
       .join(a, "id_a").join(b, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
