@@ -114,4 +114,23 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
       "\\s+", " ")).cast("binary"))
+
+  /** Rolling-hash modulus/base: M = 2^31-1 keeps every intermediate
+    * (acc·B + h < 2^51 + 2^32) inside a long with no overflow, in Spark
+    * and in a 64-bit SQL engine alike. */
+  val RollB: Long = 1000003L
+  val RollM: Long = 2147483647L
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * word sequence, h = fold(h·B + md5Int(word) mod M) from 0 — unlike
+    * `fingerprint`'s bag semantics, reordered documents hash differently.
+    * Left fold from 0 over per-word hashes ≡ DuckDB
+    * `list_reduce(list_transform(ws, …md5…), (a, h) -> (a*B + h) % M)`
+    * (fold-from-0's first step yields h₁, which is exactly list_reduce's
+    * first-element seed), so the oracle replays it exactly. Empty doc → 0. */
+  def rollingFingerprint(c: Column): Column =
+    // fold over an empty array returns the init (0) — no guard needed, and
+    // the single reference keeps the split+md5 transform at once per row
+    aggregate(transform(words(c), w => md5Int(w)), lit(0L),
+      (acc, h) => (acc * RollB + h) % RollM)
 }

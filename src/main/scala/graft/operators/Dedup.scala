@@ -164,6 +164,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
+    *
+    * Exact mode (`lsh = None`) scores every pair — O(n²), the correctness
+    * baseline, right for reranking or small partitions. LSH mode
+    * (`lsh = Some((dims, nPlanes, nTables))`) generates candidates by
+    * multi-table random-hyperplane bucketing (equi-join on (table, bucket),
+    * same construction as Similarity.lshTopK) and scores only candidates —
+    * approximate recall 1-(1-p^nPlanes)^nTables for per-plane collision
+    * probability p = 1-θ/π, the 100 TB path. Scoring uses the fused
+    * codegen'd CosineSimilarity in both modes, so LSH output is always a
+    * subset of exact output with identical scores. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double,
+                        lsh: Option[(Int, Int, Int)] = None): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val a = base.select(col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = base.select(col(idCol).as("id_b"), col("__v").as("__vb"))
+    val cand = lsh match {
+      case None =>
+        a.join(b, col("id_a") < col("id_b"))
+      case Some((dims, nPlanes, nTables)) =>
+        def bucketed(side: DataFrame, id: String, vec: String) = {
+          val tb = (0 until nTables).map { t =>
+            struct(lit(t).as("table"),
+              graft.operators.Similarity
+                .hyperplaneSig(col(vec), dims, nPlanes, t).as("bucket"))
+          }
+          side.withColumn("tb", explode(array(tb: _*)))
+            .select(col(id), col(vec), col("tb.table").as("table"),
+              col("tb.bucket").as("bucket"))
+        }
+        bucketed(a, "id_a", "__va")
+          .join(bucketed(b, "id_b", "__vb"), Seq("table", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "__va", "id_b", "__vb")
+          .dropDuplicates("id_a", "id_b")
+    }
+    cand
+      .withColumn("cos", graft.functions.catalyst.VectorExpressions
+        .cosineSim(col("__va"), col("__vb")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** SimHash signature over distinct tokens: bit j of the signature is the
     * sign of Σ_tokens (2·bit_j(hash(token)) − 1). One explode + one
     * aggregate; `bits` ≤ 32 with the 32-bit md5Int hash. */

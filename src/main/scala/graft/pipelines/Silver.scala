@@ -120,24 +120,38 @@ object Silver {
         cfg.referenceDate, cfg.birthDateFormat))
 
   /** Stage 4+5 — A1 compiled aggregation per aggregation period: full season
-    * plus last-N-game windows (W1), `-period` profileId suffix, unionByName
-    * (ADAPTERS/SILVER-adapter-wyscout.py:410-455). */
+    * plus last-N-game windows (W1), `-period` profileId suffix
+    * (ADAPTERS/SILVER-adapter-wyscout.py:410-455).
+    *
+    * Single-pass formulation: the reference (and the first cut here) runs
+    * one aggregation per period and unions — at scale that is one full
+    * shuffle of the match frame PER PERIOD. Instead: rank each profile's
+    * matches once (one window shuffle, `rank()` keeps the reference's tie
+    * semantics), explode the set of periods each row belongs to
+    * (season always; lastN iff rank ≤ N), and aggregate once by
+    * (profileId, period). Same rows out, 1 window + 1 aggregate instead of
+    * |periods|+1 shuffles — and the aggregate's exchange reuses nothing it
+    * doesn't need. */
   def aggregateProfiles(matchFrame: DataFrame, cfg: SilverConfig): DataFrame = {
     val baseSpecs =
       FeatureSpec("sampleSize", "count(profileId)") +:
       FeatureSpec("totalMinutesInSample", "sum(minutesTagged)") +:
       cfg.features
-    def agg(df: DataFrame, period: String): DataFrame =
-      FeatureStore.aggregate(df, Seq("profileId"), baseSpecs)
-        .withColumn("aggregationPeriod", lit(period))
-        .withColumn("profileId",
-          if (period == "season") col("profileId")
-          else concat(col("profileId"), lit("-"), lit(period)))
-    val season = agg(matchFrame, "season")
-    val lastNs = cfg.lastNPeriods.toSeq.sortBy(_._1).map { case (name, n) =>
-      agg(Windows.lastN(matchFrame, Seq("profileId"), col("matchId").desc, n), name)
-    }
-    lastNs.foldLeft(season)(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("profileId").orderBy(col("matchId").desc)
+    val periodCols = lit("season") +:
+      cfg.lastNPeriods.toSeq.sortBy(_._1).map { case (name, n) =>
+        when(col("__rk") <= n, lit(name))
+      }
+    val exploded = matchFrame
+      .withColumn("__rk", rank().over(w))
+      .withColumn("aggregationPeriod",
+        explode(filter(array(periodCols: _*), _.isNotNull)))
+      .drop("__rk")
+    FeatureStore.aggregate(exploded, Seq("profileId", "aggregationPeriod"), baseSpecs)
+      .withColumn("profileId",
+        when(col("aggregationPeriod") === "season", col("profileId"))
+          .otherwise(concat(col("profileId"), lit("-"), col("aggregationPeriod"))))
   }
 
   /** Stage 6 — meta re-attach (J4: left join against the deduped match

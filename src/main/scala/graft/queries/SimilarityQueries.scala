@@ -15,6 +15,8 @@ object SimilarityQueries {
   private val Dims = 64
   private val TopK = 5
   private val NQueries = 8 // query set = vec_id < 8
+  private val NearDupTau = 0.35 // synthetic embeddings are near-orthogonal;
+                                // 0.35 yields a few hundred pairs at sf0.01
 
   val all: Seq[Q] = Seq(
 
@@ -53,5 +55,24 @@ object SimilarityQueries {
           nPlanes = 6, k = TopK, nTables = 8)
         .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "nid")
+    },
+
+    // Embedding-cosine near-dup pairs (exact mode — the oracle baseline;
+    // the LSH candidate mode of the same operator is pinned in DedupSpec
+    // with planted duplicates, like q26's recall check).
+    Q.sql("q37_embedding_neardup",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         list_reduce(list_transform(generate_series(1, $Dims), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+         |         / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+         |            * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM s WHERE cos >= $NearDupTau ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.operators.Dedup.embeddingNearDups(
+          Tables.embeddings(s, d), "vec_id", "embedding", NearDupTau)
+        .select(col("id_a"), col("id_b"), dround(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
     })
 }

@@ -94,5 +94,23 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("fp")
+    },
+
+    // Order-sensitive rolling-hash fingerprint: left fold of
+    // (acc·B + md5Int(word)) mod M over the word sequence. DuckDB's
+    // list_reduce seeds with the first element, which equals the
+    // fold-from-0's first step, so the integer sequences are identical.
+    Q.sql("q38_rolling_fingerprint",
+      s"""$wsCte
+         |SELECT doc_id,
+         |       CASE WHEN len(ws) = 0 THEN 0
+         |            ELSE list_reduce(
+         |                   list_transform(ws, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT),
+         |                   (a, h) -> (a * ${TextFunctions.RollB} + h) % ${TextFunctions.RollM})
+         |       END AS roll_fp
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("roll_fp"))
+        .orderBy("doc_id")
     })
 }

@@ -94,6 +94,25 @@ class DedupSpec extends SparkSpec {
     assert(!scapped.exists(p => p._1 >= 100L && p._2 >= 100L))
   }
 
+  test("embeddingNearDups: LSH mode ⊆ exact mode, planted dup always recalled") {
+    val dims = 16
+    val base = Array.tabulate(dims)(i => math.sin(i * 1.7) + 1.5)
+    val nearDup = base.clone(); nearDup(0) += 0.01
+    val rnd = (2L until 40L).map { s =>
+      (s, Array.tabulate(dims)(i => math.sin(s * 31 + i * 7.3) * 2))
+    }
+    val emb = ((0L, base) +: (1L, nearDup) +: rnd).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 1L)))
+    val lsh = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95,
+      lsh = Some((dims, 6, 8)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cos≈1 ⇒ same bucket in every table ⇒ always a candidate
+    assert(lsh.contains((0L, 1L)))
+    assert(lsh.subsetOf(exact))
+  }
+
   test("query-scoped caches release cleanly (persist lifecycle)") {
     // Mirrors Verify/Bench hygiene: a dedup query persists its band table;
     // after the consuming action + clearCache no cached RDDs may linger.
