@@ -20,6 +20,21 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(words(c))
 
+  /** BPE-style pretokenizer regex — the GPT-2 pattern minus its trailing
+    * whitespace lookahead alternates (RE2, hence the DuckDB oracle, has no
+    * lookahead; the lookahead branch only affects runs of trailing spaces,
+    * which whitespace-clean training text doesn't carry). Matches
+    * contractions, optionally space-prefixed letter runs, digit runs, and
+    * punctuation runs — so its match count approximates a BPE vocab's
+    * pre-merge token count, the unit LLM data budgets are measured in. */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: number of pretokenizer matches. Pure
+    * `regexp_count` — codegen'd, identical under Java regex and RE2
+    * (no lookaround in the pattern, \p classes are Unicode in both). */
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenRe))
+
   /** Deterministic 32-bit hash from the md5 hex prefix — identical in Spark
     * (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
     * (`('0x' || substr(md5(x),1,8))::BIGINT`). The basis for MinHash /

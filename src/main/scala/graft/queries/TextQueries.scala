@@ -112,5 +112,23 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), rollingFingerprint(col("text")).as("roll_fp"))
         .orderBy("doc_id")
+    },
+
+    // BPE-ish token budget: pretokenizer-regex match count next to the
+    // whitespace count. The pattern constant is shared with the oracle
+    // (quote-escaped), so the two regex engines run the same source.
+    Q.sql("q39_bpe_tokens",
+      s"""SELECT doc_id,
+         |       CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+         |       len(regexp_extract_all(text, '${TextFunctions.BpeTokenRe.replace("'", "''")}')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          // DuckDB len() is BIGINT; Spark size()/regexp_count are INT —
+          // align the driver hash on long (the q03 lesson)
+          tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     })
 }

@@ -40,6 +40,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a == b && a != c)
   }
 
+  test("bpeTokenCount: contractions, digit runs and punct runs split out") {
+    assert(one(bpeTokenCount(col("t")), "") == 0)
+    // "don" + "'t" + " stop" = 3; digits split from letters
+    assert(one(bpeTokenCount(col("t")), "don't stop") == 3)
+    assert(one(bpeTokenCount(col("t")), "abc123 ok!!") == 4) // abc|123| ok|!!
+    assert(one(tokenCount(col("t")), "don't stop") == 2)     // ws baseline differs
+  }
+
+  test("rollingFingerprint is order-sensitive; fingerprint is not") {
+    val r1 = one(rollingFingerprint(col("t")), "alpha beta gamma")
+    val r2 = one(rollingFingerprint(col("t")), "gamma beta alpha")
+    assert(r1 != r2)
+    assert(one(rollingFingerprint(col("t")), "") == 0L)
+    assert(one(fingerprint(col("t")), "alpha beta gamma") ==
+      one(fingerprint(col("t")), "alpha  beta gamma"))
+  }
+
   test("punctRatio and quality bounds") {
     assert(one(punctRatio(col("t")), "no punct here") == 0.0)
     val q = one(qualityScore(col("t"), Seq("the", "a")), "the quick brown fox and a dog")
