@@ -208,6 +208,62 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Connected components over a near-duplicate pair table (`id_a`,`id_b`):
+    * the stage every dedup pipeline needs after pair generation, because
+    * near-duplication is transitive in practice (A≈B, B≈C ⇒ keep one of
+    * {A,B,C}) while pair output is not. Returns (id, cluster_id) for every
+    * id appearing in a pair; cluster_id = min id of the component.
+    *
+    * Min-label propagation: labels start as own id; each iteration joins
+    * labels onto edges, takes the per-node min over neighbours, and keeps
+    * the smaller of (own, neighbour-min). Each iteration is one shuffle
+    * join + one aggregate, `localCheckpoint` truncates the growing lineage,
+    * and convergence needs O(component diameter) rounds — near-dup clusters
+    * are dense (cliquey bands), so diameter is small; a pathological chain
+    * is bounded by `maxIter`. Convergence test: labels only ever decrease,
+    * so an unchanged Σlabels (exact, decimal) ⟺ fixpoint — one cheap
+    * aggregate per round instead of a changed-rows self-join. All state
+    * lives in DataFrames — nothing driver-side scales with the data. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p.union(p.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").distinct().persist()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("cluster_id"),
+          coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus-level dedup: drop every non-canonical member of a duplicate
+    * cluster, keep cluster representatives (min id) and all singletons.
+    * The non-canonical id set is pair-bounded (≪ corpus), so the anti-join
+    * broadcasts and the corpus is never shuffled. */
+  def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature over distinct tokens: bit j of the signature is the
     * sign of Σ_tokens (2·bit_j(hash(token)) − 1). One explode + one
     * aggregate; `bits` ≤ 32 with the 32-bit md5Int hash. */

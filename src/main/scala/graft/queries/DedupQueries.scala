@@ -169,5 +169,44 @@ object DedupQueries {
       Dedup.simhashPairs(sig, "doc_id", SimBits, SimBands, MaxHamming)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Duplicate-cluster resolution: connected components over the
+    // jaccard-verified pair set (near-duplication is transitive in practice;
+    // pair output is not). The oracle replays the full pipeline and closes
+    // the pairs transitively with a recursive CTE; min reachable id is the
+    // same cluster label Spark's min-label propagation converges to.
+    Q.sql("q40_dup_clusters",
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |$minhashCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.id_a
+         |  JOIN sz sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text", ShingleN)
+        .persist()
+      val sig = Dedup.minhashSignatures(sh, "doc_id", K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+      val dup = Dedup.jaccardForPairs(cand, sh, "doc_id")
+        .where(col("jaccard") >= 0.2).select("id_a", "id_b")
+      Dedup.duplicateClusters(dup)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
     })
 }

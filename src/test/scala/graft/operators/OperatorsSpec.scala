@@ -94,6 +94,22 @@ class DedupSpec extends SparkSpec {
     assert(!scapped.exists(p => p._1 >= 100L && p._2 >= 100L))
   }
 
+  test("duplicateClusters closes chains transitively; components independent") {
+    // chain 10-20, 20-30 (never directly paired) + disjoint pair 40-50
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val c = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(c == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
+  test("dedupCorpus keeps one representative per cluster plus singletons") {
+    val corpus = Seq(10L, 20L, 30L, 40L, 50L, 99L).toDF("doc_id")
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(kept == Set(10L, 40L, 99L))
+  }
+
   test("embeddingNearDups: LSH mode ⊆ exact mode, planted dup always recalled") {
     val dims = 16
     val base = Array.tabulate(dims)(i => math.sin(i * 1.7) + 1.5)
