@@ -217,21 +217,29 @@ object Dedup {
     * Min-label propagation: labels start as own id; each iteration joins
     * labels onto edges, takes the per-node min over neighbours, and keeps
     * the smaller of (own, neighbour-min). Each iteration is one shuffle
-    * join + one aggregate, `localCheckpoint` truncates the growing lineage,
-    * and convergence needs O(component diameter) rounds — near-dup clusters
-    * are dense (cliquey bands), so diameter is small; a pathological chain
-    * is bounded by `maxIter`. Convergence test: labels only ever decrease,
-    * so an unchanged Σlabels (exact, decimal) ⟺ fixpoint — one cheap
-    * aggregate per round instead of a changed-rows self-join. All state
-    * lives in DataFrames — nothing driver-side scales with the data. */
+    * join + one aggregate; the previous round's cache is released eagerly,
+    * and each round persists through the CacheManager (NOT localCheckpoint:
+    * checkpoint blocks are invisible to `spark.catalog.clearCache`, so
+    * they would leak past query-scoped cache hygiene — and with persist the
+    * lineage stays intact, so an evicted block recomputes instead of
+    * failing). Convergence needs O(component diameter) rounds — near-dup
+    * clusters are dense (cliquey bands), so diameter is small; a
+    * pathological chain is bounded by `maxIter` (swap the per-round persist
+    * for reliable checkpointing if a workload ever legitimately needs deep
+    * iteration — plan depth grows one join per round). Convergence test:
+    * labels only ever decrease, so an unchanged Σlabels (exact, decimal)
+    * ⟺ fixpoint — one cheap aggregate per round instead of a changed-rows
+    * self-join. All state lives in DataFrames — nothing driver-side scales
+    * with the data. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val p = pairs.select(col("id_a"), col("id_b"))
     val edges = p.union(p.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").distinct().persist()
+    // materializes the persist as a side effect — one action per round
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
+      .withColumn("cluster_id", col("id")).persist()
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -241,7 +249,7 @@ object Dedup {
       val next = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), least(col("cluster_id"),
           coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+        .persist()
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -249,6 +257,8 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      log.warn(s"duplicateClusters: stopped at maxIter=$maxIter before convergence")
     edges.unpersist()
     labels
   }

@@ -101,4 +101,104 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "nid", "cos")
   }
+
+  /** Index of the centroid with the highest dot product against `vec` —
+    * an argmax cascade over native DotProduct expressions against literal
+    * centroid arrays (compact codegen loops, like hyperplaneSig). Struct
+    * ordering gives the argmax: max by (score, -index) so ties take the
+    * lowest index deterministically. For unit vectors max-dot = nearest
+    * centroid in angular distance. */
+  def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedlit(c)).as("s"), lit(-i).as("ni"))
+    }: _*)).getField("ni") * -1
+
+  /** The `nProbe` centroid indices nearest to `vec`, best first. */
+  def nearestCentroids(vec: Column, cents: Seq[Array[Double]], nProbe: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedlit(c)).as("s"), lit(-i).as("ni"))
+    }: _*)
+    transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("ni") * -1)
+  }
+
+  /** L2-normalized copy of an array column. The norm binds to a column
+    * BEFORE the per-element divide — an inline norm inside the `transform`
+    * lambda would re-run the whole fold once per element (the shingles
+    * lesson, ×dims here). */
+  private def withUnitVec(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("__n", l2norm(col(vec)))
+      .withColumn(out,
+        when(col("__n") > 0, transform(col(vec), x => x / col("__n")))
+          .otherwise(col(vec)))
+      .drop("__n")
+
+  /** Deterministic spherical k-means for the IVF coarse quantizer.
+    *
+    * Init: the `nLists` lowest-id vectors (deterministic, no RNG — this
+    * module bans nondeterminism so oracles and re-runs replay). Each Lloyd
+    * iteration is fully distributed: one map pass assigns every vector to
+    * its nearest centroid (argmax cascade), one aggregation computes
+    * element-wise cell sums via posexplode, and only the nLists×dims
+    * centroid model ever reaches the driver (config-sized — the same
+    * collect class as broadcast weights). Empty cells keep their previous
+    * centroid. Returns unit-norm centroids. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int, iters: Int = 3): Seq[Array[Double]] = {
+    val vecs = withUnitVec(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", "u")
+      .select(col("id"), col("u"))
+    var cents: Seq[Array[Double]] =
+      vecs.orderBy("id").limit(nLists).select("u").collect()
+        .map(_.getSeq[Double](0).toArray).toSeq
+    for (_ <- 0 until iters) {
+      val sums = vecs
+        .withColumn("cell", nearestCentroid(col("u"), cents))
+        .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(sum("x").as("sx"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Int]("cell"))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i).fold(old) { rows =>
+          val c = new Array[Double](old.length)
+          rows.foreach(r => c(r.getAs[Int]("pos")) = r.getAs[Double]("sx"))
+          val n = math.sqrt(c.map(x => x * x).sum)
+          if (n > 0) c.map(_ / n) else old
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF ANN: corpus vectors live in Voronoi cells of the trained coarse
+    * quantizer (one cell each, assigned in a single map pass); each query
+    * probes its `nProbe` nearest cells, so scoring touches ~nProbe/nLists
+    * of the corpus instead of all of it. Candidate generation is an
+    * equi-join on the cell id against the broadcast exploded query probes.
+    * Exact within probed cells: recall loss comes only from a true
+    * neighbour living in an unprobed cell — the (nLists, nProbe) dial.
+    * At 100 TB: assignment is map-only (no shuffle of the corpus), the
+    * candidate join keys on cell, and writing the corpus partitioned by
+    * cell makes repeated searches prune to probed cells at scan time. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, cents: Seq[Array[Double]], nProbe: Int,
+              k: Int): DataFrame = {
+    val c = withUnitVec(
+      corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
+      .withColumn("cell", nearestCentroid(col("nu"), cents))
+      .select("nid", "nvec", "cell")
+    val q = withUnitVec(
+      queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec", "qu")
+      .withColumn("cell",
+        explode(nearestCentroids(col("qu"), cents, nProbe)))
+      .select("qid", "qvec", "cell")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "nid", "cos")
+  }
 }

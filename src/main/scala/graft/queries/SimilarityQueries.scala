@@ -57,6 +57,21 @@ object SimilarityQueries {
         .orderBy("qid", "nid")
     },
 
+    // IVF ANN: spherical-k-means coarse quantizer (deterministic init, no
+    // RNG), corpus in Voronoi cells, queries probe nProbe nearest cells.
+    // Approximate by construction → rows-only check; exact-within-probed-
+    // cells property and planted-dup recall pinned in SimilaritySpec.
+    Q.rowsOnly("q41_ann_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", cents,
+          nProbe = 4, k = TopK)
+        .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
     // Embedding-cosine near-dup pairs (exact mode — the oracle baseline;
     // the LSH candidate mode of the same operator is pinned in DedupSpec
     // with planted duplicates, like q26's recall check).

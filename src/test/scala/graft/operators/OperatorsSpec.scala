@@ -186,4 +186,39 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(lsh.head._2 == 1L && lsh.head._3 > 0.999999)
   }
+
+  test("ivfTopK: exact scores, subset of brute force, planted dup recalled (nProbe=1)") {
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7) * 3)
+    val nearDup = base.clone(); nearDup(0) += 1e-9
+    val corpus = ((0L, base) +: (1L, nearDup) +:
+      (2L until 60L).map(i => (i, Array.tabulate(16)(j => math.cos(i * 16 + j) * 3))))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 0L)
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", nLists = 4, iters = 2)
+    assert(cents.length == 4 && cents.forall(c =>
+      math.abs(c.map(x => x * x).sum - 1.0) < 1e-9)) // unit-norm centroids
+    val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 59)
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", cents,
+      nProbe = 1, k = 10).as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // cos≈1 ⇒ same nearest centroid ⇒ the planted dup is in the probed cell
+    assert(ivf.map(_._2).contains(1L))
+    ivf.foreach { case (_, nid, cos) =>
+      assert(math.abs(brute(nid) - cos) < 1e-12) // exact within probed cells
+    }
+  }
+
+  test("ivfTopK with nProbe = nLists is exhaustive (equals brute force)") {
+    val corpus = (0L until 30L)
+      .map(i => (i, Array.tabulate(8)(j => math.sin(i * 8 + j) * 2)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 2L)
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding", nLists = 3, iters = 2)
+    val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", cents,
+      nProbe = 3, k = 5).as[(Long, Long, Double)].collect().toSet
+    assert(ivf == brute)
+  }
 }
