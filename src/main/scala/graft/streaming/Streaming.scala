@@ -64,6 +64,30 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen within the
+    * watermark horizon. `dropDuplicatesWithinWatermark` keeps one state-store
+    * entry per key and evicts it once the watermark passes — state is
+    * bounded by (arrival rate × watermark), never by stream history, which
+    * is what makes exact dedup viable on an unbounded 100 TB/day ingest.
+    * Exactly-once within the horizon; re-deliveries older than the
+    * watermark fall through to the batch dedup (Dedup.exactGroups) in the
+    * silver compaction pass. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], eventTimeCol: String,
+                  watermark: String): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Content-keyed streaming dedup for document ingest: key = the
+    * normalized-text fingerprint (TextFunctions.fingerprint), so reposts
+    * that differ only in case/punctuation/whitespace dedupe too. Same
+    * bounded-state semantics as `dedupStream`. */
+  def fingerprintDedupStream(docs: DataFrame, textCol: String,
+                             eventTimeCol: String, watermark: String): DataFrame =
+    dedupStream(
+      docs.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol))),
+      Seq("__fp"), eventTimeCol, watermark)
+      .drop("__fp")
+
   /** Batch-style one-shot drain of everything available, then stop — the
     * streaming equivalent of the reference's re-run model. */
   def runAvailableNow(df: DataFrame, outPath: String, checkpoint: String,

@@ -56,6 +56,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops within-watermark re-deliveries across microbatches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.dedupStream(
+        in.toDF().toDF("doc_id", "ts", "text"),
+        Seq("doc_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "a"),
+                 (1L, ts("2024-01-01 10:00:00"), "a"), // same-batch dup
+                 (2L, ts("2024-01-01 10:01:00"), "b"))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:30:00"), "a")) // cross-batch dup, in horizon
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("fingerprintDedupStream dedupes formatting-noise reposts") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.fingerprintDedupStream(
+        in.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("fp_dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00"), "Hello,  World!"),
+                 (3L, ts("2024-01-01 10:02:00"), "something else entirely"))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-01 10:05:00"), "hello world")) // same fingerprint as 1
+      q.processAllAvailable()
+      val ids = spark.table("fp_dedup_test").select("doc_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 3L))
+      assert(!spark.table("fp_dedup_test").columns.contains("__fp"))
+    } finally q.stop()
+  }
+
   test("hourlyEventStats transform is batch/stream shared (same result on batch input)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
