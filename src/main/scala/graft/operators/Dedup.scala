@@ -214,41 +214,73 @@ object Dedup {
     * {A,B,C}) while pair output is not. Returns (id, cluster_id) for every
     * id appearing in a pair; cluster_id = min id of the component.
     *
-    * Min-label propagation: labels start as own id; each iteration joins
-    * labels onto edges, takes the per-node min over neighbours, and keeps
-    * the smaller of (own, neighbour-min). Each iteration is one shuffle
-    * join + one aggregate; the previous round's cache is released eagerly,
-    * and each round persists through the CacheManager (NOT localCheckpoint:
-    * checkpoint blocks are invisible to `spark.catalog.clearCache`, so
-    * they would leak past query-scoped cache hygiene — and with persist the
-    * lineage stays intact, so an evicted block recomputes instead of
-    * failing). Convergence needs O(component diameter) rounds — near-dup
-    * clusters are dense (cliquey bands), so diameter is small; a
-    * pathological chain is bounded by `maxIter` (swap the per-round persist
-    * for reliable checkpointing if a workload ever legitimately needs deep
-    * iteration — plan depth grows one join per round). Convergence test:
-    * labels only ever decrease, so an unchanged Σlabels (exact, decimal)
-    * ⟺ fixpoint — one cheap aggregate per round instead of a changed-rows
-    * self-join. All state lives in DataFrames — nothing driver-side scales
-    * with the data. */
+    * Min-label propagation with pointer jumping: labels start as own id;
+    * each iteration (a) takes the per-node min over neighbours' labels
+    * (one join + one aggregate), then (b) follows its own label's label
+    * (path halving: one self-join) — a label is always a node id, so the
+    * jump is well-defined. Neighbour-min alone needs O(component diameter)
+    * rounds, and near-dup corpora DO produce long chains (doc i ≈ doc i+1
+    * under incremental edits — measured 50+ rounds ≈ 2 min at sf0.1); the
+    * jump step doubles label reach per round, so convergence is
+    * O(log diameter) (2 rounds, ~10 s on the same corpus). Each round
+    * persists through the CacheManager (NOT localCheckpoint: checkpoint
+    * blocks are invisible to `spark.catalog.clearCache`, so they would
+    * leak past query-scoped cache hygiene — and with persist the lineage
+    * stays intact, so an evicted block recomputes instead of failing).
+    *
+    * Nothing is unpersisted inside the loop — deliberately. Spark's
+    * non-cascading unpersist "re-caches" dependent entries by DISCARDING
+    * their materialized blocks (keeping only the recompiled plan), so an
+    * eager release of round k's labels silently unmaterializes round k+1
+    * and every later action recomputes the full upstream pipeline
+    * (measured: 2-4 s rounds become 50-220 s).
+    *
+    * Every round REBASES its result onto the materialized RDD
+    * (`createDataFrame(df.rdd, schema)`): each round references the
+    * previous labels three times (direct, neighbour messages, jump
+    * parents), so carrying the logical plan forward multiplies the tree
+    * ×3 per round — measured 83k-leaf plans whose CATALYST COMPILATION,
+    * not execution, took 70+ s per action at sf0.1. The rebased frame is
+    * a constant-size LogicalRDD leaf, so plan compilation is O(1) per
+    * round, and because it has no Catalyst dependency on its ancestors,
+    * the eager unpersist of the previous round is safe again (the cache
+    * discipline: exactly `edges` + the current labels stay cached, both
+    * pair-bounded). A pathological case is bounded by `maxIter`.
+    * Convergence test: labels only ever decrease, so an unchanged Σlabels
+    * (exact, decimal) ⟺ fixpoint — one cheap aggregate per round instead
+    * of a changed-rows self-join. All state lives in DataFrames — nothing
+    * driver-side scales with the data. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // lineage rebase: constant-size logical plan per round (see scaladoc)
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     val p = pairs.select(col("id_a"), col("id_b"))
-    val edges = p.union(p.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").distinct().persist()
+    val edges = rebase(p.union(p.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").distinct()).persist()
     // materializes the persist as a side effect — one action per round
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).persist()
+    var labels = rebase(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))).persist()
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(nbrMin, col("id") === col("dst"), "left")
+      val prop = labels.join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), least(col("cluster_id"),
           coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jump (path halving): adopt own candidate label's label from
+      // the PREVIOUS round's cached table — joining prop against itself
+      // would re-evaluate the uncached prop subtree once per clone (the
+      // self-join clone defeats cache-plan matching), compounding per round
+      val parents = labels
+        .select(col("id").as("__pid"), col("cluster_id").as("__pc"))
+      val next = rebase(prop.join(parents, col("cluster_id") === col("__pid"), "left")
+        .select(col("id"), least(col("cluster_id"),
+          coalesce(col("__pc"), col("cluster_id"))).as("cluster_id")))
         .persist()
       val s = labelSum(next)
       converged = s == prevSum
