@@ -130,6 +130,25 @@ object TextFunctions {
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
       "\\s+", " ")).cast("binary"))
 
+  /** PII-shaped patterns for redaction. Lookaround-free so Java regex and
+    * RE2 (the DuckDB engine) match identically; the URL pattern is applied
+    * FIRST so an email inside a URL query string is already gone when the
+    * email pass runs — order is part of the contract and the oracle
+    * replays the same three passes in the same order. */
+  val UrlRe: String = "https?://[^\\s]+"
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Redact URLs, then emails, then phone-shaped digit runs. Pure
+    * regexp_replace chain — map-only and codegen'd, the shape a 100 TB
+    * pre-training scrub wants. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Rolling-hash modulus/base: M = 2^31-1 keeps every intermediate
     * (acc·B + h < 2^51 + 2^32) inside a long with no overflow, in Spark
     * and in a 64-bit SQL engine alike. */

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, document chunking, sequence packing, benchmark decontamination,
+  * and rule-based quality filtering.
+  *
+  * Scale design: every operator here is either map-only (sampling, chunking,
+  * filtering, redaction — they ride along with the scan and stay inside
+  * whole-stage codegen) or keyed on a bounded-cardinality hash key
+  * (packing windows per bucket, contamination equi-join on shingle hash).
+  * Nothing is driver-side, nothing is O(corpus²).
+  */
+object Curation {
+
+  /** Scale used to turn a sampling rate into an integer hash threshold —
+    * rates are effectively quantized to 1e-6 resolution. */
+  val RateScale: Long = 1000000L
+
+  private def hashBucket(id: Column, salt: String): Column =
+    pmod(md5Int(concat(lit(salt), lit(":"), id.cast("string"))), lit(RateScale))
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * md5(salt:id) mod 1e6 < rate·1e6. Unlike `df.sample()`, membership is a
+    * pure function of (id, salt) — re-runs, retries, and different
+    * partitionings of a 100 TB input all select the SAME rows, and the
+    * sample is reproducible in any engine with md5 (the oracle replays it).
+    * Changing the salt draws an independent sample. Map-only: no shuffle,
+    * the predicate pushes into the scan's filter stage. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double,
+                          salt: String = "sample"): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    df.where(hashBucket(col(idCol), salt) < (rate * RateScale).toLong)
+  }
+
+  /** Per-stratum deterministic sampling — e.g. downsample web text to 10%
+    * while keeping 100% of books/code, the standard data-mixture move.
+    * `rates` maps stratum value → rate; unlisted strata use `defaultRate`.
+    * Same hash membership as `deterministicSample`, so a doc kept at rate r
+    * stays kept at any rate ≥ r (nested samples, useful for ablations). */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "sample"): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val threshold = rates.foldLeft(lit((defaultRate * RateScale).toLong)) {
+      case (els, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit((r * RateScale).toLong)).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol), salt) < threshold)
+  }
+
+  /** Split documents into overlapping word-window chunks: chunk i covers
+    * words [i·stride, i·stride + window). Empty docs yield no chunks; a doc
+    * of n ≤ window words yields exactly one. Map-only explode — each input
+    * row fans out to its own chunks with no shuffle, so this pipelines with
+    * the scan at any scale. Output: (id, chunk_idx, chunk_text,
+    * chunk_tokens), keyed for a downstream tokenizer/pack stage. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val n = size(col("__ws"))
+    val nChunks = when(n <= window, lit(1L))
+      .otherwise(ceil((n - window).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .where(n > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        concat_ws(" ", slice(col("__ws"),
+          (col("chunk_idx") * stride + 1L).cast("int"), lit(window))).as("chunk_text"),
+        least(lit(window.toLong), n.cast("long") - col("chunk_idx") * stride)
+          .as("chunk_tokens"))
+  }
+
+  /** Pack variable-length documents into fixed token budgets — the stage
+    * that turns a filtered corpus into near-constant-cost training
+    * sequences. Contiguous-fill packing: docs are hash-assigned to
+    * `nBuckets` independent buckets, ordered deterministically within each,
+    * and doc d joins pack floor(prefixSum(tokens before d) / budget).
+    *
+    * True greedy bin-packing (reset the accumulator when a doc would
+    * overflow) is inherently sequential per bucket; this prefix-sum form is
+    * one window per bucket (embarrassingly parallel across buckets — size
+    * nBuckets to the cluster), wastes at most one straddling doc per pack
+    * boundary, and is replayable as SQL window arithmetic. Each pack's
+    * token total is ≈budget: a pack's docs are exactly those whose
+    * exclusive prefix sum lands in [k·budget, (k+1)·budget).
+    *
+    * Output: (id, tokens, bucket, pack_id, pack_offset) where pack_offset
+    * is the doc's token offset within its pack. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, nBuckets: Int,
+                    salt: String = "pack"): DataFrame = {
+    require(budget > 0 && nBuckets > 0, "need positive budget and buckets")
+    val bucket = pmod(
+      md5Int(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+      lit(nBuckets.toLong))
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBucket = df
+      .select(col(idCol), col(tokensCol).cast("long").as("tokens"))
+      .withColumn("bucket", bucket)
+    withBucket
+      .withColumn("__cum", sum(col("tokens")).over(w))
+      .withColumn("pack_id",
+        concat_ws("_", col("bucket"),
+          floor((col("__cum") - col("tokens")) / budget)))
+      .withColumn("pack_offset", (col("__cum") - col("tokens")) % budget)
+      .drop("__cum")
+  }
+
+  /** Benchmark decontamination: which training docs share word n-grams with
+    * an eval/benchmark doc, and how much of the eval doc they cover.
+    * The production guard against test-set leakage into pre-training data.
+    *
+    * Shape: distinct (id, shingle-hash) tables on both sides (map-only
+    * explode), equi-join on the hash, aggregate per (train, eval) pair.
+    * The eval side is a benchmark — thousands of docs against a 100 TB
+    * corpus — so its hash table broadcasts and the corpus shingle table is
+    * NEVER shuffled: contamination runs as a map-side join over the scan.
+    * Output: (train_id, eval_id, n_overlap, eval_ngrams, containment)
+    * where containment = |overlap| / |eval doc's distinct n-grams|. */
+  def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      Dedup.shingleTable(df, idCol, textCol, n)
+        .select(col(idCol).as(as), md5Int(col("sh")).as("h"))
+    val trainSh = hashed(train, "train_id")
+    val evalSh = hashed(eval, "eval_id")
+    val evalSizes = evalSh.groupBy("eval_id")
+      .agg(count(lit(1)).as("eval_ngrams"))
+    trainSh
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .select(col("train_id"), col("eval_id"), col("n_overlap"),
+        col("eval_ngrams"),
+        (col("n_overlap").cast("double") / col("eval_ngrams")).as("containment"))
+  }
+
+  /** Rule-based quality filtering with per-doc diagnostics: `rules` are
+    * (name, passes) predicates; output carries `keep` (all rules pass) and
+    * `failed_rules` (comma-joined names of failed ones, declaration order) —
+    * the audit trail a curation run needs to explain its drop rate.
+    * Map-only; the common `df.where(keep)` downstream pushes into the scan. */
+  def qualityFilterReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val failed = array_join(
+      filter(array(rules.map { case (name, pass) =>
+        when(!pass, lit(name))
+      }: _*), _.isNotNull), ",")
+    df.withColumn("failed_rules", failed)
+      .withColumn("keep", col("failed_rules") === "")
+  }
+}

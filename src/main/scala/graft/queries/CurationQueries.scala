@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.io.Tables
+import graft.operators.Curation
+import graft.queries.Qutil.dround
+
+/** Corpus-curation operators over the `documents` table: benchmark
+  * decontamination, deterministic stratified sampling, chunking, sequence
+  * packing, PII redaction, quality filtering. Oracle SQL is generated from
+  * the same constants (rates, budgets, regexes, rule thresholds) as the
+  * Spark columns, so the two sides cannot drift.
+  */
+object CurationQueries {
+
+  private val ContamN = 5          // decontamination n-gram order
+  private val EvalMod = 37L        // doc_id % EvalMod == 0 → "benchmark" doc
+  private val SampleRates = Seq("en" -> 0.5, "de" -> 1.0) // stratified rates
+  private val DefaultRate = 0.25
+  private val ChunkWindow = 40
+  private val ChunkStride = 30
+  private val PackBudget = 512L
+  private val PackBuckets = 8
+  private val MinTokens = 5L
+  private val MaxPunct = 0.3
+
+  private def md5IntSql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Tokenized-documents CTE shared by the word-grain oracles. */
+  private val wsCte =
+    """w AS (
+      |  SELECT doc_id, lang, text,
+      |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |              ELSE string_split_regex(trim(text), '\s+') END AS ws
+      |  FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Benchmark decontamination: training docs sharing word 5-grams with the
+    // held-out slice (doc_id % 37 = 0 standing in for an eval set), with
+    // containment = shared / eval's distinct n-grams. Overlap is counted at
+    // the shared md5-prefix hash grain on BOTH sides, so the integer
+    // arithmetic replays exactly.
+    Q.sql("q42_decontamination",
+      s"""WITH $wsCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ContamN - 1}], ' ') AS sh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${ContamN - 1})) AS i
+         |        FROM w)),
+         |h AS (SELECT doc_id, ${md5IntSql("sh")} AS h FROM sh),
+         |tr AS (SELECT doc_id AS train_id, h FROM h WHERE doc_id % $EvalMod <> 0),
+         |ev AS (SELECT doc_id AS eval_id, h FROM h WHERE doc_id % $EvalMod = 0),
+         |evsz AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY 1),
+         |ov AS (
+         |  SELECT train_id, eval_id, count(*) AS n_overlap
+         |  FROM tr JOIN ev USING (h) GROUP BY 1, 2)
+         |SELECT o.train_id, o.eval_id, o.n_overlap, s.eval_ngrams,
+         |       floor((CAST(o.n_overlap AS DOUBLE) / s.eval_ngrams) * 10000 + 0.5) / 10000 AS containment
+         |FROM ov o JOIN evsz s USING (eval_id)
+         |ORDER BY train_id, eval_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.ngramContamination(
+          docs.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(EvalMod)) === 0),
+          "doc_id", "text", ContamN)
+        .select(col("train_id"), col("eval_id"), col("n_overlap"),
+          col("eval_ngrams"), dround(col("containment"), 4).as("containment"))
+        .orderBy("train_id", "eval_id")
+    },
+
+    // Deterministic stratified sampling: language-keyed rates (en 50%,
+    // de 100%, others 25%), membership a pure function of (salt, doc_id) —
+    // the oracle replays the md5 threshold test row by row.
+    Q.sql("q43_stratified_sample", {
+      val thresholds = SampleRates.foldLeft(
+        s"${(DefaultRate * Curation.RateScale).toLong}") {
+        case (els, (stratum, r)) =>
+          s"CASE WHEN lang = '$stratum' THEN ${(r * Curation.RateScale).toLong} ELSE $els END"
+      }
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${md5IntSql(s"'sample:' || CAST(doc_id AS VARCHAR)")} % ${Curation.RateScale}
+         |      < ($thresholds)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Curation.stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+          SampleRates.toMap, DefaultRate)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Overlapping word-window chunking (window 40, stride 30): map-only
+    // fan-out of each doc into tokenizer-ready chunks.
+    Q.sql("q44_chunk_docs",
+      s"""WITH $wsCte,
+         |c AS (
+         |  SELECT doc_id, ws, len(ws) AS n,
+         |         CASE WHEN len(ws) <= $ChunkWindow THEN 1
+         |              ELSE CAST(ceil((len(ws) - $ChunkWindow) / CAST($ChunkStride AS DOUBLE)) AS BIGINT) + 1
+         |         END AS n_chunks
+         |  FROM w WHERE len(ws) > 0)
+         |SELECT doc_id, i AS chunk_idx,
+         |       array_to_string(ws[CAST(i * $ChunkStride + 1 AS BIGINT) : CAST(i * $ChunkStride + $ChunkWindow AS BIGINT)], ' ') AS chunk_text,
+         |       least($ChunkWindow, n - i * $ChunkStride) AS chunk_tokens
+         |FROM (SELECT doc_id, ws, n, unnest(generate_series(0, n_chunks - 1)) AS i FROM c)
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          ChunkWindow, ChunkStride)
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing into 512-token budgets over 8 hash buckets:
+    // contiguous-fill prefix-sum form, window arithmetic identical in SQL.
+    Q.sql("q45_pack_sequences",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS tokens,
+         |         ${md5IntSql(s"'pack:' || CAST(doc_id AS VARCHAR)")} % $PackBuckets AS bucket
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, tokens, bucket,
+         |         sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, tokens, bucket,
+         |       CAST(bucket AS VARCHAR) || '_' ||
+         |         CAST(CAST(floor((cum - tokens) / CAST($PackBudget AS DOUBLE)) AS BIGINT) AS VARCHAR) AS pack_id,
+         |       (cum - tokens) % $PackBudget AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("tokens"))
+      Curation.packSequences(docs, "doc_id", "tokens", PackBudget, PackBuckets)
+        .select("doc_id", "tokens", "bucket", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: URL → email → phone regexp_replace chain with
+    // per-stage match counts; patterns shared with the oracle verbatim
+    // (lookaround-free, so Java regex and RE2 agree).
+    Q.sql("q46_pii_redact", {
+      val (u, e, p) = (TextFunctions.UrlRe, TextFunctions.EmailRe,
+        TextFunctions.PhoneRe)
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$u')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(regexp_replace(text, '$u', '<URL>', 'g'), '$e')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text, '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$p')) AS BIGINT) AS n_phones
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val step1 = regexp_replace(col("text"), UrlRe, "<URL>")
+      val step2 = regexp_replace(step1, EmailRe, "<EMAIL>")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          redactPii(col("text")).as("clean_text"),
+          regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+          regexp_count(step1, lit(EmailRe)).cast("long").as("n_emails"),
+          regexp_count(step2, lit(PhoneRe)).cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    },
+
+    // Rule-based quality filter with an audit trail: per-doc failed-rule
+    // list (declaration order) + keep flag. Ratio thresholds compare
+    // identical IEEE divisions on both sides, so the rule outcomes agree
+    // bit-for-bit.
+    Q.sql("q47_quality_filter", {
+      val punct = """CASE WHEN length(text) = 0 THEN 0.0
+                    |            ELSE CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END""".stripMargin
+      // coalesce: DuckDB's array_to_string is string_agg under the hood, so
+      // an empty (all-rules-pass) list gives NULL where Spark's array_join
+      // gives '' — normalize to ''.
+      s"""WITH $wsCte
+         |SELECT doc_id,
+         |  coalesce(array_to_string(list_filter([
+         |    CASE WHEN NOT (len(ws) >= $MinTokens) THEN 'min_tokens' END,
+         |    CASE WHEN NOT (($punct) <= $MaxPunct) THEN 'max_punct' END,
+         |    CASE WHEN NOT (lang <> 'unknown') THEN 'known_lang' END
+         |  ], x -> x IS NOT NULL), ','), '') AS failed_rules,
+         |  CAST(coalesce(array_to_string(list_filter([
+         |    CASE WHEN NOT (len(ws) >= $MinTokens) THEN 'min_tokens' END,
+         |    CASE WHEN NOT (($punct) <= $MaxPunct) THEN 'max_punct' END,
+         |    CASE WHEN NOT (lang <> 'unknown') THEN 'known_lang' END
+         |  ], x -> x IS NOT NULL), ','), '') = '' AS INTEGER) AS keep
+         |FROM w ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Curation.qualityFilterReport(Tables.documents(s, d), Seq(
+          "min_tokens" -> (tokenCount(col("text")) >= MinTokens),
+          "max_punct" -> (punctRatio(col("text")) <= MaxPunct),
+          "known_lang" -> (col("lang") =!= "unknown")))
+        .select(col("doc_id"), col("failed_rules"), col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    })
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSample is reproducible, nested, and rate-accurate") {
+    val df = (1L to 4000L).toDF("id")
+    val s20 = Curation.deterministicSample(df, "id", 0.2).as[Long].collect().toSet
+    val s20again = Curation.deterministicSample(df, "id", 0.2).as[Long].collect().toSet
+    val s50 = Curation.deterministicSample(df, "id", 0.5).as[Long].collect().toSet
+    assert(s20 == s20again)                      // pure function of (id, salt)
+    assert(s20.subsetOf(s50))                    // nested: rate ↑ only adds rows
+    assert(math.abs(s20.size / 4000.0 - 0.2) < 0.03)
+    val salted = Curation.deterministicSample(df, "id", 0.2, "other")
+      .as[Long].collect().toSet
+    assert(salted != s20)                        // new salt → independent draw
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val df = (1L to 3000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val out = Curation.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.0, "de" -> 1.0), defaultRate = 0.5)
+    val langs = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!langs.contains("en"))                // rate 0 drops the stratum
+    assert(langs("de") == 2000L)                 // rate 1 keeps everything
+  }
+
+  test("chunkDocuments covers every word with stride overlap; empty docs vanish") {
+    val docs = Seq(
+      (1L, (1 to 95).map(i => s"w$i").mkString(" ")), // 95 words → 3 chunks
+      (2L, "short doc"),                              // ≤ window → 1 chunk
+      (3L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", window = 40, stride = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 3)
+    assert(d1(0)._3.startsWith("w1 ") && d1(1)._3.startsWith("w31 ")
+      && d1(2)._3.startsWith("w61 "))
+    assert(d1.map(_._4).toSeq == Seq(40L, 40L, 35L)) // last chunk is the tail
+    assert(d1(2)._3.endsWith("w95"))                 // full coverage
+    assert(out.count(_._1 == 2L) == 1 && out.filter(_._1 == 2L).head._4 == 2L)
+    assert(!out.exists(_._1 == 3L))                  // empty doc → no chunks
+  }
+
+  test("packSequences fills each pack to ~budget with one straddler at most") {
+    val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("id", "tokens")
+    val out = Curation.packSequences(docs, "id", "tokens", budget = 100L, nBuckets = 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("bucket"), r.getAs[String]("pack_id"), r.getAs[Long]("pack_offset")))
+    assert(out.length == 200)                        // partition, never drop
+    // pack_offset is the exclusive prefix sum mod budget: within a pack,
+    // offsets must be strictly increasing in id order
+    out.groupBy(_._4).foreach { case (_, members) =>
+      val sorted = members.sortBy(_._1)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.toSeq)
+      // a pack's token span stays within budget + one straddling doc
+      assert(members.map(_._2).sum <= 100L + members.map(_._2).max)
+    }
+    // deterministic: same input → same packing
+    val again = Curation.packSequences(docs, "id", "tokens", 100L, 4)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("pack_id"))).toMap
+    assert(out.forall(r => again(r._1) == r._4))
+  }
+
+  test("ngramContamination finds planted eval overlap, never unrelated docs") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"intro words then $shared and trailing content here"),
+      (2L, "totally unrelated training document with its own words")).toDF("doc_id", "text")
+    val eval = Seq((100L, shared)).toDF("doc_id", "text")
+    val out = Curation.ngramContamination(train, eval, "doc_id", "text", 5)
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Long]("n_overlap"), r.getAs[Long]("eval_ngrams"),
+        r.getAs[Double]("containment")))
+    assert(out.length == 1)
+    val (tid, eid, overlap, total, cont) = out.head
+    assert(tid == 1L && eid == 100L)
+    assert(overlap == 4L && total == 4L && cont == 1.0) // all 4 eval 5-grams hit
+  }
+
+  test("qualityFilterReport labels failures in declaration order") {
+    val docs = Seq(
+      (1L, "a good long document with enough words to pass the rules", "en"),
+      (2L, "short", "en"),                      // fails min_tokens
+      (3L, "!!! ??? ,,, :::", "de"),            // fails min_tokens + max_punct
+      (4L, "plenty of words here but the language was never identified at all", "unknown"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.qualityFilterReport(docs, Seq(
+        "min_tokens" -> (graft.functions.TextFunctions.tokenCount(col("text")) >= 5L),
+        "max_punct" -> (graft.functions.TextFunctions.punctRatio(col("text")) <= 0.3),
+        "known_lang" -> (col("lang") =!= "unknown")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("failed_rules"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (("", true)))
+    assert(out(2L) == (("min_tokens", false)))
+    assert(out(3L) == (("min_tokens,max_punct", false)))
+    assert(out(4L) == (("known_lang", false)))
+  }
+
+  test("redactPii scrubs urls, emails, phones in that order") {
+    import graft.functions.TextFunctions
+    val df = Seq(
+      "visit https://example.com/a?mail=x@y.com then mail bob@corp.io or call +1 (555) 123-4567 now")
+      .toDF("text")
+      .select(TextFunctions.redactPii(col("text")).as("clean"))
+    val clean = df.as[String].head()
+    assert(clean == "visit <URL> then mail <EMAIL> or call <PHONE> now")
+  }
+}
