@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions._
+
+/** Corpus-level statistics for training-data pipelines: vocabulary with
+  * document frequencies, TF-IDF term salience, and per-label embedding
+  * centroids.
+  *
+  * Scale design: token explosion is map-only; every aggregate is a
+  * hash-partitioned groupBy with map-side combine (term and (doc, term)
+  * grains); the corpus row count joins in as a broadcast single-row frame,
+  * never a driver action; centroid math reaches the driver nowhere.
+  */
+object CorpusStats {
+
+  /** Corpus vocabulary: one row per distinct token with total occurrences
+    * (tf) and document frequency (df). Two aggregates, both map-side
+    * combining: (doc, term) counts, then term-grain rollup. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTermCounts(docs, idCol, textCol)
+      .groupBy("term")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+
+  /** (doc, term) occurrence counts — the shared TF grain. */
+  def docTermCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k TF-IDF terms per document — the classic "what is this document
+    * about" salience measure, smooth-idf form:
+    * score = tf · (ln((N+1)/(df+1)) + 1).
+    *
+    * N rides along as a broadcast single-row frame (no driver action).
+    * The dominant exchange is the tf⋈df join keyed on term; df is
+    * vocabulary-sized, so AQE broadcasts it when it fits and falls back to
+    * the keyed shuffle when a 100 TB vocabulary doesn't. Ties break on the
+    * term string, so output is total-order deterministic. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = docTermCounts(docs, idCol, textCol)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Per-label embedding centroids in long form: (label, pos, c, n) where
+    * c is the mean of component `pos` (1-based) over the label's vectors.
+    * The corpus-analysis primitive behind cluster quality checks, per-class
+    * mean vectors, and drift monitoring.
+    *
+    * Determinism contract: float sums are order-dependent in the last ulps,
+    * and aggregation order is nondeterministic in any parallel engine — so
+    * each component is first quantized to `quantize` decimal places and
+    * summed as DECIMAL (exact, associative, order-independent; the Qutil
+    * msum rule). The mean is therefore bit-identical across engines and
+    * re-runs; the quantization (default 1e-6 on unit-scale embeddings) is
+    * far below any embedding's meaningful resolution. One map-only
+    * posexplode + one hash aggregate; shuffle carries (label, pos) cells. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+                     quantize: Int = 6): DataFrame = {
+    val q = graft.queries.Qutil.dround(col("x"), quantize)
+    df.select(col(labelCol), posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .withColumn("pos", (col("pos") + 1).cast("long"))
+      .withColumn("xq", q.cast(DecimalType(38, quantize + 2)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum("xq").cast("double") / count(lit(1))).as("c"),
+        count(lit(1)).as("n"))
+  }
+}

@@ -60,8 +60,10 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Precomputed deterministic ±1 plane (md5 of "t:p:i" per component). */
-  private def planeVec(t: Int, p: Int, dims: Int): Array[Double] = {
+  /** Precomputed deterministic ±1 plane (md5 of "t:p:i" per component).
+    * Exposed within graft so the q26 oracle generator can inline the same
+    * literals into its SQL (the no-drift rule: one source of constants). */
+  private[graft] def planeVec(t: Int, p: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dims) { i =>
       md.reset()

@@ -45,10 +45,48 @@ object SimilarityQueries {
     },
 
     // Scale-path ANN: multi-table hyperplane LSH — equi-join on
-    // (table, bucket) instead of a cross product. Approximate by
-    // construction → rows-only check; recall properties pinned in
-    // SimilaritySpec (planted near-duplicates are always recalled).
-    Q.rowsOnly("q26_ann_lsh") { (s, d) =>
+    // (table, bucket) instead of a cross product. Fully oracle-checked:
+    // the ±1 planes are deterministic md5-derived constants inlined into
+    // the SQL from the same generator (Similarity.planeVec), dot products
+    // replay as the identical left fold (the q25 construction), and the
+    // sign tests compare identical doubles — so bucket assignments, the
+    // candidate set, and the final top-k agree bit-for-bit. Recall
+    // properties are additionally pinned in SimilaritySpec.
+    Q.sql("q26_ann_lsh", {
+      val nPlanes = 6; val nTables = 8
+      def dotSql(vec: String, plane: Array[Double]): String = {
+        val lits = plane.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, $Dims), i -> $vec[i] * ($lits)[i]), (a, b) -> a + b)"
+      }
+      val bandSelects = (0 until nTables).map { t =>
+        val bucket = (0 until nPlanes).map { p =>
+          val d = dotSql("v", Similarity.planeVec(t, p, Dims))
+          s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM b c JOIN b q ON c.t = q.t AND c.bucket = q.bucket
+         |  WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id),
+         |s AS (
+         |  SELECT cand.qid, cand.nid,
+         |         list_reduce(list_transform(generate_series(1, $Dims), i -> qe.v[i] * ne.v[i]), (a, b) -> a + b)
+         |         / (sqrt(list_reduce(list_transform(qe.v, x -> x * x), (a, b) -> a + b))
+         |            * sqrt(list_reduce(list_transform(ne.v, x -> x * x), (a, b) -> a + b))) AS cos
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.qid
+         |  JOIN e ne ON ne.vec_id = cand.nid),
+         |r AS (SELECT qid, nid, cos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |      FROM s)
+         |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < NQueries)
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", Dims,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark shuffle"),
+    (2L, "spark partitions"),
+    (3L, "quantum entanglement")).toDF("doc_id", "text")
+
+  test("vocabulary counts tf and df at the right grains") {
+    val v = CorpusStats.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("spark") == ((3L, 2L)))       // 3 occurrences across 2 docs
+    assert(v("shuffle") == ((1L, 1L)))
+    assert(v("quantum") == ((1L, 1L)))
+  }
+
+  test("tfidfTopTerms ranks distinctive terms above common ones") {
+    val top = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: tf(spark)=2 beats shuffle despite spark's higher df
+    assert(top(1L) == "spark")
+    // doc 2: both tf=1 → the rarer term (partitions, df=1) wins on idf
+    assert(top(2L) == "partitions")
+  }
+
+  test("tfidf score formula matches the smooth-idf definition") {
+    val row = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", 5)
+      .where($"doc_id" === 1L && $"term" === "spark").head()
+    val expected = 2.0 * (math.log(4.0 / 3.0) + 1.0) // tf=2, N=3, df=2
+    assert(math.abs(row.getAs[Double]("score") - expected) < 1e-12)
+  }
+
+  test("labelCentroids: exact mean per component, deterministic under re-run") {
+    val emb = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (0, Array(0.0f, 1.0f)),
+      (1, Array(0.5f, 0.5f))).toDF("label", "embedding")
+    val c = CorpusStats.labelCentroids(emb, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getAs[Double]("c"), r.getAs[Long]("n"))).toMap
+    assert(c((0, 1L)) == ((0.5, 2L)) && c((0, 2L)) == ((0.5, 2L)))
+    assert(c((1, 1L)) == ((0.5, 1L)) && c((1, 2L)) == ((0.5, 1L)))
+    // repartitioned input (different aggregation order) → identical doubles,
+    // the decimal-sum determinism contract
+    val c2 = CorpusStats.labelCentroids(emb.repartition(7), "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Double]("c")).toMap
+    assert(c.forall { case (k, (v, _)) => c2(k) == v })
+  }
+}
