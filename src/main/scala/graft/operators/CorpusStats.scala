@@ -54,6 +54,40 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Per-document repetition statistics — the Gopher/MassiveText-style
+    * quality signals that catch degenerate generated/boilerplate text:
+    *  - dup_word_ratio: 1 − distinct words / total words
+    *  - top_bigram_ratio: occurrences of the most frequent word bigram /
+    *    total bigrams (0 for docs with < 2 words)
+    * One map-only explode to the (doc, bigram) grain plus two map-side
+    * combining aggregates; nothing is corpus-global, so this rides the
+    * scan like the other quality filters. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val wordStats = base.select(col(idCol),
+      size(col("__ws")).cast("long").as("n_words"),
+      size(array_distinct(col("__ws"))).cast("long").as("n_distinct_words"))
+    val bigrams = base
+      .select(col(idCol), explode(when(size(col("__ws")) < 2,
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(col("__ws")) - 2),
+          i => concat_ws(" ", slice(col("__ws"), i + 1, lit(2)))))).as("bg"))
+    val bigramStats = bigrams
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
+    wordStats.join(bigramStats, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_words"),
+        when(col("n_words") === 0, lit(0d))
+          .otherwise(lit(1d) - col("n_distinct_words").cast("double") / col("n_words"))
+          .as("dup_word_ratio"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0d))
+          .otherwise(col("top_bigram_n").cast("double") / col("n_bigrams"))
+          .as("top_bigram_ratio"))
+  }
+
   /** Per-label embedding centroids in long form: (label, pos, c, n) where
     * c is the mean of component `pos` (1-based) over the label's vectors.
     * The corpus-analysis primitive behind cluster quality checks, per-class

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.ops.Windows
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard.
@@ -304,6 +305,21 @@ object Dedup {
       .where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
+  /** Incremental ingest dedup: drop new docs whose normalized-text
+    * fingerprint already exists in the historical index, then exact-dedup
+    * within the batch (keep min id per fingerprint). The daily-ingest
+    * complement to `dedupCorpus`: the index side is (fp) only — at 100 TB
+    * of history that is one compact column, and the anti-join shuffles
+    * fingerprints, never documents; the batch side is a day's ingest.
+    * Returns the surviving rows of `newDocs` plus their `fp`, ready to be
+    * appended to the index. */
+  def dedupeAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                         index: DataFrame): DataFrame = {
+    val withFp = newDocs.withColumn("fp", fingerprint(col(textCol)))
+    val novel = withFp.join(index.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+    Windows.keepBest(novel, Seq("fp"), Seq(col(idCol).asc))
   }
 
   /** SimHash signature over distinct tokens: bit j of the signature is the

@@ -2,18 +2,20 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.CorpusStats
+import graft.operators.{CorpusStats, Dedup}
 import graft.queries.Qutil.dround
 
-/** Corpus-level statistics: TF-IDF term salience over `documents`,
-  * per-label embedding centroids over `embeddings`. The oracle replays the
-  * identical integer counts and the exact decimal-sum centroid arithmetic.
+/** Corpus-level statistics: TF-IDF term salience, repetition quality
+  * signals, and incremental ingest dedup over `documents`; per-label
+  * embedding centroids over `embeddings`. The oracle replays the identical
+  * integer counts and the exact decimal-sum centroid arithmetic.
   */
 object CorpusStatsQueries {
 
   private val TopK = 3
   private val Dims = 64
   private val Quant = 6
+  private val IndexMod = 5L // doc_id % 5 == 0 → "already-ingested" index
 
   val all: Seq[Q] = Seq(
 
@@ -47,6 +49,92 @@ object CorpusStatsQueries {
         .select(col("doc_id"), col("term"), col("tf"), col("df"),
           dround(col("score"), 6).as("score"))
         .orderBy("doc_id", "term")
+    },
+
+    // Repetition quality signals (Gopher/MassiveText-style): duplicate-word
+    // ratio and most-frequent-bigram share per doc. Ratios are single exact
+    // integer divisions, identical IEEE on both sides.
+    Q.sql("q50_repetition_stats",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |ws AS (
+         |  SELECT doc_id, len(ws) AS n_words,
+         |         len(list_distinct(ws)) AS n_distinct_words
+         |  FROM w),
+         |bg AS (
+         |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w)),
+         |bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+         |bgs AS (SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top_bigram_n
+         |        FROM bgc GROUP BY 1)
+         |SELECT w.doc_id,
+         |       CAST(ws.n_words AS BIGINT) AS n_words,
+         |       CASE WHEN ws.n_words = 0 THEN 0.0
+         |            ELSE 1.0 - CAST(ws.n_distinct_words AS DOUBLE) / ws.n_words
+         |       END AS dup_word_ratio,
+         |       CAST(coalesce(bgs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |       CASE WHEN coalesce(bgs.n_bigrams, 0) = 0 THEN 0.0
+         |            ELSE CAST(bgs.top_bigram_n AS DOUBLE) / bgs.n_bigrams
+         |       END AS top_bigram_ratio
+         |FROM w JOIN ws USING (doc_id) LEFT JOIN bgs USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      CorpusStats.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Incremental ingest dedup: new batch (doc_id % 5 != 0) anti-joined on
+    // fingerprint against the historical index (doc_id % 5 = 0), then
+    // intra-batch exact dedup keeping the lowest id per fingerprint.
+    Q.sql("q51_incremental_dedup",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % $IndexMod = 0),
+         |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % $IndexMod <> 0),
+         |novel AS (
+         |  SELECT b.doc_id, b.fp FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)),
+         |best AS (
+         |  SELECT doc_id, fp,
+         |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM novel)
+         |SELECT doc_id, fp FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.dedupeAgainstIndex(
+          docs.where(pmod(col("doc_id"), lit(IndexMod)) =!= 0)
+            .select("doc_id", "text"),
+          "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(IndexMod)) === 0)
+            .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
+    // Multimodal metadata path: the payload/meta columns of the fake-media
+    // attach are pure column derivations, so — unlike the batched decode,
+    // which stays rows-only in q30 — they hash-verify end to end.
+    Q.sql("q52_multimodal_meta",
+      """SELECT doc_id,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |       ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+        |       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+        |       CAST(length(text) * 10 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.multimodal.Multimodal
+        .withFakeMedia(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("meta.kind").as("kind"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.durationMs").as("duration_ms"))
+        .orderBy("doc_id")
     },
 
     // Per-label embedding centroids, long form (label, pos, c, n). The

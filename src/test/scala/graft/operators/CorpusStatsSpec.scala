@@ -35,6 +35,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("score") - expected) < 1e-12)
   }
 
+  test("repetitionStats flags degenerate repetition, not normal prose") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now"),      // heavy repetition
+      (2L, "a perfectly ordinary sentence with distinct words"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = CorpusStats.repetitionStats(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("n_words"), x.getAs[Double]("dup_word_ratio"),
+         x.getAs[Long]("n_bigrams"), x.getAs[Double]("top_bigram_ratio"))).toMap
+    assert(r(1L)._1 == 8L && r(1L)._2 == 0.75)      // 2 distinct / 8 words
+    assert(r(1L)._4 == 4.0 / 7.0)                   // "buy now" 4 of 7 bigrams
+    assert(r(2L)._2 == 0.0 && r(2L)._4 < 0.2)
+    assert(r(3L) == ((0L, 0.0, 0L, 0.0)))           // empty doc → zeros
+  }
+
+  test("dedupeAgainstIndex drops known fingerprints and intra-batch dups") {
+    val index = Seq("already ingested doc").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    val batch = Seq(
+      (10L, "Already ingested DOC!"),   // fp matches index → dropped
+      (11L, "fresh content one"),
+      (12L, "Fresh   content ONE"),     // intra-batch dup of 11 → dropped
+      (13L, "fresh content two")).toDF("doc_id", "text")
+    val out = Dedup.dedupeAgainstIndex(batch, "doc_id", "text", index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+  }
+
   test("labelCentroids: exact mean per component, deterministic under re-run") {
     val emb = Seq(
       (0, Array(1.0f, 0.0f)),
