@@ -143,9 +143,20 @@ object Similarity {
     * element-wise cell sums via posexplode, and only the nLists×dims
     * centroid model ever reaches the driver (config-sized — the same
     * collect class as broadcast weights). Empty cells keep their previous
-    * centroid. Returns unit-norm centroids. */
+    * centroid. Returns unit-norm centroids.
+    *
+    * Cell sums are quantized to `quantize` decimal places and summed as
+    * DECIMAL (the Qutil msum rule): double sums are order-dependent in the
+    * last ulps and aggregation order is nondeterministic, so without this
+    * the trained model — and therefore cell assignments near Voronoi
+    * boundaries — would differ between re-runs of the SAME data. With it,
+    * training is bit-reproducible and the q41 oracle replays the whole
+    * Lloyd loop in SQL. The driver-side normalization is a sequential
+    * ascending fold, mirrored by the oracle's ordered list_reduce. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     nLists: Int, iters: Int = 3): Seq[Array[Double]] = {
+                     nLists: Int, iters: Int = 3,
+                     quantize: Int = 6): Seq[Array[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
     val vecs = withUnitVec(
       corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", "u")
@@ -157,7 +168,9 @@ object Similarity {
       val sums = vecs
         .withColumn("cell", nearestCentroid(col("u"), cents))
         .select(col("cell"), posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(sum("x").as("sx"))
+        .groupBy("cell", "pos")
+        .agg(sum(graft.queries.Qutil.dround(col("x"), quantize)
+          .cast(DecimalType(38, quantize + 2))).cast("double").as("sx"))
         .collect()
       val byCell = sums.groupBy(_.getAs[Int]("cell"))
       cents = cents.zipWithIndex.map { case (old, i) =>

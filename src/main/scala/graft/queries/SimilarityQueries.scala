@@ -97,9 +97,91 @@ object SimilarityQueries {
 
     // IVF ANN: spherical-k-means coarse quantizer (deterministic init, no
     // RNG), corpus in Voronoi cells, queries probe nProbe nearest cells.
-    // Approximate by construction → rows-only check; exact-within-probed-
-    // cells property and planted-dup recall pinned in SimilaritySpec.
-    Q.rowsOnly("q41_ann_ivf") { (s, d) =>
+    // Fully oracle-checked: training is bit-reproducible (quantize+decimal
+    // cell sums, sequential-fold norms), so the SQL replays the ENTIRE
+    // Lloyd loop — init from the nLists lowest-id unit vectors, argmax
+    // assignment with the same tie-break, exact decimal cell sums,
+    // normalization — then the probe/candidate/score pipeline, all
+    // bit-identically. Exact-within-probed-cells and planted-dup recall
+    // are additionally pinned in SimilaritySpec.
+    Q.sql("q41_ann_ivf", {
+      val nLists = 16; val iters = 3; val nProbe = 4; val q = 6
+      // sequential ascending fold; DuckDB's seedless list_reduce starts at
+      // the first element, which equals Scala's fold from 0.0 (0.0+x = x)
+      def foldDot(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, $Dims), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+      def norm(vec: String): String =
+        s"sqrt(list_reduce(list_transform($vec, x -> x * x), (x, y) -> x + y))"
+      def assignCte(name: String, centlist: String, filter: String): String =
+        s"""$name AS (
+           |  SELECT vec_id, u, cell FROM (
+           |    SELECT s.vec_id, s.u, c.cell,
+           |           row_number() OVER (PARTITION BY s.vec_id
+           |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+           |    FROM u s CROSS JOIN $centlist c$filter)
+           |  WHERE rn = 1)""".stripMargin
+      val iterCtes = (1 to iters).map { k =>
+        s"""centlist${k - 1} AS (
+           |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents${k - 1} GROUP BY cell),
+           |${assignCte(s"asg$k", s"centlist${k - 1}", "")},
+           |sums$k AS (
+           |  SELECT cell, pos,
+           |         CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38, ${q + 2}))) AS DOUBLE) AS sx
+           |  FROM (SELECT cell, pos, u[pos] AS x
+           |        FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM asg$k))
+           |  GROUP BY cell, pos),
+           |nrm$k AS (
+           |  SELECT cell, sqrt(list_reduce(list_transform(list(sx ORDER BY pos), x -> x * x), (x, y) -> x + y)) AS nrm
+           |  FROM sums$k GROUP BY cell),
+           |cents$k AS (
+           |  SELECT p.cell, p.pos,
+           |         CASE WHEN s.sx IS NOT NULL AND n.nrm > 0 THEN s.sx / n.nrm
+           |              ELSE p.val END AS val
+           |  FROM cents${k - 1} p
+           |  LEFT JOIN sums$k s ON s.cell = p.cell AND s.pos = p.pos
+           |  LEFT JOIN nrm$k n ON n.cell = p.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN ${norm("v")} > 0
+         |              THEN list_transform(v, x -> x / ${norm("v")})
+         |              ELSE v END AS u
+         |  FROM e),
+         |init AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u
+         |  FROM (SELECT vec_id, u FROM u ORDER BY vec_id LIMIT $nLists)),
+         |cents0 AS (
+         |  SELECT cell, pos, u[pos] AS val
+         |  FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM init)),
+         |$iterCtes,
+         |centlist$iters AS (
+         |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents$iters GROUP BY cell),
+         |${assignCte("asgf", s"centlist$iters", "")},
+         |probes AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM u s CROSS JOIN centlist$iters c
+         |    WHERE s.vec_id < $NQueries)
+         |  WHERE rn <= $nProbe),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid FROM probes p
+         |  JOIN asgf a ON a.cell = p.cell
+         |  WHERE a.vec_id != p.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.nid,
+         |         ${foldDot("qe.v", "ne.v")} / (${norm("qe.v")} * ${norm("ne.v")}) AS cos
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.qid
+         |  JOIN e ne ON ne.vec_id = cand.nid),
+         |r AS (SELECT qid, nid, cos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+    }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < NQueries)
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
