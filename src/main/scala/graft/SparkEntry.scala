@@ -15,7 +15,8 @@ object SparkEntry {
     CoreQueries.all ++ ScoringQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ DomainQueries.all ++
       StreamingQueries.all ++ ProfilingQueries.all ++ OlapQueries.all ++
-      TemporalQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all
+      TemporalQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all ++
+      EventAnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over an (id, timestamp) log: gap-based
+  * sessionization and cohort retention — the standard OLAP companions to
+  * the hourly rollups in `streaming.Streaming`.
+  *
+  * Scale: both are single-exchange designs. Sessionization shuffles once on
+  * the user key (the window), then aggregates on (user, session) — which is
+  * a prefix of the window partitioning, so no second exchange. Retention is
+  * two aggregates joined on the user key. Timestamps are compared as exact
+  * integer microseconds (unix_micros), never as doubles.
+  */
+object Sessions {
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapSeconds`. Returns one row per
+    * session: (user, session_idx, start_us, end_us, n_events, total_value).
+    * Ties on ts break by the event id column for total determinism. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 eventIdCol: String, valueCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(eventIdCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val flagged = events
+      // cast covers TIMESTAMP_NTZ sources (unix_micros wants LTZ); the
+      // session runs UTC, so the conversion is instant-preserving
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__new",
+        when(col("__us") - lag("__us", 1).over(w) > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("session_idx", sum("__new").over(w))
+    flagged.groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min("__us").as("start_us"),
+        max("__us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        graft.queries.Qutil.msum(col(valueCol)).as("total_value"))
+  }
+
+  /** Cohort retention: users are cohorted by their first activity day;
+    * output counts distinct active users per (cohort day, day offset).
+    * Days are exact integers (days since epoch / day differences). */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val days = events.select(col(userCol),
+      datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date")).as("day"))
+    val cohort = days.groupBy(userCol).agg(min("day").as("cohort_day"))
+    days.join(cohort, userCol)
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

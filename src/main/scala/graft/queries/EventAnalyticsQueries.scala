@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.ops.Sessions
+
+/** Event-log analytics over `events`: gap sessionization and cohort
+  * retention. All comparisons run on exact integers (microsecond epochs,
+  * day numbers), so the oracles replay bit-for-bit.
+  */
+object EventAnalyticsQueries {
+
+  private val GapSeconds = 1800L
+
+  val all: Seq[Q] = Seq(
+
+    // Gap-based sessionization (30-minute inactivity): one row per session
+    // with exact microsecond bounds and the decimal-summed value total.
+    Q.sql("q53_sessionization",
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, value, us,
+         |         CASE WHEN us - lag(us) OVER w > ${GapSeconds * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, value, us,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       min(us) AS start_us, max(us) AS end_us,
+         |       count(*) AS n_events,
+         |       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      Sessions.sessionize(Tables.events(s, d), "user_id", "ts", "event_id",
+          "value", GapSeconds)
+        .orderBy("user_id", "session_idx")
+    },
+
+    // Cohort retention: first-activity-day cohorts x day offset, distinct
+    // active users. Integer day arithmetic end to end.
+    Q.sql("q54_retention_cohorts",
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) - DATE '1970-01-01' AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Sessions.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .select(col("cohort_day").cast("long").as("cohort_day"),
+          col("day_offset").cast("long").as("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    })
+}

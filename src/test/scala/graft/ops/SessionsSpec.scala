@@ -1,0 +1,42 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps over the threshold, not under it") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 7L, 2.0),  // 10 min gap → same session
+      (3L, ts("2024-01-01 11:00:00"), 7L, 4.0),  // 50 min gap → new session
+      (4L, ts("2024-01-01 10:05:00"), 8L, 8.0))  // other user, own session
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Sessions.sessionize(ev, "user_id", "ts", "event_id", "value", 1800L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toMap
+    assert(out((7L, 0L)) == ((2L, 3.0)))
+    assert(out((7L, 1L)) == ((1L, 4.0)))
+    assert(out((8L, 0L)) == ((1L, 8.0)))
+  }
+
+  test("retentionCohorts counts distinct users per cohort/day offset") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 09:00:00")), (7L, ts("2024-01-01 23:00:00")), // day 0 twice
+      (7L, ts("2024-01-03 10:00:00")),                                  // day 2
+      (8L, ts("2024-01-03 10:00:00")))                                  // later cohort
+      .toDF("user_id", "ts")
+    val out = Sessions.retentionCohorts(ev, "user_id", "ts")
+      .collect().map(r => (r.getAs[Int]("cohort_day"), r.getAs[Int]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    val day0 = 19723 // 2024-01-01 as days since epoch
+    assert(out((day0, 0)) == 1L)       // user 7, deduped within the day
+    assert(out((day0, 2)) == 1L)       // user 7 returns
+    assert(out((day0 + 2, 0)) == 1L)   // user 8's own cohort
+    assert(out.size == 3)
+  }
+}
