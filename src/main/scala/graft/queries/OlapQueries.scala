@@ -47,5 +47,40 @@ object OlapQueries {
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
              countDistinct(col("l_suppkey")).as("exact_supps"))
         .orderBy("l_returnflag")
+    },
+
+    // Exact linear-interpolated percentiles per group. Spark's percentile
+    // and DuckDB's quantile_cont share the definition; the interpolation
+    // arithmetic can differ in arrangement, so outputs round at 6dp.
+    // (percentile_approx/approx_percentile stays spec-land like the HLL
+    // sketch — sketches aren't cross-engine comparable.)
+    Q.sql("q55_value_quantiles",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       floor(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS p50,
+        |       floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS p95,
+        |       floor(quantile_cont(value, 0.99) * 1000000 + 0.5) / 1000000 AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Qutil.dround(expr("percentile(value, 0.5)"), 6).as("p50"),
+          Qutil.dround(expr("percentile(value, 0.95)"), 6).as("p95"),
+          Qutil.dround(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // Fixed-width value histogram: exact integer bucketing, the profiling
+    // companion to the quantiles.
+    Q.sql("q56_value_histogram",
+      """SELECT event_type,
+        |       least(CAST(floor(value / 10) AS BIGINT), 9) AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          least(floor(col("value") / 10).cast("long"), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
     })
 }
