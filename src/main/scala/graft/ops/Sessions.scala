@@ -40,6 +40,32 @@ object Sessions {
         graft.queries.Qutil.msum(col(valueCol)).as("total_value"))
   }
 
+  /** Ordered funnel: how many users performed step 1, then step 2 strictly
+    * after their first step 1, then step 3 strictly after that, and so on.
+    * Step k is one aggregate on the user key joined to step k-1's
+    * reach-time — every stage partitions by the same key, so after the
+    * first shuffle the exchanges are reused; per-step state is one
+    * timestamp per user. Returns (step_idx, step, n_users). */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col(userCol),
+      col(typeCol).as("__type"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+    val first = ev.where(col("__type") === steps.head)
+      .groupBy(userCol).agg(min("__us").as("__t"))
+    val reaches = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.where(col("__type") === step)
+        .join(prev.select(col(userCol), col("__t").as("__tprev")), userCol)
+        .where(col("__us") > col("__tprev"))
+        .groupBy(userCol).agg(min("__us").as("__t"))
+    }
+    reaches.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Cohort retention: users are cohorted by their first activity day;
     * output counts distinct active users per (cohort day, day offset).
     * Days are exact integers (days since epoch / day differences). */

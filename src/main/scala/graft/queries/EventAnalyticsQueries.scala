@@ -41,6 +41,32 @@ object EventAnalyticsQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // Ordered funnel view → click → purchase: each step counts users whose
+    // step event falls strictly after their previous step's first
+    // occurrence. Exact integer microsecond comparisons.
+    Q.sql("q57_funnel",
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t
+        |       FROM e JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t
+        |       FROM e JOIN s2 ON s2.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin) { (s, d) =>
+      Sessions.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_idx")
+    },
+
     // Cohort retention: first-activity-day cohorts x day offset, distinct
     // active users. Integer day arithmetic end to end.
     Q.sql("q54_retention_cohorts",

@@ -24,6 +24,24 @@ class SessionsSpec extends SparkSpec {
     assert(out((8L, 0L)) == ((1L, 8.0)))
   }
 
+  test("funnel requires strict event ordering per user") {
+    val ev = Seq(
+      // user 7 completes the funnel in order
+      (7L, ts("2024-01-01 10:00:00"), "view"),
+      (7L, ts("2024-01-01 10:05:00"), "click"),
+      (7L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 8 clicks BEFORE viewing → click doesn't count
+      (8L, ts("2024-01-01 09:00:00"), "click"),
+      (8L, ts("2024-01-01 09:30:00"), "view"),
+      // user 9 never views → counts nowhere
+      (9L, ts("2024-01-01 09:00:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("step_idx") -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("retentionCohorts counts distinct users per cohort/day offset") {
     val ev = Seq(
       (7L, ts("2024-01-01 09:00:00")), (7L, ts("2024-01-01 23:00:00")), // day 0 twice
