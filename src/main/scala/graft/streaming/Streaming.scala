@@ -88,6 +88,36 @@ object Streaming {
       Seq("__fp"), eventTimeCol, watermark)
       .drop("__fp")
 
+  /** Stream-static enrichment: join the stream against a batch dimension
+    * table (the silver lookup-attach shape, J2/J3, in streaming form). The
+    * static side is broadcast per microbatch — re-resolved each batch, so
+    * a slowly-changing dimension refreshes without restarting the query;
+    * no streaming state is created. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Stream-stream interval join: pair each click with the same user's
+    * purchases landing within `horizon` after it. Both sides carry
+    * watermarks, and the time-range predicate bounds the buffered state to
+    * (rate × horizon) per side — the canonical attribution join at
+    * unbounded-ingest scale. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      userCol: String, tsCol: String,
+                      watermark: String = "1 hour",
+                      horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark(tsCol, watermark)
+      .select(col(userCol), col(tsCol).as("click_ts"))
+    val p = purchases.withWatermark(tsCol, watermark)
+      .select(col(userCol).as("__u"), col(tsCol).as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col(userCol) === col("__u") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .drop("__u")
+  }
+
   /** Batch-style one-shot drain of everything available, then stop — the
     * streaming equivalent of the reference's re-run model. */
   def runAvailableNow(df: DataFrame, outPath: String, checkpoint: String,

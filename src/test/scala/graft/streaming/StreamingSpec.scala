@@ -95,6 +95,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream joins a static dimension onto the stream per microbatch") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.enrichStream(
+        in.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((7L, 1.0), (9L, 2.0)) // 9 has no dim row → null tier
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test")
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(7L -> Some("gold"), 9L -> None))
+    } finally q.stop()
+  }
+
+  test("clickToPurchase pairs purchases within the horizon, drops beyond it") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.clickToPurchase(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"),
+        "user_id", "ts")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((7L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (7L, ts("2024-01-01 10:30:00"), 5.0),  // in horizon
+        (7L, ts("2024-01-01 12:00:00"), 9.0),  // beyond 1h → dropped
+        (8L, ts("2024-01-01 10:30:00"), 3.0))  // other user → no click
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("purchase_value")))
+      assert(rows.toSeq == Seq((7L, 5.0)))
+    } finally q.stop()
+  }
+
   test("hourlyEventStats transform is batch/stream shared (same result on batch input)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
