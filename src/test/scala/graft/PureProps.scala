@@ -43,6 +43,18 @@ object PureProps extends Properties("graft.pure") {
         a.length == dim && a.sameElements(b) && a.forall(v => !v.isNaN && v >= 0f)
     }
 
+  property("planeVec: deterministic ±1 components, family varies across (t,p)") =
+    forAll(Gen.choose(0, 15), Gen.choose(0, 7), Gen.choose(2, 128)) { (t, p, dims) =>
+      val a = graft.operators.Similarity.planeVec(t, p, dims)
+      val b = graft.operators.Similarity.planeVec(t, p, dims)
+      a.length == dims &&
+        a.forall(x => x == 1d || x == -1d) &&
+        a.sameElements(b) &&
+        // a different family member is a different plane (not a constant
+        // generator) — md5 collisions over all dims are astronomically rare
+        !a.sameElements(graft.operators.Similarity.planeVec(t, p + 8, dims))
+    }
+
   property("createTableDdl mentions every field and exactly one primary key") =
     Prop.secure {
       import org.apache.spark.sql.types._
