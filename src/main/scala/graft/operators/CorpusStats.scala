@@ -88,6 +88,26 @@ object CorpusStats {
           .as("top_bigram_ratio"))
   }
 
+  /** Corpus composition report: per (source, lang) doc counts, token
+    * totals, and mean quality — the mixture table a data-curation run
+    * publishes before sampling rates are chosen (the q43 stratified-sample
+    * input). Quality means go through quantize+decimal sums (msum rule) so
+    * the report is bit-reproducible. One aggregate, map-side combining. */
+  def compositionReport(docs: DataFrame, sourceCol: String, langCol: String,
+                        textCol: String, stopwords: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val quality = graft.queries.Qutil.dround(qualityScore(col(textCol), stopwords), 4)
+    docs
+      .select(col(sourceCol), col(langCol),
+        tokenCount(col(textCol)).cast("long").as("__tok"),
+        quality.cast(DecimalType(38, 6)).as("__q"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        (sum("__q").cast("double") / count(lit(1))).as("mean_quality"))
+  }
+
   /** Per-label embedding centroids in long form: (label, pos, c, n) where
     * c is the mean of component `pos` (1-based) over the label's vectors.
     * The corpus-analysis primitive behind cluster quality checks, per-class

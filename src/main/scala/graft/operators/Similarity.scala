@@ -185,6 +185,49 @@ object Similarity {
     cents
   }
 
+  /** Materialize the corpus as an IVF index: parquet partitioned by cell
+    * id, original vectors carried for exact rescoring. Repeated searches
+    * against the index read ONLY the probed cells — partition pruning at
+    * scan time, the SCALE.md claim this method exists to make real
+    * (IvfIndexSpec asserts `PartitionFilters` on the probed read). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[Array[Double]], path: String): Unit =
+    withUnitVec(
+      corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
+      .withColumn("cell", nearestCentroid(col("nu"), cents))
+      .select("nid", "nvec", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Search a written IVF index for one query batch: the probed cell set
+    * (nProbe cells per query — config-sized) becomes a static partition
+    * filter, so the scan never lists or reads unprobed cells. Scoring is
+    * identical to `ivfTopK`, which IvfIndexSpec pins. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    val q = withUnitVec(
+      queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec", "qu")
+      .withColumn("cell",
+        explode(nearestCentroids(col("qu"), cents, nProbe)))
+      .select("qid", "qvec", "cell")
+      .persist()
+    // config-sized: nQueries × nProbe cell ids
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(indexPath)
+      .where(col("cell").isin(cells: _*))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "nid", "cos")
+    // q stays cached until the session's query-scoped clearCache — an
+    // eager unpersist here would force the probe subtree to recompute
+    // inside the search job (the round-2 unpersist lesson)
+  }
+
   /** IVF ANN: corpus vectors live in Voronoi cells of the trained coarse
     * quantizer (one cell each, assigned in a single map pass); each query
     * probes its `nProbe` nearest cells, so scoring touches ~nProbe/nLists

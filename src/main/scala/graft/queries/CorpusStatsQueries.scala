@@ -137,6 +137,41 @@ object CorpusStatsQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus composition report: the mixture table (source × lang → docs,
+    // tokens, mean quality) that drives stratified-sampling decisions.
+    // Quality replays q18's formula; its mean goes through the decimal-sum
+    // rule so the report hashes identically.
+    Q.sql("q58_composition_report", {
+      val sw = TextQueries.enSwList
+      val punct = """CASE WHEN length(text) = 0 THEN 0.0
+                    |            ELSE CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?''"()\[\]{}-]', '', 'g')) AS DOUBLE) / length(text) END""".stripMargin
+      val stop = s"""CASE WHEN len(ws) = 0 THEN 0.0
+                    |            ELSE CAST(len(list_filter(ws, w -> list_contains($sw, w))) AS DOUBLE) / len(ws) END""".stripMargin
+      s"""WITH w AS (
+         |  SELECT source, lang, text,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, CAST(len(ws) AS BIGINT) AS tok,
+         |         CAST(floor(greatest(0.0, least(1.0,
+         |           least(CAST(len(ws) AS DOUBLE) / 100, 1.0) * 0.4
+         |           + least(($stop) * 4, 1.0) * 0.4
+         |           + (1.0 - least(($punct) * 5, 1.0)) * 0.2
+         |         )) * 10000 + 0.5) / 10000 AS DECIMAL(38, 6)) AS ql
+         |  FROM w)
+         |SELECT source, lang, count(*) AS n_docs, sum(tok) AS n_tokens,
+         |       floor((CAST(sum(ql) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_quality
+         |FROM q GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin
+    }) { (s, d) =>
+      CorpusStats.compositionReport(Tables.documents(s, d), "source", "lang",
+          "text", graft.functions.TextFunctions.langStopwords.head._2)
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          dround(col("mean_quality"), 6).as("mean_quality"))
+        .orderBy("source", "lang")
+    },
+
     // Per-label embedding centroids, long form (label, pos, c, n). The
     // quantize-then-decimal-sum makes the mean order-independent and
     // engine-identical (Qutil msum rule applied element-wise).

@@ -19,6 +19,10 @@ object TextQueries {
 
   private val enSw = TextFunctions.langStopwords.head._2
 
+  /** The English stopword list as a SQL array literal — shared with the
+    * q58 composition-report oracle so the quality formula cannot drift. */
+  private[queries] val enSwList: String = swList(enSw)
+
   /** Shared CTE: whitespace tokens with the empty-doc guard. */
   private val wsCte =
     """WITH t AS (
