@@ -160,7 +160,7 @@ object CorpusStatsQueries {
          |           + (1.0 - least(($punct) * 5, 1.0)) * 0.2
          |         )) * 10000 + 0.5) / 10000 AS DECIMAL(38, 6)) AS ql
          |  FROM w)
-         |SELECT source, lang, count(*) AS n_docs, sum(tok) AS n_tokens,
+         |SELECT source, lang, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
          |       floor((CAST(sum(ql) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_quality
          |FROM q GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin

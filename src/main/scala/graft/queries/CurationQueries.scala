@@ -129,7 +129,7 @@ object CurationQueries {
          |SELECT doc_id, tokens, bucket,
          |       CAST(bucket AS VARCHAR) || '_' ||
          |         CAST(CAST(floor((cum - tokens) / CAST($PackBudget AS DOUBLE)) AS BIGINT) AS VARCHAR) AS pack_id,
-         |       (cum - tokens) % $PackBudget AS pack_offset
+         |       CAST((cum - tokens) % $PackBudget AS BIGINT) AS pack_offset
          |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), tokenCount(col("text")).cast("long").as("tokens"))
