@@ -136,11 +136,16 @@ object Dedup {
     * all pairs.
     *
     * The shingle table is first semi-joined down to docs that appear in a
-    * candidate pair (broadcast — the candidate id set is pair-bounded and
-    * ≪ corpus): without this, the (id, shingle) intersection join shuffles
-    * the ENTIRE corpus shingle table even when candidates are a handful of
-    * docs. Candidates ≪ corpus is the invariant that makes LSH worth it,
-    * so the verify stage's cost should scale with candidates too. */
+    * candidate pair: without this, the (id, shingle) intersection join
+    * shuffles the ENTIRE corpus shingle table even when candidates are a
+    * handful of docs. Candidates ≪ corpus is the invariant that makes LSH
+    * worth it, so the verify stage's cost should scale with candidates too.
+    * The semi-join is NOT broadcast-hinted: web-scale corpora measure
+    * 20-50% duplication, so at 100 TB the candidate id set is billions of
+    * rows — an unconditional broadcast is a driver/executor OOM. The ids
+    * are key-sized (one column), so the shuffled left-semi is cheap, and
+    * AQE still converts to broadcast at runtime when the set is actually
+    * small. */
   def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     // The pair set feeds both the candidate-id broadcast and the
     // intersection join; persist it (tiny — it IS the candidate list) or
@@ -149,7 +154,7 @@ object Dedup {
     val p = pairs.persist()
     val ids = p.select(col("id_a").as(idCol))
       .union(p.select(col("id_b").as(idCol))).distinct()
-    val shCand = sh.join(broadcast(ids), Seq(idCol), "left_semi")
+    val shCand = sh.join(ids, Seq(idCol), "left_semi")
     val sz = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shCand.select(col(idCol).as("id_a"), col("sh"))
     val b = shCand.select(col(idCol).as("id_b"), col("sh"))
@@ -215,8 +220,11 @@ object Dedup {
     * {A,B,C}) while pair output is not. Returns (id, cluster_id) for every
     * id appearing in a pair; cluster_id = min id of the component.
     *
-    * Min-label propagation with pointer jumping: labels start as own id;
-    * each iteration (a) takes the per-node min over neighbours' labels
+    * Min-label propagation with pointer jumping: labels seed as
+    * min(own id, neighbour ids) — the identity-label first round reduces
+    * to a plain neighbour-min over raw edges, so it folds into
+    * initialization as one groupBy and saves a full join+jump round; each
+    * iteration (a) takes the per-node min over neighbours' labels
     * (one join + one aggregate), then (b) follows its own label's label
     * (path halving: one self-join) — a label is always a node id, so the
     * jump is well-defined. Neighbour-min alone needs O(component diameter)
@@ -262,8 +270,12 @@ object Dedup {
     // materializes the persist as a side effect — one action per round
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = rebase(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))).persist()
+    // Large-star seed: round 1 with identity labels is just a neighbour
+    // min over raw edges, so fold it into initialization — one groupBy on
+    // the symmetric edge table instead of a full join+agg+jump round.
+    var labels = rebase(edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("id"), col("cluster_id"))).persist()
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -298,13 +310,18 @@ object Dedup {
 
   /** Corpus-level dedup: drop every non-canonical member of a duplicate
     * cluster, keep cluster representatives (min id) and all singletons.
-    * The non-canonical id set is pair-bounded (≪ corpus), so the anti-join
-    * broadcasts and the corpus is never shuffled. */
+    * The anti-join is NOT broadcast-hinted: the drop set is pair-derived,
+    * and at web scale 20-50% of a corpus is duplicated, so "pair-bounded"
+    * is billions of ids at 100 TB — an unconditional broadcast OOMs the
+    * driver. The drop side is a single key column, so the shuffled
+    * left-anti is a fingerprint-sized exchange on that side, and AQE
+    * downgrades to broadcast at runtime whenever the drop set measures
+    * small. */
   def dedupCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val drop = duplicateClusters(pairs)
       .where(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Incremental ingest dedup: drop new docs whose normalized-text

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.multimodal.Multimodal
-import graft.queries.Qutil.dround
 import graft.streaming.Streaming
 
 /** Streaming-shared and multimodal query surface. q29's aggregation is the
@@ -27,17 +26,42 @@ object StreamingQueries {
         .orderBy("hour_epoch", "event_type")
     },
 
-    // Multimodal plumbing: binary payload + typed metadata + stubbed batched
-    // feature extraction (decode is a deterministic fake — see Multimodal).
-    Q.rowsOnly("q30_multimodal_features") { (s, d) =>
-      val media = Multimodal.withFakeMedia(Tables.documents(s, d), "doc_id", "text")
-      val features = Multimodal.decodeFeatures(media, "doc_id", dim = 16)
-      media.select(col("doc_id"), col("meta.kind").as("kind"),
-          col("meta.width").as("width"), col("meta.durationMs").as("durationMs"),
-          length(col("payload")).as("n_bytes"))
-        .join(features, "doc_id")
-        .select(col("doc_id"), col("kind"), col("width"), col("durationMs"),
-          col("n_bytes"), dround(element_at(col("features"), 1), 4).as("f0"))
-        .orderBy("doc_id")
+    // Multimodal REAL-codec round trip: deterministic media content is
+    // encoded through the JDK's production PNG/WAV codecs (javax.imageio /
+    // javax.sound.sampled), then decodeMedia PARSES the container bytes and
+    // emits integer pixel/sample statistics. The oracle replays the content
+    // formulas in SQL — so a hash match proves the encode→decode round trip
+    // preserved every pixel and sample, not just that plumbing ran.
+    Q.sql("q30_multimodal_features",
+      """WITH img AS (
+        |  SELECT doc_id, CAST(doc_id % 8 + 2 AS INT) AS width,
+        |         CAST(doc_id % 6 + 2 AS INT) AS height
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), px AS (
+        |  SELECT i.doc_id, i.width, i.height,
+        |         CAST(sum((i.doc_id*31 + x.range*7 + y.range*13) % 256) AS BIGINT) AS sum_r,
+        |         CAST(sum((i.doc_id*17 + x.range*11 + y.range*5) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((i.doc_id*7  + x.range*3 + y.range*19) % 256) AS BIGINT) AS sum_b
+        |  FROM img i, range(0, 10) x, range(0, 8) y
+        |  WHERE x.range < i.width AND y.range < i.height
+        |  GROUP BY 1, 2, 3
+        |), smp AS (
+        |  SELECT d.doc_id, CAST(d.doc_id % 50 + 20 AS BIGINT) AS n_samples,
+        |         CAST(sum((d.doc_id*13 + s.range*7) % 256) AS BIGINT) AS sum_pcm
+        |  FROM documents d, range(0, 70) s
+        |  WHERE d.doc_id % 2 = 1 AND s.range < d.doc_id % 50 + 20
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, 'image' AS kind, width, height, sum_r, sum_g, sum_b,
+        |       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS sum_pcm,
+        |       CAST(NULL AS INT) AS sample_rate
+        |FROM px
+        |UNION ALL
+        |SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL,
+        |       n_samples, sum_pcm, 8000
+        |FROM smp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.withRealMedia(Tables.documents(s, d), "doc_id")
+      Multimodal.decodeMedia(media, "doc_id").toDF().orderBy("doc_id")
     })
 }

@@ -70,7 +70,7 @@ object TextQueries {
          |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
-          tokenCount(col("text")).as("n_tokens"),
+          tokenCount(col("text")).cast("bigint").as("n_tokens"),
           meanWordLen(col("text")).as("mean_word_len"),
           punctRatio(col("text")).as("punct_ratio"),
           stopwordRatio(col("text"), enSw).as("stopword_ratio"),

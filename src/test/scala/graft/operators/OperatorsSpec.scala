@@ -110,6 +110,29 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 40L, 99L))
   }
 
+  test("dedup finishing path has no broadcast hint: large drop sets stay shuffled") {
+    // At 100 TB the pair-derived drop/candidate id sets are billions of
+    // rows (20-50% web dup rate) — an unconditional broadcast() hint is a
+    // driver OOM. With the auto-broadcast threshold off (simulating "too
+    // big to broadcast"), the plans must fall back to shuffled joins; a
+    // hint would force BroadcastHashJoin regardless of the threshold.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Seq(10L, 20L, 30L, 40L, 50L, 99L).toDF("doc_id")
+      val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+      val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+      assert(kept.as[Long].collect().toSet == Set(10L, 40L, 99L))
+      val keptPlan = kept.queryExecution.executedPlan.toString
+      assert(keptPlan.contains("LeftAnti") && !keptPlan.contains("BroadcastHashJoin"))
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
+      val j = Dedup.jaccardForPairs(Seq((1L, 2L)).toDF("id_a", "id_b"), sh, "doc_id")
+      assert(j.count() == 1)
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(jPlan.contains("LeftSemi") && !jPlan.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("embeddingNearDups: LSH mode ⊆ exact mode, planted dup always recalled") {
     val dims = 16
     val base = Array.tabulate(dims)(i => math.sin(i * 1.7) + 1.5)
