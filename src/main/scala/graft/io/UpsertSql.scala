@@ -97,28 +97,117 @@ object UpsertSql {
   def schemaCompatViolations(df: DataFrame, tableCols: Set[String]): Seq[String] =
     df.columns.filterNot(tableCols.contains).toSeq
 
+  private def ansiSqlType(f: StructField): String = f.dataType match {
+    case BooleanType => "SMALLINT"
+    case IntegerType | ShortType | ByteType => "INT"
+    case LongType => "BIGINT"
+    case FloatType | DoubleType => "FLOAT"
+    case _: DecimalType => "DECIMAL(20,4)"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case DateType => "DATE"
+    case _ => "VARCHAR(250)"
+  }
+
+  /** Upsert-statement dialect: a primary statement (SQL + placeholder→
+    * column bind order) and an optional INSERT fallback applied to rows
+    * the primary statement did not affect. MySQL's native
+    * `ON DUPLICATE KEY UPDATE` needs no fallback; Ansi renders the
+    * classic two-step upsert (batched UPDATE, then INSERT of the
+    * zero-update-count rows) so the writer path can be integration-tested
+    * live against the in-JVM Derby engine that ships with Spark — the
+    * foreachPartition/chunked-batch mechanics are identical, only the
+    * statements differ. (Derby's MERGE cannot type parameters even under
+    * CAST, hence two statements rather than one.) */
+  sealed trait Dialect {
+    def upsert(table: String, schema: StructType, primaryKey: String)
+      : (String, Seq[Int], Option[(String, Seq[Int])])
+  }
+  case object MySqlDialect extends Dialect {
+    def upsert(table: String, schema: StructType, primaryKey: String)
+      : (String, Seq[Int], Option[(String, Seq[Int])]) =
+      (upsertStatement(table, schema.fieldNames.toSeq, primaryKey),
+        schema.fieldNames.indices, None)
+  }
+  case object AnsiDialect extends Dialect {
+    def upsert(table: String, schema: StructType, primaryKey: String)
+      : (String, Seq[Int], Option[(String, Seq[Int])]) = {
+      val columns = schema.fieldNames.toSeq
+      val pkIdx = columns.indexOf(primaryKey)
+      require(pkIdx >= 0, s"primary key $primaryKey not in columns")
+      val nonKey = columns.zipWithIndex.filterNot(_._1 == primaryKey)
+      val update = s"UPDATE $table SET " +
+        nonKey.map { case (c, _) => s"$c = ?" }.mkString(", ") +
+        s" WHERE $primaryKey = ?"
+      val insert = s"INSERT INTO $table (${columns.mkString(", ")}) " +
+        s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+      (update, nonKey.map(_._2) :+ pkIdx, Some((insert, columns.indices)))
+    }
+  }
+
+  /** K4, ANSI rendering: same dtype mapping as `createTableDdl` minus the
+    * MySQL-isms (backtick quoting, TINYINT(1), `ON UPDATE` auto-refresh —
+    * Derby keeps the insert-time CURRENT_TIMESTAMP default only). */
+  def createTableDdlAnsi(schema: StructType, table: String,
+                         primaryKey: String): String = {
+    val cols = schema.fields.map { f =>
+      val pk = if (f.name == primaryKey) " PRIMARY KEY" else ""
+      s"${f.name} ${ansiSqlType(f)}$pk"
+    }
+    (cols :+ "dateUpdated TIMESTAMP DEFAULT CURRENT_TIMESTAMP")
+      .mkString(s"CREATE TABLE $table (\n  ", ",\n  ", "\n)")
+  }
+
+  /** K6, ANSI rendering: `INSERT IGNORE` becomes an anti-semi NOT EXISTS —
+    * same idempotent dimension fill, portable SQL. */
+  def dimensionTableSqlAnsi(dimTable: String, sourceTable: String,
+                            keyCol: String, nameCol: String): Seq[String] = Seq(
+    s"CREATE TABLE $dimTable ($keyCol VARCHAR(250) PRIMARY KEY, $nameCol VARCHAR(250))",
+    s"INSERT INTO $dimTable ($keyCol, $nameCol) " +
+      s"SELECT DISTINCT s.$keyCol, s.$nameCol FROM $sourceTable s " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM $dimTable d WHERE d.$keyCol = s.$keyCol)")
+
   /** Executor-side batched upsert: each partition opens one connection and
     * flushes `batchSize`-row addBatch groups (the reference's 100-row
     * chunks, LOADERS/GOLD-data-loader.py:187-190). Requires a JDBC driver
-    * on the executor classpath. */
+    * on the executor classpath. Dialect picks statement + bind order;
+    * the partition streaming itself is dialect-free. */
   def writeJdbcUpsert(df: DataFrame, url: String, table: String,
                       primaryKey: String, props: java.util.Properties,
-                      batchSize: Int = 100): Unit = {
-    val columns = df.columns.toSeq
-    val sql = upsertStatement(table, columns, primaryKey)
+                      batchSize: Int = 100,
+                      dialect: Dialect = MySqlDialect): Unit = {
+    val (sql, bindOrder, fallback) = dialect.upsert(table, df.schema, primaryKey)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
         val st = conn.prepareStatement(sql)
-        var n = 0
-        rows.foreach { r =>
-          columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-          st.addBatch()
-          n += 1
-          if (n % batchSize == 0) { st.executeBatch(); conn.commit() }
+        val fst = fallback.map { case (fsql, _) => conn.prepareStatement(fsql) }
+        def bind(ps: java.sql.PreparedStatement, order: Seq[Int],
+                 r: org.apache.spark.sql.Row): Unit =
+          order.zipWithIndex.foreach { case (ci, pi) => ps.setObject(pi + 1, r.get(ci)) }
+        // chunk buffer so the fallback can re-bind exactly the rows whose
+        // primary statement affected nothing (two-step dialects)
+        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](batchSize)
+        def flush(): Unit = if (buf.nonEmpty) {
+          val counts = st.executeBatch()
+          fst.foreach { s =>
+            val forder = fallback.get._2
+            var pending = false
+            counts.zip(buf).foreach { case (c, r) =>
+              if (c == 0) { bind(s, forder, r); s.addBatch(); pending = true }
+            }
+            if (pending) s.executeBatch()
+          }
+          conn.commit()
+          buf.clear()
         }
-        st.executeBatch(); conn.commit()
+        rows.foreach { r =>
+          bind(st, bindOrder, r)
+          st.addBatch()
+          buf += r
+          if (buf.size == batchSize) flush()
+        }
+        flush()
       } finally conn.close()
     }
   }

@@ -259,11 +259,35 @@ object Dedup {
     * (exact, decimal) ⟺ fixpoint — one cheap aggregate per round instead
     * of a changed-rows self-join. All state lives in DataFrames — nothing
     * driver-side scales with the data. */
+  /** One label-propagation round — neighbour-min then pointer jump — as a
+    * single declarative plan over the cached `edges` and `labels` tables.
+    * Factored out so graft.Explain can dump the exact per-round physical
+    * plan the q40 loop executes (both inputs are InMemoryTableScan leaves,
+    * so the dumped plan IS the per-round work, nothing more). */
+  def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val nbrMin = edges.join(labels, col("src") === col("id"))
+      .groupBy(col("dst")).agg(min("cluster_id").as("nbr_min"))
+    val prop = labels.join(nbrMin, col("id") === col("dst"), "left")
+      .select(col("id"), least(col("cluster_id"),
+        coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+    // pointer jump (path halving): adopt own candidate label's label from
+    // the PREVIOUS round's cached table — joining prop against itself
+    // would re-evaluate the uncached prop subtree once per clone (the
+    // self-join clone defeats cache-plan matching), compounding per round
+    val parents = labels
+      .select(col("id").as("__pid"), col("cluster_id").as("__pc"))
+    prop.join(parents, col("cluster_id") === col("__pid"), "left")
+      .select(col("id"), least(col("cluster_id"),
+        coalesce(col("__pc"), col("cluster_id"))).as("cluster_id"))
+  }
+
+  /** Lineage rebase: constant-size logical plan per round (see
+    * duplicateClusters scaladoc). */
+  def rebased(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    // lineage rebase: constant-size logical plan per round (see scaladoc)
-    def rebase(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
+    def rebase(df: DataFrame): DataFrame = rebased(df)
     val p = pairs.select(col("id_a"), col("id_b"))
     val edges = rebase(p.union(p.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").distinct()).persist()
@@ -280,21 +304,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min("cluster_id").as("nbr_min"))
-      val prop = labels.join(nbrMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("cluster_id"),
-          coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-      // pointer jump (path halving): adopt own candidate label's label from
-      // the PREVIOUS round's cached table — joining prop against itself
-      // would re-evaluate the uncached prop subtree once per clone (the
-      // self-join clone defeats cache-plan matching), compounding per round
-      val parents = labels
-        .select(col("id").as("__pid"), col("cluster_id").as("__pc"))
-      val next = rebase(prop.join(parents, col("cluster_id") === col("__pid"), "left")
-        .select(col("id"), least(col("cluster_id"),
-          coalesce(col("__pc"), col("cluster_id"))).as("cluster_id")))
-        .persist()
+      val next = rebase(propagationRound(edges, labels)).persist()
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

@@ -199,13 +199,26 @@ object Similarity {
       .select("nid", "nvec", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
-  /** Search a written IVF index for one query batch: the probed cell set
-    * (nProbe cells per query — config-sized) becomes a static partition
-    * filter, so the scan never lists or reads unprobed cells. Scoring is
-    * identical to `ivfTopK`, which IvfIndexSpec pins. */
+  /** Search a written IVF index for one QUERY BATCH: the probed cell set
+    * (≤ nQueries × nProbe ids, deduplicated — config-sized for a batch)
+    * becomes a static partition filter, so the scan never lists or reads
+    * unprobed cells. Scoring is identical to `ivfTopK`, which IvfIndexSpec
+    * pins.
+    *
+    * Contract: `queries` is a batch (up to ~10⁵ rows), NOT the corpus —
+    * the probed cell set and the broadcast query frame are driver/executor
+    * resident. `maxQueryBatch` enforces this so a corpus-as-queries call
+    * fails fast instead of OOMing; for corpus×corpus workloads use
+    * `ivfTopK` (cell equi-join, nothing collected) or
+    * `Dedup.embeddingNearDups`. */
+  val maxQueryBatch = 100000
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        queries: DataFrame, idCol: String, vecCol: String,
                        cents: Seq[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueryBatch,
+      s"ivfTopKFromIndex is for query BATCHES (≤ $maxQueryBatch rows, got $nq); " +
+        "use ivfTopK for corpus-scale query sides")
     val q = withUnitVec(
       queries.select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qvec")), "qvec", "qu")

@@ -51,8 +51,12 @@ object PureProps extends Properties("graft.pure") {
         a.forall(x => x == 1d || x == -1d) &&
         a.sameElements(b) &&
         // a different family member is a different plane (not a constant
-        // generator) — md5 collisions over all dims are astronomically rare
-        !a.sameElements(graft.operators.Similarity.planeVec(t, p + 8, dims))
+        // generator). Two independent ±1 planes agree on all dims with
+        // probability 2^-dims — negligible only for dims ≥ 16, so the
+        // variation clause is gated (at dims=4 it is a 6% honest collision,
+        // which flaked this property before the gate).
+        (dims < 16 ||
+          !a.sameElements(graft.operators.Similarity.planeVec(t, p + 8, dims)))
     }
 
   property("createTableDdl mentions every field and exactly one primary key") =
