@@ -349,6 +349,67 @@ object Dedup {
     Windows.keepBest(novel, Seq("fp"), Seq(col(idCol).asc))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space with the deterministic k-means quantizer, then drop
+    * every document whose embedding is ≥ `tau` cosine-similar to a
+    * LOWER-id document in the SAME cell (greedy keep-lowest-id, the
+    * paper's keep-one-representative rule made deterministic). Returns
+    * the surviving (id, cell) rows.
+    *
+    * Why cells are the point: all-pairs cosine is O(n²) over the corpus —
+    * dead at 100 TB. Clustering bounds the quadratic term to within-cell
+    * pairs (n²/nLists expected per cell), the exact trade SemDeDup makes:
+    * cross-cell near-dups (rare by construction — they quantized apart)
+    * are the sacrificed recall. Shuffle inventory: one exchange of
+    * (id, vector) on cell for the self-join, one id-keyed shuffled
+    * anti-join for the drop set (un-hinted — same 20-50% dup-rate
+    * argument as `dedupCorpus`). Assignment itself is map-only.
+    * Training is bit-reproducible (q41), so the q60 oracle replays
+    * cluster → pairs → drop end to end in SQL. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[Array[Double]], tau: Double): DataFrame = {
+    val assigned = Similarity.assignCells(df, idCol, vecCol, cents)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    val drop = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(graft.functions.catalyst.VectorExpressions
+        .cosineSim(col("__va"), col("__vb")) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(drop, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
+  }
+
+  /** Bloom-accelerated variant of `dedupeAgainstIndex` — IDENTICAL output,
+    * different 100 TB cost profile. The fingerprint index is folded once
+    * into a Bloom filter (distributed tree-aggregate; only the filter bits
+    * reach the driver), which then rides to executors as a codegen'd
+    * predicate (BloomMightContain). Because Bloom filters have no false
+    * negatives, batch rows testing negative are PROVABLY novel and skip
+    * the anti-join entirely; only the `fpp` false-positive sliver plus the
+    * true duplicates (typically ≪ batch) continue to exact verification.
+    * At 100 TB of history the anti-join's probe side shrinks from the full
+    * day's ingest to that sliver — the index-side key shuffle is amortized
+    * by bucketing the index on fp at write time (Writers).
+    *
+    * Sizing: filter bits ≈ -n·ln(fpp)/ln²2 ≈ 1.2 GB for n=10⁹ at 1%,
+    * which is executor-broadcast scale, not collect scale; `expectedItems`
+    * is the caller's declared index cardinality and over-declaring only
+    * wastes bits, while under-declaring inflates fpp (never correctness —
+    * exact verification catches every false positive). */
+  def dedupeAgainstIndexBloom(newDocs: DataFrame, idCol: String, textCol: String,
+                              index: DataFrame, expectedItems: Long = 1000000L,
+                              fpp: Double = 0.01): DataFrame = {
+    import graft.functions.catalyst.BloomExpressions
+    val bf = index.select(col("fp")).stat.bloomFilter("fp", expectedItems, fpp)
+    val withFp = newDocs.withColumn("fp", fingerprint(col(textCol)))
+    val maybeDup = BloomExpressions.mightContain(col("fp"), bf)
+    val provablyNovel = withFp.where(!maybeDup)
+    val confirmedNovel = withFp.where(maybeDup)
+      .join(index.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+    Windows.keepBest(provablyNovel.unionByName(confirmedNovel),
+      Seq("fp"), Seq(col(idCol).asc))
+  }
+
   /** SimHash signature over distinct tokens: bit j of the signature is the
     * sign of Σ_tokens (2·bit_j(hash(token)) − 1). One explode + one
     * aggregate; `bits` ≤ 32 with the 32-bit md5Int hash. */

@@ -185,6 +185,18 @@ object Similarity {
     cents
   }
 
+  /** Assign every vector to its quantizer cell: (id, raw double vector as
+    * `__v`, `cell`). One map pass (unit-normalize + argmax cascade), no
+    * shuffle — the shared front half of IVF search, index materialization,
+    * and semantic dedup. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[Array[Double]]): DataFrame =
+    withUnitVec(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")),
+      "__v", "__u")
+      .withColumn("cell", nearestCentroid(col("__u"), cents))
+      .select(col(idCol), col("__v"), col("cell"))
+
   /** Materialize the corpus as an IVF index: parquet partitioned by cell
     * id, original vectors carried for exact rescoring. Repeated searches
     * against the index read ONLY the probed cells — partition pruning at

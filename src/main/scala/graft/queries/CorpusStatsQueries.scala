@@ -115,6 +115,38 @@ object CorpusStatsQueries {
         .orderBy("doc_id")
     },
 
+    // Bloom-accelerated incremental dedup: same semantics as q51 (the
+    // oracle is the SAME SQL — Bloom filters have no false negatives, so
+    // the pre-filter provably cannot change the result, only the cost:
+    // rows testing negative skip the anti-join). The hash-exact match
+    // against q51's oracle is the correctness proof of that claim.
+    Q.sql("q59_bloom_incremental_dedup",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents),
+         |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % $IndexMod = 0),
+         |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % $IndexMod <> 0),
+         |novel AS (
+         |  SELECT b.doc_id, b.fp FROM batch b
+         |  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)),
+         |best AS (
+         |  SELECT doc_id, fp,
+         |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM novel)
+         |SELECT doc_id, fp FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.dedupeAgainstIndexBloom(
+          docs.where(pmod(col("doc_id"), lit(IndexMod)) =!= 0)
+            .select("doc_id", "text"),
+          "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(IndexMod)) === 0)
+            .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp")),
+          expectedItems = 10000L, fpp = 0.03)
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata path: the payload/meta columns of the fake-media
     // attach are pure column derivations, so — unlike the batched decode,
     // which stays rows-only in q30 — they hash-verify end to end.

@@ -18,6 +18,69 @@ object SimilarityQueries {
   private val NearDupTau = 0.35 // synthetic embeddings are near-orthogonal;
                                 // 0.35 yields a few hundred pairs at sf0.01
 
+  // --- shared oracle SQL fragments (q41 IVF + q60 SemDeDup) ---
+  // sequential ascending fold; DuckDB's seedless list_reduce starts at
+  // the first element, which equals Scala's fold from 0.0 (0.0+x = x)
+  private def foldDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $Dims), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def normSql(vec: String): String =
+    s"sqrt(list_reduce(list_transform($vec, x -> x * x), (x, y) -> x + y))"
+  private def assignCte(name: String, centlist: String, filter: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, u, cell FROM (
+       |    SELECT s.vec_id, s.u, c.cell,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM u s CROSS JOIN $centlist c$filter)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** WITH-body prelude replaying `Similarity.trainCentroids` +
+    * `nearestCentroid` bit-identically: embeddings → unit vectors → the
+    * full deterministic Lloyd loop (`iters` rounds of argmax assignment,
+    * exact decimal cell sums, sequential-fold normalization) → the final
+    * per-vector cell assignment in `asgf` (and centroids in
+    * `centlist<iters>`). Callers append their own CTEs after it. */
+  private def lloydPrelude(nLists: Int, iters: Int, q: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""centlist${k - 1} AS (
+         |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents${k - 1} GROUP BY cell),
+         |${assignCte(s"asg$k", s"centlist${k - 1}", "")},
+         |sums$k AS (
+         |  SELECT cell, pos,
+         |         CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38, ${q + 2}))) AS DOUBLE) AS sx
+         |  FROM (SELECT cell, pos, u[pos] AS x
+         |        FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM asg$k))
+         |  GROUP BY cell, pos),
+         |nrm$k AS (
+         |  SELECT cell, sqrt(list_reduce(list_transform(list(sx ORDER BY pos), x -> x * x), (x, y) -> x + y)) AS nrm
+         |  FROM sums$k GROUP BY cell),
+         |cents$k AS (
+         |  SELECT p.cell, p.pos,
+         |         CASE WHEN s.sx IS NOT NULL AND n.nrm > 0 THEN s.sx / n.nrm
+         |              ELSE p.val END AS val
+         |  FROM cents${k - 1} p
+         |  LEFT JOIN sums$k s ON s.cell = p.cell AND s.pos = p.pos
+         |  LEFT JOIN nrm$k n ON n.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |         CASE WHEN ${normSql("v")} > 0
+       |              THEN list_transform(v, x -> x / ${normSql("v")})
+       |              ELSE v END AS u
+       |  FROM e),
+       |init AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u
+       |  FROM (SELECT vec_id, u FROM u ORDER BY vec_id LIMIT $nLists)),
+       |cents0 AS (
+       |  SELECT cell, pos, u[pos] AS val
+       |  FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM init)),
+       |$iterCtes,
+       |centlist$iters AS (
+       |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents$iters GROUP BY cell),
+       |${assignCte("asgf", s"centlist$iters", "")}""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact cosine top-5 for 8 query vectors. The fold order of
@@ -106,58 +169,8 @@ object SimilarityQueries {
     // are additionally pinned in SimilaritySpec.
     Q.sql("q41_ann_ivf", {
       val nLists = 16; val iters = 3; val nProbe = 4; val q = 6
-      // sequential ascending fold; DuckDB's seedless list_reduce starts at
-      // the first element, which equals Scala's fold from 0.0 (0.0+x = x)
-      def foldDot(a: String, b: String): String =
-        s"list_reduce(list_transform(generate_series(1, $Dims), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-      def norm(vec: String): String =
-        s"sqrt(list_reduce(list_transform($vec, x -> x * x), (x, y) -> x + y))"
-      def assignCte(name: String, centlist: String, filter: String): String =
-        s"""$name AS (
-           |  SELECT vec_id, u, cell FROM (
-           |    SELECT s.vec_id, s.u, c.cell,
-           |           row_number() OVER (PARTITION BY s.vec_id
-           |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
-           |    FROM u s CROSS JOIN $centlist c$filter)
-           |  WHERE rn = 1)""".stripMargin
-      val iterCtes = (1 to iters).map { k =>
-        s"""centlist${k - 1} AS (
-           |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents${k - 1} GROUP BY cell),
-           |${assignCte(s"asg$k", s"centlist${k - 1}", "")},
-           |sums$k AS (
-           |  SELECT cell, pos,
-           |         CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38, ${q + 2}))) AS DOUBLE) AS sx
-           |  FROM (SELECT cell, pos, u[pos] AS x
-           |        FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM asg$k))
-           |  GROUP BY cell, pos),
-           |nrm$k AS (
-           |  SELECT cell, sqrt(list_reduce(list_transform(list(sx ORDER BY pos), x -> x * x), (x, y) -> x + y)) AS nrm
-           |  FROM sums$k GROUP BY cell),
-           |cents$k AS (
-           |  SELECT p.cell, p.pos,
-           |         CASE WHEN s.sx IS NOT NULL AND n.nrm > 0 THEN s.sx / n.nrm
-           |              ELSE p.val END AS val
-           |  FROM cents${k - 1} p
-           |  LEFT JOIN sums$k s ON s.cell = p.cell AND s.pos = p.pos
-           |  LEFT JOIN nrm$k n ON n.cell = p.cell)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |u AS (
-         |  SELECT vec_id,
-         |         CASE WHEN ${norm("v")} > 0
-         |              THEN list_transform(v, x -> x / ${norm("v")})
-         |              ELSE v END AS u
-         |  FROM e),
-         |init AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u
-         |  FROM (SELECT vec_id, u FROM u ORDER BY vec_id LIMIT $nLists)),
-         |cents0 AS (
-         |  SELECT cell, pos, u[pos] AS val
-         |  FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM init)),
-         |$iterCtes,
-         |centlist$iters AS (
-         |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents$iters GROUP BY cell),
-         |${assignCte("asgf", s"centlist$iters", "")},
+      def norm(vec: String): String = normSql(vec)
+      s"""WITH ${lloydPrelude(nLists, iters, q)},
          |probes AS (
          |  SELECT vec_id AS qid, cell FROM (
          |    SELECT s.vec_id, c.cell,
@@ -190,6 +203,33 @@ object SimilarityQueries {
           nProbe = 4, k = TopK)
         .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "nid")
+    },
+
+    // SemDeDup-style semantic dedup: deterministic k-means cells bound the
+    // O(n²) pair space; within-cell cosine ≥ τ against a lower id drops
+    // the doc. Oracle replays the whole pipeline — Lloyd loop (shared
+    // prelude with q41), final assignment, within-cell pairs, greedy drop.
+    Q.sql("q60_semantic_dedup", {
+      val nLists = 16; val iters = 3; val q = 6; val tau = 0.30
+      s"""WITH ${lloydPrelude(nLists, iters, q)},
+         |pr AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         ${foldDot("xe.v", "ye.v")} / (${normSql("xe.v")} * ${normSql("ye.v")}) AS cos
+         |  FROM asgf x
+         |  JOIN asgf y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN e xe ON xe.vec_id = x.vec_id
+         |  JOIN e ye ON ye.vec_id = y.vec_id),
+         |dr AS (SELECT DISTINCT id_b FROM pr WHERE cos >= $tau)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+         |FROM asgf a
+         |WHERE NOT EXISTS (SELECT 1 FROM dr d WHERE d.id_b = a.vec_id)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      graft.operators.Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.30)
+        .orderBy("vec_id")
     },
 
     // Embedding-cosine near-dup pairs (exact mode — the oracle baseline;
