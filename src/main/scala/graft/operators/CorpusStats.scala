@@ -54,6 +54,51 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Unigram language-model quality scoring (the CCNet/KenLM-style filter
+    * stage, reduced to order 1 so it stays SQL-replayable): train unigram
+    * counts on a REFERENCE corpus, score every document by its per-token
+    * cross-entropy under the add-one-smoothed model,
+    * xent = −Σ ln((cnt(t)+1)/(N+V)) / n_tokens. Low xent ⇒ reference-like
+    * text; high xent ⇒ rare/garbled tokens — the standard keep/drop dial.
+    * Also emits n_tokens and the out-of-vocabulary count.
+    *
+    * Determinism: each per-token ln runs on an identical integer-derived
+    * double in any engine and is rounded to 6dp BEFORE the per-doc sum,
+    * which then accumulates as DECIMAL — order-independent and
+    * cross-engine exact (the trainCentroids quantize-then-decimal rule,
+    * because a plain double Σln over thousands of tokens re-orders under
+    * partitioning and drifts in the last ulps).
+    *
+    * Scale: token explode is map-only; the model join keys on term with a
+    * vocabulary-sized right side (AQE broadcasts it when it fits — q48's
+    * inventory row); N/V ride as a broadcast single-row frame; one
+    * doc-grain aggregate. Nothing driver-side. */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+                     ref: DataFrame, refTextCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val model = ref.select(explode(words(col(refTextCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = model.agg(sum("cnt").as("__N"), count(lit(1)).as("__V"))
+    val lp = tok.join(model, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        graft.queries.Qutil.dround(
+          log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+            (col("__N") + col("__V"))), 6).as("lp"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+    val agg = lp.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum("oov").as("n_oov"),
+      sum(col("lp").cast(DecimalType(38, 8))).cast("double").as("__slp"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens").isNull || col("n_tokens") === 0, lit(0.0))
+          .otherwise(graft.queries.Qutil.dround(
+            -col("__slp") / col("n_tokens"), 6)).as("xent"))
+  }
+
   /** Per-document repetition statistics — the Gopher/MassiveText-style
     * quality signals that catch degenerate generated/boilerplate text:
     *  - dup_word_ratio: 1 − distinct words / total words

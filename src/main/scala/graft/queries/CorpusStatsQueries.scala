@@ -147,6 +147,45 @@ object CorpusStatsQueries {
         .orderBy("doc_id")
     },
 
+    // Unigram-LM quality scoring (CCNet/KenLM-style, order 1): model
+    // trained on the "curated" subset (doc_id % 5 = 0), every doc scored
+    // by add-one-smoothed per-token cross-entropy. Per-token ln is rounded
+    // to 6dp then decimal-summed, so the doc sums are order-independent
+    // and the oracle replays them exactly (the q41/q49 determinism rule).
+    Q.sql("q61_unigram_quality",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |ref AS (
+         |  SELECT term, count(*) AS cnt FROM tok
+         |  WHERE doc_id % $IndexMod = 0 GROUP BY 1),
+         |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM ref),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |         floor(ln((coalesce(r.cnt, 0) + 1.0) / (st.n + st.v)) * 1000000 + 0.5) / 1000000 AS lp,
+         |         CASE WHEN r.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok t LEFT JOIN ref r USING (term) CROSS JOIN st),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+         |         CAST(sum(CAST(lp AS DECIMAL(38,8))) AS DOUBLE) AS slp
+         |  FROM lp GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+         |       CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+         |            ELSE floor(-a.slp / a.n_tokens * 1000000 + 0.5) / 1000000
+         |       END AS xent
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      CorpusStats.unigramLogLoss(docs, "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(IndexMod)) === 0), "text")
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata path: the payload/meta columns of the fake-media
     // attach are pure column derivations, so — unlike the batched decode,
     // which stays rows-only in q30 — they hash-verify end to end.

@@ -232,6 +232,40 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // int8-quantized brute-force top-k: per-vector symmetric quantization
+    // (scale = max|x|/127, round-half-up, clamp) then cosine over the
+    // integer-valued vectors. Quantized dots/norms are exact integer sums
+    // (≪ 2^53), so the oracle needs no decimal scaffolding — only the
+    // final cosine ratio is rounded.
+    Q.sql("q62_quantized_topk",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sc AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+         |qv AS (
+         |  SELECT e.vec_id,
+         |         CASE WHEN sc.s > 0
+         |              THEN list_transform(e.v, x -> greatest(-127.0, least(127.0, floor(x / sc.s + 0.5))))
+         |              ELSE list_transform(e.v, x -> 0.0) END AS q
+         |  FROM e JOIN sc USING (vec_id)),
+         |nz AS (SELECT vec_id, q FROM qv
+         |       WHERE list_max(list_transform(q, x -> abs(x))) > 0),
+         |s AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         ${foldDot("a.q", "b.q")}
+         |         / (${normSql("a.q")} * ${normSql("b.q")}) AS qcos
+         |  FROM nz a JOIN nz b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |r AS (SELECT qid, nid, qcos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, nid) AS rn
+         |      FROM s)
+         |SELECT qid, nid, floor(qcos * 1000000 + 0.5) / 1000000 AS qcos
+         |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", TopK)
+        .select(col("qid"), col("nid"), dround(col("qcos"), 6).as("qcos"))
+        .orderBy("qid", "nid")
+    },
+
     // Embedding-cosine near-dup pairs (exact mode — the oracle baseline;
     // the LSH candidate mode of the same operator is pinned in DedupSpec
     // with planted duplicates, like q26's recall check).

@@ -35,6 +35,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("score") - expected) < 1e-12)
   }
 
+  test("unigramLogLoss: OOV-heavy docs score worse; empty doc scores 0") {
+    val corpus = Seq(
+      (1L, "spark shuffle spark shuffle"),   // reference-like
+      (2L, "spark shuffle partitions"),      // reference
+      (3L, "zq xv qqq zzz"),                 // all OOV vs reference
+      (4L, "")).toDF("doc_id", "text")
+    val ref = corpus.where($"doc_id" === 2L)
+    val out = CorpusStats.unigramLogLoss(corpus, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(4L) == ((0L, 0L, 0.0)))              // empty → zero row
+    assert(out(2L)._2 == 0L)                        // reference: no OOV
+    assert(out(3L)._2 == 4L)                        // every token OOV
+    assert(out(3L)._3 > out(1L)._3)                 // garbage > fluent
+    assert(out(1L)._3 > 0.0)
+    // deterministic under re-run (decimal-summed rounded logs)
+    val again = CorpusStats.unigramLogLoss(corpus, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.view.mapValues(_._3).toMap == again)
+  }
+
   test("repetitionStats flags degenerate repetition, not normal prose") {
     val d = Seq(
       (1L, "buy now buy now buy now buy now"),      // heavy repetition

@@ -229,6 +229,31 @@ class SimilaritySpec extends SparkSpec {
     (3L, vec(-1, 0, 0, 0)),     // opposite
     (4L, vec(0.9, 0.1, 0, 0))).toDF("vec_id", "embedding")
 
+  test("quantizeInt8: bounded values, round-trip error ≤ scale/2, zero-safe") {
+    val vs = Seq((0L, vec(0.5, -1.0, 0.25, 0.125)), (1L, vec(0, 0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(vs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    val (q0, s0) = q(0L)
+    assert(s0 == 1.0 / 127.0)
+    assert(q0.forall(x => x >= -127 && x <= 127 && x == math.rint(x)))
+    val orig = Array(0.5, -1.0, 0.25, 0.125)
+    orig.zip(q0).foreach { case (x, qi) =>
+      assert(math.abs(x - qi * s0) <= s0 / 2 + 1e-12)
+    }
+    val (q1, s1) = q(1L)
+    assert(s1 == 0.0 && q1.forall(_ == 0.0)) // zero vector stays zero
+  }
+
+  test("quantizedTopK recalls the planted near-parallel neighbour first") {
+    val top = Similarity.quantizedTopK(emb, emb.where($"vec_id" === 0L),
+      "vec_id", "embedding", 2)
+      .orderBy(desc("qcos")).as[(Long, Long, Double)].collect()
+    assert(top.map(_._2).toSeq == Seq(1L, 4L)) // same order as float cosine
+    assert(top.head._3 > 0.999)
+  }
+
   test("bruteForceTopK ranks by cosine and excludes self") {
     val q = emb.where($"vec_id" === 0L)
     val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 2)
