@@ -90,6 +90,11 @@ object Multimodal {
   // the JDK codecs) is what the oracle then verifies end to end.
   // ---------------------------------------------------------------------
 
+  // ImageIO's stream cache spools every encode/decode through a temp FILE
+  // by default — per-row disk I/O in a hot map stage (measured ~5s of the
+  // q30 runtime at sf0.1). In-memory streams only.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic image geometry/pixels (shared with the SQL oracle):
     * width = id%8+2, height = id%6+2, channels at (x,y) are cheap integer
     * mixes mod 256. All inputs non-negative, so JVM % == SQL %. */
