@@ -34,6 +34,37 @@ object PureProps extends Properties("graft.pure") {
           sql.count(_ == '?') == cols.size
     }
 
+  property("dialect upsert: placeholders == bind-order length, pk updated never") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier).map(_.distinct.take(8)), Gen.choose(0, 7)) {
+      (cols0, pkPick) =>
+        import org.apache.spark.sql.types._
+        val cols = if (cols0.isEmpty) List("c0") else cols0
+        val pk = cols(pkPick % cols.size)
+        val schema = StructType(cols.map(c => StructField(c, StringType)))
+        Seq(graft.io.UpsertSql.MySqlDialect, graft.io.UpsertSql.AnsiDialect)
+          .forall { d =>
+            val (sql, bind, fb) = d.upsert("T", schema, pk)
+            sql.count(_ == '?') == bind.size &&
+              bind.forall(i => i >= 0 && i < cols.size) &&
+              fb.forall { case (fsql, fbind) =>
+                fsql.count(_ == '?') == fbind.size && fbind == cols.indices
+              } &&
+              // the primary key binds exactly once in the primary statement
+              bind.count(_ == cols.indexOf(pk)) == 1
+          }
+    }
+
+  property("codec content formulas: channels/samples always in [0,256)") =
+    forAll(Gen.choose(0L, 1000000L), Gen.choose(0, 9), Gen.choose(0, 7)) {
+      (id, x, y) =>
+        import graft.multimodal.Multimodal._
+        val vals = Seq(pxR(id, x, y), pxG(id, x, y), pxB(id, x, y), pcm(id, x))
+        vals.forall(v => v >= 0 && v < 256) &&
+          imgWidth(id) >= 2 && imgWidth(id) <= 9 &&
+          imgHeight(id) >= 2 && imgHeight(id) <= 7 &&
+          wavSamples(id) >= 20 && wavSamples(id) < 70
+    }
+
   property("stubDecode: fixed dim, deterministic, empty-safe") =
     forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)), Gen.choose(1, 64)) {
       (bytes, dim) =>
