@@ -99,6 +99,68 @@ object CorpusStats {
             -col("__slp") / col("n_tokens"), 6)).as("xent"))
   }
 
+  /** Adjacent word pairs of a word-array column as struct(prev, cur) —
+    * empty for 0/1-word docs (guarded: Spark's `sequence(2, 1)` would
+    * DESCEND, not return empty). */
+  private def wordPairs(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(2), size(ws)), i =>
+        struct(element_at(ws, i - 1).as("prev"), element_at(ws, i).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+
+  /** Order-2 refinement of `unigramLogLoss`: interpolated add-one bigram
+    * cross-entropy, p(w|prev) = λ·(c₂(prev,w)+1)/(c(prev)+V)
+    * + (1−λ)·(c(w)+1)/(N+V); the first token scores under the unigram
+    * term alone. Catches fluent-vocabulary-but-scrambled-order text that
+    * per-token unigram scoring cannot (same bag of words ⇒ same q61
+    * score). λ defaults to 0.5 — a dyadic double, so λ and 1−λ are exact
+    * and the oracle's literals reproduce them bit-for-bit.
+    *
+    * Same determinism discipline as q61 (6dp-round each ln, decimal-sum);
+    * same scale shape plus one extra model join keyed on (prev, cur) —
+    * the bigram model is reference-corpus-bounded, so AQE broadcasts it
+    * alongside the unigram vocabulary. */
+  def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    lambda: Double = 0.5): DataFrame = {
+    require(lambda == 0.5 || lambda == 0.25 || lambda == 0.75,
+      "lambda must be dyadic so 1-lambda is exact cross-engine")
+    val dw = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val uni = ref.select(explode(words(col(refTextCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val stats = uni.agg(sum("cnt").as("__N"), count(lit(1)).as("__V"))
+    val bi = ref.select(explode(wordPairs(words(col(refTextCol)))).as("p"))
+      .groupBy(col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .agg(count(lit(1)).as("cnt2"))
+    val firstLp = dw.where(size(col("__ws")) >= 1)
+      .select(col(idCol), element_at(col("__ws"), 1).as("term"))
+      .join(uni, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), graft.queries.Qutil.dround(
+        log((coalesce(col("cnt"), lit(0L)) + lit(1.0)) /
+          (col("__N") + col("__V"))), 6).as("lp"))
+    val pairLp = dw.select(col(idCol), explode(wordPairs(col("__ws"))).as("p"))
+      .select(col(idCol), col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uni.select(col("term").as("prev"), col("cnt").as("__cp")), Seq("prev"), "left")
+      .join(uni.select(col("term").as("cur"), col("cnt").as("__cc")), Seq("cur"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), graft.queries.Qutil.dround(
+        log(lit(lambda) * (coalesce(col("cnt2"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("__cp"), lit(0L)) + col("__V")) +
+            lit(1.0 - lambda) * (coalesce(col("__cc"), lit(0L)) + lit(1.0)) /
+              (col("__N") + col("__V"))), 6).as("lp"))
+    val agg = firstLp.unionByName(pairLp).groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("lp").cast(DecimalType(38, 8))).cast("double").as("__slp"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull || col("n_tokens") === 0, lit(0.0))
+          .otherwise(graft.queries.Qutil.dround(
+            -col("__slp") / col("n_tokens"), 6)).as("xent"))
+  }
+
   /** Per-document repetition statistics — the Gopher/MassiveText-style
     * quality signals that catch degenerate generated/boilerplate text:
     *  - dup_word_ratio: 1 − distinct words / total words

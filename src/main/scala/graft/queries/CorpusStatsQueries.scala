@@ -186,6 +186,61 @@ object CorpusStatsQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated bigram-LM scoring (order-2 refinement of q61): catches
+    // fluent-vocabulary-but-scrambled-order text a unigram model cannot.
+    // λ = 0.5 is dyadic, so both interpolation weights are exact doubles
+    // in either engine; per-token ln rounded 6dp then decimal-summed.
+    Q.sql("q63_bigram_quality",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |ref AS (
+         |  SELECT term, count(*) AS cnt FROM tok
+         |  WHERE doc_id % $IndexMod = 0 GROUP BY 1),
+         |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM ref),
+         |rp AS (
+         |  SELECT ws[i-1] AS prev, ws[i] AS cur
+         |  FROM (SELECT ws, unnest(generate_series(2, len(ws))) AS i
+         |        FROM w WHERE doc_id % $IndexMod = 0)),
+         |bi AS (SELECT prev, cur, count(*) AS cnt2 FROM rp GROUP BY 1, 2),
+         |flp AS (
+         |  SELECT f.doc_id,
+         |         floor(ln((coalesce(r.cnt, 0) + 1.0) / (st.n + st.v)) * 1000000 + 0.5) / 1000000 AS lp
+         |  FROM (SELECT doc_id, ws[1] AS term FROM w WHERE len(ws) >= 1) f
+         |  LEFT JOIN ref r USING (term) CROSS JOIN st),
+         |dp AS (
+         |  SELECT doc_id, ws[i-1] AS prev, ws[i] AS cur
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(2, len(ws))) AS i FROM w)),
+         |plp AS (
+         |  SELECT d.doc_id,
+         |         floor(ln(0.5 * (coalesce(b.cnt2, 0) + 1.0) / (coalesce(rp2.cnt, 0) + st.v)
+         |                  + 0.5 * (coalesce(rc.cnt, 0) + 1.0) / (st.n + st.v)) * 1000000 + 0.5) / 1000000 AS lp
+         |  FROM dp d
+         |  LEFT JOIN bi b ON b.prev = d.prev AND b.cur = d.cur
+         |  LEFT JOIN ref rp2 ON rp2.term = d.prev
+         |  LEFT JOIN ref rc ON rc.term = d.cur
+         |  CROSS JOIN st),
+         |u AS (SELECT * FROM flp UNION ALL SELECT * FROM plp),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CAST(lp AS DECIMAL(38,8))) AS DOUBLE) AS slp
+         |  FROM u GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+         |            ELSE floor(-a.slp / a.n_tokens * 1000000 + 0.5) / 1000000
+         |       END AS xent
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      CorpusStats.bigramLogLoss(docs, "doc_id", "text",
+          docs.where(pmod(col("doc_id"), lit(IndexMod)) === 0), "text")
+        .orderBy("doc_id")
+    },
+
     // Multimodal metadata path: the payload/meta columns of the fake-media
     // attach are pure column derivations, so — unlike the batched decode,
     // which stays rows-only in q30 — they hash-verify end to end.

@@ -56,6 +56,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.view.mapValues(_._3).toMap == again)
   }
 
+  test("bigramLogLoss: scrambled word order scores worse; unigram is blind to it") {
+    val ref = Seq((100L, "the spark shuffle moves the data the spark shuffle moves the data"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the spark shuffle moves the data"),  // reference word order
+      (2L, "data the moves shuffle spark the"),  // same bag, scrambled
+      (3L, "")).toDF("doc_id", "text")
+    val uni = CorpusStats.unigramLogLoss(corpus, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val bi = CorpusStats.bigramLogLoss(corpus, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L))    // unigram: identical bags, identical score
+    assert(bi(2L) > bi(1L))       // bigram: scrambled order costs entropy
+    assert(bi(3L) == 0.0)
+    assert(bi(1L) < uni(1L) + 3)  // sane magnitude, not runaway
+  }
+
   test("repetitionStats flags degenerate repetition, not normal prose") {
     val d = Seq(
       (1L, "buy now buy now buy now buy now"),      // heavy repetition
