@@ -54,6 +54,56 @@ object Curation {
     df.where(hashBucket(col(idCol), salt) < threshold)
   }
 
+  /** Temperature-based multi-source mixture sampling — the Llama/T5-style
+    * data-mixing stage: per-source sampling rates are DERIVED FROM THE
+    * DATA so that expected sampled tokens track
+    * share_s ∝ (tokens_s)^temperature within a total `tokenBudget`.
+    * temperature < 1 flattens the mixture (up-weights small sources —
+    * books/code vs web); 1.0 is proportional. Only τ ∈ {0.5, 1.0} is
+    * accepted: sqrt and identity are the IEEE-exact weighting functions,
+    * so rates (and therefore membership) replay bit-identically in the
+    * oracle — an arbitrary pow(x, τ) would not.
+    *
+    * Determinism discipline: the share denominator is an ORDERED
+    * cumulative window sum over sources (both engines fold left in source
+    * order — a plain sum() would re-associate); the rate chain
+    * w/Σw·budget/n is left-to-right; thresholds quantize to 1e-6 like all
+    * sampling here. Membership reuses the salted hash, so the mix nests
+    * with `deterministicSample` draws of a different salt.
+    *
+    * Scale: one token-grain aggregate to source grain (config-sized —
+    * sources are a curated enum at any corpus size), a single-partition
+    * window over that tiny frame (fine: config-sized by construction),
+    * then a broadcast of the per-source thresholds back onto the scan —
+    * the corpus itself is never shuffled; the keep predicate is map-only. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     textCol: String, tokenBudget: Long,
+                     temperature: Double = 0.5,
+                     salt: String = "mix"): DataFrame = {
+    require(temperature == 0.5 || temperature == 1.0,
+      "temperature must be 0.5 (sqrt) or 1.0 (proportional) for cross-engine exactness")
+    val withTok = df.withColumn("__tok", tokenCount(col(textCol)).cast("long"))
+    val bySrc = withTok.groupBy(col(sourceCol))
+      .agg(sum("__tok").as("__n_tok"))
+    def weight(c: Column): Column =
+      if (temperature == 0.5) sqrt(c.cast("double")) else c.cast("double")
+    val w = Window.orderBy(sourceCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bySrc.withColumn("__w", weight(col("__n_tok")))
+      .withColumn("__cum", sum("__w").over(w))
+    val tot = cum.agg(max("__cum").as("__tot"))
+    val rates = cum.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        least(lit(1.0),
+          col("__w") / col("__tot") * lit(tokenBudget.toDouble) / col("__n_tok")))
+      .withColumn("__thr",
+        floor(col("__rate") * lit(RateScale.toDouble)).cast("long"))
+      .select(col(sourceCol), col("__thr"))
+    withTok.join(broadcast(rates), Seq(sourceCol))
+      .where(hashBucket(col(idCol), salt) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Split documents into overlapping word-window chunks: chunk i covers
     * words [i·stride, i·stride + window). Empty docs yield no chunks; a doc
     * of n ≤ window words yields exactly one. Map-only explode — each input

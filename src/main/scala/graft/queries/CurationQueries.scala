@@ -92,6 +92,36 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature-based source mixing (τ=0.5, token budget 10k): rates are
+    // DERIVED from per-source token counts — sqrt weights, ordered
+    // cumulative denominator, left-to-right rate chain, 1e-6 threshold
+    // quantization — so the oracle recomputes the whole mixture design and
+    // the sampled membership bit-identically.
+    Q.sql("q64_temperature_mix", {
+      val budget = 10000L
+      s"""WITH $wsCte,
+         |t AS (SELECT w.doc_id, d.source, len(w.ws) AS tok
+         |      FROM w JOIN documents d USING (doc_id)),
+         |s AS (SELECT source, CAST(sum(tok) AS BIGINT) AS n_tok FROM t GROUP BY 1),
+         |c AS (SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS wgt,
+         |             sum(sqrt(CAST(n_tok AS DOUBLE))) OVER (
+         |               ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM s),
+         |tt AS (SELECT max(cum) AS tot FROM c),
+         |r AS (SELECT c.source,
+         |             CAST(floor(least(1.0, c.wgt / tt.tot * $budget / c.n_tok) * ${Curation.RateScale}) AS BIGINT) AS thr
+         |      FROM c CROSS JOIN tt)
+         |SELECT t.doc_id, t.source, CAST(t.tok AS BIGINT) AS tok
+         |FROM t JOIN r USING (source)
+         |WHERE ${md5IntSql(s"'mix:' || CAST(t.doc_id AS VARCHAR)")} % ${Curation.RateScale} < r.thr
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Curation.temperatureMix(Tables.documents(s, d), "doc_id", "source",
+          "text", tokenBudget = 10000L)
+        .select(col("doc_id"), col("source"), col("__tok").as("tok"))
+        .orderBy("doc_id")
+    },
+
     // Overlapping word-window chunking (window 40, stride 30): map-only
     // fan-out of each doc into tokenizer-ready chunks.
     Q.sql("q44_chunk_docs",

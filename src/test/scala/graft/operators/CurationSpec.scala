@@ -29,6 +29,30 @@ class CurationSpec extends SparkSpec {
     assert(langs("de") == 2000L)                 // rate 1 keeps everything
   }
 
+  test("temperatureMix: τ=0.5 flattens toward small sources; τ=1 is proportional") {
+    // big source: 900 docs × 10 tokens; small: 100 docs × 10 tokens
+    val text = "a b c d e f g h i j"
+    val docs = ((1L to 900L).map(i => (i, "web", text)) ++
+      (1001L to 1100L).map(i => (i, "books", text)))
+      .toDF("doc_id", "source", "text")
+    val budget = 5000L
+    def keptBySource(t: Double) =
+      Curation.temperatureMix(docs, "doc_id", "source", "text", budget, t)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = keptBySource(0.5)
+    // τ=0.5: shares √9000:√1000 = 3:1 → books rate caps at 1.0 (kept whole),
+    // web downsampled to ~0.417
+    assert(flat("books") == 100L)
+    assert(flat("web") < 500L && flat("web") > 300L)
+    val prop = keptBySource(1.0)
+    // τ=1: rate = budget/total tokens = 0.5 for every source
+    assert(math.abs(prop("web") - 450L) < 60L)
+    assert(math.abs(prop("books") - 50L) < 25L)
+    // reproducible
+    assert(keptBySource(0.5) == flat)
+  }
+
   test("chunkDocuments covers every word with stride overlap; empty docs vanish") {
     val docs = Seq(
       (1L, (1 to 95).map(i => s"w$i").mkString(" ")), // 95 words → 3 chunks
