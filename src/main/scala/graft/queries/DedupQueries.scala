@@ -208,5 +208,24 @@ object DedupQueries {
       Dedup.duplicateClusters(dup)
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
+    },
+
+    // Blocked fuzzy matching (ops.Fuzzy): edit-distance pairs within a
+    // brand block — record linkage as an equi-join plus a length-band
+    // prune, never a corpus cross product. Levenshtein is the classic
+    // dynamic-programming distance in both engines.
+    Q.sql("q65_fuzzy_pairs",
+      """SELECT a.p_brand AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       a.p_name AS str_a, b.p_name AS str_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.ops.Fuzzy.blockedSelfJoin(Tables.part(s, d), "p_partkey",
+          "p_name", "p_brand", maxDist = 2)
+        .select(col("block"), col("id_a"), col("id_b"),
+          col("str_a"), col("str_b"), col("dist"))
+        .orderBy("id_a", "id_b")
     })
 }

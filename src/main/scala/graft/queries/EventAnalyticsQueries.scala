@@ -67,6 +67,76 @@ object EventAnalyticsQueries {
         .orderBy("step_idx")
     },
 
+    // Schema-projected JSON parsing of the semi-structured props column:
+    // from_json with an explicit schema (never schema_of_json over data —
+    // that is a driver-side sample pass), then plain integer aggregation.
+    // The oracle extracts the same field with a shared-RE2 regex, so both
+    // engines see identical integers regardless of JSON-library quirks.
+    Q.sql("q67_props_stats",
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), lit("k BIGINT"))("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Exact heavy hitters via Misra–Gries sketch + exact verify pass
+    // (operators.HeavyHitters / catalyst.FreqSketchAgg): keys with strictly
+    // more than 1/128 of all events. The oracle is the full groupBy-HAVING
+    // formulation — the sketch path must reproduce it exactly, which is
+    // precisely the two-pass guarantee.
+    Q.sql("q69_heavy_hitters",
+      """SELECT user_id, count(*) AS cnt,
+        |       (SELECT count(*) FROM events) AS n_total
+        |FROM events GROUP BY 1
+        |HAVING count(*) * 128 > (SELECT count(*) FROM events)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      graft.operators.HeavyHitters
+        .exactHeavyHitters(s, Tables.events(s, d), "user_id",
+          threshold = 128, k = 256)
+        .orderBy("user_id")
+    },
+
+    // Gaps-and-islands run-length encoding (Sessions.runs): consecutive
+    // same-event-type runs per user, exact microsecond bounds.
+    Q.sql("q71_state_islands",
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run_idx
+        |  FROM f)
+        |SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+        |       min(event_type) AS state,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, run_idx
+        |ORDER BY user_id, run_idx""".stripMargin) { (s, d) =>
+      Sessions.runs(Tables.events(s, d), "user_id", "ts", "event_id",
+          "event_type")
+        .select(col("user_id"), col("run_idx"), col("state"),
+          col("start_us"), col("end_us"), col("n_events"))
+        .orderBy("user_id", "run_idx")
+    },
+
     // Cohort retention: first-activity-day cohorts x day offset, distinct
     // active users. Integer day arithmetic end to end.
     Q.sql("q54_retention_cohorts",

@@ -20,6 +20,17 @@ object OlapQueries {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
 
+  val cubeSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY CUBE (o_orderpriority, l_returnflag)
+      |ORDER BY g_priority, g_flag, priority, returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ROLLUP: region → nation → grand-total hierarchy in one pass
@@ -82,5 +93,37 @@ object OlapQueries {
           least(floor(col("value") / 10).cast("long"), lit(9L)).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bucket")
+    },
+
+    // CUBE: all four grouping sets of (priority, returnflag) in one pass —
+    // like q33's ROLLUP, Expand + a single hash shuffle handles every set at
+    // once. GROUPING() flags disambiguate "the ALL row" from a hypothetical
+    // literal 'ALL' value. Dialect-shared SQL text (same mechanism/rationale
+    // as q33).
+    Q.sql("q68_cube_revenue", OlapQueries.cubeSql) { (s, d) =>
+      Tables.createViews(s, d)
+      s.sql(OlapQueries.cubeSql)
+    },
+
+    // Skew-salted enrichment join (ops.Skew): the big side (events) takes a
+    // deterministic row-content salt, the dim side replicates saltFactor
+    // times, so one hot user key spreads over saltFactor tasks. Result is
+    // provably identical to the unsalted join — which is exactly what the
+    // oracle states in plain SQL.
+    Q.sql("q72_salted_segment_revenue",
+      """SELECT c_mktsegment AS segment,
+        |       count(*) AS n_events,
+        |       cast(sum(cast(value as decimal(18,4))) as double) AS total_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(Tables.events(s, d), dim, Seq("user_id"), 8)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          msum(col("value")).as("total_value"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("segment")
     })
 }

@@ -283,5 +283,35 @@ object SimilarityQueries {
           Tables.embeddings(s, d), "vec_id", "embedding", NearDupTau)
         .select(col("id_a"), col("id_b"), dround(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Contrastive-pair mining (Similarity.hardPairs): per query, the
+    // nearest same-label vector (positive) and nearest other-label vector
+    // (hard negative) — the triplet-mining primitive for embedding
+    // fine-tunes. Same scoring kernel and tie-break as q25, plus the label
+    // partition, so the oracle replays it with one extra CASE.
+    Q.sql("q70_hard_pairs",
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+         |      WHERE vec_id < $NQueries),
+         |s AS (
+         |  SELECT qid, e.vec_id AS nid, e.label AS label,
+         |         CASE WHEN e.label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
+         |         list_reduce(list_transform(generate_series(1, $Dims), i -> qv[i] * v[i]), (x, y) -> x + y)
+         |         / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+         |            * sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y))) AS cos
+         |  FROM e, q WHERE e.vec_id != qid),
+         |r AS (SELECT qid, kind, nid, label, cos,
+         |             row_number() OVER (PARTITION BY qid, kind
+         |                                ORDER BY cos DESC, nid) AS rn
+         |      FROM s)
+         |SELECT qid, kind, nid, label, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM r WHERE rn = 1 ORDER BY qid, kind""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardPairs(emb, emb.where(col("vec_id") < NQueries),
+          "vec_id", "embedding", "label")
+        .select(col("qid"), col("kind"), col("nid"), col("label"),
+          dround(col("cos"), 6).as("cos"))
+        .orderBy("qid", "kind")
     })
 }

@@ -263,6 +263,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.map(_._2).contains(0L))
   }
 
+  test("hardPairs mines the nearest same-label and nearest other-label vector") {
+    val labeled = Seq(
+      (0L, vec(1, 0, 0, 0), 1),
+      (1L, vec(1, 0.01, 0, 0), 1),   // nearest same-label to 0
+      (2L, vec(0.9, 0.1, 0, 0), 2),  // nearest other-label to 0
+      (3L, vec(0, 1, 0, 0), 1),
+      (4L, vec(-1, 0, 0, 0), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardPairs(labeled,
+        labeled.where($"vec_id" === 0L), "vec_id", "embedding", "label")
+      .select("kind", "nid", "label").as[(String, Long, Int)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out("pos") == ((1L, 1)))
+    assert(out("neg") == ((2L, 2)))
+  }
+
   test("lshTopK returns a subset of candidates with exact cos scores") {
     val q = emb.where($"vec_id" === 0L)
     val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 4)

@@ -24,6 +24,34 @@ class SessionsSpec extends SparkSpec {
     assert(out((8L, 0L)) == ((1L, 8.0)))
   }
 
+  test("runs collapses consecutive equal states, splitting on change") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "a"),  // same state → same run
+      (3L, ts("2024-01-01 10:02:00"), 7L, "b"),  // change → new run
+      (4L, ts("2024-01-01 10:03:00"), 7L, "a"),  // back to a → THIRD run
+      (5L, ts("2024-01-01 10:00:00"), 8L, "a"))  // other user, own run
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.runs(ev, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_idx")) ->
+        (r.getAs[String]("state"), r.getAs[Long]("n_events"))).toMap
+    assert(out.size == 4)
+    assert(out((7L, 1L)) == (("a", 2L)))
+    assert(out((7L, 2L)) == (("b", 1L)))
+    assert(out((7L, 3L)) == (("a", 1L)))
+    assert(out((8L, 1L)) == (("a", 1L)))
+  }
+
+  test("runs breaks timestamp ties by the event id column") {
+    val t = ts("2024-01-01 10:00:00")
+    val ev = Seq((2L, t, 7L, "b"), (1L, t, 7L, "a"), (3L, t, 7L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Sessions.runs(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("run_idx").collect()
+    // id order a, b, a → three runs despite only two distinct states
+    assert(out.map(_.getAs[String]("state")).toSeq == Seq("a", "b", "a"))
+  }
+
   test("funnel requires strict event ordering per user") {
     val ev = Seq(
       // user 7 completes the funnel in order
