@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.queries.Qutil.dround
+
+/** Iterative graph analytics over an edge list — PageRank as the
+  * representative fixed-point operator (entity-importance ranking over
+  * interaction graphs; the corpus-side cousin is `Dedup.duplicateClusters`'
+  * connected components).
+  *
+  * Scale shape: the per-iteration work is one join of edges⋈ranks on the
+  * source key plus one destination-grain aggregate — the canonical Spark
+  * PageRank plan. Edges are hash-partitioned on src once and persisted, so
+  * every iteration's join reuses the same exchange; ranks (node-grain,
+  * ≪ edges) flow to the edge partitioning. Dangling nodes contribute
+  * nothing and keep the (1−d) floor. A fixed iteration count keeps the
+  * plan statically bounded; for high iteration counts, apply the
+  * `duplicateClusters` lineage-rebase discipline (measured there: ×3 plan
+  * growth per round otherwise).
+  *
+  * Determinism (the oracle replays every iteration as a chained CTE):
+  * per-edge contributions are floor-scale-rounded at `scale` decimals
+  * (Qutil.dround — identical IEEE ops in both engines), then summed as
+  * exact DECIMAL so partition/summation order can never shift a bit; the
+  * damped update re-rounds. Rank values therefore stay on the `scale`-dp
+  * grid at every step.
+  */
+object Graph {
+
+  /** `iters` damped PageRank rounds over directed (src, dst) edges.
+    * Returns (node, rank). Rank init = 1.0 per node; dangling nodes decay
+    * to (1 − damping). */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double,
+               scale: Int = 9): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("node"),
+          dround(col("rank") / col("outdeg"), scale).as("c"))
+      val sums = contribs.groupBy("node")
+        .agg(sum(col("c").cast(DecimalType(38, scale + 3)))
+          .cast("double").as("s"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          dround(lit(1.0 - damping) +
+            lit(damping) * coalesce(col("s"), lit(0.0)), scale).as("rank"))
+    }
+    ranks
+  }
+}

@@ -137,6 +137,62 @@ object EventAnalyticsQueries {
         .orderBy("user_id", "run_idx")
     },
 
+    // Bounded window frame: 4-event moving average (ROWS BETWEEN 3
+    // PRECEDING) and inter-event gap via lag — the time-series smoothing
+    // frame. The frame sum is exact decimal, divided by the exact frame
+    // count, so partition order can't shift a bit.
+    Q.sql("q76_moving_avg",
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+        |SELECT user_id, event_id, us,
+        |       us - lag(us) OVER w AS delta_us,
+        |       floor(CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |             / count(*) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |             * 1000000 + 0.5) / 1000000 AS mavg4
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, us, event_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val order = Window.partitionBy("user_id")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val frame = order.rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("user_id"), col("event_id"), col("us"),
+          (col("us") - lag("us", 1).over(order)).as("delta_us"),
+          Qutil.dround(
+            sum(col("value").cast(DecimalType(18, 4))).over(frame)
+              .cast("double") / count(lit(1)).over(frame), 6).as("mavg4"))
+        .orderBy("user_id", "us", "event_id")
+    },
+
+    // Incremental aggregate maintenance: pre-aggregated state for the old
+    // half of the log merges with a fresh partial over the new half, and
+    // the result provably equals the one-shot full aggregate — which is
+    // exactly what the oracle states. Works because every aggregate here
+    // is algebraic (counts add; decimal sums add exactly); this is the
+    // materialized-rollup refresh pattern where only the new day's sliver
+    // is ever re-scanned.
+    Q.sql("q77_incremental_agg",
+      """SELECT event_type, count(*) AS n,
+        |       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-16").cast("date")
+      val ev = Tables.events(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), Qutil.msum(col("value")).as("total_value"))
+      val state = partial(ev.where(to_date(col("ts")) < split))
+      val fresh = partial(ev.where(to_date(col("ts")) >= split))
+      state.unionByName(fresh)
+        .groupBy("event_type")
+        .agg(sum("n").as("n"), Qutil.msum(col("total_value")).as("total_value"))
+        .orderBy("event_type")
+    },
+
     // Cohort retention: first-activity-day cohorts x day offset, distinct
     // active users. Integer day arithmetic end to end.
     Q.sql("q54_retention_cohorts",

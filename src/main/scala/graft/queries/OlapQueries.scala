@@ -125,5 +125,55 @@ object OlapQueries {
           msum(col("value")).as("total_value"),
           count_distinct(col("user_id")).as("n_users"))
         .orderBy("segment")
+    },
+
+    // Analytic rank family: ntile deciles, percent_rank, cume_dist over a
+    // total order (acctbal, custkey — unique, so no tie ambiguity). All
+    // three are integer-derived in both engines; the doubles divide
+    // identical integers, rounded 6dp for belt and braces.
+    Q.sql("q74_analytic_ranks",
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+        |       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pr,
+        |       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(10).over(w).as("decile"),
+          Qutil.dround(percent_rank().over(w), 6).as("pr"),
+          Qutil.dround(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    },
+
+    // Set operations: INTERSECT / EXCEPT with distinct semantics — which
+    // customers placed orders at both urgency extremes, and which only at
+    // the urgent end. Spark plans both as aggregated joins (left-semi /
+    // left-anti over distinct keys), one shuffle each.
+    Q.sql("q75_set_ops",
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |low AS (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '5-LOW')
+        |SELECT 'both' AS tag, custkey FROM (
+        |  SELECT custkey FROM urgent INTERSECT SELECT custkey FROM low)
+        |UNION ALL
+        |SELECT 'urgent_only', custkey FROM (
+        |  SELECT custkey FROM urgent EXCEPT SELECT custkey FROM low)
+        |ORDER BY tag, custkey""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      def keys(p: String) = orders.where(col("o_orderpriority") === p)
+        .select(col("o_custkey").as("custkey")).distinct()
+      val urgent = keys("1-URGENT"); val lowp = keys("5-LOW")
+      urgent.intersect(lowp).select(lit("both").as("tag"), col("custkey"))
+        .unionAll(urgent.except(lowp)
+          .select(lit("urgent_only").as("tag"), col("custkey")))
+        .orderBy("tag", "custkey")
     })
 }

@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: more in-links ⇒ more rank; dangling nodes keep the floor") {
+    // star into b: a→b, c→b, b→a — b collects from two sources, a from
+    // one, c from nobody (c only emits) → rank(b) > rank(a) > rank(c)
+    val edges = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 5, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r("b") > r("a") && r("a") > r("c"))
+    // c never receives: exactly the (1 − d) floor after round 1
+    assert(math.abs(r("c") - 0.15) < 1e-9)
+  }
+
+  test("pageRank is partition-count invariant (decimal-grid determinism)") {
+    val pairs = (0L until 60L).map(i => (s"c${i % 12}", s"s${i % 7}"))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .toDF("src", "dst").distinct()
+    val r1 = Graph.pageRank(edges.repartition(1), 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    val r32 = Graph.pageRank(edges.repartition(32), 3, 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == r32) // bit-identical, not approximately equal
+  }
+}
