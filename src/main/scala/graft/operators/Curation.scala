@@ -104,6 +104,29 @@ object Curation {
       .drop("__thr")
   }
 
+  /** Deterministic train/validation/test assignment: the id's hash bucket
+    * falls into cumulative fraction bands, so the split is a pure function
+    * of (id, salt) — map-only, reproducible across engines and re-runs, and
+    * disjoint/exhaustive by construction. Membership never depends on
+    * partitioning or row order, which is what makes a 100 TB split safe to
+    * recompute lazily instead of materializing an assignment table.
+    * `fractions` are (label, fraction) in band order; they must sum to 1. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = fractions.map(_._1).zip(
+      cum.map(c => math.min((c * RateScale).toLong, RateScale)))
+    val bucket = hashBucket(col(idCol), salt)
+    val expr0 = thresholds.init.foldRight(
+      lit(thresholds.last._1): Column) { case ((label, thr), els) =>
+      when(bucket < thr, lit(label)).otherwise(els)
+    }
+    df.withColumn("split", expr0)
+  }
+
   /** Split documents into overlapping word-window chunks: chunk i covers
     * words [i·stride, i·stride + window). Empty docs yield no chunks; a doc
     * of n ≤ window words yields exactly one. Map-only explode — each input

@@ -53,6 +53,47 @@ object Stats {
     df.select((df.columns.map(col).toIndexedSeq ++ zcols): _*)
   }
 
+  /** Pairwise Pearson correlations over `cols` in ONE scan: every moment
+    * (Σx, Σx², Σxy, n) is a term in a single shared aggregate — the
+    * textbook single-pass formulation
+    *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * — versus Spark's `corr()` which covers one pair per call and would
+    * re-scan a 100 TB table per pair. Terms are cast to exact DECIMAL
+    * before summing (the Qutil msum rule: money-grade inputs have bounded
+    * decimal places, so the sums are order-independent and engine-exact);
+    * the final arithmetic runs on identical doubles in any engine. Output:
+    * one row per unordered pair (var_a < var_b): (var_a, var_b, n, corr).
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, scale)
+    def s(c: Column) = sum(c.cast(dec)).cast("double")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      (count(lit(1)).as("__n") +:
+        cols.map(c => s(col(c)).as(s"__s_$c"))) ++
+        cols.map(c => s(col(c) * col(c)).as(s"__q_$c")) ++
+        pairs.map { case (a, b) => s(col(a) * col(b)).as(s"__p_${a}_$b") }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    // long form via explode over the ONE moments row — a union of
+    // per-pair selects would re-execute the aggregate (re-scan) per pair
+    val structs = pairs.map { case (a, b) =>
+      val (sa, sb) = (col(s"__s_$a"), col(s"__s_$b"))
+      val (qa, qb) = (col(s"__q_$a"), col(s"__q_$b"))
+      val corr = (n * col(s"__p_${a}_$b") - sa * sb) /
+        (sqrt(n * qa - sa * sa) * sqrt(n * qb - sb * sb))
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        col("__n").as("n"),
+        graft.queries.Qutil.dround(corr, 6).as("corr"))
+    }
+    m.select(explode(array(structs: _*)).as("r")).select("r.*")
+  }
+
   /** C10 — flip the sign of configured inverse stats (turnovers, fouls…)
     * after z-scoring (LOADERS/GOLD-data-loader.py:325-326,470-471). */
   def invertStats(df: DataFrame, inverse: Seq[String]): DataFrame = {

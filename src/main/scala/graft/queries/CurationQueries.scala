@@ -223,5 +223,30 @@ object CurationQueries {
           "known_lang" -> (col("lang") =!= "unknown")))
         .select(col("doc_id"), col("failed_rules"), col("keep").cast("int").as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split (Curation.assignSplit): hash-band
+    // assignment summarized per (source, split). Disjoint + exhaustive by
+    // construction; the oracle replays the same md5 bands.
+    Q.sql("q79_split_summary",
+      s"""WITH h AS (
+         |  SELECT source, n_chars,
+         |         ${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")}
+         |           % ${Curation.RateScale} AS b
+         |  FROM documents),
+         |s AS (
+         |  SELECT source, n_chars,
+         |         CASE WHEN b < ${(0.8 * Curation.RateScale).toLong} THEN 'train'
+         |              WHEN b < ${(0.9 * Curation.RateScale).toLong} THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM h)
+         |SELECT source, split, count(*) AS n,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Curation.assignSplit(Tables.documents(s, d), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("source", "split")
     })
 }

@@ -175,5 +175,39 @@ object OlapQueries {
         .unionAll(urgent.except(lowp)
           .select(lit("urgent_only").as("tag"), col("custkey")))
         .orderBy("tag", "custkey")
+    },
+
+    // Single-pass correlation matrix (Stats.corrMatrix): every pairwise
+    // moment is a term in ONE shared aggregate — one table scan for all
+    // pairs, decimal-exact sums, identical final double arithmetic in both
+    // engines.
+    Q.sql("q80_corr_matrix", {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def s(e: String) = s"CAST(sum(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+      val pairs = for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield (cols(i), cols(j))
+      val moments =
+        (Seq("count(*) AS n") ++
+          cols.map(c => s"${s(c)} AS s_$c") ++
+          cols.map(c => s"${s(s"$c * $c")} AS q_$c") ++
+          pairs.map { case (a, b) => s"${s(s"$a * $b")} AS p_${a}_$b" })
+          .mkString(",\n         ")
+      val rows = pairs.map { case (a, b) =>
+        val corr = s"(CAST(n AS DOUBLE) * p_${a}_$b - s_$a * s_$b) / " +
+          s"(sqrt(CAST(n AS DOUBLE) * q_$a - s_$a * s_$a) * " +
+          s"sqrt(CAST(n AS DOUBLE) * q_$b - s_$b * s_$b))"
+        s"""SELECT '$a' AS var_a, '$b' AS var_b, n,
+           |       floor(($corr) * 1000000 + 0.5) / 1000000 AS corr FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT $moments
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY var_a, var_b""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Stats.corrMatrix(Tables.lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("var_a", "var_b")
     })
 }

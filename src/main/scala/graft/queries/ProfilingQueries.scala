@@ -41,5 +41,56 @@ object ProfilingQueries {
           translate(col("p_brand"), "#", "-").as("brand_norm"),
           regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast("int").as("brand_num"))
         .orderBy("p_partkey")
+    },
+
+    // Declarative data-quality expectations (ops.Expectations): all
+    // row-local checks share ONE aggregate pass; uniqueness runs as its own
+    // two-level distinct (A6 Expand-avoidance). The range check is tuned to
+    // fail (uniform totalprice ⇒ ~60% in-band < 0.9 threshold) so the
+    // passed flag is exercised both ways.
+    Q.sql("q78_dq_report",
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS c0,
+        |         sum(CASE WHEN o_totalprice >= 1000 AND o_totalprice <= 300000
+        |                  THEN 1 ELSE 0 END) AS c1,
+        |         sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',
+        |                                           '4-NOT SPECIFIED','5-LOW')
+        |                  THEN 1 ELSE 0 END) AS c2
+        |  FROM orders),
+        |u AS (SELECT count(DISTINCT o_orderkey) AS d0 FROM orders)
+        |SELECT expectation, value, threshold, passed, n FROM (
+        |  SELECT 'completeness(o_custkey)' AS expectation,
+        |         floor(CAST(c0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS value,
+        |         CAST(1.0 AS DOUBLE) AS threshold,
+        |         floor(CAST(c0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 >= 1.0 AS passed,
+        |         n FROM m
+        |  UNION ALL
+        |  SELECT 'in_range(o_totalprice)',
+        |         floor(CAST(c1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+        |         CAST(0.9 AS DOUBLE),
+        |         floor(CAST(c1 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 >= 0.9,
+        |         n FROM m
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderpriority)',
+        |         floor(CAST(c2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+        |         CAST(1.0 AS DOUBLE),
+        |         floor(CAST(c2 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 >= 1.0,
+        |         n FROM m
+        |  UNION ALL
+        |  SELECT 'uniqueness(o_orderkey)',
+        |         floor(CAST(d0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000,
+        |         CAST(1.0 AS DOUBLE),
+        |         floor(CAST(d0 AS DOUBLE) / n * 1000000 + 0.5) / 1000000 >= 1.0,
+        |         n FROM m CROSS JOIN u)
+        |ORDER BY expectation""".stripMargin) { (s, d) =>
+      import graft.ops.Expectations._
+      report(Tables.orders(s, d), Seq(
+          Completeness("o_custkey"),
+          InRange("o_totalprice", 1000, 300000, threshold = 0.9),
+          InSet("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW")),
+          Uniqueness(Seq("o_orderkey"))))
+        .orderBy("expectation")
     })
 }

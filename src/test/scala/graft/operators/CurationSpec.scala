@@ -134,4 +134,22 @@ class CurationSpec extends SparkSpec {
     val clean = df.as[String].head()
     assert(clean == "visit <URL> then mail <EMAIL> or call <PHONE> now")
   }
+
+  test("assignSplit: disjoint, exhaustive, reproducible, roughly proportional") {
+    val docs = (0L until 2000L).toDF("id")
+    val fracs = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Curation.assignSplit(docs, "id", fracs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.values.sum == 2000L)             // exhaustive, one split per row
+    assert(a.keySet == Set("train", "val", "test"))
+    assert(a("train") > 1500 && a("val") > 120 && a("test") > 120)
+    // pure function of (id, salt): identical on re-run and re-partition
+    val b = Curation.assignSplit(docs.repartition(7), "id", fracs)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b)
+    // a different salt draws a different (but still exhaustive) assignment
+    val c = Curation.assignSplit(docs, "id", fracs, salt = "other")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(c.values.sum == 2000L && c != a)
+  }
 }

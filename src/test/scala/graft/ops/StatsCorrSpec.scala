@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StatsCorrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corrMatrix: perfect, inverse, and agreement with Spark's corr()") {
+    val df = (1 to 200).map { i =>
+      (i.toDouble, 2.0 * i + 3.0, -1.5 * i + 7.0, (i % 17).toDouble)
+    }.toDF("x", "y2", "yneg", "z")
+    val out = Stats.corrMatrix(df, Seq("x", "y2", "yneg", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("x", "y2")) == 1.0)      // exact: linear, decimal sums
+    assert(out(("x", "yneg")) == -1.0)
+    val builtin = df.select(corr("x", "z")).head().getDouble(0)
+    assert(math.abs(out(("x", "z")) - builtin) < 1e-6)
+  }
+
+  test("corrMatrix computes all pairs in one shared aggregate") {
+    val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
+    val plan = Stats.corrMatrix(df, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan.toString
+    val aggs = "Aggregate \\[".r.findAllIn(plan).size
+    assert(aggs == 1, s"expected one shared aggregate, got $aggs:\n$plan")
+  }
+}
