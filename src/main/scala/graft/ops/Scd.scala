@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 maintenance: dimension rows carry
+  * (valid_from, valid_to) validity intervals; an incoming snapshot closes
+  * the open version of every changed key and opens a new one. The
+  * serving-side sibling of the reference's upsert sinks (SURVEY §2.2 K3/K6
+  * overwrite in place; SCD2 keeps the history instead).
+  *
+  * Scale shape: one full-outer join of the OPEN slice against the update
+  * snapshot on the natural key, then unions — already-closed history is
+  * never touched (at 100 TB it stays parquet-at-rest; only the open slice
+  * and the day's snapshot move). Change detection is null-safe column
+  * equality (`<=>`), so NULL→value and value→NULL both count as changes.
+  * Deterministic: no processing-time timestamps — the effective date is an
+  * injected parameter (the C6 injected-clock rule).
+  */
+object Scd {
+
+  /** Merge `updates` (one row per key, the new snapshot) into `history`.
+    *
+    * `history` columns: keys ++ tracked ++ (valid_from, valid_to) — DATE
+    * validity, open rows have valid_to IS NULL. `updates`: keys ++ tracked.
+    * Returns the new full history. Re-merging the same snapshot is a no-op
+    * (idempotent), because unchanged keys take the keep-open branch. */
+  def scd2Merge(history: DataFrame, updates: DataFrame, keys: Seq[String],
+                tracked: Seq[String], effectiveDate: String): DataFrame = {
+    val eff = to_date(lit(effectiveDate))
+    val closed = history.where(col("valid_to").isNotNull)
+    val open = history.where(col("valid_to").isNull)
+
+    val upd = updates.select(
+        (keys.map(col) ++ tracked.map(c => col(c).as(s"__u_$c"))): _*)
+      .withColumn("__upd", lit(1))
+    val joined = open.withColumn("__open", lit(1))
+      .join(upd, keys, "full_outer")
+
+    // null-safe inequality on any tracked column = changed version;
+    // presence markers (not data columns) decide which join side exists,
+    // so all-null tracked values never masquerade as "no row"
+    val changed = tracked.map(c => !(col(c) <=> col(s"__u_$c")))
+      .reduce(_ || _)
+    val hasOpen = col("__open").isNotNull
+    val hasUpd = col("__upd").isNotNull
+
+    val histCols = (keys ++ tracked).map(col) :+
+      col("valid_from") :+ col("valid_to")
+
+    val keepOpen = joined.where(hasOpen && (!hasUpd || !changed))
+      .select(histCols: _*)
+    val closeOld = joined.where(hasOpen && hasUpd && changed)
+      .select(((keys ++ tracked).map(col) :+
+        col("valid_from") :+ eff.as("valid_to")): _*)
+    val openNew = joined.where(hasUpd && (!hasOpen || changed))
+      .select((keys.map(col) ++
+        tracked.map(c => col(s"__u_$c").as(c)) :+
+        eff.as("valid_from") :+ lit(null).cast("date").as("valid_to")): _*)
+
+    closed.select(histCols: _*)
+      .unionByName(keepOpen).unionByName(closeOld).unionByName(openNew)
+  }
+}

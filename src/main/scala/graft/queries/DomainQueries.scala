@@ -226,5 +226,42 @@ object DomainQueries {
         Seq("totalPasses", "passesPerNinety", "totalDuels", "goals"),
         GoldConfig(minSampleSize = 2, minMinutes = 150))
         .orderBy("profileId")
+    },
+
+    // SCD Type-2 dimension maintenance (ops.Scd): the customer dim opens at
+    // an initial date; a snapshot reclassifies every 7th customer's segment
+    // → their open rows close at the effective date and new versions open.
+    // The oracle replays the three branches (keep-open / close / open-new).
+    Q.sql("q81_scd2_customers",
+      """WITH upd AS (
+        |  SELECT c_custkey, 'VIP' AS c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to FROM (
+        |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |         DATE '1995-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to
+        |  FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+        |  WHERE u.c_custkey IS NULL
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |         DATE '1995-01-01', DATE '2024-06-01'
+        |  FROM customer c JOIN upd u ON u.c_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+        |         DATE '2024-06-01', CAST(NULL AS DATE)
+        |  FROM upd u)
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val cust = graft.io.Tables.customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val history = cust
+        .withColumn("valid_from", to_date(lit("1995-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val updates = cust.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("VIP"))
+      graft.ops.Scd.scd2Merge(history, updates,
+          keys = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_acctbal"),
+          effectiveDate = "2024-06-01")
+        .orderBy("c_custkey", "valid_from")
     })
 }

@@ -128,4 +128,41 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .format("parquet")
       .start(outPath)
+
+  /** Native session windows: per-user sessions with a data-driven gap,
+    * expressed with `session_window` so the state store merges windows as
+    * events arrive — the built-in counterpart of the batch `Sessions
+    * .sessionize` (same gap semantics; use this on unbounded input, the
+    * batch one when replaying history). Append output fires once a
+    * session's window closes past the watermark. */
+  def sessionStream(events: DataFrame, userCol: String, tsCol: String,
+                    valueCol: String, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming → serving-store sink: drain each microbatch through the K3
+    * JDBC upsert inside foreachBatch. Idempotent by construction — the
+    * upsert keys on the primary key, so checkpoint-replayed batches
+    * converge to the same table state (the exactly-once-to-idempotent-sink
+    * recipe). The upsert itself runs foreachPartition inside the batch —
+    * connections open on executors, never the driver. */
+  def upsertSink(df: DataFrame, url: String, table: String,
+                 primaryKey: String, checkpoint: String,
+                 dialect: graft.io.UpsertSql.Dialect): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.UpsertSql.writeJdbcUpsert(batch, url, table, primaryKey,
+          new java.util.Properties(), dialect = dialect)
+      }
+      .start()
 }

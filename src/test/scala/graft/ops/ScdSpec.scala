@@ -1,0 +1,57 @@
+package graft.ops
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private val history = Seq(
+    // key 1: already has a closed version + an open one
+    (1L, "gold", d("2020-01-01"), Option(d("2022-01-01"))),
+    (1L, "platinum", d("2022-01-01"), None: Option[Date]),
+    // key 2: open, will be unchanged
+    (2L, "silver", d("2021-01-01"), None: Option[Date]),
+    // key 3: open with NULL tracked value, will change to non-null
+    (3L, null.asInstanceOf[String], d("2021-01-01"), None: Option[Date]))
+    .toDF("id", "tier", "valid_from", "valid_to")
+
+  private val updates = Seq(
+    (1L, "diamond"), // changed → close + open
+    (2L, "silver"),  // unchanged → keep open
+    (3L, "bronze"),  // NULL → value counts as a change (null-safe compare)
+    (9L, "new"))     // brand-new key → open only
+    .toDF("id", "tier")
+
+  test("scd2Merge closes changed, keeps unchanged, opens new, preserves history") {
+    val out = Scd.scd2Merge(history, updates, Seq("id"), Seq("tier"), "2024-06-01")
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Date, Option[Date])].collect().toSeq
+    assert(out == Seq(
+      (1L, "gold", d("2020-01-01"), Some(d("2022-01-01"))),     // untouched closed
+      (1L, "platinum", d("2022-01-01"), Some(d("2024-06-01"))), // closed now
+      (1L, "diamond", d("2024-06-01"), None),                   // new version
+      (2L, "silver", d("2021-01-01"), None),                    // unchanged
+      (3L, null, d("2021-01-01"), Some(d("2024-06-01"))),       // null→value closed
+      (3L, "bronze", d("2024-06-01"), None),
+      (9L, "new", d("2024-06-01"), None)))                      // new key
+  }
+
+  test("re-merging the same snapshot is a no-op (idempotent)") {
+    val once = Scd.scd2Merge(history, updates, Seq("id"), Seq("tier"), "2024-06-01")
+    val twice = Scd.scd2Merge(once, updates, Seq("id"), Seq("tier"), "2024-07-01")
+    assert(once.orderBy("id", "valid_from").collect().toSeq ==
+      twice.orderBy("id", "valid_from").collect().toSeq)
+  }
+
+  test("exactly one open row per key after merge") {
+    val out = Scd.scd2Merge(history, updates, Seq("id"), Seq("tier"), "2024-06-01")
+    val opens = out.where(col("valid_to").isNull)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(opens.values.forall(_ == 1L))
+    assert(opens.keySet == Set(1L, 2L, 3L, 9L))
+  }
+}

@@ -135,6 +135,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionStream: session_window merges within-gap events, splits over-gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.sessionStream(in.toDF().toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (7L, ts("2024-01-01 10:00:00"), 1.0),
+        (7L, ts("2024-01-01 10:10:00"), 2.0),  // within gap → same session
+        (7L, ts("2024-01-01 12:00:00"), 4.0))  // 110 min gap → new session
+      q.processAllAvailable()
+      // push the watermark past both sessions so append emits them
+      in.addData((9L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_test")
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(rows.contains((7L, 2L, 3.0)) && rows.contains((7L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("upsertSink drains a stream into the JDBC upsert idempotently") {
+    implicit val sql = spark.sqlContext
+    val url = "jdbc:derby:memory:streamdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE user_totals (id BIGINT NOT NULL PRIMARY KEY, total DOUBLE)")
+    conn.close()
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    def drain(data: Seq[(Long, Double)]): Unit = {
+      val in = MemoryStream[(Long, Double)]
+      in.addData(data: _*)
+      val q = Streaming.upsertSink(in.toDF().toDF("id", "total"),
+        url, "user_totals", "id",
+        ckpt + "/" + data.hashCode, graft.io.UpsertSql.AnsiDialect)
+      q.awaitTermination()
+    }
+    drain(Seq((1L, 5.0), (2L, 7.0)))
+    drain(Seq((1L, 9.0), (3L, 1.0))) // re-keyed row updates, new row inserts
+    val c2 = java.sql.DriverManager.getConnection(url)
+    val rs = c2.createStatement()
+      .executeQuery("SELECT id, total FROM user_totals ORDER BY id")
+    val got = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    c2.close()
+    assert(got == Seq((1L, 9.0), (2L, 7.0), (3L, 1.0)))
+  }
+
   test("hourlyEventStats transform is batch/stream shared (same result on batch input)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
