@@ -100,4 +100,32 @@ object PureProps extends Properties("graft.pure") {
       schema.fieldNames.forall(f => ddl.contains(s"`$f`")) &&
         "PRIMARY KEY".r.findAllIn(ddl).size == 1
     }
+
+  property("Misra-Gries merge guarantee: freq > n/(k+1) keys survive any split") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.frequency(
+        (5, Gen.const(1L)), (3, Gen.const(2L)), (2, Gen.const(3L)),
+        (4, Gen.choose(100L, 140L)))),
+      Gen.choose(4, 12),           // sketch width k
+      Gen.choose(1, 5))            // number of partitions to split into
+    { (stream, k, parts) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.LongType
+      val agg = graft.functions.catalyst.FreqSketchAgg(
+        BoundReference(0, LongType, nullable = true), k)
+      // per-partition update, then a left fold of merges (any merge tree
+      // preserves the guarantee; a fold is one such tree)
+      val sketches = stream.grouped(math.max(1, stream.size / parts)).map { chunk =>
+        chunk.foldLeft(agg.createAggregationBuffer()) { (buf, v) =>
+          agg.update(buf, InternalRow(v))
+        }
+      }.toList
+      val merged = sketches.reduce(agg.merge)
+      val n = stream.size
+      val heavy = stream.groupBy(identity).collect {
+        case (key, occ) if occ.size * (k + 1) > n => key
+      }.toSet
+      merged.size <= k && heavy.subsetOf(merged.keys.toSet)
+    }
 }
