@@ -34,16 +34,18 @@ object Graph {
     * to (1 − damping). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
                scale: Int = 9): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    val e0 = edges.select(col("src"), col("dst"))
+    // outdeg is per-src static — fold it into the persisted edge table once
+    // so each iteration joins ranks exactly once (not ranks + outdeg)
+    val e = e0.join(
+        e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(col("src")).persist()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("node"),
           dround(col("rank") / col("outdeg"), scale).as("c"))
       val sums = contribs.groupBy("node")
