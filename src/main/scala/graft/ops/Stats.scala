@@ -53,6 +53,29 @@ object Stats {
     df.select((df.columns.map(col).toIndexedSeq ++ zcols): _*)
   }
 
+  /** Quantile discretization (feature binning), fit→transform style: fit
+    * per-key boundary quantiles (exact `percentile`, 6dp-rounded onto the
+    * cross-engine grid), broadcast the key-cardinality boundary table back
+    * onto the stream, and assign bin = #boundaries strictly below the
+    * value. One aggregate + one broadcast join — the value stream itself
+    * is never shuffled, so the transform rides the scan at any scale
+    * (same shape as zscore's fit+apply). Appends a `bin` column in
+    * [0, probs.size]. */
+  def quantileBins(df: DataFrame, keys: Seq[String], valueCol: String,
+                   probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
+    val bCols = probs.indices.map(i => s"__b$i")
+    val aggs = probs.zip(bCols).map { case (p, b) =>
+      graft.queries.Qutil.dround(expr(s"percentile($valueCol, $p)"), 6).as(b)
+    }
+    val fit = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val bin = bCols.map(b => when(col(valueCol) > col(b), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.join(broadcast(fit), keys)
+      .withColumn("bin", bin)
+      .drop(bCols: _*)
+  }
+
   /** Pairwise Pearson correlations over `cols` in ONE scan: every moment
     * (Σx, Σx², Σxy, n) is a term in a single shared aggregate — the
     * textbook single-pass formulation

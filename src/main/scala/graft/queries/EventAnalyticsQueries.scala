@@ -193,6 +193,31 @@ object EventAnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // Quantile discretization (Stats.quantileBins): per-type quartile
+    // boundaries fit exactly (q55's percentile/quantile_cont agreement),
+    // rounded onto the shared 6dp grid, then every event binned by
+    // boundaries-strictly-below. Summarized per (type, bin).
+    Q.sql("q82_quantile_bins",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         floor(quantile_cont(value, 0.25) * 1000000 + 0.5) / 1000000 AS b0,
+        |         floor(quantile_cont(value, 0.5)  * 1000000 + 0.5) / 1000000 AS b1,
+        |         floor(quantile_cont(value, 0.75) * 1000000 + 0.5) / 1000000 AS b2
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |       CAST((CASE WHEN value > b0 THEN 1 ELSE 0 END) +
+        |            (CASE WHEN value > b1 THEN 1 ELSE 0 END) +
+        |            (CASE WHEN value > b2 THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |       count(*) AS n
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Stats.quantileBins(Tables.events(s, d), Seq("event_type"),
+          "value", Seq(0.25, 0.5, 0.75))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+
     // Cohort retention: first-activity-day cohorts x day offset, distinct
     // active users. Integer day arithmetic end to end.
     Q.sql("q54_retention_cohorts",

@@ -17,6 +17,26 @@ class OlapSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.1) // 5 sigma of rsd=0.02
   }
 
+  test("HLL sketch state merges: daily sketch union == one-shot sketch estimate") {
+    // the incremental-distinct companion to q77's algebraic merge: HLL
+    // registers combine by max, so per-day sketch states union to exactly
+    // the one-shot sketch — distinct counts can be maintained per partition
+    // at 100 TB and merged without rescanning history
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val oneShot = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(merged == oneShot) // identical sketch state, not just close
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.1)
+  }
+
   test("rollup emits all grouping-set levels") {
     val out = graft.SparkEntry.queries("q33_rollup_revenue")(spark, sf)
     val levels = out.groupBy(
