@@ -46,4 +46,33 @@ object Windows {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn(as, row_number().over(w) - 1)
   }
+
+  /** Global 1-based position under a total order — `row_number() OVER
+    * (ORDER BY ...)` without the single-partition window that formulation
+    * plans (every row through one task: the classic 100 TB deadstop).
+    * Range-partition on the sort key, then global pos = per-partition
+    * row_number + the exclusive prefix sum of partition counts (the
+    * two-pass zipWithIndex recipe, kept in the DataFrame API):
+    * range partitions are disjoint intervals of the total order, so
+    * offset + local rank IS the global rank, for any partition count
+    * (WindowsSpec pins 1 vs 3 vs 7). The offsets frame is
+    * partition-count-sized; the only per-row work is one local sort.
+    * `sortCols` must be a total order (include a unique id). */
+  def globalIndex(df: DataFrame, sortCols: Seq[String], as: String = "pos",
+                  numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(n, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val pw = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // partition-count-sized frame: the unpartitioned window is over ≤ n rows
+    val offsets = parted.groupBy("__pid").count()
+      .withColumn("__off", coalesce(sum("count").over(pw), lit(0L)))
+      .drop("count")
+    val lw = Window.partitionBy("__pid").orderBy(sortCols.map(col): _*)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn(as, row_number().over(lw).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
 }

@@ -248,5 +248,27 @@ object CurationQueries {
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
         .orderBy("source", "split")
+    },
+
+    // Deterministic corpus shuffle for training order: every doc gets a
+    // reproducible position under an md5-keyed total order, computed with
+    // Windows.globalIndex (range partition + offset sum — NO
+    // single-partition window). The oracle is the naive global row_number,
+    // which the distributed formulation must equal exactly.
+    Q.sql("q83_corpus_shuffle",
+      s"""SELECT doc_id, pos FROM (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY h, doc_id) AS pos
+         |  FROM (SELECT doc_id,
+         |               ${md5IntSql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS h
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.md5Int
+      graft.ops.Windows.globalIndex(
+          Tables.documents(s, d).withColumn("h",
+            md5Int(concat(lit("shuffle:"), col("doc_id").cast("string")))),
+          sortCols = Seq("h", "doc_id"))
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
     })
 }

@@ -44,6 +44,30 @@ class WindowsSpec extends SparkSpec {
     assert(last3.where($"player" === "p1").agg(min("matchId")).head().getInt(0) == 3)
   }
 
+  test("globalIndex equals the single-partition row_number for any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val data = (0L until 500L).map(i => (i, (i * 2654435761L) % 1000))
+      .toDF("id", "key")
+    val naive = data.withColumn("pos",
+        row_number().over(Window.orderBy("key", "id")).cast("long"))
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Windows.globalIndex(data, Seq("key", "id"), numParts = parts)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      assert(got == naive, s"mismatch at numParts=$parts")
+    }
+  }
+
+  test("globalIndex plans no single-partition data window") {
+    val data = (0L until 100L).toDF("id")
+    val plan = Windows.globalIndex(data, Seq("id"), numParts = 4)
+      .queryExecution.executedPlan.toString
+    // the per-row Window must partition by __pid; the only unpartitioned
+    // window runs over the partition-count-sized offsets frame
+    val dataWindows = "Window \\[row_number".r.findAllIn(plan).size
+    assert(dataWindows == 1 && plan.contains("windowspecdefinition(__pid"))
+  }
+
   test("lastN strict=row_number keeps exactly n (W1 variant)") {
     val last3 = Windows.lastN(games, Seq("player"), col("matchId").desc, 3,
       strict = true, tieBreak = Seq(col("matchId")))
