@@ -17,6 +17,29 @@ import graft.functions.TextFunctions._
   */
 object CorpusStats {
 
+  /** One BPE training step: corpus-wide counts of adjacent character pairs
+    * within words — the argmax pair is the merge a byte-pair-encoding
+    * tokenizer would learn next (Sennrich et al., ACL'16). Two map-only
+    * explodes (words, then in-word offsets) feeding one pair-grain hash
+    * aggregate with map-side combine; the global top-k is
+    * TakeOrderedAndProject, so a 100 TB corpus never sorts its full pair
+    * table. Returns the k most frequent pairs with a dense 1-based rank
+    * under the (count desc, pair asc) total order. */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val pairs = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("pair").asc)))
+      .select(col("pair"), col("cnt"), col("rank"))
+  }
+
   /** Corpus vocabulary: one row per distinct token with total occurrences
     * (tf) and document frequency (df). Two aggregates, both map-side
     * combining: (doc, term) counts, then term-grain rollup. */

@@ -18,6 +18,7 @@ object CorpusStatsQueries {
   private val IndexMod = 5L // doc_id % 5 == 0 → "already-ingested" index
   private val VocabK = 100
   private val VocabMinDf = 2
+  private val BpeTopK = 30
 
   val all: Seq[Q] = Seq(
 
@@ -352,6 +353,30 @@ object CorpusStatsQueries {
       vocab.withColumn("rank",
           row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
         .select(col("term"), col("tf"), col("df"), col("rank"))
+        .orderBy("rank")
+    },
+
+    // One BPE training step (CorpusStats.bpePairCounts): the top adjacent
+    // character pairs a byte-pair tokenizer would merge next. Map-only
+    // explodes → one pair aggregate → TakeOrdered top-k.
+    Q.sql("q84_bpe_merge_pairs",
+      s"""WITH w AS (
+         |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |t AS (SELECT unnest(ws) AS w FROM w),
+         |p AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+         |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+         |        FROM t WHERE length(w) >= 2)),
+         |c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY 1),
+         |r AS (SELECT pair, cnt,
+         |             row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+         |      FROM c)
+         |SELECT pair, cnt, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin) { (s, d) =>
+      CorpusStats.bpePairCounts(Tables.documents(s, d), "doc_id", "text",
+          BpeTopK)
         .orderBy("rank")
     })
 }
