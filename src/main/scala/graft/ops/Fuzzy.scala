@@ -48,8 +48,11 @@ object Fuzzy {
     a.join(b, Seq("block", "__salt"))
       .where(col("id_a") < col("id_b"))
       .where(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")))
-      .where(col("dist") <= maxDist)
+      // threshold form runs the banded O(len·maxDist) DP with early
+      // abandon instead of the full O(len²) table (returns -1 above the
+      // bound, exact distance at or below it — so results are identical)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
       .drop("__salt")
   }
 }

@@ -227,5 +227,42 @@ object DedupQueries {
         .select(col("block"), col("id_a"), col("id_b"),
           col("str_a"), col("str_b"), col("dist"))
         .orderBy("id_a", "id_b")
+    },
+
+    // End-to-end entity resolution: q65's blocked fuzzy pairs become edges,
+    // connected components resolve transitive matches (q40's operator), and
+    // every part maps to a canonical entity (its cluster's min id;
+    // singletons are their own entity). The oracle recurses over the same
+    // levenshtein pair set — transitive closure, min reachable id.
+    Q.sql("q85_entity_resolution",
+      """WITH RECURSIVE dup AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+        |          UNION SELECT id_b, id_a FROM dup),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT p.p_partkey AS id,
+        |       coalesce(cl.cluster_id, p.p_partkey) AS entity_id,
+        |       CAST(CASE WHEN coalesce(cl.cluster_id, p.p_partkey) = p.p_partkey
+        |            THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        |FROM part p LEFT JOIN cl ON cl.id = p.p_partkey
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val parts = Tables.part(s, d)
+      val pairs = graft.ops.Fuzzy.blockedSelfJoin(parts, "p_partkey",
+        "p_name", "p_brand", maxDist = 2)
+      val clusters = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      parts.select(col("p_partkey").as("id"))
+        .join(clusters, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster_id"), col("id")).as("entity_id"))
+        .withColumn("is_canonical",
+          (col("entity_id") === col("id")).cast("int"))
+        .orderBy("id")
     })
 }
