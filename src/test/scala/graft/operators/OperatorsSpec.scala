@@ -102,6 +102,21 @@ class DedupSpec extends SparkSpec {
     assert(c == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
   }
 
+  test("entity resolution: transitive fuzzy matches share one canonical id") {
+    // "red widget" ~ "red widgit" ~ "red widgits" chains; singleton apart
+    val parts = Seq(
+      (1L, "red widget", "B1"), (2L, "red widgit", "B1"),
+      (3L, "red widgits", "B1"), (4L, "blue bolt", "B1"))
+      .toDF("id", "name", "brand")
+    val pairs = graft.ops.Fuzzy.blockedSelfJoin(parts, "id", "name", "brand", 2)
+    val entities = parts.select($"id")
+      .join(Dedup.duplicateClusters(pairs.select("id_a", "id_b")), Seq("id"), "left")
+      .select($"id", coalesce($"cluster_id", $"id").as("entity_id"))
+      .as[(Long, Long)].collect().toMap
+    // 1-2 dist 1, 2-3 dist 1, 1-3 dist 2 → one entity; 4 is its own
+    assert(entities == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("dedupCorpus keeps one representative per cluster plus singletons") {
     val corpus = Seq(10L, 20L, 30L, 40L, 50L, 99L).toDF("doc_id")
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
