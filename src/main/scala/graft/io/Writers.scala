@@ -66,6 +66,25 @@ object Writers {
     }
   }
 
+  /** Per-file scan manifest: row count and min/max per audited column for
+    * every file of a parquet table — the data-skipping audit ("are my
+    * files actually clustered on the pruning column, or does every file
+    * span the whole range?"). One scan, one hash aggregate keyed on
+    * `input_file_name()`. At 100 TB prefer reading parquet footer
+    * statistics (metadata-only) where the deployment allows; this
+    * scan-based form is format-agnostic ground truth and doubles as a
+    * stats-correctness check on writers. */
+  def scanManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+                   auditCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val aggs = count(lit(1)).as("rows") +: auditCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Small-file compaction — the standing maintenance job every
     * incrementally-written lake table needs: frequent small appends (K1
     * dynamic overwrites, streaming microbatches) accumulate files far below

@@ -177,6 +177,36 @@ object OlapQueries {
         .orderBy("tag", "custkey")
     },
 
+    // Grouped ordered-array aggregation: top-3 customers per segment as an
+    // ordered list. collect_list is unordered by contract, so the engine
+    // collects (rank, key) structs and array_sorts before projecting —
+    // the deterministic replacement for pandas' implicit row order. The
+    // list serializes to CSV on both sides (engine-portable hashing).
+    Q.sql("q86_grouped_arrays",
+      """WITH r AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_mktsegment AS segment,
+        |       array_to_string(list(c_custkey ORDER BY rn), ',') AS top_customers,
+        |       count(*) AS n
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          concat_ws(",", expr(
+            "transform(array_sort(collect_list(struct(rn, c_custkey))), s -> s.c_custkey)"))
+            .as("top_customers"),
+          count(lit(1)).as("n"))
+        .orderBy("segment")
+    },
+
     // Single-pass correlation matrix (Stats.corrMatrix): every pairwise
     // moment is a term in ONE shared aggregate — one table scan for all
     // pairs, decimal-exact sums, identical final double arithmetic in both

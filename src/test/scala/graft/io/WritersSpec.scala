@@ -80,6 +80,21 @@ class WritersSpec extends SparkSpec {
     assert(plain.collect().map(_.toSeq).toSeq == salted.collect().map(_.toSeq).toSeq)
   }
 
+  test("scanManifest reports per-file rows and min/max for the audit column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString + "/t"
+    // range-clustered write: each of 4 files covers a disjoint v interval
+    (0L until 400L).toDF("v").repartitionByRange(4, col("v")).write.parquet(dir)
+    val m = Writers.scanManifest(spark, dir, Seq("v"))
+      .select("rows", "min_v", "max_v").as[(Long, Long, Long)].collect()
+    assert(m.length == 4)
+    assert(m.map(_._1).sum == 400L)
+    // disjoint, clustered intervals — the property a pruning audit checks
+    val sorted = m.sortBy(_._2)
+    assert(sorted.sliding(2).forall { case Array(a, b) => a._3 < b._2; case _ => true })
+  }
+
   test("compactFiles merges small files, preserves data exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
