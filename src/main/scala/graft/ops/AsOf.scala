@@ -77,4 +77,27 @@ object AsOf {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__band")
   }
+
+  /** Interval-overlap join: pair [lLo, lHi) rows with [rLo, rHi) rows that
+    * overlap (lLo < rHi ∧ rLo < lHi). Bounds are integral (e.g. epoch
+    * micros). Same banding idea as [[rangeJoin]] but both sides explode
+    * into their covered bands — and because an overlapping pair can share
+    * several bands, each pair is attributed to exactly ONE band (the band
+    * of the overlap's start, max(lLo, rLo)) instead of deduplicating
+    * after the fact: a codegen'd filter versus a full distinct shuffle of
+    * the pair table. Choose `bandWidth` near the typical interval width —
+    * wider bands mean fewer band rows but more residual-filter misses. */
+  def intervalOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                          right: DataFrame, rLo: String, rHi: String,
+                          bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    def banded(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__band", explode(sequence(
+        expr(s"$lo div $bandWidth"),
+        expr(s"($hi - 1) div $bandWidth"))))
+    banded(left, lLo, lHi).join(banded(right, rLo, rHi), Seq("__band"))
+      .where(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .where(col("__band") === expr(s"greatest($lLo, $rLo) div $bandWidth"))
+      .drop("__band")
+  }
 }

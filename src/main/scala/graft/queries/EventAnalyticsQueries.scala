@@ -218,6 +218,64 @@ object EventAnalyticsQueries {
         .orderBy("event_type", "bin")
     },
 
+    // Interval-overlap join (AsOf.intervalOverlapJoin): which user sessions
+    // overlap a system-wide error incident? Both interval sets come from
+    // sessionization (user sessions: 30-min gap; incidents: error events,
+    // 10-min gap, one global key — incidents are inherently global and the
+    // single-key window holds only error rows). The banded overlap join
+    // attributes each pair to the band of its overlap start — no distinct.
+    Q.sql("q87_session_incident_overlap",
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, us,
+         |         CASE WHEN us - lag(us) OVER w > ${30 * 60 * 1000000L}
+         |              THEN 1 ELSE 0 END AS ns
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, us,
+         |         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                       ROWS UNBOUNDED PRECEDING) AS sidx
+         |  FROM f),
+         |sess AS (
+         |  SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+         |         min(us) AS s_lo, max(us) + 1 AS s_hi
+         |  FROM s GROUP BY 1, 2),
+         |e AS (SELECT event_id, epoch_us(ts) AS us FROM events
+         |      WHERE event_type = 'error'),
+         |ef AS (
+         |  SELECT us, event_id,
+         |         CASE WHEN us - lag(us) OVER w2 > ${10 * 60 * 1000000L}
+         |              THEN 1 ELSE 0 END AS ns
+         |  FROM e WINDOW w2 AS (ORDER BY us, event_id)),
+         |es AS (
+         |  SELECT us, sum(ns) OVER (ORDER BY us, event_id
+         |                           ROWS UNBOUNDED PRECEDING) AS iidx
+         |  FROM ef),
+         |inc AS (SELECT CAST(iidx AS BIGINT) AS incident_idx,
+         |               min(us) AS i_lo, max(us) + 1 AS i_hi
+         |        FROM es GROUP BY 1)
+         |SELECT sess.user_id, sess.session_idx, count(*) AS n_incidents
+         |FROM sess JOIN inc
+         |  ON sess.s_lo < inc.i_hi AND inc.i_lo < sess.s_hi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sess = Sessions.sessionize(ev, "user_id", "ts", "event_id",
+          "value", 1800L)
+        .select(col("user_id"), col("session_idx"),
+          col("start_us").as("s_lo"), (col("end_us") + 1L).as("s_hi"))
+      val inc = Sessions.sessionize(
+          ev.where(col("event_type") === "error").withColumn("g", lit(0L)),
+          "g", "ts", "event_id", "value", 600L)
+        .select(col("session_idx").as("incident_idx"),
+          col("start_us").as("i_lo"), (col("end_us") + 1L).as("i_hi"))
+      graft.ops.AsOf.intervalOverlapJoin(sess, "s_lo", "s_hi",
+          inc, "i_lo", "i_hi", bandWidth = 3600L * 1000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_incidents"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // Cohort retention: first-activity-day cohorts x day offset, distinct
     // active users. Integer day arithmetic end to end.
     Q.sql("q54_retention_cohorts",

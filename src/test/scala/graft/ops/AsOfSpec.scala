@@ -45,4 +45,24 @@ class AsOfSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out == Set(1L)) // lo inclusive, hi exclusive
   }
+
+  test("intervalOverlapJoin: each overlapping pair exactly once, any band width") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 200L, 210L))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 90L, 150L),  // overlaps 1 only (tail)
+                (20L, 10L, 55L),   // overlaps 1 and 2
+                (30L, 100L, 120L), // touches 1's exclusive hi → NO overlap
+                (40L, 205L, 300L)) // overlaps 3
+      .toDF("bid", "b_lo", "b_hi")
+    val expect = Set((1L, 10L), (1L, 20L), (2L, 20L), (3L, 40L))
+    // long spans cross many bands with width 7; pairs must still be unique
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = AsOf.intervalOverlapJoin(a, "a_lo", "a_hi", b, "b_lo", "b_hi", w)
+        .select(col("aid"), col("bid"))
+        .as[(Long, Long)].collect().toSeq
+      assert(got.size == got.distinct.size, s"duplicate pairs at width $w")
+      assert(got.toSet == expect, s"wrong pairs at width $w")
+    }
+  }
 }
