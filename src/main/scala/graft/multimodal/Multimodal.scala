@@ -150,6 +150,62 @@ object Multimodal {
       sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
       n_samples: Option[Long], sum_pcm: Option[Long], sample_rate: Option[Int])
 
+  /** Transformed-media statistics: image rows carry the channel sums of a
+    * nearest-neighbour resize to (targetW × targetH); audio rows carry the
+    * count/sum of every `stride`-th PCM sample. Integer sums — exact in
+    * any engine. */
+  final case class TransformedMedia(
+      doc_id: Long, kind: String,
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
+      n_kept: Option[Long], sum_kept: Option[Long])
+
+  /** REAL media transforms over decoded payloads — the resize /
+    * frame-sample stage of a multimodal pipeline, on the genuine JDK
+    * decode (nothing recomputed from the id):
+    *   - images: deterministic nearest-neighbour resize — target pixel
+    *     (tx, ty) reads source (⌊tx·w/tw⌋, ⌊ty·h/th⌋). NN is chosen over
+    *     Graphics2D interpolation because its integer arithmetic is
+    *     bit-reproducible across JVMs and replayable in SQL, which is what
+    *     lets the oracle verify a REAL codec path end-to-end.
+    *   - audio: frame sampling — every `stride`-th decoded PCM sample.
+    * Same mapPartitions batch shape as [[decodeMedia]]: payloads stay on
+    * executors, CPU-bound work pipelines with the scan. */
+  def transformMedia(df: DataFrame, idCol: String, targetW: Int, targetH: Int,
+                     stride: Int): Dataset[TransformedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          if (kind == "image") {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var ty = 0
+            while (ty < targetH) {
+              var tx = 0
+              while (tx < targetW) {
+                val rgb = img.getRGB(tx * w / targetW, ty * h / targetH)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                tx += 1
+              }
+              ty += 1
+            }
+            TransformedMedia(id, kind, Some(sr), Some(sg), Some(sb), None, None)
+          } else {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            val data = ais.readAllBytes()
+            var (n, s) = (0L, 0L)
+            var i = 0
+            while (i < data.length) { n += 1; s += data(i) & 0xff; i += stride }
+            TransformedMedia(id, kind, None, None, None, Some(n), Some(s))
+          }
+        }
+      }
+  }
+
   /** Attach REAL media payloads: even ids get a PNG, odd ids a WAV. Encode
     * runs in mapPartitions (batched, executor-side, payloads never touch
     * the driver) — the same shape a real ingest's file read would have. */

@@ -63,5 +63,44 @@ object StreamingQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val media = Multimodal.withRealMedia(Tables.documents(s, d), "doc_id")
       Multimodal.decodeMedia(media, "doc_id").toDF().orderBy("doc_id")
+    },
+
+    // REAL media transforms over the decoded payloads: nearest-neighbour
+    // 4×4 resize (integer source mapping ⌊t·dim/4⌋ — bit-reproducible,
+    // unlike interpolated scaling) and every-4th-sample audio frame
+    // sampling. The oracle replays the NN source mapping and the sample
+    // stride against the content formulas — a hash match proves the
+    // transform ran on genuinely decoded bytes and picked exactly the
+    // right source pixels/samples.
+    Q.sql("q88_multimodal_transforms",
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), px AS (
+        |  SELECT doc_id,
+        |         CAST(sum((doc_id*31 + ((tx.range*w)//4)*7 + ((ty.range*h)//4)*13) % 256) AS BIGINT) AS sum_r,
+        |         CAST(sum((doc_id*17 + ((tx.range*w)//4)*11 + ((ty.range*h)//4)*5) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((doc_id*7  + ((tx.range*w)//4)*3 + ((ty.range*h)//4)*19) % 256) AS BIGINT) AS sum_b
+        |  FROM img, range(0, 4) tx, range(0, 4) ty
+        |  GROUP BY 1
+        |), aud AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 50 + 19)) AS i
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), smp AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         CAST(sum((doc_id*13 + i*7) % 256) AS BIGINT) AS sum_kept
+        |  FROM aud WHERE i % 4 = 0 GROUP BY 1
+        |)
+        |SELECT doc_id, 'image' AS kind, sum_r, sum_g, sum_b,
+        |       CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS BIGINT) AS sum_kept
+        |FROM px
+        |UNION ALL
+        |SELECT doc_id, 'audio', NULL, NULL, NULL, n_kept, sum_kept
+        |FROM smp
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val media = Multimodal.withRealMedia(Tables.documents(s, d), "doc_id")
+      Multimodal.transformMedia(media, "doc_id", targetW = 4, targetH = 4,
+          stride = 4)
+        .toDF().orderBy("doc_id")
     })
 }

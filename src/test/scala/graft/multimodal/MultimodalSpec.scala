@@ -63,6 +63,24 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.sum_pcm.contains(expSum.toLong))
   }
 
+  test("transformMedia: NN resize picks exactly the mapped source pixels; stride sampling exact") {
+    val ids = Seq(6L, 7L).toDF("doc_id") // one image (even), one audio (odd)
+    val media = Multimodal.withRealMedia(ids, "doc_id")
+    val out = Multimodal.transformMedia(media, "doc_id", 4, 4, 4)
+      .collect().map(t => t.doc_id -> t).toMap
+    // image 6: w=6, h=2; NN source for (tx,ty) = (tx*6/4, ty*2/4)
+    val (w, h) = (Multimodal.imgWidth(6), Multimodal.imgHeight(6))
+    var expR = 0L
+    for (ty <- 0 until 4; tx <- 0 until 4)
+      expR += Multimodal.pxR(6, tx * w / 4, ty * h / 4)
+    assert(out(6L).sum_r.contains(expR))
+    // audio 7: n=27 samples, keep 0,4,...,24 → 7 kept
+    val n = Multimodal.wavSamples(7)
+    val kept = (0 until n by 4)
+    assert(out(7L).n_kept.contains(kept.size.toLong))
+    assert(out(7L).sum_kept.contains(kept.map(Multimodal.pcm(7, _).toLong).sum))
+  }
+
   test("stub media transforms are byte-level and bounded") {
     val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
     val r = media.select(
