@@ -118,6 +118,29 @@ object Streaming {
       .drop("__u")
   }
 
+  /** Left-outer variant of [[clickToPurchase]]: every click emits — joined
+    * rows as matches land, and a null-padded row once the watermark proves
+    * no purchase can still arrive in the horizon. Same bounded state as
+    * the inner form; the null emission is watermark-driven, so unmatched
+    * clicks surface with bounded latency instead of never (the attribution
+    * report wants "converted = no" rows, not silence). */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+                           userCol: String, tsCol: String,
+                           watermark: String = "1 hour",
+                           horizon: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark(tsCol, watermark)
+      .select(col(userCol), col(tsCol).as("click_ts"))
+    val p = purchases.withWatermark(tsCol, watermark)
+      .select(col(userCol).as("__u"), col(tsCol).as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col(userCol) === col("__u") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .drop("__u")
+  }
+
   /** Batch-style one-shot drain of everything available, then stop — the
     * streaming equivalent of the reference's re-run model. */
   def runAvailableNow(df: DataFrame, outPath: String, checkpoint: String,

@@ -185,6 +185,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 9.0), (2L, 7.0), (3L, 1.0)))
   }
 
+  test("clickToPurchaseOuter emits null-padded rows once the watermark closes the horizon") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streaming.clickToPurchaseOuter(
+        clicks.toDF().toDF("user_id", "ts"),
+        purchases.toDF().toDF("user_id", "ts", "value"),
+        "user_id", "ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((7L, ts("2024-01-01 10:00:00")))   // will convert
+      clicks.addData((8L, ts("2024-01-01 10:00:00")))   // never converts
+      purchases.addData((7L, ts("2024-01-01 10:30:00"), 5.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the horizon so user 8's click
+      // provably cannot match anymore → null-padded emission
+      clicks.addData((99L, ts("2024-01-01 14:00:00")))
+      purchases.addData((99L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_test")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getAs[java.lang.Double]("purchase_value")).map(_.toDouble)))
+        .toSet
+      assert(rows.contains((7L, Some(5.0))))
+      assert(rows.contains((8L, None))) // surfaced as unconverted, not silent
+    } finally q.stop()
+  }
+
   test("hourlyEventStats transform is batch/stream shared (same result on batch input)") {
     val batch = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
