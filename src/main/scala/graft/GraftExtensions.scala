@@ -22,5 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    // whole-operator slot: plans the TopKPerGroup logical node onto its
+    // bounded-heap exec (graft.plans.TopKPerGroupExec)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

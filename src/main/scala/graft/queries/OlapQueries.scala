@@ -207,6 +207,28 @@ object OlapQueries {
         .orderBy("segment")
     },
 
+    // Custom whole-operator plan (plans.TopKPerGroup): top-3 orders per
+    // customer via the bounded-heap exec — a custom LogicalPlan + Strategy
+    // + SparkPlan registered through the session, replacing the window
+    // formulation's full per-group sort (the oracle IS that window
+    // formulation, so the exec must reproduce it exactly).
+    Q.sql("q89_topk_custom",
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.plans.TopK.topKPerGroup(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_custkey"),
+          orderKeys = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+          k = 3)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Single-pass correlation matrix (Stats.corrMatrix): every pairwise
     // moment is a term in ONE shared aggregate — one table scan for all
     // pairs, decimal-exact sums, identical final double arithmetic in both

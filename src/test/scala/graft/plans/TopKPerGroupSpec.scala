@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = {
+    // skewed: group 0 holds half the rows (the case where the window
+    // formulation's full per-group sort hurts most)
+    val rows = (0 until 4000).map { i =>
+      val g = if (i % 2 == 0) 0L else (i % 37).toLong
+      (g, (i * 2654435761L % 10007).toDouble, i.toLong)
+    }
+    spark.sparkContext.parallelize(rows, 8).toDF("g", "v", "id")
+  }
+
+  test("TopKPerGroup ≡ window row_number formulation (desc order, tie on id)") {
+    val df = data
+    val got = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 3)
+      .select("g", "v", "id").as[(Long, Double, Long)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select("g", "v", "id").as[(Long, Double, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("k larger than every group returns everything") {
+    val df = data
+    val got = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> false, "id" -> false), 100000)
+    assert(got.count() == df.count())
+  }
+
+  test("plans the custom exec with an exchange but NO sort below it") {
+    val df = data
+    val plan = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup ["), plan) // exec node (suffix-stripped name)
+    assert(plan.contains("Exchange hashpartitioning"), plan) // distribution honored
+    assert(!plan.contains("Sort ["), plan) // the whole point: no per-group sort
+  }
+
+  test("per-group output is emitted in sort order") {
+    val df = data
+    val out = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 5)
+      .where(col("g") === 0L).select("v").as[Double].collect()
+    assert(out.toSeq == out.sortBy(-_).toSeq)
+  }
+}
