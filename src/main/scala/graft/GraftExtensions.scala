@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator slot: plans the TopKPerGroup logical node onto its
     // bounded-heap exec (graft.plans.TopKPerGroupExec)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // optimizer slot: rewrites the window row_number()<=k idiom onto that
+    // operator, so unmodified user queries get the heap exec
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

@@ -27,6 +27,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Scale: state is #groups-per-partition × k rows — bounded by design;
   * the comparator is codegen'd (`GenerateOrdering`). Ties: make `order` a
   * total order (include a unique id), exactly like the window form.
+  *
+  * Relation to Spark's own machinery: since 3.5, `InferWindowGroupLimit`
+  * prunes rank filters with sort-based partial/final `WindowGroupLimit`
+  * nodes — group limits applied around a still-mandatory per-group sort.
+  * This exec removes the sorts entirely (see [[WindowTopKRewrite]], which
+  * also strips the native group-limit when it rewrites).
   */
 case class TopKPerGroup(group: Seq[Expression], order: Seq[SortOrder],
                         k: Int, child: LogicalPlan) extends UnaryNode {

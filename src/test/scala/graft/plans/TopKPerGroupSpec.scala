@@ -42,6 +42,44 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.contains("Sort ["), plan) // the whole point: no per-group sort
   }
 
+  test("WindowTopKRewrite: unmodified window top-k user code plans onto the heap exec") {
+    val prevOpt = spark.experimental.extraOptimizations
+    val prevStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations = prevOpt :+ WindowTopKRewrite
+    if (!prevStrat.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies = prevStrat :+ TopKPerGroupStrategy
+    try {
+      val df = data
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      // the ubiquitous idiom, untouched — rn dropped by the select
+      val q = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("g", "v", "id")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup ["), plan)
+      assert(!plan.contains("Window"), plan) // the window is gone entirely
+      // and the rewrite preserves results exactly
+      val direct = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 3)
+        .select("g", "v", "id").as[(Long, Double, Long)].collect().toSet
+      assert(q.as[(Long, Double, Long)].collect().toSet == direct)
+    } finally {
+      spark.experimental.extraOptimizations = prevOpt
+      spark.experimental.extraStrategies = prevStrat
+    }
+  }
+
+  test("WindowTopKRewrite does NOT fire when the rank column survives") {
+    val prevOpt = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prevOpt :+ WindowTopKRewrite
+    try {
+      val df = data
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+      val q = df.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3).select("g", "rn") // rn is read downstream
+      assert(q.queryExecution.optimizedPlan.toString.contains("Window"))
+      assert(q.where(col("rn") === 3).count() > 0) // rn values intact
+    } finally spark.experimental.extraOptimizations = prevOpt
+  }
+
   test("per-group output is emitted in sort order") {
     val df = data
     val out = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 5)
