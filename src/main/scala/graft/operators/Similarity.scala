@@ -32,7 +32,11 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each row of `queries` (small — it gets
     * broadcast) against `corpus`. Self-matches on equal ids are excluded.
-    * Output: (qid, nid, cos). */
+    * Output: (qid, nid, cos). The per-query top-k runs on the custom
+    * bounded-heap operator (`plans.TopKPerGroup`) rather than a window —
+    * the scored stream is corpus-sized per query, and the heap exec keeps
+    * k rows per query with no per-group sort (results identical to the
+    * row_number formulation; q25's oracle still states the window form). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"),
@@ -41,9 +45,9 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qvec"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "nid", "cos")
+    graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
+      Seq("cos" -> true, "nid" -> false), k)
   }
 
   /** Contrastive-pair mining for metric-learning data prep: for each query
