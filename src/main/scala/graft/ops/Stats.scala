@@ -55,12 +55,14 @@ object Stats {
 
   /** Quantile discretization (feature binning), fit→transform style: fit
     * per-key boundary quantiles (exact `percentile`, 6dp-rounded onto the
-    * cross-engine grid), broadcast the key-cardinality boundary table back
-    * onto the stream, and assign bin = #boundaries strictly below the
-    * value. One aggregate + one broadcast join — the value stream itself
-    * is never shuffled, so the transform rides the scan at any scale
-    * (same shape as zscore's fit+apply). Appends a `bin` column in
-    * [0, probs.size]. */
+    * cross-engine grid), join the key-grain boundary table back onto the
+    * stream, and assign bin = #boundaries strictly below the value. One
+    * aggregate + one join (same shape as zscore's fit+apply). The join is
+    * deliberately un-hinted: boundary tables are usually tiny and AQE
+    * broadcasts them, but a 100 TB input with a high-cardinality key can
+    * make the fit table data-sized — an unconditional broadcast hint here
+    * is the dedupCorpus-class OOM the round-2 review flagged. Appends a
+    * `bin` column in [0, probs.size]. */
   def quantileBins(df: DataFrame, keys: Seq[String], valueCol: String,
                    probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted, "probs must be ascending")
@@ -71,7 +73,7 @@ object Stats {
     val fit = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val bin = bCols.map(b => when(col(valueCol) > col(b), 1L).otherwise(0L))
       .reduce(_ + _)
-    df.join(broadcast(fit), keys)
+    df.join(fit, keys)
       .withColumn("bin", bin)
       .drop(bCols: _*)
   }
