@@ -66,6 +66,39 @@ object Writers {
     }
   }
 
+  /** Z-order (Morton) value of two bucketized non-negative int columns:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1 — points
+    * close in BOTH dimensions get close z-values, so range-partitioning
+    * and sorting by z clusters files in both columns at once. That is the
+    * multi-column data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER)
+    * expressed engine-side: after a z-ordered write, per-file min/max
+    * spans are narrow in a AND b, so predicates on either column prune
+    * files — a single-column sort clusters only itself (WritersSpec
+    * measures both layouts via [[scanManifest]]). Pure shift/mask column
+    * arithmetic — codegen'd, no UDF. */
+  def zOrderValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                  bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
+      val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` z-ordered on two bucketized columns: range-partition by
+    * the interleaved z-value, sort within partitions, write parquet. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zOrderValue(col(colA), col(colB), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file scan manifest: row count and min/max per audited column for
     * every file of a parquet table — the data-skipping audit ("are my
     * files actually clustered on the pruning column, or does every file

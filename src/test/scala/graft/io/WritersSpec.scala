@@ -95,6 +95,38 @@ class WritersSpec extends SparkSpec {
     assert(sorted.sliding(2).forall { case Array(a, b) => a._3 < b._2; case _ => true })
   }
 
+  test("zOrderValue interleaves bits; z-layout clusters BOTH columns, single-sort only one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // interleave sanity: a=0b11, b=0b00 → z=0b0101; a=0, b=0b11 → z=0b1010
+    val z = Seq((3L, 0L), (0L, 3L)).toDF("a", "b")
+      .select(Writers.zOrderValue(col("a"), col("b"), 2)).as[Long].collect()
+    assert(z.toSeq == Seq(5L, 10L))
+
+    // 64×64 grid, uniform: measure per-file span of each dim under both layouts
+    val grid = (0 until 4096).map(i => (i / 64L, i % 64L)).toDF("x", "y")
+    def spans(path: String): (Double, Double) = {
+      val m = Writers.scanManifest(spark, path, Seq("x", "y"))
+        .select("min_x", "max_x", "min_y", "max_y")
+        .as[(Long, Long, Long, Long)].collect()
+      (m.map(r => r._2 - r._1).sum.toDouble / m.length,
+        m.map(r => r._4 - r._3).sum.toDouble / m.length)
+    }
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Writers.writeZOrdered(grid, s"$base/z", "x", "y", numFiles = 16, bits = 6)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/xsort")
+    val (zx, zy) = spans(s"$base/z")
+    val (sx, sy) = spans(s"$base/xsort")
+    // x-sort: x-span tight (~4) but y-span is the full 63 per file
+    assert(sx < 8 && sy > 50, s"sx=$sx sy=$sy")
+    // z-order: BOTH dims bounded well below the full range
+    assert(zx < 32 && zy < 32, s"zx=$zx zy=$zy")
+    // and data round-trips identically
+    assert(spark.read.parquet(s"$base/z").as[(Long, Long)].collect().toSet ==
+      grid.as[(Long, Long)].collect().toSet)
+  }
+
   test("compactFiles merges small files, preserves data exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
