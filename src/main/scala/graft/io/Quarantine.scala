@@ -23,11 +23,20 @@ object Quarantine {
 
   val CorruptCol = "_corrupt_record"
 
+  /** A quarantine split. Both splits ride `raw`, the persisted parse —
+    * call [[release]] once both have been materialized to their sinks,
+    * or the cached parse pins executor memory for the session lifetime. */
+  final case class QuarantinedRead(good: DataFrame, bad: DataFrame,
+                                   raw: DataFrame) {
+    def release(): Unit = { raw.unpersist(): Unit }
+  }
+
   /** Read JSON-lines at `path` against `schema`, splitting parsed rows
-    * from quarantined raw lines. Returns (good, bad): `good` carries the
-    * declared schema; `bad` carries the raw line plus lineage columns. */
+    * from quarantined raw lines: `good` carries the declared schema;
+    * `bad` carries the raw line plus lineage columns. The caller owns the
+    * persisted parse via [[QuarantinedRead.release]]. */
   def readJsonWithQuarantine(spark: SparkSession, path: String,
-                             schema: StructType): (DataFrame, DataFrame) = {
+                             schema: StructType): QuarantinedRead = {
     val withCorrupt = StructType(
       schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
     // persisted: (a) Spark disallows corrupt-column-only projections over
@@ -45,6 +54,6 @@ object Quarantine {
     val bad = raw.where(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw"),
         input_file_name().as("source_file"))
-    (good, bad)
+    QuarantinedRead(good, bad, raw)
   }
 }

@@ -124,16 +124,34 @@ object Writers {
     * the scan-efficient size, and at 100 TB the resulting task-per-tiny-file
     * scheduling + open() overhead dominates reads. Rewrites the table into
     * ⌈bytes / targetFileBytes⌉ files via a round-robin repartition (no
-    * key skew — file sizes come out uniform), then atomically replaces the
-    * directory. Returns (filesBefore, filesAfter). Data is byte-identical
-    * by construction (same rows, recoded parquet).
+    * key skew — file sizes come out uniform), then swaps the directory in
+    * via two renames. Returns (filesBefore, filesAfter). Data is
+    * byte-identical by construction (same rows, recoded parquet).
     *
-    * On a real lake this is table-format work (OPTIMIZE); expressed here
-    * engine-side the same way the reference's K1 overwrite is. */
+    * FLAT LAYOUTS ONLY: a Hive-partitioned table (season=.../ subdirs)
+    * must be compacted per leaf partition — passing one here fails fast
+    * rather than silently duplicating the partitioned data.
+    *
+    * Swap semantics (not fully atomic — plain directories can't be): the
+    * old directory is renamed aside, the staging directory renamed in,
+    * then the old one deleted. A crash at any point loses NOTHING (the
+    * table survives under `path` or `path.compact.old`), and a concurrent
+    * reader in the two-rename window fails loudly on a missing directory
+    * instead of silently reading a half-deleted or doubled table. On a
+    * real lake this is table-format work (OPTIMIZE) with snapshot
+    * isolation; expressed here engine-side the same way the reference's
+    * K1 overwrite is. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
                    targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val dir = new java.io.File(path)
-    def parquetFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+    def listIn(d: java.io.File) = Option(d.listFiles()).getOrElse(Array.empty)
+    val subdirs = listIn(dir).filter(f =>
+      f.isDirectory && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compactFiles handles flat layouts only; $path has subdirectories " +
+        s"(${subdirs.take(3).map(_.getName).mkString(", ")}…) — " +
+        "compact each leaf partition directory instead")
+    def parquetFiles = listIn(dir)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     val before = parquetFiles
     val totalBytes = before.map(_.length()).sum
@@ -141,20 +159,16 @@ object Writers {
     val tmp = path.stripSuffix("/") + ".compact.tmp"
     spark.read.parquet(path).repartition(nOut)
       .write.mode("overwrite").parquet(tmp)
-    val staging = new java.io.File(tmp)
-    // swap: remove old data files, move compacted ones in
-    before.foreach(_.delete())
-    Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS"))
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(dir, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // swap: old dir aside, staging in, then drop the old copy
+    val old = new java.io.File(path.stripSuffix("/") + ".compact.old")
     def rmRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
       f.delete(): Unit
     }
-    rmRec(staging)
+    rmRec(old) // clear any debris from a previous crashed swap
+    java.nio.file.Files.move(dir.toPath, old.toPath)
+    java.nio.file.Files.move(new java.io.File(tmp).toPath, dir.toPath)
+    rmRec(old)
     (before.length, parquetFiles.length)
   }
 }

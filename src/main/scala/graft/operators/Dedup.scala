@@ -81,8 +81,12 @@ object Dedup {
     * through their other bands, and a bucket of thousands of docs is
     * boilerplate by construction, not near-duplication worth reporting.
     * The bucket-size aggregate runs on the already-persisted band table and
-    * the hot set is tiny (it is the skew tail), so the extra pass is cheap
-    * and the anti-join broadcasts. */
+    * the hot set is usually tiny (it is the skew tail) — but its size is
+    * data-dependent, so the anti-join's broadcast hint is count-gated on the
+    * measured bucket count rather than assumed: past the gate the join is
+    * left un-hinted and AQE still converts to broadcast when the runtime
+    * size allows (same discipline as jaccardForPairs / dedupCorpus). */
+  private val HotSetBroadcastMaxBuckets = 100000L
   private def capHotBuckets(all: DataFrame, keys: Seq[String], cap: Int,
                             what: String): DataFrame = {
     val hot = all.groupBy(keys.map(col): _*)
@@ -92,7 +96,11 @@ object Dedup {
     if (stats.getLong(0) > 0)
       log.warn(s"$what: dropping ${stats.getLong(0)} hot buckets covering " +
         s"${stats.getLong(1)} band rows (cap=$cap)")
-    val kept = all.join(broadcast(hot.select(keys.map(col): _*)), keys, "left_anti")
+    val hotKeys = hot.select(keys.map(col): _*)
+    val hinted =
+      if (stats.getLong(0) <= HotSetBroadcastMaxBuckets) broadcast(hotKeys)
+      else hotKeys
+    val kept = all.join(hinted, keys, "left_anti")
     hot.unpersist()
     kept
   }

@@ -15,10 +15,13 @@ import graft.queries.Qutil.dround
   * PageRank plan. Edges are hash-partitioned on src once and persisted, so
   * every iteration's join reuses the same exchange; ranks (node-grain,
   * ≪ edges) flow to the edge partitioning. Dangling nodes contribute
-  * nothing and keep the (1−d) floor. A fixed iteration count keeps the
-  * plan statically bounded; for high iteration counts, apply the
-  * `duplicateClusters` lineage-rebase discipline (measured there: ×3 plan
-  * growth per round otherwise).
+  * nothing and keep the (1−d) floor. Every `rebaseEvery` rounds the rank
+  * frame is lineage-rebased (`Dedup.rebased`), persisted and materialized,
+  * and the previous checkpoint released — the `duplicateClusters`
+  * discipline (measured there: ×3 plan growth per round otherwise), so
+  * per-round plan size and wall time stay flat at 30+ iterations
+  * (GraphSpec pins this). As in duplicateClusters, the last checkpoint
+  * backs the returned frame and stays persisted.
   *
   * Determinism (the oracle replays every iteration as a chained CTE):
   * per-edge contributions are floor-scale-rounded at `scale` decimals
@@ -33,7 +36,7 @@ object Graph {
     * Returns (node, rank). Rank init = 1.0 per node; dangling nodes decay
     * to (1 − damping). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double,
-               scale: Int = 9): DataFrame = {
+               scale: Int = 9, rebaseEvery: Int = 5): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
     // outdeg is per-src static — fold it into the persisted edge table once
     // so each iteration joins ranks exactly once (not ranks + outdeg)
@@ -43,7 +46,8 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
+    var pinned: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -55,6 +59,15 @@ object Graph {
         .select(col("node"),
           dround(lit(1.0 - damping) +
             lit(damping) * coalesce(col("s"), lit(0.0)), scale).as("rank"))
+      if (i % rebaseEvery == 0 && i < iters) {
+        // cut lineage: constant-size plan from here on; one action
+        // materializes the checkpoint before the previous one is released
+        val r = graft.operators.Dedup.rebased(ranks).persist()
+        r.count(): Unit
+        pinned.foreach(_.unpersist())
+        pinned = Some(r)
+        ranks = r
+      }
     }
     ranks
   }

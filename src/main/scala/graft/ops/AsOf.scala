@@ -15,12 +15,18 @@ object AsOf {
     * latest right row with the same key and `rightTime <= leftTime`.
     *
     * Implementation: tag and union both sides, sort each key partition by
-    * (time, rightness), and carry the last non-null payload forward with
-    * an unbounded-preceding window — ONE shuffle on the key, no range
-    * condition, no broadcast requirement on either side. Right rows sort
-    * before left rows at equal times (inclusive semantics). With several
-    * right rows at the exact same (key, time), the greatest `tieBreak`
-    * wins — deterministic, unlike engine-dependent ASOF tie handling.
+    * (time, rightness), and carry the last right row forward with ONE
+    * `last(ignoreNulls)` over an unbounded-preceding window — one shuffle
+    * on the key, no range condition, no broadcast requirement on either
+    * side. The whole payload rides in a single struct whose null-ness
+    * marks "is a right row", so every left row receives ALL payload
+    * columns from the SAME matched right row — a per-column carry would
+    * silently backfill a NULL payload column from an older right row,
+    * which a true as-of join never does (AsOfSpec pins this). Right rows
+    * sort before left rows at equal times (inclusive semantics). With
+    * several right rows at the exact same (key, time), the greatest
+    * `tieBreak` wins — deterministic, unlike engine-dependent ASOF tie
+    * handling.
     *
     * At scale this is the canonical formulation: a sort-merge-join-shaped
     * single pass; skewed keys split fine because the window is sequential
@@ -31,31 +37,34 @@ object AsOf {
                payloadCols: Seq[String],
                tieBreak: Option[String] = None): DataFrame = {
     val leftCols = left.columns
+    val pType = org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isRight", lit(0))
-      .select(((leftCols.map(col).toIndexedSeq :+ col("__t") :+ col("__isRight")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c"))): _*)
+      .select((leftCols.map(col).toIndexedSeq :+ col("__t") :+ col("__isRight") :+
+        lit(null).cast(pType).as("__p")): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__isRight", lit(1))
-      .select(((leftCols.map(c =>
+      .select((leftCols.map(c =>
         if (c == key) col(key)
         else lit(null).cast(left.schema(c).dataType).as(c)).toIndexedSeq :+
-        col("__t") :+ col("__isRight")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+        col("__t") :+ col("__isRight") :+
+        // non-null for EVERY right row, even when all payload fields are
+        // null — the struct's null-ness is the right-row marker
+        struct(payloadCols.map(c => col(c).as(c)): _*).as("__p")): _*)
     val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col).toIndexedSeq: _*))
     val ordering: Seq[Column] =
       Seq(col("__t").asc, col("__isRight").desc) ++
-        tieBreak.map(c => col(s"__p_$c").asc).toSeq
+        tieBreak.map(c => col("__p").getField(c).asc).toSeq
     val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withPayload = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    withPayload.where(col("__isRight") === 0)
+    unioned
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__isRight") === 0)
       .select((leftCols.map(col).toIndexedSeq ++
-        payloadCols.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+        payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 
   /** Range (band) join: match each point row to interval rows with

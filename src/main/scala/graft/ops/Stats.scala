@@ -83,37 +83,49 @@ object Stats {
     * textbook single-pass formulation
     *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
     * — versus Spark's `corr()` which covers one pair per call and would
-    * re-scan a 100 TB table per pair. Terms are cast to exact DECIMAL
-    * before summing (the Qutil msum rule: money-grade inputs have bounded
-    * decimal places, so the sums are order-independent and engine-exact);
-    * the final arithmetic runs on identical doubles in any engine. Output:
-    * one row per unordered pair (var_a < var_b): (var_a, var_b, n, corr).
+    * re-scan a 100 TB table per pair. NULL convention: pairwise-complete —
+    * every pair's moments (INCLUDING its n) are conditioned on BOTH
+    * columns being non-null, so a NULL in column c drops the row from
+    * c's pairs only. Conditioning n the same way as the sums is what
+    * keeps the moments mutually consistent; a global count(*) n with
+    * null-skipping sums is wrong under every convention the moment any
+    * input is NULL (StatsSpec pins a NULL-bearing case against a hand
+    * computation). Terms are cast to exact DECIMAL before summing (the
+    * Qutil msum rule: money-grade inputs have bounded decimal places, so
+    * the sums are order-independent and engine-exact); the final
+    * arithmetic runs on identical doubles in any engine. Output: one row
+    * per unordered pair (var_a < var_b): (var_a, var_b, n, corr).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  scale: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, scale)
-    def s(c: Column) = sum(c.cast(dec)).cast("double")
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs =
-      (count(lit(1)).as("__n") +:
-        cols.map(c => s(col(c)).as(s"__s_$c"))) ++
-        cols.map(c => s(col(c) * col(c)).as(s"__q_$c")) ++
-        pairs.map { case (a, b) => s(col(a) * col(b)).as(s"__p_${a}_$b") }
+    // 6 terms per pair instead of 2 per column + 1 per pair — the price of
+    // pairwise-complete correctness; still ONE Aggregate, one scan
+    val aggs = pairs.flatMap { case (a, b) =>
+      val m = col(a).isNotNull && col(b).isNotNull
+      def s(c: Column) = sum(when(m, c).cast(dec)).cast("double")
+      Seq(sum(when(m, 1L)).as(s"__n_${a}_$b"),
+        s(col(a)).as(s"__sa_${a}_$b"), s(col(b)).as(s"__sb_${a}_$b"),
+        s(col(a) * col(a)).as(s"__qa_${a}_$b"),
+        s(col(b) * col(b)).as(s"__qb_${a}_$b"),
+        s(col(a) * col(b)).as(s"__p_${a}_$b"))
+    }
     val m = df.agg(aggs.head, aggs.tail: _*)
-    val n = col("__n").cast("double")
     // long form via explode over the ONE moments row — a union of
     // per-pair selects would re-execute the aggregate (re-scan) per pair
     val structs = pairs.map { case (a, b) =>
-      val (sa, sb) = (col(s"__s_$a"), col(s"__s_$b"))
-      val (qa, qb) = (col(s"__q_$a"), col(s"__q_$b"))
+      val n = coalesce(col(s"__n_${a}_$b"), lit(0L)).cast("double")
+      val (sa, sb) = (col(s"__sa_${a}_$b"), col(s"__sb_${a}_$b"))
+      val (qa, qb) = (col(s"__qa_${a}_$b"), col(s"__qb_${a}_$b"))
       val corr = (n * col(s"__p_${a}_$b") - sa * sb) /
         (sqrt(n * qa - sa * sa) * sqrt(n * qb - sb * sb))
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
-        col("__n").as("n"),
+        coalesce(col(s"__n_${a}_$b"), lit(0L)).as("n"),
         graft.queries.Qutil.dround(corr, 6).as("corr"))
     }
     m.select(explode(array(structs: _*)).as("r")).select("r.*")

@@ -22,6 +22,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     semantics-preserving. Row-number ties under a non-total order are
   *     nondeterministic in BOTH formulations, so the contract is unchanged.
   *
+  * `rank()` (the reference's W1 idiom) is an explicit NON-goal: rank ≤ k
+  * keeps every row tied at the boundary — potentially more than k rows per
+  * group — while the heap keeps exactly k, and whether the ordering is
+  * tie-free is a data property no plan inspection can prove. Rewriting
+  * would silently change results exactly when ties exist, so W1 stays on
+  * the window exec (TopKPerGroupSpec pins the negative case: the rule must
+  * NOT fire on rank()).
+  *
   * Inject at runtime (`spark.experimental.extraOptimizations`) or session-
   * wide via `graft.GraftExtensions`; pair with [[TopKPerGroupStrategy]] so
   * the rewritten node plans.
@@ -43,12 +51,20 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           projList.forall(_.references.subsetOf(child.outputSet)) =>
       // Spark's own InferWindowGroupLimit has usually inserted a sort-based
       // WindowGroupLimit below the Window by the time user rules run; the
-      // heap exec subsumes it, so strip it rather than stack on top
+      // heap exec subsumes it, so strip it rather than stack on top — but
+      // ONLY when it provably limits the same grouping at least as
+      // generously (same partition/order, limit ≥ k); any other group-limit
+      // node is load-bearing and stripping it would return extra rows
+      val k = limitOf(cond, alias.exprId).get
+      def sameSpec(a: Seq[Expression], b: Seq[Expression]) =
+        a.length == b.length && a.zip(b).forall { case (x, y) => x.semanticEquals(y) }
       val base = child match {
-        case wgl: WindowGroupLimit => wgl.child
+        case wgl: WindowGroupLimit
+            if sameSpec(wgl.partitionSpec, part) &&
+              sameSpec(wgl.orderSpec, order) && wgl.limit >= k =>
+          wgl.child
         case other => other
       }
-      Project(projList,
-        TopKPerGroup(part, order, limitOf(cond, alias.exprId).get, base))
+      Project(projList, TopKPerGroup(part, order, k, base))
   }
 }

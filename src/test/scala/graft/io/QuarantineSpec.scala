@@ -18,13 +18,16 @@ class QuarantineSpec extends SparkSpec {
       lines.mkString("\n").getBytes)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (good, bad) = Quarantine.readJsonWithQuarantine(spark, dir, schema)
-    assert(good.as[(Long, String)].collect().toSet ==
+    val q = Quarantine.readJsonWithQuarantine(spark, dir, schema)
+    assert(q.good.as[(Long, String)].collect().toSet ==
       Set((1L, "ok"), (2L, "also ok")))
-    assert(good.columns.toSeq == Seq("id", "name")) // corrupt col not leaked
-    val rawBad = bad.select("raw").as[String].collect().toSet
+    assert(q.good.columns.toSeq == Seq("id", "name")) // corrupt col not leaked
+    val rawBad = q.bad.select("raw").as[String].collect().toSet
     assert(rawBad == Set("""{"id": 3, "name": """, "not json at all"))
-    assert(bad.columns.contains("source_file"))
+    assert(q.bad.columns.contains("source_file"))
+    assert(q.raw.storageLevel.useMemory) // split rides the persisted parse
+    q.release()
+    assert(!q.raw.storageLevel.useMemory) // caller can drop the pin
   }
 
   test("clean input quarantines nothing; fully-bad input parses nothing") {
@@ -32,7 +35,8 @@ class QuarantineSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "bad.json"), "garbage\nmore garbage".getBytes)
     val schema = StructType(Seq(StructField("id", LongType)))
-    val (good, bad) = Quarantine.readJsonWithQuarantine(spark, dir, schema)
-    assert(good.count() == 0 && bad.count() == 2)
+    val q = Quarantine.readJsonWithQuarantine(spark, dir, schema)
+    assert(q.good.count() == 0 && q.bad.count() == 2)
+    q.release()
   }
 }

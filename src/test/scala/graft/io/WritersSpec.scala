@@ -143,6 +143,21 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq == beforeRows)
   }
 
+  test("compactFiles refuses partitioned layouts and leaves no swap debris") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("v", "p").write.partitionBy("p").parquet(root)
+    // season=.../-style layout: compacting it flat would double every row
+    intercept[IllegalArgumentException] { Writers.compactFiles(spark, root) }
+    assert(spark.read.parquet(root).count() == 2) // untouched by the refusal
+    val flat = java.nio.file.Files.createTempDirectory("compactf").toString + "/t"
+    (1L to 10L).toDF("v").repartition(4).write.parquet(flat)
+    Writers.compactFiles(spark, flat)
+    assert(!new java.io.File(flat + ".compact.tmp").exists()) // staging gone
+    assert(!new java.io.File(flat + ".compact.old").exists()) // old copy gone
+    assert(spark.read.parquet(flat).as[Long].collect().sorted.toSeq == (1L to 10L))
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)

@@ -16,6 +16,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r("c") - 0.15) < 1e-9)
   }
 
+  test("pageRank in-loop lineage rebase: value-invisible, constant-size plan at 31 iters") {
+    val pairs = (0L until 40L).map(i => (s"n${i % 9}", s"n${(i * 3 + 1) % 9}"))
+    val edges = pairs.toDF("src", "dst").distinct()
+    val norebase = Graph.pageRank(edges, 6, 0.85, rebaseEvery = 100)
+      .as[(String, Double)].collect().toMap
+    val rebased = Graph.pageRank(edges, 6, 0.85, rebaseEvery = 2)
+      .as[(String, Double)].collect().toMap
+    assert(norebase == rebased) // bit-identical: rebase changes no value
+    // Both plans end ≤ rebaseEvery un-rebased rounds above a leaf, so the
+    // 31-iteration plan is the SAME size as the 11-iteration one — without
+    // the in-loop rebase, plan size grows ~×3 per round (q40 measurement)
+    // and 31 rounds would be astronomically larger, not within 2×.
+    val p11 = Graph.pageRank(edges, 11, 0.85).queryExecution.logical.toString.length
+    val p31 = Graph.pageRank(edges, 31, 0.85).queryExecution.logical.toString.length
+    assert(p31 <= p11 * 2, s"plan grew with iterations: 11-iter=$p11 chars, 31-iter=$p31")
+  }
+
   test("pageRank is partition-count invariant (decimal-grid determinism)") {
     val pairs = (0L until 60L).map(i => (s"c${i % 12}", s"s${i % 7}"))
     val edges = (pairs ++ pairs.map(p => (p._2, p._1)))

@@ -19,6 +19,19 @@ class AsOfSpec extends SparkSpec {
     assert(out("x").isEmpty)              // key with no right rows at all
   }
 
+  test("joinAsOf: NULL payload column never backfills from an older right row") {
+    val left = Seq((1L, 30L, "e")).toDF("k", "t", "name")
+    val right = Seq((1L, 10L, Option("old_a"), Option("old_b")),
+        (1L, 20L, Option.empty[String], Option("new_b")))
+      .toDF("k", "rt", "a", "b")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("a", "b")).head()
+    // the matched row is rt=20; its NULL `a` must surface as NULL — a
+    // per-column carry would mix in rt=10's "old_a" (a row that never
+    // existed on the right)
+    assert(out.isNullAt(out.fieldIndex("asof_a")))
+    assert(out.getString(out.fieldIndex("asof_b")) == "new_b")
+  }
+
   test("joinAsOf deterministic tie-break on simultaneous right rows") {
     val left = Seq((1L, 10L, "e")).toDF("k", "t", "name")
     val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "rt", "payload")

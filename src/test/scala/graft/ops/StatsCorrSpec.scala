@@ -18,6 +18,27 @@ class StatsCorrSpec extends SparkSpec {
     assert(math.abs(out(("x", "z")) - builtin) < 1e-6)
   }
 
+  test("corrMatrix pairwise-complete NULLs: per-pair n and agreement with corr()") {
+    val df = Seq[(Option[Double], Option[Double], Option[Double])](
+      (Some(1.0), Some(2.0), Some(5.0)),
+      (Some(2.0), None, Some(4.0)),
+      (Some(3.0), Some(5.0), None),
+      (None, Some(7.0), Some(2.0)),
+      (Some(5.0), Some(11.0), Some(1.0)),
+      (Some(6.0), Some(13.0), Some(0.5))).toDF("a", "b", "c")
+    val out = Stats.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // n is the pair's both-non-null count, not the global count(*) = 6
+    assert(out(("a", "b"))._1 == 4 && out(("a", "c"))._1 == 4 &&
+      out(("b", "c"))._1 == 4)
+    // built-in corr() skips null pairs — the same pairwise-complete convention
+    for ((x, y) <- Seq(("a", "b"), ("a", "c"), ("b", "c"))) {
+      val builtin = df.select(corr(x, y)).head().getDouble(0)
+      assert(math.abs(out((x, y))._2 - builtin) < 2e-6, s"pair ($x,$y)")
+    }
+  }
+
   test("corrMatrix computes all pairs in one shared aggregate") {
     val df = Seq((1.0, 2.0, 3.0)).toDF("a", "b", "c")
     val plan = Stats.corrMatrix(df, Seq("a", "b", "c"))

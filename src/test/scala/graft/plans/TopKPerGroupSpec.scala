@@ -80,6 +80,23 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prevOpt
   }
 
+  test("WindowTopKRewrite is an explicit non-goal for rank(): ties must survive") {
+    val prevOpt = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prevOpt :+ WindowTopKRewrite
+    try {
+      // three-way tie for first place: rank() ≤ 1 keeps all three rows, a
+      // heap with k=1 would keep one — rewriting would change results
+      val df = Seq((1L, 5.0, 1L), (1L, 5.0, 2L), (1L, 5.0, 3L), (1L, 1.0, 4L))
+        .toDF("g", "v", "id")
+      val w = Window.partitionBy("g").orderBy(col("v").desc)
+      val q = df.withColumn("rk", rank().over(w))
+        .where(col("rk") <= 1).select("g", "v", "id")
+      assert(q.queryExecution.optimizedPlan.toString.contains("Window"),
+        "rule fired on rank()")
+      assert(q.count() == 3)
+    } finally spark.experimental.extraOptimizations = prevOpt
+  }
+
   test("per-group output is emitted in sort order") {
     val df = data
     val out = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 5)
