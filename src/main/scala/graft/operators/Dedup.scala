@@ -357,6 +357,56 @@ object Dedup {
     Windows.keepBest(novel, Seq("fp"), Seq(col(idCol).asc))
   }
 
+  /** Substring-level exact dedup — repeated-sequence removal (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every duplicated run of ≥ k consecutive tokens keeps its corpus-wide
+    * FIRST occurrence (lexicographic (doc, position)) and is removed from
+    * every other position, within and across documents. The granularity
+    * is the whitespace token and the output text is whitespace-normalized
+    * — the token stream is the unit LLM-corpus dedup operates on. The
+    * reference has no such pass (LLM-pipeline extension; the single-node
+    * literature tool is a suffix array — this is the shuffle-native
+    * equivalent).
+    *
+    * Scale shape: (1) the span table carries (id, pos, md5-of-window) —
+    * hash-sized rows, never window text; (2) ONE corpus-grain hash
+    * aggregate picks each span-hash's first occurrence (min struct —
+    * partial aggregation applies); (3) only NON-first occurrences explode
+    * into covered positions (≤ k · duplicated-spans rows — duplication-
+    * rate-sized), collected to one small set per affected doc; (4)
+    * reconstruction filters each doc's bound token array by covered index
+    * with a codegen'd higher-order function — the corpus token stream is
+    * never exploded or shuffled, and untouched docs skip the filter
+    * entirely. Returns (idCol, clean_text, n_dropped).
+    */
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, "k must be ≥ 2")
+    val ws = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val spans = ws
+      .select(col(idCol), col("__ws"),
+        explode(when(size(col("__ws")) >= k,
+            sequence(lit(1), size(col("__ws")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .select(col(idCol), col("pos"),
+        md5(concat_ws(" ", slice(col("__ws"), col("pos"), lit(k)))
+          .cast("binary")).as("h"))
+    val first = spans.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val dup = spans.join(first, "h")
+      .where(col(s"f.$idCol") =!= col(idCol) || col("f.pos") =!= col("pos"))
+    val cov = dup
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy(idCol).agg(collect_set(col("cp")).as("__cov"))
+    ws.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, concat_ws(" ", col("__ws")))
+          .otherwise(concat_ws(" ",
+            filter(col("__ws"), (_, i) => !array_contains(col("__cov"), i + 1))))
+          .as("clean_text"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_dropped"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
     * embedding space with the deterministic k-means quantizer, then drop
     * every document whose embedding is ≥ `tau` cosine-similar to a

@@ -19,6 +19,7 @@ object DedupQueries {
   private val SimBands = 2   // 16-bit blocks: selective buckets (word-soup
                              // docs cluster; 8-bit blocks → ~10M candidates)
   private val MaxHamming = 2
+  private val SubstrK = 8  // min duplicated-run length, in tokens (q90)
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -207,6 +208,49 @@ object DedupQueries {
         .where(col("jaccard") >= 0.2).select("id_a", "id_b")
       Dedup.duplicateClusters(dup)
         .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
+    // Substring-level exact dedup (Lee et al. repeated-sequence removal):
+    // duplicated ≥8-token runs keep their corpus-wide first occurrence and
+    // are removed everywhere else. The oracle replays the span selection
+    // (row_number over (doc,pos) per span hash = the min-struct first
+    // occurrence), coverage explosion, and token-level reconstruction.
+    Q.sql("q90_substring_dedup", {
+      val K = SubstrK
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+${K - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${K - 1})) AS i FROM w)),
+         |dup AS (
+         |  SELECT doc_id, pos
+         |  FROM (SELECT doc_id, pos,
+         |               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |        FROM sp)
+         |  WHERE rn > 1),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + ${K - 1})) AS cp FROM dup),
+         |covagg AS (SELECT doc_id, count(*) AS n_dropped FROM cov GROUP BY doc_id),
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |rec AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id AS doc_id,
+         |       coalesce(r.clean_text, '') AS clean_text,
+         |       CAST(coalesce(ca.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM w LEFT JOIN rec r ON r.doc_id = w.doc_id
+         |LEFT JOIN covagg ca ON ca.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin
+    }) { (s, d) =>
+      Dedup.dedupSubstrings(Tables.documents(s, d), "doc_id", "text", SubstrK)
         .orderBy("doc_id")
     },
 

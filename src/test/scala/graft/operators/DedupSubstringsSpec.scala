@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSubstringsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-doc duplicated run: first occurrence kept, later one removed") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta suffix"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one", 0L), // first
+      (2L, "prefix suffix", 6L)))                    // run excised, rest kept
+  }
+
+  test("within-doc repetition keeps only the first run") {
+    val docs = Seq((1L, "a b c d a b c d tail")).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 4).head()
+    assert(out.getString(1) == "a b c d tail" && out.getLong(2) == 4L)
+  }
+
+  test("overlapping duplicated spans: covered positions union, no double count") {
+    // "m1..m5" repeats in doc 2 shifted by one — spans at pos 2 and pos 3
+    // both duplicate doc 1 content and overlap; union coverage = 2..7
+    val docs = Seq(
+      (1L, "m1 m2 m3 m4 m5 x y m2 m3 m4 m5 m6"),
+      (2L, "lead m1 m2 m3 m4 m5 m6 trail"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 5)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out(1) == ((2L, "lead trail", 6L)))
+  }
+
+  test("docs shorter than k, empty docs, and unique docs pass through") {
+    val docs = Seq((1L, "one two three"), (2L, "   "), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 4)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "one two three", 0L), (2L, "", 0L), (3L, "x y", 0L)))
+  }
+}
