@@ -40,6 +40,92 @@ object CorpusStats {
       .select(col("pair"), col("cnt"), col("rank"))
   }
 
+  /** Greedy left-to-right merge of ONE learned BPE pair (a, b) inside a
+    * symbol array — an aggregate() fold, row-local, no explode. The fold
+    * IS the greedy non-overlapping semantics: after a merge the trailing
+    * symbol becomes a+b, which can never equal a (b is non-empty), so a
+    * consumed occurrence can't chain into the next — "a a a a" merging
+    * (a,a) yields (aa, aa), exactly Sennrich's reference behavior. */
+  def bpeMergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      // try_element_at: ANSI-safe probe of the (possibly empty) accumulator
+      (acc, x) => when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `steps` BPE merges (Sennrich et al., ACL'16) and return the
+    * merge list ((step, a, b, pairCount)) in learned order.
+    *
+    * Scale shape: training runs on the WORD-FREQUENCY table, not the
+    * corpus — the one corpus-grain job is the initial word count; every
+    * round after that explodes adjacent pairs of the vocab-grain symbol
+    * table (freq-weighted) into one pair-grain hash aggregate, and the
+    * only driver traffic per round is the single argmax row
+    * (TakeOrdered, (count desc, a, b) total order — deterministic), the
+    * same config-sized-model contract as k-means centroids. The merged
+    * vocab is re-persisted per round and the previous round released;
+    * plan growth is one row-local fold per round (linear, not
+    * multiplicative — no lineage rebase needed at tokenizer-scale R). */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               steps: Int): Seq[(Int, String, String, Long)] = {
+    var vocab = docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+      .persist()
+    vocab.count(): Unit
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= steps && !done) {
+      val top = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val next = vocab.withColumn("syms", bpeMergePair(col("syms"), a, b)).persist()
+        next.count(): Unit
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** Apply a learned merge list to arbitrary text: chars → merges in
+    * learned order, each a greedy row-local fold. One ordered pass per
+    * merge is EXACT (not an approximation): merge r's pair references
+    * only symbols buildable from merges < r, so applying later merges can
+    * never create a new match for an earlier one — in particular,
+    * encode(training corpus) reproduces the training-end symbol state.
+    * Row-parallel and map-only: no shuffle, no window, no explode —
+    * BpeSpec asserts the encode plan is Exchange-free. Returns
+    * (idCol, tokens array<string>, n_tokens). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val ws = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val enc0: Column = transform(col("__ws"),
+      w => transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+    val enc = merges.foldLeft(enc0) { case (arr, (a, b)) =>
+      transform(arr, syms => bpeMergePair(syms, a, b))
+    }
+    ws.select(col(idCol), flatten(enc).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Corpus vocabulary: one row per distinct token with total occurrences
     * (tf) and document frequency (df). Two aggregates, both map-side
     * combining: (doc, term) counts, then term-grain rollup. */

@@ -19,6 +19,64 @@ object CorpusStatsQueries {
   private val VocabK = 100
   private val VocabMinDf = 2
   private val BpeTopK = 30
+  private val BpeSteps = 6 // q91/q92 iterated-BPE merge rounds
+
+  /** Chained-CTE replay of `BpeSteps` BPE training rounds (q91/q92): each
+    * round's argmax pair is a scalar subquery over the previous round's
+    * pair counts, and the greedy non-overlapping merge is the
+    * gaps-and-islands selection (runs of consecutive matching positions →
+    * odd ranks start a merge; a position is consumed iff its predecessor
+    * started one) — the SQL mirror of the left-to-right fold in
+    * `CorpusStats.bpeMergePair`. CTEs are MATERIALIZED: every round
+    * references its predecessor several times, and DuckDB's default
+    * inlining re-evaluates the whole prefix per reference — exponential
+    * in rounds (measured: 6 rounds time out un-hinted, 0.1 s hinted). */
+  private def bpeChain(steps: Int): String = {
+    val base = Seq(
+      s"""w AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents)""".stripMargin,
+      "t AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w FROM w)",
+      s"""s0 AS MATERIALIZED (
+         |  SELECT w AS word, count(*) AS freq,
+         |         list_transform(generate_series(1, length(w)),
+         |                        i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+         |  FROM t GROUP BY w)""".stripMargin)
+    val rounds = (1 to steps).map { r =>
+      val p = r - 1
+      s"""e$r AS MATERIALIZED (
+         |  SELECT word, freq, syms, unnest(generate_series(1, len(syms))) AS i FROM s$p),
+         |pc$r AS MATERIALIZED (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, sum(freq) AS cnt
+         |  FROM e$r WHERE i < len(syms) GROUP BY 1, 2),
+         |p$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS s,
+         |         CASE WHEN syms[i] = (SELECT a FROM p$r)
+         |               AND syms[i+1] = (SELECT b FROM p$r) THEN 1 ELSE 0 END AS hit
+         |  FROM e$r),
+         |h$r AS MATERIALIZED (
+         |  SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |  FROM m$r WHERE hit = 1),
+         |st$r AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+         |    FROM h$r) WHERE rn % 2 = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, freq, list(s2 ORDER BY i) AS syms FROM (
+         |    SELECT m.word, m.freq, m.i,
+         |           CASE WHEN st.i IS NOT NULL
+         |                THEN m.s || (SELECT b FROM p$r) ELSE m.s END AS s2
+         |    FROM m$r m
+         |    LEFT JOIN st$r st ON st.word = m.word AND st.i = m.i
+         |    WHERE NOT EXISTS (SELECT 1 FROM st$r c
+         |                      WHERE c.word = m.word AND c.i = m.i - 1))
+         |  GROUP BY word, freq)""".stripMargin
+    }
+    "WITH " + (base ++ rounds).mkString(",\n")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -378,5 +436,43 @@ object CorpusStatsQueries {
       CorpusStats.bpePairCounts(Tables.documents(s, d), "doc_id", "text",
           BpeTopK)
         .orderBy("rank")
+    },
+
+    // Iterated BPE training: 6 merge rounds over the word-frequency table,
+    // each round's argmax pair learned from the previous round's merged
+    // symbols (q84 is one round of this). The oracle replays the full loop
+    // as chained CTEs — argmax as a scalar subquery, greedy merge as
+    // gaps-and-islands selection.
+    Q.sql("q91_bpe_train",
+      bpeChain(BpeSteps) + ",\nml AS (" +
+        (1 to BpeSteps).map(r =>
+          s"SELECT $r AS step, a, b, a || b AS merged, cnt FROM p$r")
+          .mkString("\n  UNION ALL ") +
+        ")\nSELECT CAST(step AS INTEGER) AS step, a, b, merged, " +
+        "CAST(cnt AS BIGINT) AS cnt FROM ml ORDER BY step") { (s, d) =>
+      import s.implicits._
+      CorpusStats.bpeTrain(Tables.documents(s, d), "doc_id", "text", BpeSteps)
+        .map { case (step, a, b, cnt) => (step, a, b, a + b, cnt) }
+        .toDF("step", "a", "b", "merged", "cnt")
+        .orderBy("step")
+    },
+
+    // BPE encode: apply the learned merge list to the corpus (ordered
+    // one-pass application — exact, see CorpusStats.bpeEncode) and count
+    // tokens per document. The oracle looks each word up in the
+    // training-end symbol state, which the encode pass provably
+    // reproduces on the training corpus.
+    Q.sql("q92_bpe_encode",
+      bpeChain(BpeSteps) + s""",
+         |dt AS (SELECT t.doc_id, len(s.syms) AS n FROM t JOIN s$BpeSteps s ON s.word = t.w)
+         |SELECT w.doc_id AS doc_id, CAST(coalesce(sum(dt.n), 0) AS BIGINT) AS n_tokens
+         |FROM w LEFT JOIN dt ON dt.doc_id = w.doc_id
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = CorpusStats.bpeTrain(docs, "doc_id", "text", BpeSteps)
+        .map { case (_, a, b, _) => (a, b) }
+      CorpusStats.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy("doc_id")
     })
 }
