@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus feature-extraction plumbing.
   *
   * Two codec tiers:
-  *  - REAL: PNG via `javax.imageio` and WAV via `javax.sound.sampled` —
-  *    both ship inside the JDK, so `withRealMedia`/`decodeMedia` is a
-  *    genuine encode→parse→decode round trip through production codecs,
-  *    oracle-checked end to end (q30).
+  *  - REAL: PNG and BMP via `javax.imageio`, WAV via `javax.sound.sampled`
+  *    — all ship inside the JDK, so `withRealMedia`/`decodeMedia` is a
+  *    genuine encode→parse→decode round trip through production codecs
+  *    across two distinct image containers, oracle-checked end to end
+  *    (q30, which also pins the magic-byte-sniffed container per row).
   *  - STUB: `stubDecode` keeps the generic bytes→feature-vector signature
   *    for formats the JDK cannot parse (JPEG-XL, video, proprietary
   *    audio): a deterministic byte-statistics fake documenting the seam
@@ -110,8 +111,15 @@ object Multimodal {
   def wavSamples(id: Long): Int = (id % 50 + 20).toInt
   def pcm(id: Long, i: Int): Int = ((id * 13 + i * 7) % 256).toInt
 
-  /** Encode the deterministic image as a real PNG via javax.imageio. */
-  def pngPayload(id: Long): Array[Byte] = {
+  /** Image container per id: PNG for id ≡ 0 (mod 4), BMP for id ≡ 2 —
+    * two distinct REAL JDK codecs on the image path, both lossless RGB so
+    * the decoded pixel sums replay exactly in the oracle. JPEG (which
+    * ImageIO also writes) is deliberately NOT in the oracle corpus: DCT
+    * quantization makes pixel content non-replayable, and a geometry-only
+    * check would verify strictly less than the lossless containers do. */
+  def imageFormat(id: Long): String = if (id % 4 == 0) "png" else "bmp"
+
+  private def encodeImage(id: Long, format: String): Array[Byte] = {
     val (w, h) = (imgWidth(id), imgHeight(id))
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -125,9 +133,26 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
+
+  /** Encode the deterministic image in its id-selected container. */
+  def imagePayload(id: Long): Array[Byte] = encodeImage(id, imageFormat(id))
+
+  /** Encode the deterministic image as a real PNG via javax.imageio. */
+  def pngPayload(id: Long): Array[Byte] = encodeImage(id, "png")
+
+  /** Container sniffed from payload MAGIC BYTES — decode-side evidence
+    * (not recomputed from the id) that the corpus really carries distinct
+    * container formats; q30's oracle pins it per row. */
+  def sniffContainer(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) "bmp"
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte) "png"
+    else if (bytes.length >= 4 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte) "wav"
+    else "unknown"
 
   /** Encode the deterministic PCM as a real WAV via javax.sound.sampled. */
   def wavPayload(id: Long): Array[Byte] = {
@@ -145,7 +170,7 @@ object Multimodal {
     * rows carry geometry + per-channel pixel sums, audio rows carry sample
     * count/sum/rate. Integer sums, not means — exact in any engine. */
   final case class DecodedMedia(
-      doc_id: Long, kind: String,
+      doc_id: Long, kind: String, container: String,
       width: Option[Int], height: Option[Int],
       sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
       n_samples: Option[Long], sum_pcm: Option[Long], sample_rate: Option[Int])
@@ -214,7 +239,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        if (id % 2 == 0) (id, "image", pngPayload(id)) else (id, "audio", wavPayload(id))
+        if (id % 2 == 0) (id, "image", imagePayload(id)) else (id, "audio", wavPayload(id))
       }
     }.toDF(idCol, "kind", "payload")
   }
@@ -243,7 +268,8 @@ object Multimodal {
               }
               y += 1
             }
-            DecodedMedia(id, kind, Some(w), Some(h), Some(sr), Some(sg), Some(sb),
+            DecodedMedia(id, kind, sniffContainer(bytes),
+              Some(w), Some(h), Some(sr), Some(sg), Some(sb),
               None, None, None)
           } else {
             val ais = javax.sound.sampled.AudioSystem
@@ -253,7 +279,8 @@ object Multimodal {
             var s = 0L
             var i = 0
             while (i < data.length) { s += data(i) & 0xff; i += 1 }
-            DecodedMedia(id, kind, None, None, None, None, None,
+            DecodedMedia(id, kind, sniffContainer(bytes),
+              None, None, None, None, None,
               Some(data.length.toLong), Some(s), Some(fmt.getSampleRate.toInt))
           }
         }

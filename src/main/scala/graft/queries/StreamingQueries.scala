@@ -27,24 +27,27 @@ object StreamingQueries {
     },
 
     // Multimodal REAL-codec round trip: deterministic media content is
-    // encoded through the JDK's production PNG/WAV codecs (javax.imageio /
-    // javax.sound.sampled), then decodeMedia PARSES the container bytes and
-    // emits integer pixel/sample statistics. The oracle replays the content
-    // formulas in SQL — so a hash match proves the encode→decode round trip
-    // preserved every pixel and sample, not just that plumbing ran.
+    // encoded through the JDK's production PNG/BMP/WAV codecs
+    // (javax.imageio / javax.sound.sampled — container varies by id), then
+    // decodeMedia PARSES the container bytes and emits integer pixel/sample
+    // statistics plus the MAGIC-BYTE-sniffed container. The oracle replays
+    // the content formulas and the expected container in SQL — a hash match
+    // proves the round trip preserved every pixel and sample through TWO
+    // distinct image codecs, not just that plumbing ran.
     Q.sql("q30_multimodal_features",
       """WITH img AS (
         |  SELECT doc_id, CAST(doc_id % 8 + 2 AS INT) AS width,
-        |         CAST(doc_id % 6 + 2 AS INT) AS height
+        |         CAST(doc_id % 6 + 2 AS INT) AS height,
+        |         CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS container
         |  FROM documents WHERE doc_id % 2 = 0
         |), px AS (
-        |  SELECT i.doc_id, i.width, i.height,
+        |  SELECT i.doc_id, i.container, i.width, i.height,
         |         CAST(sum((i.doc_id*31 + x.range*7 + y.range*13) % 256) AS BIGINT) AS sum_r,
         |         CAST(sum((i.doc_id*17 + x.range*11 + y.range*5) % 256) AS BIGINT) AS sum_g,
         |         CAST(sum((i.doc_id*7  + x.range*3 + y.range*19) % 256) AS BIGINT) AS sum_b
         |  FROM img i, range(0, 10) x, range(0, 8) y
         |  WHERE x.range < i.width AND y.range < i.height
-        |  GROUP BY 1, 2, 3
+        |  GROUP BY 1, 2, 3, 4
         |), smp AS (
         |  SELECT d.doc_id, CAST(d.doc_id % 50 + 20 AS BIGINT) AS n_samples,
         |         CAST(sum((d.doc_id*13 + s.range*7) % 256) AS BIGINT) AS sum_pcm
@@ -52,12 +55,12 @@ object StreamingQueries {
         |  WHERE d.doc_id % 2 = 1 AND s.range < d.doc_id % 50 + 20
         |  GROUP BY 1, 2
         |)
-        |SELECT doc_id, 'image' AS kind, width, height, sum_r, sum_g, sum_b,
+        |SELECT doc_id, 'image' AS kind, container, width, height, sum_r, sum_g, sum_b,
         |       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS sum_pcm,
         |       CAST(NULL AS INT) AS sample_rate
         |FROM px
         |UNION ALL
-        |SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL,
+        |SELECT doc_id, 'audio', 'wav', NULL, NULL, NULL, NULL, NULL,
         |       n_samples, sum_pcm, 8000
         |FROM smp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>

@@ -32,19 +32,23 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0L).exists(_ != 0f))
   }
 
-  test("real codec round trip: PNG encode→ImageIO parse preserves pixels") {
-    // payload is a genuine PNG container (magic bytes), and decoding it
-    // recovers exactly the deterministic pixel statistics
+  test("real codec round trip: PNG and BMP encode→ImageIO parse preserve pixels") {
+    // payloads are genuine containers (magic bytes), and decoding them
+    // recovers exactly the deterministic pixel statistics from BOTH codecs
     val png = Multimodal.pngPayload(6L)
     assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val bmp = Multimodal.imagePayload(2L) // id ≡ 2 (mod 4) → BMP container
+    assert(bmp.take(2).toSeq == Seq('B'.toByte, 'M'.toByte))
     val media = Multimodal.withRealMedia(docs, "doc_id")
     val dec = Multimodal.decodeMedia(media, "doc_id").collect()
       .map(m => m.doc_id -> m).toMap
-    val img = dec(0L)
-    assert(img.kind == "image" && img.width.contains(2) && img.height.contains(2))
+    val img = dec(0L) // id ≡ 0 (mod 4) → PNG container
+    assert(img.kind == "image" && img.container == "png")
+    assert(img.width.contains(2) && img.height.contains(2))
     val expR = (for (x <- 0 until 2; y <- 0 until 2) yield Multimodal.pxR(0L, x, y)).sum
     assert(img.sum_r.contains(expR.toLong))
     val img2 = dec(2L)
+    assert(img2.container == "bmp") // sniffed from decoded payload bytes
     val (w2, h2) = (Multimodal.imgWidth(2L), Multimodal.imgHeight(2L))
     val expB = (for (x <- 0 until w2; y <- 0 until h2) yield Multimodal.pxB(2L, x, y)).sum
     assert(img2.width.contains(w2) && img2.sum_b.contains(expB.toLong))
@@ -57,7 +61,8 @@ class MultimodalSpec extends SparkSpec {
     val aud = Multimodal.decodeMedia(media, "doc_id").collect()
       .find(_.doc_id == 1L).get
     val n = Multimodal.wavSamples(1L)
-    assert(aud.kind == "audio" && aud.n_samples.contains(n.toLong))
+    assert(aud.kind == "audio" && aud.container == "wav")
+    assert(aud.n_samples.contains(n.toLong))
     assert(aud.sample_rate.contains(Multimodal.WavRate))
     val expSum = (0 until n).map(Multimodal.pcm(1L, _)).sum
     assert(aud.sum_pcm.contains(expSum.toLong))
