@@ -9,11 +9,15 @@ object ProfileQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      fn(spark, sf).write.format("noop").mode("overwrite").save()
-      println(f"[profile] run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    // comma-separated names share one warmed JVM (steady-state protocol)
+    name.split(',').foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+        println(f"[profile] $n run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
