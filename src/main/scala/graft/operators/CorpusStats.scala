@@ -126,6 +126,43 @@ object CorpusStats {
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
   }
 
+  /** BM25 document relevance (Robertson; Lucene's idf form
+    * ln(1 + (N − df + ½)/(df + ½))) for a bag of query terms — the
+    * retrieval primitive of corpus curation: "find training docs about
+    * X", retrieval-based decontamination triage, targeted sampling.
+    *
+    * Scale shape: the (doc, term) aggregate filters to the query terms
+    * BEFORE grouping, so the corpus-wide token explode never shuffles
+    * rows for non-query terms (matched-docs-sized, not corpus-sized);
+    * doc lengths come from a semi-joined scan of only the matched docs;
+    * the one full-corpus pass is the (N, Σdl) single-row aggregate,
+    * broadcast; df is ≤ |terms| rows and broadcasts. Per-(doc,term)
+    * scores are 6dp-rounded then decimal-summed per doc, so the total is
+    * partition-order-independent and engine-exact (Qutil rules).
+    * Returns (idCol, score, n_terms). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.queries.Qutil
+    val tf = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = docs.join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol), tokenCount(col(textCol)).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      sum(tokenCount(col(textCol))).cast("double").as("__sumdl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val s = tf.join(dfT, "term").join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), Qutil.dround(
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + (lit(1d - b) + lit(b) * col("dl") / (col("__sumdl") / col("__n"))) * k1),
+        6).as("s"))
+    s.groupBy(col(idCol))
+      .agg(sum(col("s").cast(DecimalType(18, 8))).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** Corpus vocabulary: one row per distinct token with total occurrences
     * (tf) and document frequency (df). Two aggregates, both map-side
     * combining: (doc, term) counts, then term-grain rollup. */

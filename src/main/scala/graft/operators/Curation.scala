@@ -219,6 +219,34 @@ object Curation {
         (col("n_overlap").cast("double") / col("eval_ngrams")).as("containment"))
   }
 
+  /** Model-based quality scoring — the classifier-filter stage of an LLM
+    * data pipeline (the GPT-3/LLaMA-style "quality classifier" pass): a
+    * logistic model over cheap deterministic text features. INFERENCE
+    * only — the weights are config (a model trained offline); at 100 TB
+    * scoring is one codegen'd map pass riding the scan, no shuffle, and
+    * the keep-predicate pushes down like any filter.
+    *
+    * Features (each in [0,1], shared with the q18 stats oracle so the
+    * formulas cannot drift): saturating token count (len/100 capped),
+    * stopword ratio, punctuation ratio, saturating mean word length
+    * (mwl/10 capped). p = σ(w·x + bias) rounded to the 6dp grid, so the
+    * threshold comparison is engine-exact. Returns the input plus
+    * (p_quality, keep). */
+  def classifierQuality(docs: DataFrame, idCol: String, textCol: String,
+                        w: (Double, Double, Double, Double), bias: Double,
+                        stopwords: Seq[String], threshold: Double): DataFrame = {
+    import graft.queries.Qutil
+    val c = col(textCol)
+    val z = least(tokenCount(c).cast("double") / 100d, lit(1d)) * w._1 +
+      stopwordRatio(c, stopwords) * w._2 +
+      punctRatio(c) * w._3 +
+      least(meanWordLen(c) / 10d, lit(1d)) * w._4 +
+      bias
+    val p = Qutil.dround(lit(1d) / (lit(1d) + exp(-z)), 6)
+    docs.withColumn("p_quality", p)
+      .withColumn("keep", (col("p_quality") >= threshold).cast("int"))
+  }
+
   /** Rule-based quality filtering with per-doc diagnostics: `rules` are
     * (name, passes) predicates; output carries `keep` (all rules pass) and
     * `failed_rules` (comma-joined names of failed ones, declaration order) —

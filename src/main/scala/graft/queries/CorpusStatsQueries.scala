@@ -20,6 +20,9 @@ object CorpusStatsQueries {
   private val VocabMinDf = 2
   private val BpeTopK = 30
   private val BpeSteps = 6 // q91/q92 iterated-BPE merge rounds
+  private val BmTerms = Seq("spark", "query", "stream", "join") // q93
+  private val BmK1 = 1.2
+  private val BmB = 0.75
 
   /** Chained-CTE replay of `BpeSteps` BPE training rounds (q91/q92): each
     * round's argmax pair is a scalar subquery over the previous round's
@@ -479,5 +482,57 @@ object CorpusStatsQueries {
           "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // BM25 retrieval: top-20 docs for a bag of query terms. Constants are
+    // interpolated from the SAME Scala doubles the operator uses (k1+1 is
+    // 2.2000000000000002, not 2.2) with an e0 suffix so DuckDB parses
+    // DOUBLE, not DECIMAL — per-term scores 6dp-round then decimal-sum,
+    // so the per-doc total is order-independent in both engines.
+    Q.sql("q93_bm25_retrieval", {
+      val inList = BmTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+         |  WHERE term IN ($inList) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                 CAST(sum(len(ws)) AS DOUBLE) AS sumdl FROM w),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |s AS (
+         |  SELECT tf.doc_id,
+         |         floor((ln((stats.n - df.df + 5e-1) / (df.df + 5e-1) + 1e0)
+         |           * (CAST(tf.tf AS DOUBLE) * ${BmK1 + 1}e0)
+         |           / (CAST(tf.tf AS DOUBLE) + (${1 - BmB}e0 + ${BmB}e0 * dl.dl / (stats.sumdl / stats.n)) * ${BmK1}e0))
+         |           * 1e6 + 5e-1) / 1e6 AS s
+         |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score,
+         |         count(*) AS n_terms
+         |  FROM s GROUP BY 1),
+         |r AS (SELECT doc_id, score, n_terms,
+         |             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |      FROM agg)
+         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score,
+         |       CAST(n_terms AS BIGINT) AS n_terms
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val out = CorpusStats.bm25(Tables.documents(s, d), "doc_id", "text",
+        BmTerms, BmK1, BmB)
+      // TakeOrdered gets the 20 under a (score, id) total order; the rank
+      // window then runs over 20 rows, never the corpus
+      out.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("int"))
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+        .orderBy("rank")
     })
 }

@@ -43,6 +43,11 @@ object TextQueries {
     s"CASE ${branches.mkString(" ")} ELSE 'unknown' END"
   }
 
+  /** q94 classifier model (config: an offline-trained logistic model). */
+  private val QcW = (1.5, 2.0, -3.0, 1.0)
+  private val QcBias = -1.2
+  private val QcThreshold = 0.5
+
   val all: Seq[Q] = Seq(
 
     // Token counting, word-length, punctuation, stopword ratio, composite
@@ -133,6 +138,40 @@ object TextQueries {
           // align the driver hash on long (the q03 lesson)
           tokenCount(col("text")).cast("long").as("n_ws_tokens"),
           bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Model-based quality classifier (Curation.classifierQuality): logistic
+    // inference over the q18 feature formulas — weights interpolated from
+    // the same Scala doubles with an e0 suffix (DOUBLE, not DECIMAL, in
+    // DuckDB), feature terms summed in the same left-assoc order, sigmoid
+    // 6dp-rounded before thresholding so keep/drop is engine-exact.
+    Q.sql("q94_quality_classifier", {
+      val f1 = "least(CAST(len(ws) AS DOUBLE) / 100, 1e0)"
+      val f2 = s"""(CASE WHEN len(ws) = 0 THEN 0e0
+                  |  ELSE CAST(len(list_filter(ws, w -> list_contains($enSwList, w))) AS DOUBLE) / len(ws) END)""".stripMargin
+      val f3 = """(CASE WHEN length(text) = 0 THEN 0e0
+                 |  ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END)""".stripMargin
+      val f4 = """least((CASE WHEN len(ws) = 0 THEN 0e0
+                 |  ELSE CAST(list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS DOUBLE) / len(ws) END) / 10, 1e0)""".stripMargin
+      val (w1, w2, w3, w4) = QcW
+      s"""$wsCte,
+         |z AS (
+         |  SELECT doc_id,
+         |         $f1 * ${w1}e0
+         |         + $f2 * ${w2}e0
+         |         + $f3 * ${w3}e0
+         |         + $f4 * ${w4}e0
+         |         + ${QcBias}e0 AS z
+         |  FROM t),
+         |p AS (SELECT doc_id, floor((1e0 / (1e0 + exp(-z))) * 1e6 + 5e-1) / 1e6 AS p_quality FROM z)
+         |SELECT doc_id, p_quality,
+         |       CAST(CASE WHEN p_quality >= ${QcThreshold}e0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.operators.Curation.classifierQuality(Tables.documents(s, d),
+          "doc_id", "text", QcW, QcBias, enSw, QcThreshold)
+        .select(col("doc_id"), col("p_quality"), col("keep"))
         .orderBy("doc_id")
     })
 }
