@@ -219,6 +219,33 @@ object Curation {
         (col("n_overlap").cast("double") / col("eval_ngrams")).as("containment"))
   }
 
+  /** Content-defined chunking (CDC): a chunk boundary falls AFTER every
+    * token whose hash ≡ 0 (mod m) — a pure function of content, so
+    * boundaries downstream of an edit survive insertions/deletions,
+    * unlike fixed windows whose chunks all shift (CurationSpec pins
+    * this: prepend a token and every chunk after the first stays
+    * bit-identical). The rsync/FastCDC idea at token granularity;
+    * expected chunk length is m tokens. One doc-keyed window (per-doc
+    * sequential, docs independent — the scalable direction) and one
+    * (doc, chunk) aggregate; boundary decisions are per-token hashes, so
+    * identical chunks come out of any partitioning and any engine.
+    * Returns (idCol, chunk_id, chunk_text, n_tokens). */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           m: Int = 16): DataFrame = {
+    val tok = df.select(col(idCol), posexplode(words(col(textCol))))
+      .withColumnRenamed("col", "tok")
+    val b = when(pmod(md5Int(col("tok")), lit(m)) === 0, 1L).otherwise(0L)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.withColumn("chunk_id", coalesce(sum(b).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Model-based quality scoring — the classifier-filter stage of an LLM
     * data pipeline (the GPT-3/LLaMA-style "quality classifier" pass): a
     * logistic model over cheap deterministic text features. INFERENCE

@@ -23,6 +23,7 @@ object CurationQueries {
   private val ChunkStride = 30
   private val PackBudget = 512L
   private val PackBuckets = 8
+  private val CdcM = 16            // q95 CDC boundary modulus (≈ chunk len)
   private val MinTokens = 5L
   private val MaxPunct = 0.3
 
@@ -270,5 +271,28 @@ object CurationQueries {
           sortCols = Seq("h", "doc_id"))
         .select("doc_id", "pos")
         .orderBy("doc_id")
+    },
+
+    // Content-defined chunking: boundaries after tokens with hash ≡ 0
+    // (mod 16) — edit-resilient chunks (the CDC complement to q44's
+    // fixed windows). Window sum is BIGINT-cast in the oracle (the
+    // HUGEINT rule) and the per-token hash is the shared md5 prefix.
+    Q.sql("q95_cdc_chunks",
+      s"""WITH $wsCte,
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |mk AS (SELECT doc_id, pos, tok,
+         |              CASE WHEN ${md5IntSql("tok")} % $CdcM = 0 THEN 1 ELSE 0 END AS b
+         |       FROM tok),
+         |c AS (SELECT doc_id, pos, tok,
+         |             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+         |      FROM mk)
+         |SELECT doc_id, chunk_id,
+         |       string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+         |       count(*) AS n_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Curation.contentDefinedChunks(Tables.documents(s, d), "doc_id", "text", CdcM)
+        .orderBy("doc_id", "chunk_id")
     })
 }

@@ -152,4 +152,26 @@ class CurationSpec extends SparkSpec {
       .groupBy("split").count().as[(String, Long)].collect().toMap
     assert(c.values.sum == 2000L && c != a)
   }
+
+  test("contentDefinedChunks: boundaries survive a prepended edit; fixed windows shift") {
+    // 120 distinct tokens, m=4 → ~30 boundaries
+    val base = (1 to 120).map(i => s"tk$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    def chunks(id: Long) = Curation
+      .contentDefinedChunks(docs, "doc_id", "text", m = 4)
+      .where(col("doc_id") === id).orderBy("chunk_id")
+      .select("chunk_text").as[String].collect().toSeq
+    val (a, b) = (chunks(1L), chunks(2L))
+    // CDC: only the chunk containing the edit differs — every later chunk
+    // is bit-identical because boundaries are content-addressed. (If the
+    // inserted token is itself a boundary, it forms its own chunk.)
+    if (b.head == "inserted") assert(b.tail == a)
+    else { assert(b.head == "inserted " + a.head); assert(b.tail == a.tail) }
+    // the fixed-window formulation shifts EVERY chunk by construction
+    val fa = Curation.chunkDocuments(docs, "doc_id", "text", 10, 10)
+      .where(col("doc_id") === 1L).select("chunk_text").as[String].collect().toSet
+    val fb = Curation.chunkDocuments(docs, "doc_id", "text", 10, 10)
+      .where(col("doc_id") === 2L).select("chunk_text").as[String].collect().toSet
+    assert((fa intersect fb).size <= 1)
+  }
 }
