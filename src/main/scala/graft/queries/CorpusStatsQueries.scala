@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.words
 import graft.io.Tables
 import graft.operators.{CorpusStats, Dedup}
 import graft.queries.Qutil.dround
@@ -534,5 +535,43 @@ object CorpusStatsQueries {
             .cast("int"))
         .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
         .orderBy("rank")
+    },
+
+    // Top-3 terms per source, written as the PLAIN window row_number()≤k
+    // idiom with WindowTopKRewrite injected — the optimizer rule itself is
+    // oracle-checked end to end: the query plans onto the bounded-heap
+    // exec (PlanSpec asserts it) and must still hash-match the window
+    // formulation DuckDB runs. Order (cnt desc, term) is total per source.
+    Q.sql("q96_top_terms_per_source",
+      s"""WITH w AS (
+         |  SELECT source,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT source, term, count(*) AS cnt
+         |  FROM (SELECT source, unnest(ws) AS term FROM w)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT source, term, cnt,
+         |             row_number() OVER (PARTITION BY source
+         |                                ORDER BY cnt DESC, term) AS rn
+         |      FROM tf)
+         |SELECT source, term, cnt FROM r WHERE rn <= 3
+         |ORDER BY source, term""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.plans.{TopKPerGroupStrategy, WindowTopKRewrite}
+      if (!s.experimental.extraOptimizations.contains(WindowTopKRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ WindowTopKRewrite
+      if (!s.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ TopKPerGroupStrategy
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(words(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("term").asc)
+      tf.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("source", "term", "cnt") // rn dropped → the rewrite fires
+        .orderBy("source", "term")
     })
 }

@@ -20,6 +20,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("q96: the window row_number idiom plans onto the heap exec via the rewrite") {
+    val plan = SparkEntry.queries("q96_top_terms_per_source")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup ["), plan)   // rewrite fired
+    assert(!plan.contains("WindowGroupLimit"), plan) // native limiter subsumed
+  }
+
   test("parquet scan prunes columns and pushes predicates") {
     val df = graft.io.Tables.lineitem(spark, sf)
       .where($"l_quantity" > 30).select("l_orderkey", "l_quantity")
