@@ -378,6 +378,15 @@ object Dedup {
     * with a codegen'd higher-order function — the corpus token stream is
     * never exploded or shuffled, and untouched docs skip the filter
     * entirely. Returns (idCol, clean_text, n_dropped).
+    *
+    * Reconstruction cost bound: the per-token membership probe is a
+    * linear scan of the doc's covered-position array, so a single doc
+    * that is ~fully duplicated costs O(len²) with a tiny constant —
+    * bounded in practice by document length, not corpus size (docs at
+    * LLM scale are chunk-bounded). If a deployment carries megatoken
+    * docs with massive internal duplication, explode those docs' tokens
+    * and anti-join on (doc, pos) instead — same semantics, one extra
+    * shuffle of only the affected docs.
     */
   def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {

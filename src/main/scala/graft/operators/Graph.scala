@@ -71,4 +71,39 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact per-node triangle counts over undirected (src, dst) edges —
+    * the third classic distributed-graph operator next to PageRank and
+    * connected components (community density, spam/bot-graph signals).
+    *
+    * Degree-ordered orientation (the MapReduce-era Suri–Vassilvitskii
+    * scheme): every edge points from its (degree, id)-smaller endpoint to
+    * the larger, so each wedge (u→b, u→c) is generated exactly once at
+    * its LOWEST-degree corner and the whole enumeration is bounded by
+    * O(m^1.5) wedges regardless of skew — a hub of degree d generates no
+    * wedges at itself beyond its few higher-ordered neighbours, which is
+    * what makes the count feasible on a power-law 100 TB graph where the
+    * naive Σd² explodes. Both stages are equi-joins (wedge build on the
+    * corner key, closure probe on the (b, c) pair); counts are exact
+    * integers. Returns (node, triangles) for triangle members. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val o = sym
+      .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
+      .where(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src"), col("dst"), col("ddst"))
+      .persist() // consumed by both wedge sides and the closure probe
+    val wed = o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src"))
+      .where(col("o1.ddst") < col("o2.ddst") ||
+        (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst")))
+      .select(col("o1.src").as("u"), col("o1.dst").as("b"), col("o2.dst").as("c"))
+    val tri = wed.join(o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("u"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -15,6 +15,7 @@ object GraphQueries {
   private val Iters = 3
   private val Damping = 0.85
   private val Scale = 9
+  private val TriMaxSize = 15 // q97 co-purchase graph: parts with p_size ≤ 15
 
   /** floor-scale rounding at Scale decimals — Qutil.dround in SQL. */
   private def rnd(e: String): String =
@@ -67,5 +68,50 @@ object GraphQueries {
           concat(lit("c"), col("c").cast("string")).as("dst")))
       Graph.pageRank(edges, Iters, Damping, Scale)
         .orderBy("node")
+    },
+
+    // Exact per-part triangle counts over the co-purchase graph (parts of
+    // size ≤ 15 appearing in the same order), via degree-ordered edge
+    // orientation — each wedge enumerated once at its lowest-degree
+    // corner, O(m^1.5) total regardless of hub skew. Pure integer
+    // counting; the oracle runs the identical oriented joins.
+    Q.sql("q97_triangle_counts",
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a
+         |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |                 AND a.l_partkey < b.l_partkey
+         |  JOIN part pa ON pa.p_partkey = a.l_partkey AND pa.p_size <= $TriMaxSize
+         |  JOIN part pb ON pb.p_partkey = b.l_partkey AND pb.p_size <= $TriMaxSize),
+         |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+         |o AS (
+         |  SELECT s.src, s.dst, dd.deg AS ddst FROM sym s
+         |  JOIN deg ds ON ds.node = s.src
+         |  JOIN deg dd ON dd.node = s.dst
+         |  WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND s.src < s.dst)),
+         |wed AS (
+         |  SELECT o1.src AS u, o1.dst AS b, o2.dst AS c
+         |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |  WHERE o1.ddst < o2.ddst OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)),
+         |tri AS (SELECT u, b, c FROM wed JOIN o ON o.src = wed.b AND o.dst = wed.c),
+         |nn AS (SELECT u AS node FROM tri
+         |       UNION ALL SELECT b FROM tri
+         |       UNION ALL SELECT c FROM tri)
+         |SELECT node AS part_id, count(*) AS triangles
+         |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ok = Tables.part(s, d).where(col("p_size") <= TriMaxSize)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(ok, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.triangleCounts(e0)
+        .select(col("node").as("part_id"), col("triangles"))
+        .orderBy("part_id")
     })
 }

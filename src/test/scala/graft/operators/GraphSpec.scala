@@ -33,6 +33,22 @@ class GraphSpec extends SparkSpec {
     assert(p31 <= p11 * 2, s"plan grew with iterations: 11-iter=$p11 chars, 31-iter=$p31")
   }
 
+  test("triangleCounts: K4, square+diagonal, and triangle-free graphs") {
+    // K4: every node is in C(3,2)=3 triangles
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("src", "dst")
+    val t1 = Graph.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(t1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // square with one diagonal: two triangles sharing edge (1,3)
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val t2 = Graph.triangleCounts(sq).as[(Long, Long)].collect().toMap
+    assert(t2 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // plain square: no triangles → empty result
+    val sq0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(sq0).count() == 0)
+  }
+
   test("pageRank is partition-count invariant (decimal-grid determinism)") {
     val pairs = (0L until 60L).map(i => (s"c${i % 12}", s"s${i % 7}"))
     val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
