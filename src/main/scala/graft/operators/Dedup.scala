@@ -178,6 +178,44 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT set-similarity candidate pairs via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. WWW'07) — the zero-recall-loss complement to
+    * LSH banding: every pair with Jaccard ≥ tNum/tDen is guaranteed to be
+    * a candidate (no false negatives; the verify stage then drops false
+    * positives), where LSH trades recall for candidate count.
+    *
+    * Under one global token order (rarity-first: ascending document
+    * frequency, token text as tie-break), a doc of size s keeps only its
+    * first s − ⌈t·s⌉ + 1 tokens (its "prefix"); two docs with J ≥ t must
+    * share a token in BOTH prefixes — if their first common token in the
+    * global order sat past A's prefix, the whole intersection would fit
+    * in A's suffix of size ⌈t·s⌉ − 1 < t·s ≤ |A∩B|, a contradiction. The
+    * threshold is a rational (tNum/tDen) so prefix lengths are
+    * integer-exact in any engine. Candidate generation is an equi-join on
+    * prefix tokens — rarity-first ordering puts the LOWEST-df tokens in
+    * prefixes, which is both the selectivity trick (prefix tokens have
+    * small df, so the join fans out little) and the natural skew guard;
+    * the df and size aggregates are one shuffle each on token/doc keys. */
+  def prefixFilterPairs(sh: DataFrame, idCol: String,
+                        tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val dfT = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val sz = sh.groupBy(idCol).agg(count(lit(1)).as("__sz"))
+    val ranked = sh.join(dfT, "sh").join(sz, idCol)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("__df").asc, col("sh").asc)))
+      // prefix length = sz − ⌈t·sz⌉ + 1, all-integer arithmetic
+      .withColumn("__plen",
+        col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val prefix = ranked.where(col("__rn") <= col("__plen"))
+      .select(col(idCol), col("sh"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a < id_b, cos ≥ threshold).
     *
     * Exact mode (`lsh = None`) scores every pair — O(n²), the correctness

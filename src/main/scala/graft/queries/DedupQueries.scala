@@ -20,6 +20,8 @@ object DedupQueries {
                              // docs cluster; 8-bit blocks → ~10M candidates)
   private val MaxHamming = 2
   private val SubstrK = 8  // min duplicated-run length, in tokens (q90)
+  private val SimTNum = 1  // q98 similarity-join threshold t = 1/2
+  private val SimTDen = 2
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -252,6 +254,45 @@ object DedupQueries {
     }) { (s, d) =>
       Dedup.dedupSubstrings(Tables.documents(s, d), "doc_id", "text", SubstrK)
         .orderBy("doc_id")
+    },
+
+    // EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin):
+    // guaranteed-complete candidates (vs LSH's probabilistic recall), then
+    // the shared exact-Jaccard verify. Prefix arithmetic is integer-exact
+    // (t = 1/2 as a rational); the rarity-first global order makes prefix
+    // tokens the low-df ones, so the candidate equi-join stays selective.
+    Q.sql("q98_similarity_join",
+      s"""$shingleCte,
+         |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+         |szq AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |rk AS (
+         |  SELECT s.doc_id, s.sh, z.sz,
+         |         row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+         |  FROM sh s JOIN dfq d ON d.sh = s.sh JOIN szq z ON z.doc_id = s.doc_id),
+         |pf AS (SELECT doc_id, sh FROM rk
+         |       WHERE rn <= sz - ((sz * $SimTNum + ${SimTDen - 1}) // $SimTDen) + 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM pf x JOIN pf y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.id_a
+         |  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |       floor((CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter)) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM inter i
+         |JOIN szq sa ON sa.doc_id = i.id_a
+         |JOIN szq sb ON sb.doc_id = i.id_b
+         |WHERE CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text", ShingleN)
+        .persist()
+      val cand = Dedup.prefixFilterPairs(sh, "doc_id", SimTNum, SimTDen)
+      Dedup.jaccardForPairs(cand, sh, "doc_id")
+        .where(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), dround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
     },
 
     // Blocked fuzzy matching (ops.Fuzzy): edit-distance pairs within a

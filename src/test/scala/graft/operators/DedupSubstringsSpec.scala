@@ -35,6 +35,29 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(out(1) == ((2L, "lead trail", 6L)))
   }
 
+  test("prefixFilterPairs: complete vs all-pairs Jaccard, yet prunes candidates") {
+    import org.apache.spark.sql.functions._
+    // 30 docs over a 40-token vocab: doc i shares a sliding window with
+    // its neighbours → controlled mix of high/low-overlap pairs
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 3 + j) % 40}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text", 1).persist()
+    // ground truth: jaccard >= 1/2 over ALL pairs
+    val all = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    val want = Dedup.jaccardForPairs(all, sh, "doc_id")
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty) // the corpus actually has qualifying pairs
+    val cand = Dedup.prefixFilterPairs(sh, "doc_id", 1, 2).persist()
+    val got = Dedup.jaccardForPairs(cand, sh, "doc_id")
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)                       // zero false negatives
+    assert(cand.count() < all.count())        // and the prefix really prunes
+  }
+
   test("docs shorter than k, empty docs, and unique docs pass through") {
     val docs = Seq((1L, "one two three"), (2L, "   "), (3L, "x y"))
       .toDF("doc_id", "text")
