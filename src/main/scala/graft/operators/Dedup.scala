@@ -195,7 +195,14 @@ object Dedup {
     * prefix tokens — rarity-first ordering puts the LOWEST-df tokens in
     * prefixes, which is both the selectivity trick (prefix tokens have
     * small df, so the join fans out little) and the natural skew guard;
-    * the df and size aggregates are one shuffle each on token/doc keys. */
+    * the df and size aggregates are one shuffle each on token/doc keys.
+    * The join also carries the AllPairs SIZE filter: J ≥ t forces
+    * t·|A| ≤ |B| (the intersection fits in B yet must be ≥ t·|A|), so
+    * mismatched-size pairs are dropped inline before the distinct —
+    * provably semantics-free (q98's oracle generates candidates WITHOUT
+    * it and still hash-matches), measured 1.3× fewer candidates and
+    * ~25% lower wall at sf0.1 on this corpus (uniform doc sizes; wilder
+    * size distributions prune much harder). */
   def prefixFilterPairs(sh: DataFrame, idCol: String,
                         tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
@@ -209,9 +216,11 @@ object Dedup {
       .withColumn("__plen",
         col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
     val prefix = ranked.where(col("__rn") <= col("__plen"))
-      .select(col(idCol), col("sh"))
+      .select(col(idCol), col("sh"), col("__sz"))
     prefix.as("x").join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol"))
+        col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol") &&
+          col("y.__sz") * tDen >= col("x.__sz") * tNum &&
+          col("x.__sz") * tDen >= col("y.__sz") * tNum)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
   }

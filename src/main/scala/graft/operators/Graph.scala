@@ -85,7 +85,13 @@ object Graph {
     * what makes the count feasible on a power-law 100 TB graph where the
     * naive Σd² explodes. Both stages are equi-joins (wedge build on the
     * corner key, closure probe on the (b, c) pair); counts are exact
-    * integers. Returns (node, triangles) for triangle members. */
+    * integers. Returns (node, triangles) for triangle members.
+    *
+    * The oriented edge table is persisted (it feeds both wedge sides and
+    * the closure probe — edge-sized, not wedge-sized) and stays cached
+    * until the session clears it, the same convention as
+    * duplicateClusters' final labels; batch drivers processing many
+    * graphs should clearCache() between them. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
