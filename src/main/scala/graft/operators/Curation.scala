@@ -219,6 +219,30 @@ object Curation {
         (col("n_overlap").cast("double") / col("eval_ngrams")).as("containment"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, IPL'06):
+    * each row draws key = −ln(u)/w from its deterministic uniform
+    * u = (md5(salt:id)+1)/2³² and the k SMALLEST keys win — one pass, no
+    * sequential state, exactly k rows, inclusion probability increasing
+    * in weight. The deterministic-u trick makes the sample a pure
+    * function of (id, salt) like [[deterministicSample]]: re-runs,
+    * retries and any partitioning draw the SAME sample, and the oracle
+    * replays it. Keys are 6dp-rounded with an id tie-break so the
+    * selection boundary is engine-exact (the q48 ln discipline: a last-
+    * ulp libm divergence cannot cross a 1e-6 grid step). Top-k is
+    * TakeOrdered — per-partition heads + a k-row driver merge, never a
+    * global sort. Rows with non-positive weight are excluded. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     salt: String = "wsample"): DataFrame = {
+    import graft.queries.Qutil
+    val u = (md5Int(concat(lit(salt), lit(":"), col(idCol).cast("string"))) + 1)
+      .cast("double") / lit(4294967296.0)
+    val key = Qutil.dround(-log(u) / col(weightCol).cast("double"), 6)
+    df.where(col(weightCol) > 0)
+      .withColumn("__k", key)
+      .orderBy(col("__k").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Content-defined chunking (CDC): a chunk boundary falls AFTER every
     * token whose hash ≡ 0 (mod m) — a pure function of content, so
     * boundaries downstream of an edit survive insertions/deletions,

@@ -24,6 +24,7 @@ object CurationQueries {
   private val PackBudget = 512L
   private val PackBuckets = 8
   private val CdcM = 16            // q95 CDC boundary modulus (≈ chunk len)
+  private val WsK = 100            // q99 weighted-sample size
   private val MinTokens = 5L
   private val MaxPunct = 0.3
 
@@ -294,5 +295,23 @@ object CurationQueries {
          |FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       Curation.contentDefinedChunks(Tables.documents(s, d), "doc_id", "text", CdcM)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis keys from
+    // deterministic uniforms): the data-mixing primitive. The oracle
+    // replays the key formula and the (key, id) top-k boundary exactly.
+    Q.sql("q99_weighted_sample",
+      s"""WITH k AS (
+         |  SELECT doc_id, n_chars,
+         |         floor(((- ln(CAST(${md5IntSql("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) / 4294967296e0))
+         |                / CAST(n_chars AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS key
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT doc_id, n_chars, key,
+         |             row_number() OVER (ORDER BY key, doc_id) AS rn FROM k)
+         |SELECT doc_id, n_chars, key FROM r WHERE rn <= $WsK
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Curation.weightedSample(Tables.documents(s, d), "doc_id", "n_chars", WsK)
+        .select(col("doc_id"), col("n_chars"), col("__k").as("key"))
+        .orderBy("doc_id")
     })
 }

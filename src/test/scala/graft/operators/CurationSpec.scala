@@ -153,6 +153,21 @@ class CurationSpec extends SparkSpec {
     assert(c.values.sum == 2000L && c != a)
   }
 
+  test("weightedSample: deterministic, exactly k, biased toward heavy rows") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 100) 100.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Curation.weightedSample(df, "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    val s2 = Curation.weightedSample(df.repartition(7), "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 50) // pure function of (id, salt), exactly k
+    // 10% of rows carry 100× weight — they should dominate the sample
+    assert(s1.count(_ <= 100) > 25)
+    val s3 = Curation.weightedSample(df, "id", "w", 50, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(s3 != s1) // an independent draw
+  }
+
   test("contentDefinedChunks: boundaries survive a prepended edit; fixed windows shift") {
     // 120 distinct tokens, m=4 → ~30 boundaries
     val base = (1 to 120).map(i => s"tk$i").mkString(" ")
