@@ -25,6 +25,11 @@ object CurationQueries {
   private val PackBuckets = 8
   private val CdcM = 16            // q95 CDC boundary modulus (≈ chunk len)
   private val WsK = 100            // q99 weighted-sample size
+  // q100 pipeline model/config (the q94 classifier values + 50% sample)
+  private val PipeW = (1.5, 2.0, -3.0, 1.0)
+  private val PipeBias = -1.2
+  private val PipeThr = 0.5
+  private val PipeRate = 0.5
   private val MinTokens = 5L
   private val MaxPunct = 0.3
 
@@ -312,6 +317,66 @@ object CurationQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Curation.weightedSample(Tables.documents(s, d), "doc_id", "n_chars", WsK)
         .select(col("doc_id"), col("n_chars"), col("__k").as("key"))
+        .orderBy("doc_id")
+    },
+
+    // q100 — the END-TO-END curation pipeline, four stages composed in one
+    // query: logistic quality classifier → exact fingerprint dedup (keep
+    // min id) → benchmark decontamination (drop any survivor sharing a
+    // 5-gram with an eval doc) → deterministic 50% sample. Every stage is
+    // an operator already oracle-checked in isolation (q94/q20/q42/q43);
+    // this query proves they COMPOSE — the oracle chains the four
+    // formulas and the final survivor set must hash-match end to end.
+    Q.sql("q100_curation_pipeline", {
+      val (w1, w2, w3, w4) = PipeW
+      val f1 = "least(CAST(len(ws) AS DOUBLE) / 100, 1e0)"
+      val f2 = s"(CASE WHEN len(ws) = 0 THEN 0e0 ELSE CAST(len(list_filter(ws, x -> list_contains(${TextQueries.enSwList}, x))) AS DOUBLE) / len(ws) END)"
+      val f3 = """(CASE WHEN length(text) = 0 THEN 0e0 ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END)"""
+      val f4 = "least((CASE WHEN len(ws) = 0 THEN 0e0 ELSE CAST(list_reduce(list_transform(ws, x -> length(x)), (a, b) -> a + b) AS DOUBLE) / len(ws) END) / 10, 1e0)"
+      s"""WITH $wsCte,
+         |p AS (
+         |  SELECT doc_id, text, ws,
+         |         floor((1e0 / (1e0 + exp(-($f1 * ${w1}e0 + $f2 * ${w2}e0 + $f3 * ${w3}e0 + $f4 * ${w4}e0 + ${PipeBias}e0)))) * 1e6 + 5e-1) / 1e6 AS p_quality
+         |  FROM w),
+         |kept AS (SELECT * FROM p WHERE p_quality >= ${PipeThr}e0),
+         |dd AS (
+         |  SELECT doc_id, ws, p_quality,
+         |         row_number() OVER (
+         |           PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')))
+         |           ORDER BY doc_id) AS rn
+         |  FROM kept),
+         |tr AS (SELECT doc_id, ws, p_quality FROM dd
+         |       WHERE rn = 1 AND doc_id % $EvalMod <> 0),
+         |evsh AS (
+         |  SELECT DISTINCT ${md5IntSql(s"array_to_string(ws[i:i+${ContamN - 1}], ' ')")} AS h
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - ${ContamN - 1})) AS i
+         |        FROM w WHERE doc_id % $EvalMod = 0)),
+         |trsh AS (
+         |  SELECT DISTINCT doc_id, ${md5IntSql(s"array_to_string(ws[i:i+${ContamN - 1}], ' ')")} AS h
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${ContamN - 1})) AS i
+         |        FROM tr)),
+         |bad AS (SELECT DISTINCT t.doc_id FROM trsh t JOIN evsh e USING (h)),
+         |clean AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |samp AS (SELECT * FROM clean
+         |         WHERE ${md5IntSql("'pipeline:' || CAST(doc_id AS VARCHAR)")} % 1000000 < ${(PipeRate * 1e6).toLong})
+         |SELECT doc_id, p_quality, CAST(len(ws) AS BIGINT) AS n_tokens
+         |FROM samp ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = Curation.classifierQuality(docs, "doc_id", "text",
+        PipeW, PipeBias, TextFunctions.langStopwords.head._2, PipeThr)
+      val kept = scored.where(col("keep") === 1)
+      val deduped = graft.ops.Windows.keepBest(
+        kept.withColumn("__fp", fingerprint(col("text"))),
+        Seq("__fp"), Seq(col("doc_id").asc)).drop("__fp")
+      val train = deduped.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      val evalDocs = docs.where(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      val bad = Curation.ngramContamination(train, evalDocs, "doc_id", "text", ContamN)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = train.join(bad, Seq("doc_id"), "left_anti")
+      Curation.deterministicSample(clean, "doc_id", PipeRate, "pipeline")
+        .select(col("doc_id"), col("p_quality"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     })
 }
