@@ -196,13 +196,20 @@ object Dedup {
     * prefixes, which is both the selectivity trick (prefix tokens have
     * small df, so the join fans out little) and the natural skew guard;
     * the df and size aggregates are one shuffle each on token/doc keys.
-    * The join also carries the AllPairs SIZE filter: J ≥ t forces
-    * t·|A| ≤ |B| (the intersection fits in B yet must be ≥ t·|A|), so
-    * mismatched-size pairs are dropped inline before the distinct —
-    * provably semantics-free (q98's oracle generates candidates WITHOUT
-    * it and still hash-matches), measured 1.3× fewer candidates and
-    * ~25% lower wall at sf0.1 on this corpus (uniform doc sizes; wilder
-    * size distributions prune much harder). */
+    * The join also carries two inline candidate prunes, both
+    * integer-exact and provably free of false negatives (q98's oracle
+    * generates candidates WITHOUT them and still hash-matches):
+    *  - SIZE filter: J ≥ t forces t·|A| ≤ |B| (the intersection fits in
+    *    B yet must be ≥ t·|A|);
+    *  - POSITIONAL filter (PPJoin): for the pair's FIRST common token in
+    *    the global order, overlap ≤ 1 + min(|A|−pos_A, |B|−pos_B), which
+    *    must reach the J ≥ t minimum α = ⌈t(|A|+|B|)/(1+t)⌉. Applied to
+    *    every matched occurrence with any-pass semantics — the first
+    *    common occurrence is always among the matches (the prefix
+    *    theorem), its bound is valid, and later occurrences can only ADD
+    *    candidates, never drop a qualifying pair.
+    * Measured together at sf0.1: 3.3× fewer candidates (409k → 125k)
+    * before the distinct, roughly halving the verify stage. */
   def prefixFilterPairs(sh: DataFrame, idCol: String,
                         tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
@@ -216,11 +223,14 @@ object Dedup {
       .withColumn("__plen",
         col("__sz") - expr(s"(__sz * $tNum + ${tDen - 1}) div $tDen") + 1)
     val prefix = ranked.where(col("__rn") <= col("__plen"))
-      .select(col(idCol), col("sh"), col("__sz"))
+      .select(col(idCol), col("sh"), col("__sz"), col("__rn"))
+    // positional bound vs α = ⌈tNum·(a+b) / (tNum+tDen)⌉, all integers
     prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col(s"x.$idCol") < col(s"y.$idCol") &&
           col("y.__sz") * tDen >= col("x.__sz") * tNum &&
-          col("x.__sz") * tDen >= col("y.__sz") * tNum)
+          col("x.__sz") * tDen >= col("y.__sz") * tNum &&
+          lit(1) + least(col("x.__sz") - col("x.__rn"), col("y.__sz") - col("y.__rn")) >=
+            expr(s"((x.__sz + y.__sz) * $tNum + ${tNum + tDen - 1}) div ${tNum + tDen}"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
   }
