@@ -63,9 +63,12 @@ object CorpusStats {
     * table (freq-weighted) into one pair-grain hash aggregate, and the
     * only driver traffic per round is the single argmax row
     * (TakeOrdered, (count desc, a, b) total order — deterministic), the
-    * same config-sized-model contract as k-means centroids. The merged
-    * vocab is re-persisted per round and the previous round released;
-    * plan growth is one row-local fold per round (linear, not
+    * same config-sized-model contract as k-means centroids. Exactly ONE
+    * action runs per round — the argmax both learns the pair and
+    * materializes the current vocab's cache, so the PREVIOUS generation
+    * (no longer anyone's lineage parent) is released at the top of the
+    * next round instead of paying a dedicated count() materialization
+    * pass; plan growth is one row-local fold per round (linear, not
     * multiplicative — no lineage rebase needed at tokenizer-scale R). */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                steps: Int): Seq[(Int, String, String, Long)] = {
@@ -75,7 +78,7 @@ object CorpusStats {
         transform(sequence(lit(1), length(col("word"))),
           i => col("word").substr(i, lit(1))))
       .persist()
-    vocab.count(): Unit
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -90,18 +93,20 @@ object CorpusStats {
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
+      // the collect materialized `vocab`; its parent is now lineage-dead
+      prev.foreach(_.unpersist())
       if (top.isEmpty) done = true
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, cnt))
         val next = vocab.withColumn("syms", bpeMergePair(col("syms"), a, b)).persist()
-        next.count(): Unit
-        vocab.unpersist()
+        prev = Some(vocab)
         vocab = next
         r += 1
       }
     }
     vocab.unpersist()
+    prev.foreach(_.unpersist())
     merges.result()
   }
 
