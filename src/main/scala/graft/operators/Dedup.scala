@@ -445,22 +445,25 @@ object Dedup {
     * and anti-join on (doc, pos) instead — same semantics, one extra
     * shuffle of only the affected docs.
     */
-  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int): DataFrame = {
-    require(k >= 2, "k must be ≥ 2")
-    val ws = docs.select(col(idCol), words(col(textCol)).as("__ws"))
-    val spans = ws
-      .select(col(idCol), col("__ws"),
+  private def wsTable(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol), words(col(textCol)).as("__ws"))
+
+  /** (id, pos, h): every k-token window's 1-based start and md5 — the
+    * shared grain of the substring-dedup family. Hash-sized rows. */
+  private def spanTable(ws: DataFrame, idCol: String, k: Int): DataFrame =
+    ws.select(col(idCol), col("__ws"),
         explode(when(size(col("__ws")) >= k,
             sequence(lit(1), size(col("__ws")) - (k - 1)))
           .otherwise(array().cast("array<int>"))).as("pos"))
       .select(col(idCol), col("pos"),
         md5(concat_ws(" ", slice(col("__ws"), col("pos"), lit(k)))
           .cast("binary")).as("h"))
-    val first = spans.groupBy("h")
-      .agg(min(struct(col(idCol), col("pos"))).as("f"))
-    val dup = spans.join(first, "h")
-      .where(col(s"f.$idCol") =!= col(idCol) || col("f.pos") =!= col("pos"))
+
+  /** Trim docs by removing their covered positions: dup spans explode
+    * into per-doc covered-position sets and the bound token arrays are
+    * filtered by index (see dedupSubstrings scaladoc for the bound). */
+  private def trimCovered(ws: DataFrame, dup: DataFrame, idCol: String,
+                          k: Int): DataFrame = {
     val cov = dup
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
       .groupBy(idCol).agg(collect_set(col("cp")).as("__cov"))
@@ -471,6 +474,56 @@ object Dedup {
             filter(col("__ws"), (_, i) => !array_contains(col("__cov"), i + 1))))
           .as("clean_text"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_dropped"))
+  }
+
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    require(k >= 2, "k must be ≥ 2")
+    val ws = wsTable(docs, idCol, textCol)
+    val spans = spanTable(ws, idCol, k)
+    val first = spans.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val dup = spans.join(first, "h")
+      .where(col(s"f.$idCol") =!= col(idCol) || col("f.pos") =!= col("pos"))
+    trimCovered(ws, dup, idCol, k)
+  }
+
+  /** Span index for INCREMENTAL substring dedup: every span hash of the
+    * corpus so far. One hash-grain aggregate; at 100 TB of history this
+    * is the same compact-index contract as `dedupeAgainstIndex` — hashes
+    * only, never text. */
+  def substringSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    spanTable(wsTable(docs, idCol, textCol), idCol, k).select("h").distinct()
+
+  /** Incremental substring dedup — the daily-ingest form of
+    * [[dedupSubstrings]]: trim a NEW batch against the historical span
+    * index plus itself. A batch span whose hash exists in the index is
+    * covered outright (the historical occurrence precedes the batch by
+    * construction); within the index-novel remainder the batch's own
+    * lexicographic-first occurrence survives, exactly q90's rule. When
+    * history ids precede batch ids, the trimmed batch is BIT-IDENTICAL
+    * to running the full-corpus pass and keeping the batch slice
+    * (DedupSubstringsSpec pins the equivalence); the batch's novel
+    * hashes are the index delta to append. Shuffles: one anti/semi pair
+    * on span hashes (batch-sized) + q90's aggregates over the batch
+    * only — history never rescans. */
+  def dedupSubstringsIncremental(newDocs: DataFrame, idCol: String,
+                                 textCol: String, k: Int,
+                                 index: DataFrame): DataFrame = {
+    require(k >= 2, "k must be ≥ 2")
+    val ws = wsTable(newDocs, idCol, textCol)
+    val spans = spanTable(ws, idCol, k).persist()
+    val idx = index.select("h")
+    val inIndex = spans.join(idx, Seq("h"), "left_semi")
+    val novel = spans.join(idx, Seq("h"), "left_anti")
+    val firstNovel = novel.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val novelDup = novel.join(firstNovel, "h")
+      .where(col(s"f.$idCol") =!= col(idCol) || col("f.pos") =!= col("pos"))
+    val dup = inIndex.select(col(idCol), col("pos"))
+      .union(novelDup.select(col(idCol), col("pos")))
+    trimCovered(ws, dup, idCol, k)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

@@ -256,6 +256,58 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Incremental substring dedup: the daily-ingest form of q90 — batch
+    // docs (doc_id % 3 = 0) trimmed against the historical span index
+    // (hash membership = covered; index-novel spans keep their batch-first
+    // occurrence). History never rescans; the oracle replays both rules.
+    Q.sql("q101_substring_dedup_incremental", {
+      val K = SubstrK
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+${K - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${K - 1})) AS i FROM w)),
+         |hist AS (SELECT DISTINCT h FROM sp WHERE doc_id % 3 <> 0),
+         |bsp AS (SELECT doc_id, pos, h FROM sp WHERE doc_id % 3 = 0),
+         |covidx AS (SELECT doc_id, pos FROM bsp WHERE h IN (SELECT h FROM hist)),
+         |novel AS (SELECT doc_id, pos, h FROM bsp WHERE h NOT IN (SELECT h FROM hist)),
+         |noveldup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    FROM novel) WHERE rn > 1),
+         |dup AS (SELECT * FROM covidx UNION ALL SELECT * FROM noveldup),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + ${K - 1})) AS cp FROM dup),
+         |covagg AS (SELECT doc_id, count(*) AS n_dropped FROM cov GROUP BY doc_id),
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |              FROM w WHERE doc_id % 3 = 0)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |rec AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id AS doc_id,
+         |       coalesce(r.clean_text, '') AS clean_text,
+         |       CAST(coalesce(ca.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM (SELECT doc_id FROM w WHERE doc_id % 3 = 0) b
+         |LEFT JOIN rec r ON r.doc_id = b.doc_id
+         |LEFT JOIN covagg ca ON ca.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val index = Dedup.substringSpanIndex(hist, "doc_id", "text", SubstrK)
+      Dedup.dedupSubstringsIncremental(batch, "doc_id", "text", SubstrK, index)
+        .orderBy("doc_id")
+    },
+
     // EXACT set-similarity self-join via prefix filtering (AllPairs/PPJoin):
     // guaranteed-complete candidates (vs LSH's probabilistic recall), then
     // the shared exact-Jaccard verify. Prefix arithmetic is integer-exact

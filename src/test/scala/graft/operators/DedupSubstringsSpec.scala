@@ -58,6 +58,30 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(cand.count() < all.count())        // and the prefix really prunes
   }
 
+  test("incremental ≡ full-corpus pass on the batch slice (history ids precede)") {
+    import org.apache.spark.sql.functions._
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "pre alpha beta gamma delta epsilon zeta post"), // repeats history
+      (11L, "fresh content aa bb cc dd ee ff gg hh"),        // novel
+      (12L, "fresh content aa bb cc dd ee ff gg hh tail"))   // repeats 11 (in-batch)
+      .toDF("doc_id", "text")
+    val k = 6
+    val full = Dedup.dedupSubstrings(hist.union(batch), "doc_id", "text", k)
+      .where(col("doc_id") >= 10L)
+      .as[(Long, String, Long)].collect().toSet
+    val inc = Dedup.dedupSubstringsIncremental(batch, "doc_id", "text", k,
+        Dedup.substringSpanIndex(hist, "doc_id", "text", k))
+      .as[(Long, String, Long)].collect().toSet
+    assert(inc == full)                       // bit-identical on the batch
+    assert(inc.exists { case (id, _, n) => id == 10L && n > 0 }) // history hit
+    assert(inc.exists { case (id, _, n) => id == 12L && n > 0 }) // in-batch dup
+    assert(inc.exists { case (id, _, n) => id == 11L && n == 0 }) // first wins
+  }
+
   test("docs shorter than k, empty docs, and unique docs pass through") {
     val docs = Seq((1L, "one two three"), (2L, "   "), (3L, "x y"))
       .toDF("doc_id", "text")
