@@ -222,4 +222,36 @@ class StreamingSpec extends SparkSpec {
       .select("event_type", "n", "total_value").as[(String, Long, Double)].head()
     assert(r == (("click", 2L, 3.0)))
   }
+
+  test("streaming substring dedup: span index accumulates across microbatches via foreachBatch") {
+    import graft.operators.Dedup
+    implicit val sql = spark.sqlContext
+    val k = 6
+    // foreachBatch state: the span index so far + trimmed outputs — the
+    // streaming form of q101, same operators, index grows by each batch's
+    // novel hashes (exactly the batch-ingest contract)
+    var index = Seq.empty[String].toDF("h")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val trimmed = Dedup.dedupSubstringsIncremental(
+          batch, "doc_id", "text", k, index)
+        out ++= trimmed.as[(Long, String, Long)].collect()
+        index = index.union(
+          Dedup.substringSpanIndex(batch, "doc_id", "text", k)).distinct()
+          .persist()
+        ()
+      }.start()
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon zeta end"))
+      q.processAllAvailable()
+      // batch 2 repeats batch 1's 6-token run — trimmed via the index
+      in.addData((2L, "pre alpha beta gamma delta epsilon zeta post"))
+      q.processAllAvailable()
+      val byId = out.toSeq.groupBy(_._1).view.mapValues(_.head).toMap
+      assert(byId(1L)._3 == 0L) // first sight: untouched
+      assert(byId(2L)._2 == "pre post" && byId(2L)._3 == 6L) // cross-batch trim
+    } finally q.stop()
+  }
 }
