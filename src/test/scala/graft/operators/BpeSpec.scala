@@ -55,6 +55,27 @@ class BpeSpec extends SparkSpec {
     assert(enc.where(col("n_tokens") =!= size(col("tokens"))).count() == 0)
   }
 
+  test("bpeMergePair ≡ reference greedy fold on 200 seeded random symbol arrays") {
+    val rnd = new scala.util.Random(42)
+    // alphabet includes the merged symbol "ab" itself — the adversarial
+    // cases where a fold could wrongly re-merge or miss a boundary
+    val alphabet = Vector("a", "b", "ab", "c")
+    val cases = (0 until 200).map { i =>
+      i -> Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(4)))
+    }
+    def ref(syms: Seq[String]): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == "a" && x == "b") acc.init :+ (acc.last + x)
+        else acc :+ x
+      }
+    val got = cases.toDF("i", "syms")
+      .select(col("i"), CorpusStats.bpeMergePair(col("syms"), "a", "b").as("m"))
+      .as[(Int, Seq[String])].collect().toMap
+    cases.foreach { case (i, s) =>
+      assert(got(i) == ref(s), s"case $i: input $s")
+    }
+  }
+
   test("encode is row-parallel and map-only: no Exchange in the plan") {
     val docs = Seq((1L, "low lower"), (2L, "newest low")).toDF("doc_id", "text")
     val enc = CorpusStats.bpeEncode(docs, "doc_id", "text",

@@ -82,6 +82,35 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(inc.exists { case (id, _, n) => id == 11L && n == 0 }) // first wins
   }
 
+  test("dedupSubstrings ≡ driver-side reference on a seeded random corpus") {
+    val rnd = new scala.util.Random(7)
+    val k = 4
+    // tiny vocab forces plenty of genuine duplicated k-runs
+    val docs = (0L until 60L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(20))(s"t${rnd.nextInt(6)}").mkString(" ")
+    }
+    // reference: global first occurrence per span under (doc, pos), then
+    // covered-position union, then token filter — independent recompute
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val firstOcc = scala.collection.mutable.Map.empty[Seq[String], (Long, Int)]
+    for ((id, ws) <- toks.toSeq.sortBy(_._1); p <- 0 to ws.length - k)
+      firstOcc.getOrElseUpdate(ws.slice(p, p + k), (id, p))
+    val want = toks.map { case (id, ws) =>
+      val covered = (for {
+        p <- 0 to ws.length - k
+        if firstOcc(ws.slice(p, p + k)) != ((id, p))
+        c <- p until p + k
+      } yield c).toSet
+      val keptToks = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      (id, keptToks.mkString(" "), covered.size.toLong)
+    }.toSet
+    val got = Dedup.dedupSubstrings(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 0)) // the corpus really exercises removal
+  }
+
   test("docs shorter than k, empty docs, and unique docs pass through") {
     val docs = Seq((1L, "one two three"), (2L, "   "), (3L, "x y"))
       .toDF("doc_id", "text")
