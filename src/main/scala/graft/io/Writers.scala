@@ -31,6 +31,28 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop-and-replace a bucketed managed table. `writeBucketed` alone is
+    * not re-runnable across JVMs: the in-memory catalog forgets tables at
+    * session end but their warehouse directories persist, and a CREATE
+    * over a stale non-empty location fails. This cleans both (catalog
+    * entry + warehouse dir) before writing — the idempotent form every
+    * recurring index-refresh job needs. */
+  def replaceBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                           numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val whDir = if (wh.getScheme == "file") new java.io.File(wh).getPath
+                else wh.getPath match { case null => wh.toString; case p => p }
+    val loc = new java.io.File(whDir, table)
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(): Unit
+    }
+    rmRec(loc)
+    writeBucketed(df, table, bucketCol, numBuckets)
+  }
+
   /** K2 — single-file debug CSV (ADAPTERS/SILVER-adapter-wyscout.py:505-511).
     * coalesce(1) is for debug output only — never on the main path. */
   def debugCsv(df: DataFrame, path: String): Unit =

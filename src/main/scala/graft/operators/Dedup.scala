@@ -80,30 +80,57 @@ object Dedup {
     * Recall degrades gracefully: docs in a dropped bucket can still pair
     * through their other bands, and a bucket of thousands of docs is
     * boilerplate by construction, not near-duplication worth reporting.
-    * The bucket-size aggregate runs on the already-persisted band table and
-    * the hot set is usually tiny (it is the skew tail) — but its size is
-    * data-dependent, so the anti-join's broadcast hint is count-gated on the
-    * measured bucket count rather than assumed: past the gate the join is
-    * left un-hinted and AQE still converts to broadcast when the runtime
-    * size allows (same discipline as jaccardForPairs / dedupCorpus). */
-  private val HotSetBroadcastMaxBuckets = 100000L
+    *
+    * ZERO-JOB gate: building this plan runs no Spark job (the round-5
+    * count-gate cost two synchronous driver actions per dedup call —
+    * round-trips that serialize on a shared 100-node cluster's driver).
+    * The broadcast decision the count made at plan time is instead left to
+    * AQE at runtime, from measured sizes: the anti-join's hot side is
+    * un-hinted, AQE converts it to broadcast whenever it measures small
+    * (the skew tail's normal case), and an adversarial bucket-count blowup
+    * degrades to a shuffled key join instead of an OOM'd broadcast — the
+    * same discipline as jaccardForPairs / dedupCorpus. The drop stays
+    * observable without an action: `observe()` metrics ride the hot frame
+    * and a QueryExecutionListener logs dropped-bucket stats when the
+    * consuming query completes (OperatorsSpec asserts plan construction
+    * schedules no job and the cap semantics are unchanged). */
+  private val capObsId = new java.util.concurrent.atomic.AtomicLong()
   private def capHotBuckets(all: DataFrame, keys: Seq[String], cap: Int,
                             what: String): DataFrame = {
     val hot = all.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
-      .persist()
-    val stats = hot.agg(count(lit(1)).as("b"), sum("__n").as("rows")).head()
-    if (stats.getLong(0) > 0)
-      log.warn(s"$what: dropping ${stats.getLong(0)} hot buckets covering " +
-        s"${stats.getLong(1)} band rows (cap=$cap)")
-    val hotKeys = hot.select(keys.map(col): _*)
-    val hinted =
-      if (stats.getLong(0) <= HotSetBroadcastMaxBuckets) broadcast(hotKeys)
-      else hotKeys
-    val kept = all.join(hinted, keys, "left_anti")
-    hot.unpersist()
-    kept
+    // unique per call: two capped joins in one query tree must not collide
+    val obsName = s"capHotBuckets:$what:cap=$cap:${capObsId.incrementAndGet()}"
+    val observed = hot.observe(obsName, count(lit(1)).as("b"), sum("__n").as("rows"))
+    registerCapObservationLogger(all.sparkSession)
+    all.join(observed.select(keys.map(col): _*), keys, "left_anti")
   }
+
+  /** Logs capHotBuckets drop stats from observed metrics, once per session. */
+  private val capLoggerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private def registerCapObservationLogger(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    capLoggerSessions.synchronized {
+      if (!capLoggerSessions.containsKey(spark)) {
+        capLoggerSessions.put(spark, java.lang.Boolean.TRUE)
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("capHotBuckets:") && !row.isNullAt(0) &&
+                  row.getLong(0) > 0)
+                log.warn(s"${name.split(':')(1)}: dropped ${row.getLong(0)} " +
+                  s"hot buckets covering ${row.getLong(1)} band rows " +
+                  s"(${name.split(':')(2)})")
+            }
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+      }
+    }
 
   /** LSH banding: k minhashes split into `bands` bands of k/bands rows; a
     * candidate pair is any two docs sharing one full band signature.
@@ -414,6 +441,25 @@ object Dedup {
     Windows.keepBest(novel, Seq("fp"), Seq(col(idCol).asc))
   }
 
+  /** Storage half of the incremental-dedup contract: persist an index
+    * (fingerprints `fp`, span hashes `h`) as a managed table BUCKETED on
+    * its key column. Every daily `dedupeAgainstIndex` /
+    * `dedupSubstringsIncremental` anti/semi-join — and the `distinct()`
+    * inside them — then reads the index already hash-clustered on the key,
+    * so the history side of the join runs with NO Exchange and NO re-sort
+    * of history per ingest: only the day's batch shuffles (into the
+    * bucket count's partitioning). At 100 TB of history this is the
+    * difference between re-shuffling the whole index every day and
+    * shuffling only the ingest; BucketedIndexSpec pins the no-Exchange
+    * plan, q102/q103 run the green end-to-end path. Bucket count is the
+    * deployment's lever: size it so one bucket ≈ one scan-efficient file
+    * (history-cardinality × key-width / 128 MB), not the test-scale 8.
+    * Replace (not append) semantics — the daily refresh writes
+    * index ∪ batch-novel keys back (see `replaceBucketedTable`). */
+  def writeIndexBucketed(index: DataFrame, table: String, keyCol: String,
+                         numBuckets: Int): Unit =
+    graft.io.Writers.replaceBucketedTable(index, table, keyCol, numBuckets)
+
   /** Substring-level exact dedup — repeated-sequence removal (Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better"):
     * every duplicated run of ≥ k consecutive tokens keeps its corpus-wide
@@ -507,13 +553,22 @@ object Dedup {
     * (DedupSubstringsSpec pins the equivalence); the batch's novel
     * hashes are the index delta to append. Shuffles: one anti/semi pair
     * on span hashes (batch-sized) + q90's aggregates over the batch
-    * only — history never rescans. */
+    * only — history never rescans.
+    *
+    * Cache ownership (the QuarantinedRead.release convention): the batch
+    * span table is persisted so the semi/anti pair and the first-occurrence
+    * aggregate share one computation. The cache is CALLER-owned — a
+    * daily-ingest loop must call [[releaseSpanCaches]] after materializing
+    * each batch's result, or repeated calls pin executor memory for the
+    * session lifetime. Releasing before the result's first action is safe
+    * (the spans recompute, once per consumer). */
   def dedupSubstringsIncremental(newDocs: DataFrame, idCol: String,
                                  textCol: String, k: Int,
                                  index: DataFrame): DataFrame = {
     require(k >= 2, "k must be ≥ 2")
     val ws = wsTable(newDocs, idCol, textCol)
     val spans = spanTable(ws, idCol, k).persist()
+    spanCaches.add(spans)
     val idx = index.select("h")
     val inIndex = spans.join(idx, Seq("h"), "left_semi")
     val novel = spans.join(idx, Seq("h"), "left_anti")
@@ -524,6 +579,19 @@ object Dedup {
     val dup = inIndex.select(col(idCol), col("pos"))
       .union(novelDup.select(col(idCol), col("pos")))
     trimCovered(ws, dup, idCol, k)
+  }
+
+  /** Span tables persisted by [[dedupSubstringsIncremental]] since the last
+    * release — see its scaladoc for the ownership contract. */
+  private val spanCaches =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+
+  /** Unpersist every span table cached by [[dedupSubstringsIncremental]]
+    * so far (caller-owned cache, like QuarantinedRead.release). Call after
+    * each ingest batch's result is materialized. */
+  def releaseSpanCaches(): Unit = {
+    val it = spanCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(); it.remove() }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the

@@ -401,5 +401,94 @@ object DedupQueries {
         .withColumn("is_canonical",
           (col("entity_id") === col("id")).cast("int"))
         .orderBy("id")
+    },
+
+    // q51's incremental ingest dedup, with the historical fingerprint index
+    // read from a BUCKETED-on-fp managed table instead of an in-flight
+    // frame — the daily-driver storage composition (Dedup.writeIndexBucketed
+    // scaladoc): the index side of the anti-join carries no Exchange, only
+    // the batch shuffles. Identical semantics ⇒ identical oracle to q51;
+    // the hash-exact match IS the proof bucketed storage changes cost only.
+    Q.sql("q102_bucketed_index_dedup",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 = 0),
+        |batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 <> 0),
+        |novel AS (
+        |  SELECT b.doc_id, b.fp FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)),
+        |best AS (
+        |  SELECT doc_id, fp,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM novel)
+        |SELECT doc_id, fp FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val index = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .distinct()
+      Dedup.writeIndexBucketed(index, "graft_fp_index", "fp", numBuckets = 8)
+      Dedup.dedupeAgainstIndex(
+          docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+            .select("doc_id", "text"),
+          "doc_id", "text", s.table("graft_fp_index"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    },
+
+    // q101's incremental substring dedup with the span index read from a
+    // BUCKETED-on-h managed table (same composition as q102): both the
+    // covered-span semi-join and the novelty anti-join consume the 100 TB
+    // history side with no Exchange. Same oracle as q101.
+    Q.sql("q103_bucketed_span_dedup", {
+      val K = SubstrK
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+${K - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${K - 1})) AS i FROM w)),
+         |hist AS (SELECT DISTINCT h FROM sp WHERE doc_id % 3 <> 0),
+         |bsp AS (SELECT doc_id, pos, h FROM sp WHERE doc_id % 3 = 0),
+         |covidx AS (SELECT doc_id, pos FROM bsp WHERE h IN (SELECT h FROM hist)),
+         |novel AS (SELECT doc_id, pos, h FROM bsp WHERE h NOT IN (SELECT h FROM hist)),
+         |noveldup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |    FROM novel) WHERE rn > 1),
+         |dup AS (SELECT * FROM covidx UNION ALL SELECT * FROM noveldup),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + ${K - 1})) AS cp FROM dup),
+         |covagg AS (SELECT doc_id, count(*) AS n_dropped FROM cov GROUP BY doc_id),
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |              FROM w WHERE doc_id % 3 = 0)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |rec AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id AS doc_id,
+         |       coalesce(r.clean_text, '') AS clean_text,
+         |       CAST(coalesce(ca.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM (SELECT doc_id FROM w WHERE doc_id % 3 = 0) b
+         |LEFT JOIN rec r ON r.doc_id = b.doc_id
+         |LEFT JOIN covagg ca ON ca.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.writeIndexBucketed(
+        Dedup.substringSpanIndex(hist, "doc_id", "text", SubstrK),
+        "graft_span_index", "h", numBuckets = 8)
+      Dedup.dedupSubstringsIncremental(batch, "doc_id", "text", SubstrK,
+          s.table("graft_span_index"))
+        .orderBy("doc_id")
     })
 }

@@ -238,6 +238,7 @@ class StreamingSpec extends SparkSpec {
         val trimmed = Dedup.dedupSubstringsIncremental(
           batch, "doc_id", "text", k, index)
         out ++= trimmed.as[(Long, String, Long)].collect()
+        Dedup.releaseSpanCaches() // caller-owned per-batch span cache
         index = index.union(
           Dedup.substringSpanIndex(batch, "doc_id", "text", k)).distinct()
           .persist()
