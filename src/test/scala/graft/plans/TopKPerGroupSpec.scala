@@ -97,6 +97,54 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prevOpt
   }
 
+  test("state bound: many groups in one partition spill sorted runs, results identical") {
+    // 5000 groups across 4 partitions ≈ 1250 groups/partition; a 100-row
+    // state bound forces repeated heap flushes and a multi-run merge
+    val rows = (0 until 20000).map { i =>
+      ((i % 5000).toLong, (i * 2654435761L % 10007).toDouble, i.toLong)
+    }
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select("g", "v", "id").as[(Long, Double, Long)].collect().toSet
+    // AQE off: metric asserts need the executed node instance, and AQE's
+    // stage wrapping re-plans it (toString-based specs above are unaffected)
+    withConfs(TopKPerGroupStrategy.MaxStateRowsKey -> "100",
+              "spark.sql.adaptive.enabled" -> "false") {
+      val q = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 2)
+        .select("g", "v", "id")
+      // collect from q itself (.as[...] would re-derive a second physical
+      // plan and the metric asserts below need the executed instance)
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == want)
+      // degradation is observable: the exec's spill metric counted runs
+      val exec = q.queryExecution.executedPlan.collect { case t: TopKPerGroupExec => t }
+      assert(exec.nonEmpty, q.queryExecution.executedPlan.toString)
+      assert(exec.head.maxStateRows == 100) // conf reached the exec
+      assert(exec.head.metrics("spills").value > 0, "expected spill runs")
+      assert(exec.head.metrics("spilledRows").value > 0)
+    }
+  }
+
+  test("default state bound: the q89/q96 shape never spills") {
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      val q = TopK.topKPerGroup(data, Seq("g"), Seq("v" -> true, "id" -> false), 3)
+      q.collect()
+      val exec = q.queryExecution.executedPlan.collect { case t: TopKPerGroupExec => t }
+      assert(exec.nonEmpty && exec.head.metrics("spills").value == 0)
+    }
+  }
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("per-group output is emitted in sort order") {
     val df = data
     val out = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 5)
