@@ -230,7 +230,13 @@ object Curation {
     * selection boundary is engine-exact (the q48 ln discipline: a last-
     * ulp libm divergence cannot cross a 1e-6 grid step). Top-k is
     * TakeOrdered — per-partition heads + a k-row driver merge, never a
-    * global sort. Rows with non-positive weight are excluded. */
+    * global sort. Rows with non-positive weight are excluded.
+    *
+    * Returns the sampled rows plus a documented `sample_key` column (the
+    * rounded E–S key) — callers that want the bare rows drop it; callers
+    * auditing the selection boundary (q99's oracle replays it) read it
+    * by name instead of reaching into a private alias. */
+  val SampleKeyCol = "sample_key"
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
                      salt: String = "wsample"): DataFrame = {
     import graft.queries.Qutil
@@ -238,8 +244,8 @@ object Curation {
       .cast("double") / lit(4294967296.0)
     val key = Qutil.dround(-log(u) / col(weightCol).cast("double"), 6)
     df.where(col(weightCol) > 0)
-      .withColumn("__k", key)
-      .orderBy(col("__k").asc, col(idCol).asc)
+      .withColumn(SampleKeyCol, key)
+      .orderBy(col(SampleKeyCol).asc, col(idCol).asc)
       .limit(k)
   }
 

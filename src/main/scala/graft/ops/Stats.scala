@@ -95,7 +95,20 @@ object Stats {
     * the sums are order-independent and engine-exact); the final
     * arithmetic runs on identical doubles in any engine. Output: one row
     * per unordered pair (var_a < var_b): (var_a, var_b, n, corr).
+    *
+    * Width bound (round-5 advisory): the shared aggregate emits
+    * 6·C(p,2) expressions — O(p²) in column count — and somewhere past
+    * ~1500 expressions codegen splits degrade and eventually fall back to
+    * interpreted mode. Past [[MaxPairsPerAgg]] pairs (p ≈ 23) the
+    * computation therefore CHUNKS: the input is persisted once, each
+    * ≤MaxPairsPerAgg block of pairs aggregates over the cached scan, and
+    * the per-block single-row results assemble into a local frame (a
+    * correlation matrix is p²-sized — driver-sized by definition, so the
+    * eager per-block actions are the honest cost, not a scaling hazard).
+    * The p ≤ 23 path — every current caller — is byte-identical to the
+    * single-Aggregate plan (StatsCorrSpec pins wide ≡ narrow results).
     */
+  val MaxPairsPerAgg = 256
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  scale: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
@@ -105,8 +118,8 @@ object Stats {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     // 6 terms per pair instead of 2 per column + 1 per pair — the price of
-    // pairwise-complete correctness; still ONE Aggregate, one scan
-    val aggs = pairs.flatMap { case (a, b) =>
+    // pairwise-complete correctness; one Aggregate per ≤MaxPairsPerAgg block
+    def aggsFor(ps: Seq[(String, String)]) = ps.flatMap { case (a, b) =>
       val m = col(a).isNotNull && col(b).isNotNull
       def s(c: Column) = sum(when(m, c).cast(dec)).cast("double")
       Seq(sum(when(m, 1L)).as(s"__n_${a}_$b"),
@@ -115,10 +128,9 @@ object Stats {
         s(col(b) * col(b)).as(s"__qb_${a}_$b"),
         s(col(a) * col(b)).as(s"__p_${a}_$b"))
     }
-    val m = df.agg(aggs.head, aggs.tail: _*)
     // long form via explode over the ONE moments row — a union of
     // per-pair selects would re-execute the aggregate (re-scan) per pair
-    val structs = pairs.map { case (a, b) =>
+    def structsFor(ps: Seq[(String, String)]) = ps.map { case (a, b) =>
       val n = coalesce(col(s"__n_${a}_$b"), lit(0L)).cast("double")
       val (sa, sb) = (col(s"__sa_${a}_$b"), col(s"__sb_${a}_$b"))
       val (qa, qb) = (col(s"__qa_${a}_$b"), col(s"__qb_${a}_$b"))
@@ -128,7 +140,20 @@ object Stats {
         coalesce(col(s"__n_${a}_$b"), lit(0L)).as("n"),
         graft.queries.Qutil.dround(corr, 6).as("corr"))
     }
-    m.select(explode(array(structs: _*)).as("r")).select("r.*")
+    def block(src: DataFrame, ps: Seq[(String, String)]): DataFrame =
+      src.agg(aggsFor(ps).head, aggsFor(ps).tail: _*)
+        .select(explode(array(structsFor(ps): _*)).as("r")).select("r.*")
+    if (pairs.size <= MaxPairsPerAgg) block(df, pairs)
+    else {
+      val cached = df.persist()
+      try {
+        val blocks = pairs.grouped(MaxPairsPerAgg).toSeq
+        val schema = block(cached, blocks.head).schema
+        val rows = blocks.flatMap(ps => block(cached, ps).collect())
+        import scala.jdk.CollectionConverters._
+        df.sparkSession.createDataFrame(rows.asJava, schema)
+      } finally cached.unpersist(): Unit
+    }
   }
 
   /** C10 — flip the sign of configured inverse stats (turnovers, fouls…)

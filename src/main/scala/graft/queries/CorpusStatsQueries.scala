@@ -560,13 +560,17 @@ object CorpusStatsQueries {
          |ORDER BY source, term""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import graft.plans.{TopKPerGroupStrategy, WindowTopKRewrite}
-      if (!s.experimental.extraOptimizations.contains(WindowTopKRewrite))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ WindowTopKRewrite
-      if (!s.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ TopKPerGroupStrategy
-      val tf = Tables.documents(s, d)
+      // dedicated session (round-5 advisory): the rewrite installs into
+      // session state, and in the SHARED session that would make every
+      // later query's plan depend on whether q96 ran first. newSession()
+      // shares the SparkContext + catalog but carries its own
+      // experimental hooks, so the install is scoped to this query.
+      val s2 = s.newSession()
+      s2.experimental.extraOptimizations =
+        s2.experimental.extraOptimizations :+ WindowTopKRewrite
+      s2.experimental.extraStrategies =
+        s2.experimental.extraStrategies :+ TopKPerGroupStrategy
+      val tf = Tables.documents(s2, d)
         .select(col("source"), explode(words(col("text"))).as("term"))
         .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("term").asc)

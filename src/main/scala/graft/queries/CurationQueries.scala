@@ -316,7 +316,8 @@ object CurationQueries {
          |SELECT doc_id, n_chars, key FROM r WHERE rn <= $WsK
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Curation.weightedSample(Tables.documents(s, d), "doc_id", "n_chars", WsK)
-        .select(col("doc_id"), col("n_chars"), col("__k").as("key"))
+        .select(col("doc_id"), col("n_chars"),
+          col(Curation.SampleKeyCol).as("key"))
         .orderBy("doc_id")
     },
 

@@ -51,9 +51,11 @@ object GenScale {
     // shard fan-out: cross join each row with rep = 0..reps-1
     def sharded(df: DataFrame): DataFrame =
       df.withColumn("rep", explode(sequence(lit(0L), lit(reps - 1L))))
-    // key offset: shard-local key + rep · (1 + max source key) — disjoint ranges
+    // key offset: shard-local key + rep · (1 + max source key) — disjoint
+    // ranges; explicit long cast so INT-typed key columns in a source
+    // directory don't throw a ClassCastException on getLong
     def off(df: DataFrame, keyCol: String): Long =
-      df.agg(max(col(keyCol))).head().getLong(0) + 1L
+      df.agg(max(col(keyCol).cast("long"))).head().getLong(0) + 1L
 
     wr(rd("region"), "region")
     wr(rd("nation"), "nation")

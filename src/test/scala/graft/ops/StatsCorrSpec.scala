@@ -46,4 +46,28 @@ class StatsCorrSpec extends SparkSpec {
     val aggs = "Aggregate \\[".r.findAllIn(plan).size
     assert(aggs == 1, s"expected one shared aggregate, got $aggs:\n$plan")
   }
+
+  test("corrMatrix width bound: past MaxPairsPerAgg the chunked path matches") {
+    // 30 columns → C(30,2) = 435 pairs > 256 → chunked; deterministic data
+    val p = 30
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 50).map { _ =>
+      org.apache.spark.sql.Row.fromSeq(Seq.fill(p)(rnd.nextDouble(): Any))
+    }
+    val names = (0 until p).map(i => s"c$i")
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema)
+    assert(p * (p - 1) / 2 > Stats.MaxPairsPerAgg)
+    val wide = Stats.corrMatrix(df, names).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(wide.size == p * (p - 1) / 2)
+    // spot-check a spread of pairs against the single-aggregate path
+    for ((a, b) <- Seq(("c0", "c1"), ("c0", "c29"), ("c13", "c14"), ("c27", "c29"))) {
+      val narrow = Stats.corrMatrix(df, Seq(a, b)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+      assert(wide((a, b)) == narrow((a, b)), s"pair ($a,$b)") // bit-identical
+    }
+  }
 }
