@@ -94,6 +94,37 @@ class DedupSpec extends SparkSpec {
     assert(!scapped.exists(p => p._1 >= 100L && p._2 >= 100L))
   }
 
+  test("hot-band cap schedules NO Spark job at plan-construction time") {
+    // the round-5 gate ran two eager driver actions per capped dedup call;
+    // the observe()-based gate must build the whole capped plan without
+    // scheduling anything (broadcast decision deferred to AQE at runtime)
+    val corpus = (0L until 30L)
+      .map(i => (i, "standard licence header text repeated verbatim in every file"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+    val sig = Dedup.minhashSignatures(sh, "doc_id", 16).persist()
+    sig.count() // materialize inputs first so only the cap path is measured
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val capped = Dedup.lshCandidatePairs(sig, "doc_id", 16, 4,
+        maxBucketSize = Some(10))
+      capped.queryExecution.executedPlan // force full planning too
+      org.apache.spark.GraftTestBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, s"cap gate scheduled ${jobs.get()} jobs at plan time")
+      // and the capped query still evaluates (drop semantics pinned above)
+      assert(capped.count() == 0) // every bucket is over the cap here
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      sig.unpersist(): Unit
+    }
+  }
+
   test("duplicateClusters closes chains transitively; components independent") {
     // chain 10-20, 20-30 (never directly paired) + disjoint pair 40-50
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
