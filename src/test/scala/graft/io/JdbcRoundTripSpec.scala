@@ -78,4 +78,60 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(back.select(max(col("rating").cast("double"))).head().getDouble(0) == 91.0)
     assert(back.columns.map(_.toLowerCase).contains("dateupdated")) // K4 audit col
   }
+
+  test("MySQL-NATIVE dialect live: ODKU upsert, IF-NOT-EXISTS DDL, INSERT IGNORE dim fill") {
+    // the round-5 ask: run the backtick/ON-DUPLICATE-KEY branch for real,
+    // not as string asserts. The MySqlCompatBridge (see its scaladoc: no
+    // MySQL-compatible engine resolves offline) translates exactly the
+    // clauses our generators emit onto Derby; the MySqlDialect statements
+    // and the foreachPartition writer run UNmodified.
+    MySqlCompatBridge.ensureRegistered()
+    val murl = MySqlCompatBridge.UrlPrefix + "memory:graftmy;create=true"
+    def withMy[A](f: java.sql.Connection => A): A = {
+      val c = DriverManager.getConnection(murl)
+      try f(c) finally c.close()
+    }
+    val df = Seq(("p1", 88.5, "CB"), ("p2", 74.25, "ST"), ("p3", 91.0, "GK"))
+      .toDF("profileId", "rating", "positionName").repartition(2)
+
+    // K4's MySQL DDL, executed twice — IF NOT EXISTS must make run 2 a no-op
+    val ddl = UpsertSql.createTableDdl(df.schema, "gold_my", "profileId")
+    withMy { c => c.createStatement().execute(ddl); c.createStatement().execute(ddl) }
+
+    // K3's native ODKU statement through the real partition writer (note:
+    // DEFAULT dialect — this is the MySqlDialect branch, fallback None)
+    UpsertSql.writeJdbcUpsert(df, murl, "gold_my", "profileId",
+      new java.util.Properties(), batchSize = 2)
+    def state(): Map[String, (Double, String)] = withMy { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT profileId, rating, positionName FROM gold_my")
+      val b = Map.newBuilder[String, (Double, String)]
+      while (rs.next()) b += rs.getString(1) -> (rs.getDouble(2), rs.getString(3))
+      b.result()
+    }
+    val after1 = state()
+    assert(after1 == Map("p1" -> (88.5, "CB"), "p2" -> (74.25, "ST"), "p3" -> (91.0, "GK")))
+
+    // idempotent re-upsert, then an update + an insert through ONE statement
+    UpsertSql.writeJdbcUpsert(df, murl, "gold_my", "profileId",
+      new java.util.Properties(), batchSize = 2)
+    assert(state() == after1)
+    val df2 = Seq(("p2", 80.0, "ST"), ("p4", 66.0, "LB"))
+      .toDF("profileId", "rating", "positionName")
+    UpsertSql.writeJdbcUpsert(df2, murl, "gold_my", "profileId",
+      new java.util.Properties(), batchSize = 100)
+    assert(state() == Map("p1" -> (88.5, "CB"), "p2" -> (80.0, "ST"),
+      "p3" -> (91.0, "GK"), "p4" -> (66.0, "LB")))
+
+    // K6's MySQL INSERT IGNORE dimension fill — live, idempotent
+    val dim = UpsertSql.dimensionTableSql("dim_my", "gold_my", "profileId", "positionName")
+    withMy { c =>
+      dim.foreach(c.createStatement().execute)
+      c.createStatement().execute(dim(1)) // second fill: ignored, not an error
+      val rs = c.createStatement()
+        .executeQuery("SELECT count(*), count(DISTINCT profileId) FROM dim_my")
+      rs.next()
+      assert(rs.getInt(1) == 4 && rs.getInt(2) == 4)
+    }
+  }
 }
