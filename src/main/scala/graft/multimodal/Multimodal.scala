@@ -111,13 +111,17 @@ object Multimodal {
   def wavSamples(id: Long): Int = (id % 50 + 20).toInt
   def pcm(id: Long, i: Int): Int = ((id * 13 + i * 7) % 256).toInt
 
-  /** Image container per id: PNG for id ≡ 0 (mod 4), BMP for id ≡ 2 —
-    * two distinct REAL JDK codecs on the image path, both lossless RGB so
-    * the decoded pixel sums replay exactly in the oracle. JPEG (which
-    * ImageIO also writes) is deliberately NOT in the oracle corpus: DCT
-    * quantization makes pixel content non-replayable, and a geometry-only
-    * check would verify strictly less than the lossless containers do. */
-  def imageFormat(id: Long): String = if (id % 4 == 0) "png" else "bmp"
+  /** Image container per id: PNG for id ≡ 0 (mod 4), JPEG for id ≡ 6
+    * (mod 8), BMP for the rest — three REAL JDK codecs on the image path.
+    * PNG/BMP are lossless RGB, so their decoded pixel sums replay exactly
+    * in the oracle. JPEG is the format a real crawl actually serves, so it
+    * is in the corpus too — but DCT quantization makes its pixel content
+    * non-replayable in SQL, so JPEG rows verify the GEOMETRY/METADATA path
+    * (decoded dimensions + magic-byte-sniffed container) and their pixel
+    * sums are masked NULL on both engines (q30/q88). The lossless rows
+    * keep the stronger full-content check. */
+  def imageFormat(id: Long): String =
+    if (id % 4 == 0) "png" else if (id % 8 == 6) "jpeg" else "bmp"
 
   private def encodeImage(id: Long, format: String): Array[Byte] = {
     val (w, h) = (imgWidth(id), imgHeight(id))
@@ -150,6 +154,8 @@ object Multimodal {
     if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) "bmp"
     else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
       bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte) "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
     else if (bytes.length >= 4 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
       bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte) "wav"
     else "unknown"
@@ -180,7 +186,7 @@ object Multimodal {
     * count/sum of every `stride`-th PCM sample. Integer sums — exact in
     * any engine. */
   final case class TransformedMedia(
-      doc_id: Long, kind: String,
+      doc_id: Long, kind: String, container: String,
       sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long],
       n_kept: Option[Long], sum_kept: Option[Long])
 
@@ -217,7 +223,8 @@ object Multimodal {
               }
               ty += 1
             }
-            TransformedMedia(id, kind, Some(sr), Some(sg), Some(sb), None, None)
+            TransformedMedia(id, kind, sniffContainer(bytes),
+              Some(sr), Some(sg), Some(sb), None, None)
           } else {
             val ais = javax.sound.sampled.AudioSystem
               .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
@@ -225,7 +232,8 @@ object Multimodal {
             var (n, s) = (0L, 0L)
             var i = 0
             while (i < data.length) { n += 1; s += data(i) & 0xff; i += stride }
-            TransformedMedia(id, kind, None, None, None, Some(n), Some(s))
+            TransformedMedia(id, kind, sniffContainer(bytes),
+              None, None, None, Some(n), Some(s))
           }
         }
       }

@@ -27,24 +27,33 @@ object StreamingQueries {
     },
 
     // Multimodal REAL-codec round trip: deterministic media content is
-    // encoded through the JDK's production PNG/BMP/WAV codecs
+    // encoded through the JDK's production PNG/JPEG/BMP/WAV codecs
     // (javax.imageio / javax.sound.sampled — container varies by id), then
     // decodeMedia PARSES the container bytes and emits integer pixel/sample
     // statistics plus the MAGIC-BYTE-sniffed container. The oracle replays
     // the content formulas and the expected container in SQL — a hash match
-    // proves the round trip preserved every pixel and sample through TWO
-    // distinct image codecs, not just that plumbing ran.
+    // proves the round trip preserved every pixel and sample through the
+    // TWO lossless image codecs, not just that plumbing ran. JPEG rows
+    // (the container a real crawl serves) verify the geometry/metadata
+    // path: decoded dimensions + sniffed container, with pixel sums masked
+    // NULL on both engines — DCT quantization is not SQL-replayable, and
+    // the mask keys off the SNIFFED container, so a row that failed to
+    // round-trip as a real JPEG would unmask and hash-mismatch.
     Q.sql("q30_multimodal_features",
       """WITH img AS (
         |  SELECT doc_id, CAST(doc_id % 8 + 2 AS INT) AS width,
         |         CAST(doc_id % 6 + 2 AS INT) AS height,
-        |         CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS container
+        |         CASE WHEN doc_id % 4 = 0 THEN 'png'
+        |              WHEN doc_id % 8 = 6 THEN 'jpeg' ELSE 'bmp' END AS container
         |  FROM documents WHERE doc_id % 2 = 0
         |), px AS (
         |  SELECT i.doc_id, i.container, i.width, i.height,
-        |         CAST(sum((i.doc_id*31 + x.range*7 + y.range*13) % 256) AS BIGINT) AS sum_r,
-        |         CAST(sum((i.doc_id*17 + x.range*11 + y.range*5) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((i.doc_id*7  + x.range*3 + y.range*19) % 256) AS BIGINT) AS sum_b
+        |         CASE WHEN i.container = 'jpeg' THEN NULL
+        |              ELSE CAST(sum((i.doc_id*31 + x.range*7 + y.range*13) % 256) AS BIGINT) END AS sum_r,
+        |         CASE WHEN i.container = 'jpeg' THEN NULL
+        |              ELSE CAST(sum((i.doc_id*17 + x.range*11 + y.range*5) % 256) AS BIGINT) END AS sum_g,
+        |         CASE WHEN i.container = 'jpeg' THEN NULL
+        |              ELSE CAST(sum((i.doc_id*7  + x.range*3 + y.range*19) % 256) AS BIGINT) END AS sum_b
         |  FROM img i, range(0, 10) x, range(0, 8) y
         |  WHERE x.range < i.width AND y.range < i.height
         |  GROUP BY 1, 2, 3, 4
@@ -65,7 +74,16 @@ object StreamingQueries {
         |FROM smp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val media = Multimodal.withRealMedia(Tables.documents(s, d), "doc_id")
-      Multimodal.decodeMedia(media, "doc_id").toDF().orderBy("doc_id")
+      val dec = Multimodal.decodeMedia(media, "doc_id").toDF()
+      // lossy containers: mask pixel sums off the SNIFFED container
+      val jpeg = col("container") === "jpeg"
+      dec.select(col("doc_id"), col("kind"), col("container"),
+          col("width"), col("height"),
+          when(jpeg, lit(null)).otherwise(col("sum_r")).cast("long").as("sum_r"),
+          when(jpeg, lit(null)).otherwise(col("sum_g")).cast("long").as("sum_g"),
+          when(jpeg, lit(null)).otherwise(col("sum_b")).cast("long").as("sum_b"),
+          col("n_samples"), col("sum_pcm"), col("sample_rate"))
+        .orderBy("doc_id")
     },
 
     // REAL media transforms over the decoded payloads: nearest-neighbour
@@ -77,15 +95,20 @@ object StreamingQueries {
     // right source pixels/samples.
     Q.sql("q88_multimodal_transforms",
       """WITH img AS (
-        |  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+        |  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h,
+        |         CASE WHEN doc_id % 4 = 0 THEN 'png'
+        |              WHEN doc_id % 8 = 6 THEN 'jpeg' ELSE 'bmp' END AS container
         |  FROM documents WHERE doc_id % 2 = 0
         |), px AS (
-        |  SELECT doc_id,
-        |         CAST(sum((doc_id*31 + ((tx.range*w)//4)*7 + ((ty.range*h)//4)*13) % 256) AS BIGINT) AS sum_r,
-        |         CAST(sum((doc_id*17 + ((tx.range*w)//4)*11 + ((ty.range*h)//4)*5) % 256) AS BIGINT) AS sum_g,
-        |         CAST(sum((doc_id*7  + ((tx.range*w)//4)*3 + ((ty.range*h)//4)*19) % 256) AS BIGINT) AS sum_b
+        |  SELECT doc_id, container,
+        |         CASE WHEN container = 'jpeg' THEN NULL
+        |              ELSE CAST(sum((doc_id*31 + ((tx.range*w)//4)*7 + ((ty.range*h)//4)*13) % 256) AS BIGINT) END AS sum_r,
+        |         CASE WHEN container = 'jpeg' THEN NULL
+        |              ELSE CAST(sum((doc_id*17 + ((tx.range*w)//4)*11 + ((ty.range*h)//4)*5) % 256) AS BIGINT) END AS sum_g,
+        |         CASE WHEN container = 'jpeg' THEN NULL
+        |              ELSE CAST(sum((doc_id*7  + ((tx.range*w)//4)*3 + ((ty.range*h)//4)*19) % 256) AS BIGINT) END AS sum_b
         |  FROM img, range(0, 4) tx, range(0, 4) ty
-        |  GROUP BY 1
+        |  GROUP BY 1, 2
         |), aud AS (
         |  SELECT doc_id, unnest(generate_series(0, doc_id % 50 + 19)) AS i
         |  FROM documents WHERE doc_id % 2 = 1
@@ -94,16 +117,22 @@ object StreamingQueries {
         |         CAST(sum((doc_id*13 + i*7) % 256) AS BIGINT) AS sum_kept
         |  FROM aud WHERE i % 4 = 0 GROUP BY 1
         |)
-        |SELECT doc_id, 'image' AS kind, sum_r, sum_g, sum_b,
+        |SELECT doc_id, 'image' AS kind, container, sum_r, sum_g, sum_b,
         |       CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS BIGINT) AS sum_kept
         |FROM px
         |UNION ALL
-        |SELECT doc_id, 'audio', NULL, NULL, NULL, n_kept, sum_kept
+        |SELECT doc_id, 'audio', 'wav', NULL, NULL, NULL, n_kept, sum_kept
         |FROM smp
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val media = Multimodal.withRealMedia(Tables.documents(s, d), "doc_id")
-      Multimodal.transformMedia(media, "doc_id", targetW = 4, targetH = 4,
-          stride = 4)
-        .toDF().orderBy("doc_id")
+      val tr = Multimodal.transformMedia(media, "doc_id", targetW = 4,
+          targetH = 4, stride = 4).toDF()
+      val jpeg = col("container") === "jpeg"
+      tr.select(col("doc_id"), col("kind"), col("container"),
+          when(jpeg, lit(null)).otherwise(col("sum_r")).cast("long").as("sum_r"),
+          when(jpeg, lit(null)).otherwise(col("sum_g")).cast("long").as("sum_g"),
+          when(jpeg, lit(null)).otherwise(col("sum_b")).cast("long").as("sum_b"),
+          col("n_kept"), col("sum_kept"))
+        .orderBy("doc_id")
     })
 }

@@ -158,6 +158,41 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(flat).as[Long].collect().sorted.toSeq == (1L to 10L))
   }
 
+  test("K2: debug CSV is a single file with a header and round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("k2").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b,with,commas")).toDF("id", "name")
+    Writers.debugCsv(df, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".csv"))
+    assert(files.length == 1) // coalesce(1): one human-readable debug file
+    val firstLine = scala.io.Source.fromFile(files.head).getLines().next()
+    assert(firstLine == "id,name") // header row present
+    val back = spark.read.option("header", "true").csv(dir)
+      .select(col("id").cast("long"), col("name"))
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b,with,commas"))) // quoting survived
+  }
+
+  test("K8: per-period fan-out writes one filtered partitioned table per period") {
+    val base = java.nio.file.Files.createTempDirectory("k8").toString
+    val df = Seq(
+      ("2023", "month", 1.0), ("2023", "year", 2.0),
+      ("2024", "month", 3.0), ("2024", "year", 4.0), ("2024", "alltime", 5.0))
+      .toDF("season", "aggregationPeriod", "v")
+    Writers.writePerPeriod(df, p => s"$base/$p", Seq("month", "year"), "season")
+    val month = spark.read.parquet(s"$base/month")
+    // each period table holds exactly its own rows…
+    assert(month.select("aggregationPeriod").distinct()
+      .as[String].collect().toSeq == Seq("month"))
+    assert(month.count() == 2)
+    assert(spark.read.parquet(s"$base/year").count() == 2)
+    // …in the K1 partitioned layout (season dirs, dynamic-overwritable)
+    assert(new java.io.File(s"$base/month/season=2023").isDirectory)
+    assert(new java.io.File(s"$base/month/season=2024").isDirectory)
+    // periods not requested are not written at all
+    assert(!new java.io.File(s"$base/alltime").exists())
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)

@@ -69,21 +69,41 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("transformMedia: NN resize picks exactly the mapped source pixels; stride sampling exact") {
-    val ids = Seq(6L, 7L).toDF("doc_id") // one image (even), one audio (odd)
+    val ids = Seq(4L, 7L).toDF("doc_id") // one lossless image (png), one audio
     val media = Multimodal.withRealMedia(ids, "doc_id")
     val out = Multimodal.transformMedia(media, "doc_id", 4, 4, 4)
       .collect().map(t => t.doc_id -> t).toMap
-    // image 6: w=6, h=2; NN source for (tx,ty) = (tx*6/4, ty*2/4)
-    val (w, h) = (Multimodal.imgWidth(6), Multimodal.imgHeight(6))
+    // image 4 (png): NN source for (tx,ty) = (tx*w/4, ty*h/4)
+    val (w, h) = (Multimodal.imgWidth(4), Multimodal.imgHeight(4))
     var expR = 0L
     for (ty <- 0 until 4; tx <- 0 until 4)
-      expR += Multimodal.pxR(6, tx * w / 4, ty * h / 4)
-    assert(out(6L).sum_r.contains(expR))
+      expR += Multimodal.pxR(4, tx * w / 4, ty * h / 4)
+    assert(out(4L).container == "png")
+    assert(out(4L).sum_r.contains(expR))
     // audio 7: n=27 samples, keep 0,4,...,24 → 7 kept
     val n = Multimodal.wavSamples(7)
     val kept = (0 until n by 4)
     assert(out(7L).n_kept.contains(kept.size.toLong))
     assert(out(7L).sum_kept.contains(kept.map(Multimodal.pcm(7, _).toLong).sum))
+  }
+
+  test("JPEG container: magic bytes, real lossy decode, exact geometry path") {
+    // id ≡ 6 (mod 8) → JPEG, the container a real crawl serves
+    assert(Multimodal.imageFormat(6L) == "jpeg")
+    val jpg = Multimodal.imagePayload(6L)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8 &&
+      (jpg(2) & 0xff) == 0xff) // JFIF SOI magic
+    val media = Multimodal.withRealMedia(Seq(6L).toDF("doc_id"), "doc_id")
+    val dec = Multimodal.decodeMedia(media, "doc_id").collect().head
+    assert(dec.container == "jpeg") // sniffed from payload bytes, not the id
+    // geometry survives the lossy codec exactly…
+    assert(dec.width.contains(Multimodal.imgWidth(6L)) &&
+      dec.height.contains(Multimodal.imgHeight(6L)))
+    // …and pixel sums come from a REAL decode: present, but DCT-quantized
+    // (q30/q88 mask them NULL — only lossless rows content-verify)
+    assert(dec.sum_r.isDefined && dec.sum_g.isDefined && dec.sum_b.isDefined)
+    val tr = Multimodal.transformMedia(media, "doc_id", 4, 4, 4).collect().head
+    assert(tr.container == "jpeg")
   }
 
   test("stub media transforms are byte-level and bounded") {

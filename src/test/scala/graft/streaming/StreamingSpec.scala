@@ -223,6 +223,85 @@ class StreamingSpec extends SparkSpec {
     assert(r == (("click", 2L, 3.0)))
   }
 
+  test("streaming curation pipeline: classifier→dedup→decontam→sample ≡ q100's batch composition") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    import graft.functions.TextFunctions.{fingerprint, tokenCount}
+    implicit val sql = spark.sqlContext
+
+    val W = (0.6, 1.0, 0.8, 0.7); val Bias = -0.5; val Thr = 0.5
+    val EvalMod = 4; val N = 3; val Rate = 0.8
+    val sw = TextFunctions.langStopwords.head._2
+
+    val good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> good,
+      2L -> good, // dup of 1, same batch
+      3L -> "a different wholly novel document with the usual words in it and more",
+      4L -> "benchmark overlap marker alpha beta gamma plus the context of an eval item", // eval (4 % 4 == 0)
+      5L -> "another clean document that should pass the classifier and the sampler too",
+      6L -> "zz", // fails the classifier
+      7L -> good, // dup of 1, LATER batch — the cross-batch dedup case
+      9L -> "text sharing benchmark overlap marker with the eval suite is contaminated",
+      11L -> "fresh content for the second batch with plenty of ordinary stopword use here")
+    val docsDf = docs.toDF("doc_id", "text")
+
+    // reference: q100's batch composition on the full fixture
+    def compose(all: DataFrame): DataFrame = {
+      val scored = Curation.classifierQuality(all, "doc_id", "text", W, Bias, sw, Thr)
+      val kept = scored.where(col("keep") === 1)
+      val deduped = graft.ops.Windows.keepBest(
+        kept.withColumn("__fp", fingerprint(col("text"))),
+        Seq("__fp"), Seq(col("doc_id").asc)).drop("__fp")
+      val train = deduped.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      val evalDocs = all.where(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      val bad = Curation.ngramContamination(train, evalDocs, "doc_id", "text", N)
+        .select(col("train_id").as("doc_id")).distinct()
+      val clean = train.join(bad, Seq("doc_id"), "left_anti")
+      Curation.deterministicSample(clean, "doc_id", Rate, "pipeline")
+        .select(col("doc_id"), col("p_quality"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+    }
+    val want = compose(docsDf).as[(Long, Double, Long)].collect().toSet
+    assert(want.nonEmpty && !want.exists(_._1 == 7L)) // fixture sanity: dup 7 gone
+
+    // streaming form: the same operators per microbatch. The benchmark
+    // suite is static (known upfront, as in a real deployment); the only
+    // cross-batch state is the kept-fingerprint index (first occurrence
+    // wins across batches — arrival order is id order, like an ingest log)
+    val evalDocs = docsDf.where(pmod(col("doc_id"), lit(EvalMod)) === 0)
+    var fpIndex = Seq.empty[String].toDF("fp")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = Curation.classifierQuality(batch, "doc_id", "text", W, Bias, sw, Thr)
+        val kept = scored.where(col("keep") === 1)
+          .withColumn("fp", fingerprint(col("text")))
+        val novel = kept.join(fpIndex, Seq("fp"), "left_anti")
+        val deduped = graft.ops.Windows.keepBest(novel, Seq("fp"), Seq(col("doc_id").asc))
+        val train = deduped.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+        val bad = Curation.ngramContamination(train, evalDocs, "doc_id", "text", N)
+          .select(col("train_id").as("doc_id")).distinct()
+        val clean = train.join(bad, Seq("doc_id"), "left_anti")
+        val sampled = Curation.deterministicSample(clean, "doc_id", Rate, "pipeline")
+          .select(col("doc_id"), col("p_quality"),
+            tokenCount(col("text")).cast("long").as("n_tokens"))
+        out ++= sampled.as[(Long, Double, Long)].collect()
+        fpIndex = fpIndex.union(kept.select("fp")).distinct()
+        ()
+      }.start()
+    try {
+      in.addData(docs.take(5): _*) // ids 1–5
+      q.processAllAvailable()
+      in.addData(docs.drop(5): _*) // ids 6, 7, 9, 11
+      q.processAllAvailable()
+      assert(out.toSet == want) // microbatched ≡ batch, including cross-batch dedup
+    } finally q.stop()
+  }
+
   test("streaming substring dedup: span index accumulates across microbatches via foreachBatch") {
     import graft.operators.Dedup
     implicit val sql = spark.sqlContext
