@@ -285,6 +285,23 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // The SCALE PATH of the same operator: LSH candidate mode —
+    // multi-table random-hyperplane bucketing, scoring only within-bucket
+    // pairs. No SQL oracle by design: recall is probabilistic
+    // (1-(1-p^planes)^tables), so the driver records the weaker rows-only
+    // check here while DedupSpec pins the semantics (LSH output ⊆ exact
+    // output, identical scores) and q37 pins the exact baseline. Benched
+    // beside q37 it MEASURES the two-tier contract: exact mode grows
+    // quadratically (67.9× at 10× data, see SCALE.md), the bucketed mode
+    // is the one you run corpus-wide.
+    Q.rowsOnly("q105_embedding_neardup_lsh") { (s, d) =>
+      graft.operators.Dedup.embeddingNearDups(
+          Tables.embeddings(s, d), "vec_id", "embedding", NearDupTau,
+          lsh = Some((Dims, 12, 6)))
+        .select(col("id_a"), col("id_b"), dround(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
     // Contrastive-pair mining (Similarity.hardPairs): per query, the
     // nearest same-label vector (positive) and nearest other-label vector
     // (hard negative) — the triplet-mining primitive for embedding

@@ -45,7 +45,14 @@ object GenScale {
   def generate(spark: SparkSession, src: String, out: String, reps: Int): Unit = {
     def rd(n: String): DataFrame = graft.io.Tables.load(spark, src, n)
     def wr(df: DataFrame, n: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+      // One output file per shard-sized slice, never one file total: a
+      // single small file is ONE scan task no matter the cluster, which
+      // serializes every map-only pass over it (measured: q46's regex
+      // redact ran 16.7× at 10× data off a single 6.8 MB file — a
+      // generator artifact, not an operator cost; a real 10× corpus
+      // arrives as many files). reps×4 splits ≈ the source's task
+      // granularity per shard.
+      df.repartition(reps * 4).write.mode("overwrite").parquet(s"$out/$n.parquet")
       println(s"[genscale] $n: ${spark.read.parquet(s"$out/$n.parquet").count()} rows")
     }
     // shard fan-out: cross join each row with rep = 0..reps-1

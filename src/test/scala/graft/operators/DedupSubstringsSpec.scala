@@ -58,6 +58,41 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(cand.count() < all.count())        // and the prefix really prunes
   }
 
+  test("prefixFilterPairs: seeded random corpora × thresholds — zero false negatives") {
+    import org.apache.spark.sql.functions._
+    // Adversarial shapes the structured corpus above can't produce: skewed
+    // doc sizes (1..18 tokens), exact duplicates (J = 1), near-disjoint
+    // docs, and the t = 1 boundary where every prefix is a single token.
+    // Completeness must hold for EVERY threshold — the prefix length,
+    // size filter and positional bound all move with t.
+    for (seed <- Seq(11, 23); (tn, td) <- Seq((1, 2), (2, 3), (4, 5), (1, 1))) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0L until 36L).map { i =>
+        i -> (0 until 1 + rnd.nextInt(18)).map(_ => s"v${rnd.nextInt(30)}")
+          .distinct.mkString(" ")
+      }
+      // clone a few docs verbatim so J = 1 pairs exist at every threshold
+      val docs = (base ++ Seq(100L -> base(3)._2, 101L -> base(7)._2))
+        .toDF("doc_id", "text")
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", 1).persist()
+      val all = sh.select("doc_id").distinct().as("a")
+        .join(sh.select("doc_id").distinct().as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val t = tn.toDouble / td
+      val want = Dedup.jaccardForPairs(all, sh, "doc_id")
+        .where(col("jaccard") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty, s"seed=$seed t=$tn/$td produced no qualifying pairs")
+      val got = Dedup.jaccardForPairs(
+          Dedup.prefixFilterPairs(sh, "doc_id", tn, td), sh, "doc_id")
+        .where(col("jaccard") >= t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"false negatives at seed=$seed t=$tn/$td: ${want -- got}")
+      sh.unpersist()
+    }
+  }
+
   test("incremental ≡ full-corpus pass on the batch slice (history ids precede)") {
     import org.apache.spark.sql.functions._
     val hist = Seq(

@@ -302,6 +302,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bronze landing zone streams to silver: fanOutFetch output + fileStream + AvailableNow") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.sources.Bronze
+    import graft.sources.Bronze.{FetchResponse, FetchTarget, MapFetcher}
+
+    val land = java.nio.file.Files.createTempDirectory("bronzeland").toString
+    val silver = java.nio.file.Files.createTempDirectory("bronzesilver").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bronzeckpt").toString
+    def url(id: Long) = s"api/m/$id"
+    def body(id: Long, g: Long) = s"""{"match_id":$id,"goals":$g,"status":"Played"}"""
+    val fetcher = new MapFetcher(Map(
+      url(1) -> FetchResponse(200, body(1, 3)), url(2) -> FetchResponse(200, body(2, 1)),
+      url(3) -> FetchResponse(200, body(3, 2))))
+    val schema = StructType(Seq(StructField("match_id", LongType),
+      StructField("goals", LongType), StructField("status", StringType)))
+
+    // ingest day 1: land two matches, drain the stream into silver
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming
+        .fileStream(spark, land, schema, format = "json")
+        .where(col("status") === "Played") // the F11-shaped silver guard
+        .withColumn("points", col("goals") * 3)
+        .writeStream.format("parquet").option("path", silver)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Bronze.fanOutFetch(spark, Seq(1L, 2L).map(i => FetchTarget(i, url(i), s"$land/$i.json")),
+      fetcher, parallelism = 2).collect()
+    drain()
+    assert(spark.read.parquet(silver).select(sum("points")).head().getLong(0) == 12L)
+
+    // ingest day 2: discovery lands ONLY the missing match; the checkpoint
+    // makes the stream pick up just the new file — bronze incrementality
+    // (re-pull + overwrite in the reference) as exactly-once streaming
+    val todo = Bronze.matchesToUpdate(
+      Seq(1L, 2L, 3L).toDF("match_id"), "match_id", Bronze.landedIds(spark, land))
+      .as[Long].collect().toSeq
+    assert(todo == Seq(3L))
+    Bronze.fanOutFetch(spark, todo.map(i => FetchTarget(i, url(i), s"$land/$i.json")),
+      fetcher, parallelism = 1).collect()
+    drain()
+    val rows = spark.read.parquet(silver).select("match_id", "points")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 9L), (2L, 3L), (3L, 6L))) // day-1 rows not re-emitted
+  }
+
   test("streaming substring dedup: span index accumulates across microbatches via foreachBatch") {
     import graft.operators.Dedup
     implicit val sql = spark.sqlContext
