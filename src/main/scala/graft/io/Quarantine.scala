@@ -43,17 +43,20 @@ object Quarantine {
     // raw files (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
     // the parse must be materialized before the split; (b) operationally
     // both splits consume the same parse, so one scan feeds two sinks
+    // lineage is captured BEFORE persist: input_file_name() is defined by
+    // the file scan, and evaluating it above the InMemoryRelation returns ""
     val raw = spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
+      .withColumn("__source_file", input_file_name())
       .persist()
     val good = raw.where(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val bad = raw.where(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw"),
-        input_file_name().as("source_file"))
+        col("__source_file").as("source_file"))
     QuarantinedRead(good, bad, raw)
   }
 }

@@ -96,6 +96,45 @@ object Multimodal {
   // q30 runtime at sf0.1). In-memory streams only.
   javax.imageio.ImageIO.setUseCache(false)
 
+  // ImageIO.read/write consult the static plugin registry — under a lock —
+  // on EVERY call, which collapses throughput once tasks outnumber a few
+  // cores (measured on this host: 9.5k → 3.4k codec ops/s going 8 → 32
+  // threads; sf1's 40-task decode stage ran SLOWER than the old 1-task
+  // layout). Per-thread codec instances restore scaling (19.7k ops/s at
+  // 32 threads, 5.7×): executor task threads are long-lived, and
+  // reader/writer instances are not thread-safe — exactly ThreadLocal's
+  // contract. Instances are reset (setInput/setOutput null) after use so
+  // no payload buffer outlives the call.
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() = new java.util.HashMap
+    }
+  private val writerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() = new java.util.HashMap
+    }
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val fmt = sniffContainer(bytes)
+    val r = readerCache.get.computeIfAbsent(fmt,
+      f => javax.imageio.ImageIO.getImageReadersByFormatName(f).next())
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try { r.setInput(in, true, true); val img = r.read(0); r.setInput(null); img }
+    finally in.close()
+  }
+
+  private def writeImage(img: java.awt.image.BufferedImage,
+                         format: String): Array[Byte] = {
+    val w = writerCache.get.computeIfAbsent(format,
+      f => javax.imageio.ImageIO.getImageWritersByFormatName(f).next())
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { w.setOutput(out); w.write(img); w.setOutput(null) }
+    finally out.close()
+    bos.toByteArray
+  }
+
   /** Deterministic image geometry/pixels (shared with the SQL oracle):
     * width = id%8+2, height = id%6+2, channels at (x,y) are cheap integer
     * mixes mod 256. All inputs non-negative, so JVM % == SQL %. */
@@ -136,9 +175,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
-    bos.toByteArray
+    writeImage(img, format)
   }
 
   /** Encode the deterministic image in its id-selected container. */
@@ -210,7 +247,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
           if (kind == "image") {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = readImage(bytes)
             val (w, h) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0L, 0L, 0L)
             var ty = 0
@@ -263,7 +300,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
           if (kind == "image") {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            val img = readImage(bytes)
             val (w, h) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0L, 0L, 0L)
             var y = 0

@@ -270,12 +270,18 @@ object Dedup {
     * multi-table random-hyperplane bucketing (equi-join on (table, bucket),
     * same construction as Similarity.lshTopK) and scores only candidates —
     * approximate recall 1-(1-p^nPlanes)^nTables for per-plane collision
-    * probability p = 1-θ/π, the 100 TB path. Scoring uses the fused
-    * codegen'd CosineSimilarity in both modes, so LSH output is always a
-    * subset of exact output with identical scores. */
+    * probability p = 1-θ/π, the 100 TB path. `maxBucketSize` applies the
+    * same hot-bucket cap as the token-LSH join (within-bucket pairs are
+    * b²: clustered or boilerplate embeddings concentrate in few buckets —
+    * measured at sf1, the 10-cluster synthetic geometry put whole clusters
+    * in shared buckets and the uncapped candidate count approached
+    * exact mode's). Scoring uses the fused codegen'd CosineSimilarity in
+    * both modes, so LSH output is always a subset of exact output with
+    * identical scores — capping only shrinks the candidate side. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double,
-                        lsh: Option[(Int, Int, Int)] = None): DataFrame = {
+                        lsh: Option[(Int, Int, Int)] = None,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val a = base.select(col(idCol).as("id_a"), col("__v").as("__va"))
     val b = base.select(col(idCol).as("id_b"), col("__v").as("__vb"))
@@ -283,20 +289,31 @@ object Dedup {
       case None =>
         a.join(b, col("id_a") < col("id_b"))
       case Some((dims, nPlanes, nTables)) =>
-        def bucketed(side: DataFrame, id: String, vec: String) = {
-          val tb = (0 until nTables).map { t =>
-            struct(lit(t).as("table"),
-              graft.operators.Similarity
-                .hyperplaneSig(col(vec), dims, nPlanes, t).as("bucket"))
-          }
-          side.withColumn("tb", explode(array(tb: _*)))
-            .select(col(id), col(vec), col("tb.table").as("table"),
-              col("tb.bucket").as("bucket"))
+        // Band ONCE and self-join (the lshCandidatePairs shape): banding
+        // per join side would compute nTables hyperplane signatures over
+        // the corpus twice. The banded table is persisted for the two
+        // consumptions (cap grouping + both join sides).
+        val tb = (0 until nTables).map { t =>
+          struct(lit(t).as("table"),
+            graft.operators.Similarity
+              .hyperplaneSig(col("__v"), dims, nPlanes, t).as("bucket"))
         }
-        bucketed(a, "id_a", "__va")
-          .join(bucketed(b, "id_b", "__vb"), Seq("table", "bucket"))
-          .where(col("id_a") < col("id_b"))
-          .select("id_a", "__va", "id_b", "__vb")
+        val banded = base.withColumn("tb", explode(array(tb: _*)))
+          .select(col(idCol), col("__v"), col("tb.table").as("table"),
+            col("tb.bucket").as("bucket"))
+          .persist()
+        // Same skew guard as the token-LSH pair join: one hot bucket (a
+        // boilerplate embedding, a zero vector, a dense cluster) emits b²
+        // candidates. Capped docs can still pair through their other
+        // tables; output stays a subset of exact mode either way.
+        val all = maxBucketSize.fold(banded)(
+          capHotBuckets(banded, Seq("table", "bucket"), _, "embeddingNearDups"))
+        all.as("x").join(all.as("y"),
+            col("x.table") === col("y.table") &&
+              col("x.bucket") === col("y.bucket") &&
+              col(s"x.$idCol") < col(s"y.$idCol"))
+          .select(col(s"x.$idCol").as("id_a"), col("x.__v").as("__va"),
+            col(s"y.$idCol").as("id_b"), col("y.__v").as("__vb"))
           .dropDuplicates("id_a", "id_b")
     }
     cand

@@ -297,7 +297,7 @@ object SimilarityQueries {
     Q.rowsOnly("q105_embedding_neardup_lsh") { (s, d) =>
       graft.operators.Dedup.embeddingNearDups(
           Tables.embeddings(s, d), "vec_id", "embedding", NearDupTau,
-          lsh = Some((Dims, 12, 6)))
+          lsh = Some((Dims, 12, 6)), maxBucketSize = Some(256))
         .select(col("id_a"), col("id_b"), dround(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     },

@@ -248,6 +248,17 @@ class DedupSpec extends SparkSpec {
     // cos≈1 ⇒ same bucket in every table ⇒ always a candidate
     assert(lsh.contains((0L, 1L)))
     assert(lsh.subsetOf(exact))
+    // hot-bucket cap: output stays a subset of exact; a cap of 1 drops
+    // every bucket (docs only pair within buckets of ≥ 2), so the planted
+    // pair degrades away rather than erroring — graceful recall loss
+    val capped = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95,
+      lsh = Some((dims, 6, 8)), maxBucketSize = Some(1))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+    val cappedWide = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.95,
+      lsh = Some((dims, 6, 8)), maxBucketSize = Some(1000))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cappedWide == lsh) // cap above every bucket size is a no-op
   }
 
   test("query-scoped caches release cleanly (persist lifecycle)") {

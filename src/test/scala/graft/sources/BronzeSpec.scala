@@ -85,6 +85,28 @@ class BronzeSpec extends SparkSpec {
     assert(todo.as[Long].collect().toSet == Set(3L, 4L)) // 3 deleted, 4 errored
   }
 
+  test("corrupt landing file quarantines instead of failing the silver read") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("landq")
+    val fetcher = new MapFetcher(Map(
+      "api/1" -> FetchResponse(200, """{"match_id":1,"goals":2}"""),
+      "api/2" -> FetchResponse(200, """{"match_id":2,"goals":5}""")))
+    Bronze.fanOutFetch(spark,
+      Seq(1L, 2L).map(i => FetchTarget(i, s"api/$i", s"$dir/$i.json")),
+      fetcher, parallelism = 2).collect()
+    // a provider half-wrote this one — truncated JSON mid-object
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "3.json"),
+      """{"match_id":3,"go""".getBytes)
+    val schema = StructType(Seq(StructField("match_id", LongType),
+      StructField("goals", LongType)))
+    val qr = graft.io.Quarantine.readJsonWithQuarantine(spark, dir, schema)
+    assert(qr.good.as[(Long, Long)].collect().toSet == Set((1L, 2L), (2L, 5L)))
+    val bad = qr.bad.collect()
+    assert(bad.length == 1 && bad.head.getString(0).startsWith("""{"match_id":3"""))
+    assert(bad.head.getString(1).endsWith("3.json")) // lineage to the landed file
+    qr.release()
+  }
+
   test("S9: parseHtmlTable is pd.read_html-shaped (th header, tag strip, entities)") {
     val html =
       """<html><body><p>noise</p>
