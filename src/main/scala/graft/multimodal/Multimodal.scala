@@ -197,6 +197,54 @@ object Multimodal {
       bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte) "wav"
     else "unknown"
 
+  // javax.sound has the same front-door disease as ImageIO: AudioSystem
+  // .write / .getAudioInputStream walk the provider registry — synchronized
+  // — on EVERY call, which serialized the sf1 audio encode+decode the way
+  // the image path was before its ThreadLocal codecs (q30/q88 measured
+  // ~14× sf0.1→sf1 at 10× data). The SPI types are public API
+  // (javax.sound.sampled.spi), so resolve the WAVE providers once per
+  // thread via ServiceLoader and call them directly. Per-thread (not
+  // static) because the SPI contract, unlike the JDK's stateless
+  // implementations, does not promise thread safety.
+  private val wavWriterTL =
+    new ThreadLocal[javax.sound.sampled.spi.AudioFileWriter] {
+      override def initialValue() = {
+        import scala.jdk.CollectionConverters._
+        java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+          .iterator().asScala
+          .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+          .getOrElse(sys.error("no WAVE AudioFileWriter provider"))
+      }
+    }
+  private val wavReaderTL =
+    new ThreadLocal[javax.sound.sampled.spi.AudioFileReader] {
+      override def initialValue() = {
+        import scala.jdk.CollectionConverters._
+        // probe with a real one-sample WAV: reader providers advertise
+        // support by succeeding, not by a queryable capability flag
+        val probe = {
+          val fmt = new javax.sound.sampled.AudioFormat(WavRate.toFloat, 8, 1, false, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(Array[Byte](0)), fmt, 1L)
+          val bos = new java.io.ByteArrayOutputStream()
+          wavWriterTL.get.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+          .iterator().asScala
+          .find { r =>
+            try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+            catch { case _: Exception => false }
+          }
+          .getOrElse(sys.error("no WAVE AudioFileReader provider"))
+      }
+    }
+
+  private def readWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavReaderTL.get.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+
   /** Encode the deterministic PCM as a real WAV via javax.sound.sampled. */
   def wavPayload(id: Long): Array[Byte] = {
     import javax.sound.sampled._
@@ -205,7 +253,7 @@ object Multimodal {
     val fmt = new AudioFormat(WavRate.toFloat, 8, 1, false, false)
     val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriterTL.get.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -263,8 +311,7 @@ object Multimodal {
             TransformedMedia(id, kind, sniffContainer(bytes),
               Some(sr), Some(sg), Some(sb), None, None)
           } else {
-            val ais = javax.sound.sampled.AudioSystem
-              .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            val ais = readWav(bytes)
             val data = ais.readAllBytes()
             var (n, s) = (0L, 0L)
             var i = 0
@@ -317,8 +364,7 @@ object Multimodal {
               Some(w), Some(h), Some(sr), Some(sg), Some(sb),
               None, None, None)
           } else {
-            val ais = javax.sound.sampled.AudioSystem
-              .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            val ais = readWav(bytes)
             val fmt = ais.getFormat
             val data = ais.readAllBytes()
             var s = 0L

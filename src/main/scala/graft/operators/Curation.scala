@@ -318,4 +318,109 @@ object Curation {
     df.withColumn("failed_rules", failed)
       .withColumn("keep", col("failed_rules") === "")
   }
+
+  /** Token-budget corpus selection — the data-mixing move where each source
+    * contributes its BEST documents up to a fixed token budget (rather than
+    * a sampling rate): rank docs within a source by (quality desc, id asc)
+    * and keep while the running token total stays ≤ `budgetPerSource`.
+    * A doc that would cross the budget is dropped (and so is everything
+    * ranked after it, since the running sum only grows).
+    *
+    * Scale: the window shuffles ONLY the metadata projection
+    * (id, source, quality, tokens) — the caller's text/payload columns are
+    * dropped before the exchange and re-attached by the caller via semi-join
+    * if needed. One hash exchange on source; the per-source window is the
+    * per-partition sort Spark gives window frames anyway. Skew = the doc
+    * count of one source; for a pathological mega-source the budget cut
+    * itself bounds useful work, and the cumsum is a single sequential pass
+    * per group. Quality must be a deterministic (cross-engine bit-identical)
+    * column for the selection to replay in the oracle. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, sourceCol: String,
+                        qualityCol: String, tokensCol: String,
+                        budgetPerSource: Long): DataFrame = {
+    require(budgetPerSource > 0, "budget must be positive")
+    val meta = df.select(col(idCol), col(sourceCol),
+      col(qualityCol), col(tokensCol).cast("long").as(tokensCol))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    meta.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .where(col("cum_tokens") <= budgetPerSource)
+  }
+
+  /** Globally-ranked shard assignment with NO global sort: training-output
+    * writers want N shards balanced by token count, and sorted round-robin
+    * (shard = (global_rank - 1) mod N over tokens-desc order) keeps every
+    * shard within one max-document of the mean. The classic
+    * implementation — row_number() over a global ORDER BY — plans as a
+    * single-partition window: one task sorts the corpus. This one computes
+    * the exact same rank from a band histogram instead:
+    *
+    *   rank(doc) = Σ count(bands ranked before doc's band)   (broadcast)
+    *             + row_number within its band                (window)
+    *
+    * where a band is one distinct weight value. The band histogram is a
+    * weight-grain aggregate (a histogram: bounded like the value domain,
+    * not the corpus), its cumulative offsets are a single-partition window
+    * over THAT tiny frame only, and the within-band row_number partitions
+    * by weight — corpus-sized work stays fully parallel. Deterministic and
+    * recompute-safe (no sampling, no partition-id capture — unlike
+    * repartitionByRange+spark_partition_id ranking, a cache eviction cannot
+    * skew offsets). Skew bound: one band = docs sharing a weight value —
+    * fine for integer token counts; a constant-weight corpus degrades to
+    * the single-sort it replaces.
+    *
+    * Returns (id, weight, global_rank, shard). */
+  def rankedShards(df: DataFrame, idCol: String, weightCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val meta = df.select(col(idCol), col(weightCol).cast("long").as(weightCol))
+    val bands = meta.groupBy(weightCol).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col(weightCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bands
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .select(col(weightCol), col("__off"))
+    val wIn = Window.partitionBy(weightCol).orderBy(idCol)
+    meta.join(broadcast(offsets), Seq(weightCol))
+      .withColumn("global_rank", row_number().over(wIn).cast("long") + col("__off"))
+      .withColumn("shard", ((col("global_rank") - 1) % nShards).cast("int"))
+      .select(col(idCol), col(weightCol), col("global_rank"), col("shard"))
+  }
+
+  /** Per-source epoch up-sampling — the mixture schedule stated in epochs
+    * ("books 2.5 epochs, web 1.0"): each doc is replicated floor(e) times,
+    * plus one more iff its salted hash falls under frac(e) — so EXPECTED
+    * copies are exactly e per doc, membership of the fractional copy is a
+    * pure function of (id, salt) (reproducible across re-runs/engines, the
+    * [[deterministicSample]] discipline), and a fixed fraction of docs gets
+    * the extra epoch rather than a random-per-run subset. Output repeats
+    * the row with copy = 1..n; e = 0 drops the source.
+    *
+    * Map-only: the copy count is a codegen'd expression and the fan-out is
+    * an explode riding the scan — no shuffle at any corpus size. Epoch
+    * fractions quantize to the 1e-6 hash grid like all sampling here. */
+  def epochUpsample(df: DataFrame, idCol: String, sourceCol: String,
+                    epochs: Map[String, Double], defaultEpochs: Double,
+                    salt: String = "epoch"): DataFrame = {
+    require((defaultEpochs +: epochs.values.toSeq).forall(e => e >= 0 && e <= 100),
+      "epochs must be in [0,100]")
+    def whole(e: Double): Long = math.floor(e).toLong
+    def fracThr(e: Double): Long = ((e - math.floor(e)) * RateScale).toLong
+    val base = epochs.foldLeft(lit(whole(defaultEpochs))) {
+      case (els, (src, e)) =>
+        when(col(sourceCol) === src, lit(whole(e))).otherwise(els)
+    }
+    val thr = epochs.foldLeft(lit(fracThr(defaultEpochs))) {
+      case (els, (src, e)) =>
+        when(col(sourceCol) === src, lit(fracThr(e))).otherwise(els)
+    }
+    val n = (base + when(hashBucket(col(idCol), salt) < thr, 1L).otherwise(0L))
+      .cast("int")
+    // sequence(1, 0) counts DOWN ([1,0]), it is not empty — guard n = 0
+    // explicitly so zero-epoch sources drop instead of double
+    df.withColumn("copy",
+      explode(when(n >= 1, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

@@ -32,6 +32,12 @@ object CurationQueries {
   private val PipeRate = 0.5
   private val MinTokens = 5L
   private val MaxPunct = 0.3
+  private val BudgetPerSource = 700L   // q106 per-source token budget
+  private val NShards = 8              // q107 training shard count
+  // q108 epoch schedule: src0 up-sampled 2.5 epochs (floor 2 + hash-gated
+  // fractional copy), src1 dropped (0 epochs), everything else 1 epoch
+  private val EpochMap = Seq("src0" -> 2.5, "src1" -> 0.0)
+  private val DefaultEpochs = 1.0
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -379,5 +385,116 @@ object CurationQueries {
         .select(col("doc_id"), col("p_quality"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Token-budget selection: each source contributes its best docs (by
+    // type-token-ratio quality, 6dp-quantized, doc_id tiebreak) until the
+    // running token total crosses the per-source budget. The oracle replays
+    // the same window cumsum; BIGINT sums throughout (the HUGEINT trap).
+    Q.sql("q106_token_budget_select",
+      s"""WITH $wsCte,
+         |m AS (
+         |  SELECT w.doc_id, d.source,
+         |         CASE WHEN len(ws) = 0 THEN 0e0
+         |              ELSE floor(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 1e6 + 5e-1) / 1e6 END AS q_ttr,
+         |         CAST(len(ws) AS BIGINT) AS n_tokens
+         |  FROM w JOIN documents d USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, source, q_ttr, n_tokens,
+         |         CAST(sum(n_tokens) OVER (
+         |           PARTITION BY source ORDER BY q_ttr DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM m)
+         |SELECT doc_id, source, q_ttr, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= $BudgetPerSource
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = col("__ws")
+      val meta = Tables.documents(s, d)
+        .withColumn("__ws", TextFunctions.words(col("text")))
+        .select(col("doc_id"), col("source"),
+          when(size(ws) === 0, lit(0d))
+            .otherwise(dround(
+              size(array_distinct(ws)).cast("double") / size(ws), 6))
+            .as("q_ttr"),
+          size(ws).cast("long").as("n_tokens"))
+      Curation.tokenBudgetSelect(meta, "doc_id", "source", "q_ttr",
+          "n_tokens", BudgetPerSource)
+        .select("doc_id", "source", "q_ttr", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // Balanced training shards: sorted round-robin over tokens-desc global
+    // rank (computed from a band histogram, never a single-partition sort —
+    // see Curation.rankedShards) next to plain hash sharding, reported as
+    // per-shard doc/token totals. The rr rows demonstrate the balance
+    // property the operator exists for: max-min spread ≤ one document.
+    Q.sql("q107_shard_pack",
+      s"""WITH $wsCte,
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w),
+         |rr AS (
+         |  SELECT n_tokens,
+         |         CAST((row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % $NShards AS INTEGER) AS shard
+         |  FROM t),
+         |hh AS (
+         |  SELECT n_tokens,
+         |         CAST(${md5IntSql(s"'shard:' || CAST(doc_id AS VARCHAR)")} % $NShards AS INTEGER) AS shard
+         |  FROM t)
+         |SELECT method, shard, n_docs, tot_tokens FROM (
+         |  SELECT 'rr' AS method, shard, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+         |  FROM rr GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'hash' AS method, shard, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+         |  FROM hh GROUP BY 2)
+         |ORDER BY method, shard""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      val rr = Curation.rankedShards(toks, "doc_id", "n_tokens", NShards)
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tot_tokens"))
+        .withColumn("method", lit("rr"))
+      val hash = toks
+        .withColumn("shard",
+          pmod(TextFunctions.md5Int(
+            concat(lit("shard:"), col("doc_id").cast("string"))),
+            lit(NShards.toLong)).cast("int"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tot_tokens"))
+        .withColumn("method", lit("hash"))
+      rr.unionByName(hash)
+        .select("method", "shard", "n_docs", "tot_tokens")
+        .orderBy("method", "shard")
+    },
+
+    // Epoch up-sampling: the per-source repetition schedule (src0 2.5
+    // epochs, src1 dropped, default 1). Copy counts and the fractional-copy
+    // hash gate are generated from the SAME Scala constants on both sides,
+    // so the schedule cannot drift between engines.
+    Q.sql("q108_epoch_upsample", {
+      def whole(e: Double) = math.floor(e).toLong
+      def fracThr(e: Double) = ((e - math.floor(e)) * Curation.RateScale).toLong
+      val baseCase = EpochMap.foldLeft(s"${whole(DefaultEpochs)}") {
+        case (els, (src, e)) =>
+          s"CASE WHEN source = '$src' THEN ${whole(e)} ELSE $els END"
+      }
+      val thrCase = EpochMap.foldLeft(s"${fracThr(DefaultEpochs)}") {
+        case (els, (src, e)) =>
+          s"CASE WHEN source = '$src' THEN ${fracThr(e)} ELSE $els END"
+      }
+      s"""WITH n AS (
+         |  SELECT doc_id, source,
+         |         ($baseCase)
+         |         + (CASE WHEN ${md5IntSql("'epoch:' || CAST(doc_id AS VARCHAR)")} % ${Curation.RateScale} < ($thrCase)
+         |                 THEN 1 ELSE 0 END) AS n_copies
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy
+         |FROM n WHERE n_copies >= 1
+         |ORDER BY doc_id, copy""".stripMargin
+    }) { (s, d) =>
+      Curation.epochUpsample(Tables.documents(s, d), "doc_id", "source",
+          EpochMap.toMap, DefaultEpochs)
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
     })
 }

@@ -189,4 +189,75 @@ class CurationSpec extends SparkSpec {
       .where(col("doc_id") === 2L).select("chunk_text").as[String].collect().toSet
     assert((fa intersect fb).size <= 1)
   }
+
+  test("tokenBudgetSelect keeps best-first until the budget, per source") {
+    val docs = Seq(
+      // (id, source, quality, tokens) — src a: budget 100 admits q=.9 (60)
+      // and q=.8 (30) = 90; q=.7 (30) would cross 100 and is dropped
+      (1L, "a", 0.7, 30L), (2L, "a", 0.9, 60L), (3L, "a", 0.8, 30L),
+      // src b: a single over-budget doc yields an empty source
+      (4L, "b", 0.99, 200L),
+      // tie on quality breaks by id: 5 then 6, budget cuts after 5
+      (5L, "c", 0.5, 80L), (6L, "c", 0.5, 40L)
+    ).toDF("doc_id", "source", "q", "tok")
+    val out = Curation.tokenBudgetSelect(docs, "doc_id", "source", "q", "tok", 100L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 60L, 3L -> 90L, 5L -> 80L))
+    // metadata contract: payload columns never enter the window shuffle
+    val wide = docs.withColumn("text", lit("x" * 10))
+    val cols = Curation.tokenBudgetSelect(wide, "doc_id", "source", "q", "tok", 100L)
+      .columns.toSet
+    assert(!cols.contains("text"))
+  }
+
+  test("rankedShards: band-histogram rank == global-window rank, shards balanced") {
+    val n = 512 // divisible by nShards so counts split exactly
+    // many ties (tok in 0..19) to exercise within-band ordering
+    val docs = (1L to n).map(i => (i, (i * 7) % 20)).toDF("doc_id", "tok")
+    val got = Curation.rankedShards(docs, "doc_id", "tok", 8)
+      .select("doc_id", "global_rank", "shard")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    import org.apache.spark.sql.expressions.Window
+    val ref = docs.withColumn("r",
+        row_number().over(Window.orderBy(col("tok").desc, col("doc_id"))))
+      .select("doc_id", "r").as[(Long, Int)].collect().toMap
+    got.foreach { case (id, rank, shard) =>
+      assert(rank == ref(id).toLong, s"doc $id")
+      assert(shard == ((rank - 1) % 8).toInt)
+    }
+    // sorted round-robin balance: every shard gets n/8 docs and token
+    // totals spread by at most one max-document
+    val byShard = Curation.rankedShards(docs, "doc_id", "tok", 8)
+      .groupBy("shard").agg(count(lit(1)).as("n"), sum("tok").as("t"))
+      .select("n", "t").as[(Long, Long)].collect()
+    assert(byShard.forall(_._1 == n / 8))
+    val ts = byShard.map(_._2)
+    assert(ts.max - ts.min <= 19L)
+  }
+
+  test("epochUpsample: floor+fractional copies, zero-epoch drop, determinism") {
+    val docs = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "books" else if (i % 3 == 1) "junk" else "web"))
+      .toDF("doc_id", "source")
+    val out = Curation.epochUpsample(docs, "doc_id", "source",
+      Map("books" -> 2.5, "junk" -> 0.0), 1.0)
+    val bySrc = out.groupBy("source", "doc_id").count()
+      .groupBy("source").agg(avg("count").as("m"), max("count").as("mx"),
+        min("count").as("mn"))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(!bySrc.contains("junk"))              // 0 epochs → dropped
+    assert(bySrc("web") == ((1.0, 1L, 1L)))      // default: exactly 1 copy
+    val (mBooks, mxB, mnB) = bySrc("books")      // 2.5: copies ∈ {2,3}, E≈2.5
+    assert(mnB == 2L && mxB == 3L && math.abs(mBooks - 2.5) < 0.05)
+    // copy index is dense 1..n per doc
+    val copies = out.where(col("source") === "books" && col("doc_id") === 3L)
+      .select("copy").as[Int].collect().sorted
+    assert(copies.head == 1 && copies.toSeq == (1 to copies.length))
+    // pure function of (id, salt): re-run is identical
+    val again = Curation.epochUpsample(docs, "doc_id", "source",
+      Map("books" -> 2.5, "junk" -> 0.0), 1.0)
+      .select("doc_id", "copy").as[(Long, Int)].collect().toSet
+    assert(again == out.select("doc_id", "copy").as[(Long, Int)].collect().toSet)
+  }
 }
