@@ -53,6 +53,32 @@ object Writers {
     writeBucketed(df, table, bucketCol, numBuckets)
   }
 
+  /** Training-shard output: the corpus written as `shard=K/` parquet
+    * partitions whose token totals are balanced by sorted round-robin
+    * ([[graft.operators.Curation.rankedShards]] — exact global rank from a
+    * band histogram, no single-partition sort). `repartition(shard)` before
+    * the partitioned write keeps it one file set per shard directory
+    * instead of one-file-per-input-task-per-shard (the small-files
+    * explosion a 100 TB write cannot afford); the write itself is K1's
+    * dynamic-overwrite form, so re-sharding replaces shards atomically
+    * per-partition. Cost model: the rank computation shuffles only the
+    * (id, weight) metadata projection; the payload then moves twice —
+    * once joining its shard assignment back on id, once repartitioning to
+    * the shard layout. Two payload exchanges is the floor for EXACT
+    * balanced sharding with a clean file layout; callers that can accept
+    * statistical balance should hash-shard instead (zero extra payload
+    * shuffles — see q107's hash branch). */
+  def writeTrainingShards(df: DataFrame, path: String, idCol: String,
+                          weightCol: String, nShards: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val assign = graft.operators.Curation
+      .rankedShards(df, idCol, weightCol, nShards)
+      .select(col(idCol), col("shard"))
+    val sharded = df.join(assign, Seq(idCol))
+      .repartition(nShards, col("shard"))
+    writePartitioned(sharded, path, "shard")
+  }
+
   /** K2 — single-file debug CSV (ADAPTERS/SILVER-adapter-wyscout.py:505-511).
     * coalesce(1) is for debug output only — never on the main path. */
   def debugCsv(df: DataFrame, path: String): Unit =

@@ -55,6 +55,27 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 1)
   }
 
+  test("rankedShards never plans a corpus-sized single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = (1L to 200L).map(i => (i, (i * 3) % 11)).toDF("doc_id", "tok")
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec leaf that collect() cannot descend into
+    val plan = graft.operators.Curation.rankedShards(docs, "doc_id", "tok", 4)
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2, plan.toString)
+    // corpus-side row_number is partitioned (by the weight band)...
+    val (global, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    assert(partitioned.size == 1, plan.toString)
+    // ...and the only global window sits above the band-histogram
+    // aggregate, never the raw corpus
+    assert(global.size == 1, plan.toString)
+    val aggBelow = global.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggBelow.isDefined, s"global window not over the histogram:\n$plan")
+  }
+
   test("reconcileSchema drops/null-fills/reorders to the target (K7)") {
     val target = Seq((1, "x", 2.0)).toDF("a", "b", "c").schema
     val df = Seq((5.0, 9)).toDF("c", "extra")

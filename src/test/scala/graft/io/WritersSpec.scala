@@ -193,6 +193,30 @@ class WritersSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/alltime").exists())
   }
 
+  test("writeTrainingShards: balanced shard=K dirs, payload intact, few files") {
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    val df = (1L to 256L).map(i => (i, (i * 13) % 40 + 1, s"payload-$i"))
+      .toDF("doc_id", "n_tokens", "text")
+    Writers.writeTrainingShards(df, s"$base/out", "doc_id", "n_tokens", 4)
+    val back = spark.read.parquet(s"$base/out")
+    // every row survives with its payload, exactly once
+    assert(back.count() == 256)
+    assert(back.select("doc_id", "text").as[(Long, String)].collect()
+      .forall { case (id, t) => t == s"payload-$id" })
+    // shard dirs exist and token totals are sorted-round-robin balanced
+    (0 until 4).foreach(k =>
+      assert(new java.io.File(s"$base/out/shard=$k").isDirectory))
+    val tots = back.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(tots.length == 4 && tots.max - tots.min <= 40L)
+    // one file set per shard dir, not one-per-task-per-shard
+    (0 until 4).foreach { k =>
+      val files = new java.io.File(s"$base/out/shard=$k")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"shard $k has $files files")
+    }
+  }
+
   private def withConf(key: String, value: String)(body: => Unit): Unit = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)
