@@ -4,8 +4,12 @@ import org.apache.spark.sql.SparkSession
 object ProfileQ {
   def main(args: Array[String]): Unit = {
     val name = args(0); val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // SPARK_GRAFT_SHUFFLE overrides the partition count — for measuring
+    // whether a query's scaling is partition-volume-bound (a real cluster
+    // scales partitions with input splits; local[32] holds them fixed)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

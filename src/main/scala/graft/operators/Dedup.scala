@@ -443,6 +443,32 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level dedup keeping the BEST member of each duplicate cluster
+    * by an explicit quality ordering (desc, id asc tie-break) — the
+    * production form of [[dedupCorpus]]: pipelines that carry a quality
+    * score keep the cleanest copy of a near-dup cluster, not the one with
+    * the smallest id (a crawl's first-seen copy is often the worst one).
+    * Docs outside every cluster are singletons and always survive.
+    *
+    * Scale shape: clusters come from the pair table ([[duplicateClusters]]
+    * — pair-bounded, ≪ corpus), the cluster attach is a key-only left
+    * join (cluster side pair-bounded, un-hinted for the dedupCorpus
+    * 20-50%-duplication reason), and the representative pick is one
+    * row_number window partitioned by cluster label — only CLUSTERED rows
+    * have a shared label; singletons keep their own id as label, so the
+    * window's per-key state is cluster-sized. Returns the surviving rows
+    * of `docs` unchanged (internal columns dropped). */
+  def dedupCorpusKeepBest(docs: DataFrame, idCol: String,
+                          pairs: DataFrame, quality: Column): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val labeled = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("__c", coalesce(col("cluster_id"), col(idCol)))
+    graft.ops.Windows
+      .keepBest(labeled, Seq("__c"), Seq(quality.desc, col(idCol).asc))
+      .drop("__c", "cluster_id")
+  }
+
   /** Incremental ingest dedup: drop new docs whose normalized-text
     * fingerprint already exists in the historical index, then exact-dedup
     * within the batch (keep min id per fingerprint). The daily-ingest
@@ -548,6 +574,40 @@ object Dedup {
       .agg(min(struct(col(idCol), col("pos"))).as("f"))
     val dup = spans.join(first, "h")
       .where(col(s"f.$idCol") =!= col(idCol) || col("f.pos") =!= col("pos"))
+    trimCovered(ws, dup, idCol, k)
+  }
+
+  /** Boilerplate span removal — the common-sequence rule of crawl-cleaning
+    * pipelines (CCNet's frequent-paragraph drop, RefinedWeb line-dedup,
+    * here at the k-token-span grain the corpus' whitespace tokens give):
+    * every k-token span occurring in ≥ `minDf` DISTINCT documents is
+    * removed from EVERY document — no first-occurrence survivor. The
+    * complement of [[dedupSubstrings]] (Lee et al. keep-first): a licence
+    * header or navigation footer stamped across half a crawl is noise in
+    * its first copy too.
+    *
+    * Scale shape — shares the substring-dedup span grain: (1) the span
+    * table is (id, pos, md5) hash-sized rows; (2) ONE hash-grain
+    * document-frequency aggregate (two-level: distinct (h, id) partials
+    * then count — partial aggregation applies at both levels); (3) the
+    * hot-span set is boilerplate-sized (≪ span table — df ≥ minDf spans
+    * are by definition few distinct HASHES however many occurrences they
+    * have), so the semi-join back onto spans is a small build side AQE
+    * broadcasts, un-hinted by the dedupCorpus discipline; (4) occurrences
+    * of hot spans — duplication-rate-sized — explode into covered
+    * positions and docs trim in place ([[trimCovered]]'s bound).
+    * Returns (idCol, clean_text, n_dropped). */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDf: Int): DataFrame = {
+    require(k >= 2, "k must be ≥ 2")
+    require(minDf >= 2, "minDf must be ≥ 2 (minDf 1 erases the corpus)")
+    val ws = wsTable(docs, idCol, textCol)
+    val spans = spanTable(ws, idCol, k)
+    val hot = spans.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf).select("h")
+    val dup = spans.join(hot, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos"))
     trimCovered(ws, dup, idCol, k)
   }
 

@@ -20,6 +20,7 @@ object DedupQueries {
                              // docs cluster; 8-bit blocks → ~10M candidates)
   private val MaxHamming = 2
   private val SubstrK = 8  // min duplicated-run length, in tokens (q90)
+  private val BoilerDf = 3 // q109: spans in ≥ this many docs are boilerplate
   private val SimTNum = 1  // q98 similarity-join threshold t = 1/2
   private val SimTDen = 2
 
@@ -489,6 +490,94 @@ object DedupQueries {
         "graft_span_index", "h", numBuckets = 8)
       Dedup.dedupSubstringsIncremental(batch, "doc_id", "text", SubstrK,
           s.table("graft_span_index"))
+        .orderBy("doc_id")
+    },
+
+    // Boilerplate span removal: k-token spans present in ≥ BoilerDf DISTINCT
+    // docs are dropped from EVERY doc (no first-occurrence survivor) — the
+    // crawl-cleaning common-sequence rule, complementing q90's keep-first
+    // semantics. The oracle replays the df threshold and coverage trim.
+    Q.sql("q109_boilerplate_removal", {
+      val K = SubstrK
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+${K - 1}], ' ')) AS h
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${K - 1})) AS i FROM w)),
+         |hot AS (
+         |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM sp GROUP BY h)
+         |  WHERE df >= $BoilerDf),
+         |dup AS (SELECT doc_id, pos FROM sp WHERE h IN (SELECT h FROM hot)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + ${K - 1})) AS cp FROM dup),
+         |covagg AS (SELECT doc_id, count(*) AS n_dropped FROM cov GROUP BY doc_id),
+         |tok AS (SELECT doc_id, i AS pos, ws[i] AS tok
+         |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cp = t.pos
+         |  WHERE c.doc_id IS NULL),
+         |rec AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id AS doc_id,
+         |       coalesce(r.clean_text, '') AS clean_text,
+         |       CAST(coalesce(ca.n_dropped, 0) AS BIGINT) AS n_dropped
+         |FROM w LEFT JOIN rec r ON r.doc_id = w.doc_id
+         |LEFT JOIN covagg ca ON ca.doc_id = w.doc_id
+         |ORDER BY w.doc_id""".stripMargin
+    }) { (s, d) =>
+      Dedup.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+          SubstrK, BoilerDf)
+        .orderBy("doc_id")
+    },
+
+    // Cluster-representative dedup: q40's near-dup clusters, but each
+    // cluster keeps its BEST member by quality (n_chars desc, doc_id asc
+    // tie-break) instead of the min id — the production keep-the-cleanest-
+    // copy rule. The oracle closes the same pair set transitively, labels
+    // singletons with their own id, and replays the argmax window.
+    Q.sql("q110_dedup_keep_best_quality",
+      s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ")},
+         |$minhashCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN sh a ON a.doc_id = p.id_a
+         |  JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.id_a
+         |  JOIN sz sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.inter AS DOUBLE) * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+         |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS c, d.n_chars
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |keep AS (
+         |  SELECT doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY c ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM lab)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |FROM keep WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", ShingleN).persist()
+      val sig = Dedup.minhashSignatures(sh, "doc_id", K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+      val pairs = Dedup.jaccardForPairs(cand, sh, "doc_id")
+        .where(col("jaccard") >= 0.2).select("id_a", "id_b")
+      Dedup.dedupCorpusKeepBest(docs, "doc_id", pairs, col("n_chars"))
+        .select("doc_id", "n_chars")
         .orderBy("doc_id")
     })
 }

@@ -156,6 +156,37 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(10L, 40L, 99L))
   }
 
+  test("dedupCorpusKeepBest keeps the highest-quality member, min id on ties") {
+    val corpus = Seq(
+      (10L, 5L), (20L, 9L), (30L, 9L),  // cluster {10,20,30}: 20/30 tie on
+                                        // quality 9 → 20 wins (min id)
+      (40L, 1L), (50L, 7L),             // cluster {40,50}: 50 wins outright
+      (99L, 0L))                        // singleton always survives
+      .toDF("doc_id", "quality")
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpusKeepBest(corpus, "doc_id", pairs, $"quality")
+    assert(kept.columns.toSeq == Seq("doc_id", "quality")) // internals dropped
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(20L, 50L, 99L))
+  }
+
+  test("removeBoilerplate: df counts DISTINCT docs; hot spans drop everywhere") {
+    // "b1..b6" sits in 3 distinct docs → boilerplate at minDf=3, removed
+    // from ALL of them (no first-occurrence survivor). Doc 4 repeats
+    // "r1..r6" three times WITHIN itself — df is 1, so it stays.
+    val boiler = "b1 b2 b3 b4 b5 b6"
+    val docs = Seq(
+      (1L, s"$boiler one"),
+      (2L, s"two $boiler"),
+      (3L, s"$boiler"),
+      (4L, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "doc_id", "text", k = 6, minDf = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "one", 6L), (2L, "two", 6L), (3L, "", 6L),
+      (4L, "r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6 r1 r2 r3 r4 r5 r6", 0L)))
+  }
+
   test("dedup finishing path has no broadcast hint: large drop sets stay shuffled") {
     // At 100 TB the pair-derived drop/candidate id sets are billions of
     // rows (20-50% web dup rate) — an unconditional broadcast() hint is a
