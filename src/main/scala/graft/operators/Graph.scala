@@ -21,7 +21,8 @@ import graft.queries.Qutil.dround
   * discipline (measured there: ×3 plan growth per round otherwise), so
   * per-round plan size and wall time stay flat at 30+ iterations
   * (GraphSpec pins this). As in duplicateClusters, the last checkpoint
-  * backs the returned frame and stays persisted.
+  * backs the returned frame and stays persisted — caller-owned: call
+  * [[releaseGraphCaches]] once the result is materialized.
   *
   * Determinism (the oracle replays every iteration as a chained CTE):
   * per-edge contributions are floor-scale-rounded at `scale` decimals
@@ -32,6 +33,36 @@ import graft.queries.Qutil.dround
   */
 object Graph {
 
+  /** Session-lifetime registry of frames this object persisted (edge
+    * tables, node tables, rank checkpoints, oriented-edge tables) —
+    * caller-owned, the [[graft.operators.Dedup.releaseSpanCaches]]
+    * convention. A bench or batch driver processing many graphs calls
+    * [[releaseGraphCaches]] between them; without it the pinned frames
+    * stay resident for the session and the accumulated footprint evicts
+    * every other operator's caches (measured round 6: pass-2 cache reuse
+    * across a 110-query bench collapsed under exactly this pressure).
+    * Releasing before a returned frame's first action is safe — it
+    * recomputes, once per consumer. */
+  private val graphCaches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  private def pinned(df: DataFrame): DataFrame = {
+    df.persist()
+    graphCaches.add(df)
+    df
+  }
+
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    graphCaches.remove(df)
+  }
+
+  /** Unpersist every frame pageRank/triangleCounts pinned this session. */
+  def releaseGraphCaches(): Unit = {
+    val it = graphCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(); it.remove() }
+  }
+
   /** `iters` damped PageRank rounds over directed (src, dst) edges.
     * Returns (node, rank). Rank init = 1.0 per node; dangling nodes decay
     * to (1 − damping). */
@@ -40,13 +71,13 @@ object Graph {
     val e0 = edges.select(col("src"), col("dst"))
     // outdeg is per-src static — fold it into the persisted edge table once
     // so each iteration joins ranks exactly once (not ranks + outdeg)
-    val e = e0.join(
+    val e = pinned(e0.join(
         e0.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .repartition(col("src")))
+    val nodes = pinned(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(1.0))
-    var pinned: Option[DataFrame] = None
+    var checkpoint: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -62,10 +93,10 @@ object Graph {
       if (i % rebaseEvery == 0 && i < iters) {
         // cut lineage: constant-size plan from here on; one action
         // materializes the checkpoint before the previous one is released
-        val r = graft.operators.Dedup.rebased(ranks).persist()
+        val r = pinned(graft.operators.Dedup.rebased(ranks))
         r.count(): Unit
-        pinned.foreach(_.unpersist())
-        pinned = Some(r)
+        checkpoint.foreach(release)
+        checkpoint = Some(r)
         ranks = r
       }
     }
@@ -89,21 +120,21 @@ object Graph {
     *
     * The oriented edge table is persisted (it feeds both wedge sides and
     * the closure probe — edge-sized, not wedge-sized) and stays cached
-    * until the session clears it, the same convention as
-    * duplicateClusters' final labels; batch drivers processing many
-    * graphs should clearCache() between them. */
+    * until released, the same convention as duplicateClusters' final
+    * labels; batch drivers processing many graphs call
+    * [[releaseGraphCaches]] between them. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
-    val o = sym
+    // pinned: consumed by both wedge sides and the closure probe
+    val o = pinned(sym
       .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
       .where(col("dsrc") < col("ddst") ||
         (col("dsrc") === col("ddst") && col("src") < col("dst")))
-      .select(col("src"), col("dst"), col("ddst"))
-      .persist() // consumed by both wedge sides and the closure probe
+      .select(col("src"), col("dst"), col("ddst")))
     val wed = o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src"))
       .where(col("o1.ddst") < col("o2.ddst") ||
         (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst")))

@@ -7,8 +7,8 @@ import graft.queries.Qutil.dround
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   * Brute-force cosine top-k is the oracle-checked baseline; hyperplane-LSH
-  * is the scale path (rows-only check — bucketing loses SQL expressibility
-  * but keeps the same scoring, so recall is testable in ScalaTest instead).
+  * is the scale path — ALSO oracle-checked, because the md5-derived planes
+  * make bucketing deterministic and therefore replayable in SQL (q26, q105).
   */
 object SimilarityQueries {
 
@@ -287,14 +287,54 @@ object SimilarityQueries {
 
     // The SCALE PATH of the same operator: LSH candidate mode —
     // multi-table random-hyperplane bucketing, scoring only within-bucket
-    // pairs. No SQL oracle by design: recall is probabilistic
-    // (1-(1-p^planes)^tables), so the driver records the weaker rows-only
-    // check here while DedupSpec pins the semantics (LSH output ⊆ exact
-    // output, identical scores) and q37 pins the exact baseline. Benched
-    // beside q37 it MEASURES the two-tier contract: exact mode grows
-    // quadratically (67.9× at 10× data, see SCALE.md), the bucketed mode
-    // is the one you run corpus-wide.
-    Q.rowsOnly("q105_embedding_neardup_lsh") { (s, d) =>
+    // pairs. Fully oracle-checked the q26 way, even though RECALL is
+    // probabilistic: the hash functions themselves are deterministic
+    // (±1 planes are md5-derived literals from Similarity.planeVec, sign
+    // tests compare identical left-fold doubles) and the hot-bucket cap
+    // is a plain HAVING-count rule, so the oracle replays planes →
+    // buckets → cap → candidate pairs → cosine filter bit-for-bit.
+    // DedupSpec additionally pins LSH ⊆ exact with identical scores, and
+    // q37 pins the exact baseline. Benched beside q37 it MEASURES the
+    // two-tier contract: exact mode grows quadratically (67.9× at 10×
+    // data, see SCALE.md), the bucketed mode is the one you run
+    // corpus-wide.
+    Q.sql("q105_embedding_neardup_lsh", {
+      val nPlanes = 12; val nTables = 6; val cap = 256
+      def dotSql(vec: String, plane: Array[Double]): String = {
+        val lits = plane.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, $Dims), i -> $vec[i] * ($lits)[i]), (a, b) -> a + b)"
+      }
+      val bandSelects = (0 until nTables).map { t =>
+        val bucket = (0 until nPlanes).map { p =>
+          val d = dotSql("v", Similarity.planeVec(t, p, Dims))
+          s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  $bandSelects),
+         |ok AS (
+         |  SELECT t, bucket FROM b GROUP BY t, bucket HAVING count(*) <= $cap),
+         |c AS (
+         |  SELECT b.vec_id, b.t, b.bucket FROM b
+         |  JOIN ok ON ok.t = b.t AND ok.bucket = b.bucket),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM c x JOIN c y ON x.t = y.t AND x.bucket = y.bucket
+         |                   AND x.vec_id < y.vec_id),
+         |s AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |         list_reduce(list_transform(generate_series(1, $Dims), i -> ae.v[i] * be.v[i]), (a, b) -> a + b)
+         |         / (sqrt(list_reduce(list_transform(ae.v, x -> x * x), (a, b) -> a + b))
+         |            * sqrt(list_reduce(list_transform(be.v, x -> x * x), (a, b) -> a + b))) AS cos
+         |  FROM cand
+         |  JOIN e ae ON ae.vec_id = cand.id_a
+         |  JOIN e be ON be.vec_id = cand.id_b)
+         |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM s WHERE cos >= $NearDupTau ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
       graft.operators.Dedup.embeddingNearDups(
           Tables.embeddings(s, d), "vec_id", "embedding", NearDupTau,
           lsh = Some((Dims, 12, 6)), maxBucketSize = Some(256))
