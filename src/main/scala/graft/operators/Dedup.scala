@@ -529,10 +529,11 @@ object Dedup {
     * linear scan of the doc's covered-position array, so a single doc
     * that is ~fully duplicated costs O(len²) with a tiny constant —
     * bounded in practice by document length, not corpus size (docs at
-    * LLM scale are chunk-bounded). If a deployment carries megatoken
-    * docs with massive internal duplication, explode those docs' tokens
-    * and anti-join on (doc, pos) instead — same semantics, one extra
-    * shuffle of only the affected docs.
+    * LLM scale are chunk-bounded). Docs whose covered-position count
+    * crosses `spark.graft.trimCovered.explodeThreshold` automatically
+    * switch to the explode + anti-join reconstruction — same semantics,
+    * O(len log len), one extra shuffle of only the affected docs (see
+    * trimCovered).
     */
   private def wsTable(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol), words(col(textCol)).as("__ws"))
@@ -548,21 +549,68 @@ object Dedup {
         md5(concat_ws(" ", slice(col("__ws"), col("pos"), lit(k)))
           .cast("binary")).as("h"))
 
-  /** Trim docs by removing their covered positions: dup spans explode
-    * into per-doc covered-position sets and the bound token arrays are
-    * filtered by index (see dedupSubstrings scaladoc for the bound). */
+  /** Trim docs by removing their covered positions. Two regimes, split by
+    * per-doc covered-position count against
+    * `spark.graft.trimCovered.explodeThreshold` (default 16384):
+    *
+    *  - UNDER the guard (the normal case — covered positions are
+    *    duplication-rate-sized): per-doc covered SET + codegen'd index
+    *    filter over the bound token array. Memory per doc is O(|cov|) ints
+    *    — never more than the doc's own token count, i.e. the same order
+    *    as the output row itself, which any row-based engine must hold
+    *    anyway; the aggregate degrades hash→sort under pressure, so many
+    *    medium docs spill rather than OOM. CPU is the linear membership
+    *    probe: O(tokens · |cov|).
+    *  - OVER the guard (a pathological mega-doc that is largely
+    *    duplicated): the quadratic probe would dominate (16k² ≈ 2.7e8
+    *    comparisons per doc and climbing), so those docs take the
+    *    explode + anti-join form instead — tokens posexploded, covered
+    *    positions anti-joined away, survivors reassembled with one
+    *    array_sort(collect_list) — O(tokens log tokens) CPU, one extra
+    *    shuffle of ONLY the affected docs' tokens. Identical semantics
+    *    (DedupSubstringsSpec pins tiny-threshold ≡ default output).
+    *
+    * The covered-position frame feeds three consumers (the count gate and
+    * both paths) — persisted in `spanCaches` (caller-owned release). */
   private def trimCovered(ws: DataFrame, dup: DataFrame, idCol: String,
                           k: Int): DataFrame = {
-    val cov = dup
+    val threshold = ws.sparkSession.conf
+      .getOption("spark.graft.trimCovered.explodeThreshold")
+      .map(_.toInt).getOrElse(1 << 14)
+    val cps = dup
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .distinct()
+      .persist()
+    spanCaches.add(cps)
+    val covN = cps.groupBy(idCol).agg(count(lit(1)).as("__ncov"))
+    val bigIds = covN.where(col("__ncov") > threshold).select(idCol)
+    val covSmall = cps.join(bigIds, Seq(idCol), "left_anti")
       .groupBy(idCol).agg(collect_set(col("cp")).as("__cov"))
-    ws.join(cov, Seq(idCol), "left")
+    val small = ws.join(bigIds, Seq(idCol), "left_anti")
+      .join(covSmall, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__cov").isNull, concat_ws(" ", col("__ws")))
           .otherwise(concat_ws(" ",
             filter(col("__ws"), (_, i) => !array_contains(col("__cov"), i + 1))))
           .as("clean_text"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_dropped"))
+    val survivors = ws.join(bigIds, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("__i", "__tok")))
+      .join(cps.select(col(idCol).as("__cid"), col("cp")),
+        col(idCol) === col("__cid") && (col("__i") + 1) === col("cp"),
+        "left_anti")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("__i"), col("__tok")))).as("__kept"))
+    val big = ws.join(bigIds, Seq(idCol), "left_semi")
+      .join(survivors, Seq(idCol), "left") // fully-covered docs keep no tokens
+      .join(covN, Seq(idCol))
+      .select(col(idCol),
+        when(col("__kept").isNull, lit(""))
+          .otherwise(concat_ws(" ",
+            transform(col("__kept"), s => s.getField("__tok"))))
+          .as("clean_text"),
+        col("__ncov").cast("long").as("n_dropped"))
+    small.unionByName(big)
   }
 
   def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,

@@ -12,9 +12,13 @@ object DemoFixture {
   val seasonId = 190042L
   val competitionId = 335L
 
-  def playerStats(spark: SparkSession): DataFrame = {
-    val docs = for (m <- 1 to 6) yield {
-      val players = for {
+  /** The provider feed for ONE match, as the raw JSON document an API
+    * would serve (one `{"players":[...]}` object, single line). Shared by
+    * [[playerStats]] (in-memory read) and the q112 lifecycle query's
+    * synthetic bronze API, so the fetched-and-landed bytes and the
+    * in-memory frame can never drift. */
+  def matchDoc(m: Int): String = {
+    val players = for {
         t <- 0 until 4
         p <- 0 until 10
       } yield {
@@ -43,11 +47,13 @@ object DemoFixture {
             |"average":{"passes":${passes.toDouble}},
             |"percent":{"successfulPasses":${80 + pid % 15}.5}}"""
           .stripMargin.replaceAll("\n", "")
-      }
-      s"""{"players":[${players.mkString(",")}]}"""
     }
+    s"""{"players":[${players.mkString(",")}]}"""
+  }
+
+  def playerStats(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.read.json(docs.toDS())
+    spark.read.json((1 to 6).map(matchDoc).toDS())
   }
 
   def lineups(spark: SparkSession): DataFrame = {

@@ -496,5 +496,34 @@ object CurationQueries {
           EpochMap.toMap, DefaultEpochs)
         .select("doc_id", "source", "copy")
         .orderBy("doc_id", "copy")
+    },
+
+    // End-to-end training-shard WRITE (io.Writers.writeTrainingShards):
+    // rankedShards assignment → payload join on id → repartition(shard) →
+    // dynamic-overwrite partitioned parquet — then the OUTPUT FILES are
+    // read back and reduced to per-shard doc/weight totals. The oracle
+    // recomputes those totals from the documents table alone (the band-
+    // histogram global rank ≡ row_number over (weight DESC, id)), so a
+    // write that dropped, duplicated, or mis-assigned any row
+    // hash-mismatches. The one registry query whose Spark side round-trips
+    // through real output files (the q104 landing-zone discipline, for the
+    // training-shard sink).
+    Q.sql("q111_training_shard_write",
+      s"""WITH r AS (
+         |  SELECT doc_id, n_chars,
+         |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents),
+         |s AS (SELECT n_chars, CAST((rk - 1) % $NShards AS INTEGER) AS shard FROM r)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS tot_weight
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q111_shards").getPath
+      graft.io.Writers.writeTrainingShards(docs, out, "doc_id", "n_chars", NShards)
+      s.read.parquet(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("tot_weight"))
+        .orderBy("shard")
     })
 }

@@ -228,6 +228,50 @@ object DomainQueries {
         .orderBy("profileId")
     },
 
+    // FULL LIFECYCLE, bronze → silver → gold in one query (SURVEY §3):
+    // the provider feed is FETCHED through the Bronze fan-out seam (one
+    // flaky match exercises the retry loop), LANDED as per-match JSON
+    // files, RE-READ from the landing zone with schema inference, then run
+    // through the complete Silver.run → Gold.run pipeline to Ratings. The
+    // oracle is exactly q28's — a hash match proves the landing-zone
+    // round trip is byte-preserving THROUGH the whole pipeline: any
+    // fetch/write/read/inference drift would shift a stat, a z-score, and
+    // the final 2dp-rounded Rating.
+    Q.sql("q112_lifecycle_bronze_to_gold", q28Oracle) { (s, _) =>
+      import s.implicits._
+      val land = java.nio.file.Files.createTempDirectory("q112land").toString
+      val targets = (1 to 6).map { m =>
+        graft.sources.Bronze.FetchTarget(555000L + m,
+          s"api/feed/${555000 + m}", s"$land/${555000 + m}.json")
+      }
+      val api = new graft.sources.Bronze.Fetcher {
+        private val tries =
+          new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        override def fetch(url: String): graft.sources.Bronze.FetchResponse = {
+          val mid = url.substring(url.lastIndexOf('/') + 1).toLong
+          val n = tries.merge(url, 1, (a, b) => a + b).intValue
+          if (mid == 555003L && n == 1) // retry path inside the lifecycle
+            graft.sources.Bronze.FetchResponse(0, "", Some("synthetic flake"))
+          else graft.sources.Bronze.FetchResponse(200,
+            DemoFixture.matchDoc((mid - 555000L).toInt))
+        }
+      }
+      val report = graft.sources.Bronze.fanOutFetch(s, targets, api,
+        parallelism = 4, maxRetries = 3, backoffMs = 1L, sleeper = _ => ())
+      val outcomes = report.groupBy("outcome").count()
+        .as[(String, Long)].collect().toMap
+      require(outcomes.get("rewrite").contains(6L),
+        s"lifecycle bronze landing incomplete: $outcomes")
+      val raw = s.read.json(s"$land/*.json")
+      val silver = Silver.run(raw, DemoFixture.lineups(s),
+        DemoFixture.competitions(s), DemoFixture.teams(s),
+        DemoFixture.silverConfig, DemoFixture.metaCols)
+      Gold.run(silver, DemoFixture.goldWeights(s),
+        Seq("totalPasses", "passesPerNinety", "totalDuels", "goals"),
+        GoldConfig(minSampleSize = 2, minMinutes = 150))
+        .orderBy("profileId")
+    },
+
     // SCD Type-2 dimension maintenance (ops.Scd): the customer dim opens at
     // an initial date; a snapshot reclassifies every 7th customer's segment
     // → their open rows close at the effective date and new versions open.

@@ -188,4 +188,50 @@ object Streaming {
           new java.util.Properties(), dialect = dialect)
       }
       .start()
+
+  /** S10 as a STREAMING stage — incremental bronze discovery under the
+    * trigger: `candidates` is an unbounded stream of eligible match ids
+    * (the provider's fixture feed re-delivers the full list every poll);
+    * each micro-batch anti-joins the batch against the landing zone's
+    * already-landed ids ([[graft.sources.Bronze.matchesToUpdate]] — the
+    * landed side is FILENAMES, never data) and fan-out fetches ONLY the
+    * missing ones. Re-delivered ids are discovered as already landed and
+    * skipped, so a steady-state poll loop fetches each match exactly once
+    * however often the upstream repeats it — the reference's re-pull +
+    * overwrite model with the re-pull cost driven to the delta.
+    *
+    * `onBatch` receives (batchId, outcome→count) after each micro-batch —
+    * the fan-out report aggregate, for ops tables and specs. The id list
+    * per batch is collected on the driver (fetch-target construction,
+    * bounded by the match grain — the q104 discipline). */
+  def incrementalBronzeIngest(candidates: DataFrame, idCol: String,
+                              landingDir: String,
+                              urlFor: Long => String, pathFor: Long => String,
+                              fetcher: graft.sources.Bronze.Fetcher,
+                              parallelism: Int, checkpoint: String,
+                              maxRetries: Int = 3, backoffMs: Long = 1L,
+                              sleeper: Long => Unit = Thread.sleep,
+                              onBatch: (Long, Map[String, Long]) => Unit = (_, _) => ())
+  : StreamingQuery =
+    candidates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val todo = graft.sources.Bronze
+          .matchesToUpdate(batch, idCol,
+            graft.sources.Bronze.landedIds(spark, landingDir))
+          .select(col(idCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val outcomes =
+          if (todo.isEmpty) Map.empty[String, Long]
+          else graft.sources.Bronze
+            .fanOutFetch(spark,
+              todo.map(id => graft.sources.Bronze
+                .FetchTarget(id, urlFor(id), pathFor(id))),
+              fetcher, parallelism, maxRetries, backoffMs, sleeper = sleeper)
+            .groupBy("outcome").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        onBatch(batchId, outcomes)
+      }
+      .start()
 }

@@ -146,6 +146,37 @@ class DedupSubstringsSpec extends SparkSpec {
     assert(want.exists(_._3 > 0)) // the corpus really exercises removal
   }
 
+  test("mega-doc explode path ≡ covered-set path; degenerate full duplicate completes") {
+    // equivalence: force EVERY covered doc through the explode + anti-join
+    // reconstruction and require bit-identical output to the default path
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta unique one"),
+      (2L, "prefix alpha beta gamma delta epsilon zeta suffix"),
+      (3L, "m1 m2 m3 m4 m5 x y m2 m3 m4 m5 m6"),
+      (4L, ""), (5L, "short doc")).toDF("doc_id", "text")
+    def run() = Dedup.dedupSubstrings(docs, "doc_id", "text", k = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val default = run()
+    spark.conf.set("spark.graft.trimCovered.explodeThreshold", "1")
+    val exploded = try run()
+    finally spark.conf.unset("spark.graft.trimCovered.explodeThreshold")
+    assert(exploded == default)
+
+    // degenerate mega-doc at the REAL threshold: a 20k-token doc that is a
+    // full copy of another exceeds the 16384 guard, takes the explode path,
+    // and trims to nothing — the covered-set buffer never materializes
+    val n = 20000
+    val body = (1 to n).map(i => s"t$i").mkString(" ")
+    val mega = Seq((1L, body), (2L, body), (3L, s"t5 t6 alone")).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(mega, "doc_id", "text", k = 6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    Dedup.releaseSpanCaches()
+    assert(out == Seq(
+      (1L, body, 0L),              // first occurrence kept whole
+      (2L, "", n.toLong),          // fully covered, reassembles to empty
+      (3L, "t5 t6 alone", 0L)))    // tiny doc untouched on the small path
+  }
+
   test("docs shorter than k, empty docs, and unique docs pass through") {
     val docs = Seq((1L, "one two three"), (2L, "   "), (3L, "x y"))
       .toDF("doc_id", "text")

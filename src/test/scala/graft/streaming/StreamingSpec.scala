@@ -350,6 +350,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 9L), (2L, 3L), (3L, 6L))) // day-1 rows not re-emitted
   }
 
+  test("streaming incremental discovery: each drain fetches only the missing ids (S10 per micro-batch)") {
+    import graft.sources.Bronze.{FetchResponse, MapFetcher}
+    implicit val sql = spark.sqlContext
+    val land = java.nio.file.Files.createTempDirectory("increland").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("incrckpt").toString
+    def url(id: Long) = s"api/m/$id"
+    val fetcher = new MapFetcher((1L to 5L).map(i =>
+      url(i) -> FetchResponse(200, s"""{"match_id":$i}""")).toMap)
+    val batches = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    val in = MemoryStream[Long]
+    val q = Streaming.incrementalBronzeIngest(
+      in.toDF().toDF("match_id"), "match_id", land,
+      url, id => s"$land/$id.json", fetcher, parallelism = 2,
+      checkpoint = ckpt, sleeper = _ => (),
+      onBatch = (_, m) => { batches += m; () })
+    def drainRewrites(ids: Long*): Long = {
+      val before = batches.size
+      in.addData(ids)
+      q.processAllAvailable()
+      batches.drop(before).map(_.getOrElse("rewrite", 0L)).sum
+    }
+    try {
+      assert(drainRewrites(1L, 2L) == 2L)        // first poll: both land
+      assert(drainRewrites(1L, 2L, 3L) == 1L)    // full re-delivery: delta only
+      assert(drainRewrites(1L, 2L, 3L) == 0L)    // steady state: nothing fetched
+    } finally q.stop()
+    // the landing zone holds each match exactly once
+    assert(new java.io.File(land).listFiles()
+      .count(_.getName.endsWith(".json")) == 3)
+  }
+
   test("streaming substring dedup: span index accumulates across microbatches via foreachBatch") {
     import graft.operators.Dedup
     implicit val sql = spark.sqlContext
