@@ -95,26 +95,35 @@ class BucketedIndexSpec extends SparkSpec {
       // structural form of "no Exchange on the index side": both index
       // consumers (the covered-span semi-join and the novelty anti-join)
       // read the bucketed scan with no shuffle anywhere in between
-      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec}
-      def hasIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.exists {
+      // The covered-position frame is persisted (trimCovered's three
+      // consumers), which puts the h-grain index joins inside an
+      // InMemoryRelation — collect must follow cached plans to see them.
+      def deepNodes(p: SparkPlan): Seq[SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case s: InMemoryTableScanExec => s +: deepNodes(s.relation.cachedPlan)
+          case n => Seq(n)
+        }
+      def hasIndexScan(p: SparkPlan): Boolean =
+        deepNodes(p).exists {
           case f: FileSourceScanExec => f.tableIdentifier.exists(_.table == "bix_span")
           case _ => false
         }
       // immediate consumers only: the join whose right side holds the scan
       // with no further join in between (downstream joins see the scan in
       // their lineage too, legitimately below later batch-side exchanges)
-      val indexSides = bucketed.queryExecution.executedPlan.collect {
+      val indexSides = deepNodes(bucketed.queryExecution.executedPlan).collect {
         case j: SortMergeJoinExec if hasIndexScan(j.right) &&
-            j.right.collect { case b: BaseJoinExec => b }.isEmpty => j.right
+            deepNodes(j.right).collect { case b: BaseJoinExec => b }.isEmpty => j.right
       }
       // ≥ 2: semi + anti; the anti subtree may be planned twice (novel is
       // consumed both by the first-occurrence aggregate and its re-join)
       assert(indexSides.size >= 2, s"expected semi+anti index consumers:\n$bPlan")
       indexSides.foreach { sub =>
-        assert(sub.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        assert(deepNodes(sub).collect { case e: ShuffleExchangeExec => e }.isEmpty,
           s"index side shuffled:\n$sub")
       }
       // and the bucketed layout strictly reduces total shuffles
