@@ -166,39 +166,51 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard for a set of candidate pairs: |A∩B| / |A∪B| via
-    * joins against the shingle table — computed only for candidates, never
-    * all pairs.
+  /** Exact n-gram Jaccard for a set of candidate pairs: |A∩B| / |A∪B| on
+    * per-doc shingle-set arrays joined onto the pair table — computed only
+    * for candidates, never all pairs.
     *
     * The shingle table is first semi-joined down to docs that appear in a
-    * candidate pair: without this, the (id, shingle) intersection join
-    * shuffles the ENTIRE corpus shingle table even when candidates are a
-    * handful of docs. Candidates ≪ corpus is the invariant that makes LSH
-    * worth it, so the verify stage's cost should scale with candidates too.
-    * The semi-join is NOT broadcast-hinted: web-scale corpora measure
-    * 20-50% duplication, so at 100 TB the candidate id set is billions of
-    * rows — an unconditional broadcast is a driver/executor OOM. The ids
-    * are key-sized (one column), so the shuffled left-semi is cheap, and
-    * AQE still converts to broadcast at runtime when the set is actually
-    * small. */
+    * candidate pair: without this, the array-building aggregate shuffles
+    * the ENTIRE corpus shingle table even when candidates are a handful of
+    * docs. Candidates ≪ corpus is the invariant that makes candidate
+    * generation worth it, so the verify stage's cost should scale with
+    * candidates too. The semi-join is NOT broadcast-hinted: web-scale
+    * corpora measure 20-50% duplication, so at 100 TB the candidate id set
+    * is billions of rows — an unconditional broadcast is a driver/executor
+    * OOM. The ids are key-sized (one column), so the shuffled left-semi is
+    * cheap, and AQE still converts to broadcast at runtime when the set is
+    * actually small. */
   def jaccardForPairs(pairs: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
-    // The pair set feeds both the candidate-id broadcast and the
-    // intersection join; persist it (tiny — it IS the candidate list) or
-    // its whole upstream LSH pipeline re-runs once per reference
+    // The pair set feeds both the candidate-id semi-join and both sides of
+    // the verify join; persist it (tiny — it IS the candidate list) or its
+    // whole upstream candidate pipeline re-runs once per reference
     // (measured 24 s → 1.6 s at sf0.1).
     val p = pairs.persist()
     val ids = p.select(col("id_a").as(idCol))
       .union(p.select(col("id_b").as(idCol))).distinct()
-    val shCand = sh.join(ids, Seq(idCol), "left_semi")
-    val sz = shCand.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = shCand.select(col(idCol).as("id_a"), col("sh"))
-    val b = shCand.select(col(idCol).as("id_b"), col("sh"))
-    val inter = p
-      .join(a, "id_a").join(b, Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sz.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+    // Intersections are counted ROW-LOCALLY on per-doc shingle-set arrays,
+    // not by exploding each pair into its shared-shingle rows: the explode
+    // form shuffles Σ|doc| rows PER CANDIDATE on a composite key (measured
+    // 6.5 M rows for 125 k candidates at sf0.1 — the whole verify cost),
+    // where this form shuffles the candidate-doc shingles once into
+    // doc-grain arrays and then only candidate-sized rows. The arrays are
+    // doc-length-bounded (LLM-scale docs are chunk-bounded — the
+    // trimCovered argument), so a verify row is KB-sized, never corpus-
+    // sized; array_intersect probes a per-row hash set, O(|A|+|B|).
+    val arrs = sh.join(ids, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("sh")).as("__arr"), count(lit(1)).as("sz"))
+    val verified = p
+      .join(arrs.select(col(idCol).as("id_a"), col("__arr").as("__aa"),
+        col("sz").as("sz_a")), "id_a")
+      .join(arrs.select(col(idCol).as("id_b"), col("__arr").as("__ab"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      // zero-overlap candidates disappear, as with the old inner join on
+      // shared shingles (LSH band-mates need not share any shingle)
+      .where(col("inter") > 0)
+    verified
       .withColumn("jaccard",
         col("inter").cast("double") * lit(1.0) /
           (col("sz_a") + col("sz_b") - col("inter")))
