@@ -390,4 +390,66 @@ object CorpusStats {
       .agg((sum("xq").cast("double") / count(lit(1))).as("c"),
         count(lit(1)).as("n"))
   }
+
+  /** TF-IDF query-likelihood score for a bag of query terms — the lexical
+    * twin of [[bm25]] under the smooth-idf form tfidfTopTerms uses:
+    * score(d) = Σ_{t∈terms} tf_{d,t} · (ln((N+1)/(df_t+1)) + 1). Same
+    * scale shape as bm25: term filter BEFORE the (doc, term) aggregate so
+    * shuffles are matched-docs-sized; df and N broadcast; per-term scores
+    * 6dp-rounded then decimal-summed (Qutil). Returns (idCol, score,
+    * n_terms). */
+  def tfidfQueryScore(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    import graft.queries.Qutil
+    val tf = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .where(col("term").isInCollection(terms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    tf.join(broadcast(dfT), "term").crossJoin(broadcast(n))
+      .select(col(idCol), Qutil.dround(
+        col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0),
+        6).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("s").cast(DecimalType(18, 8))).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of several scored
+    * retrieval lists into one ranking:
+    * fused(d) = Σ_lists 1/(rrfK + rank_list(d)), summed over the lists that
+    * retrieved d. The standard way to combine retrieval signals with
+    * incomparable score scales (BM25 vs TF-IDF vs embedding cosine) without
+    * calibration — only ranks cross the boundary.
+    *
+    * Each input is (idCol, scoreCol); its rank is row_number under the
+    * (score desc, id asc) total order, so fusion is deterministic given
+    * deterministic scores (callers 6dp-round upstream, the Qutil rule).
+    * Each reciprocal is 6dp-rounded then decimal-summed — order-independent
+    * and engine-exact. Top-k lands via TakeOrdered, never a global sort.
+    *
+    * Scale shape: each ranking is matched-docs-sized (retrieval output,
+    * not corpus), its rank window partitions nothing — but a single-
+    * partition window over a RETRIEVED LIST is list-sized, the same
+    * contract as every top-k retrieval stage; the union + id-grain
+    * aggregate shuffles list-sized rows only. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1, "rrfK must be >= 1")
+    import graft.queries.Qutil
+    val contribs = rankings.map { r =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      r.select(col(idCol), col(scoreCol))
+        .withColumn("__rank", row_number().over(w))
+        .select(col(idCol),
+          Qutil.dround(lit(1.0) / (lit(rrfK) + col("__rank")), 6).as("__c"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c").cast(DecimalType(18, 8))).cast("double").as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

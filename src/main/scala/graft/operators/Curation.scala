@@ -423,4 +423,158 @@ object Curation {
       explode(when(n >= 1, sequence(lit(1), n))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Exact ntile(n) within each partition WITHOUT a per-partition global
+    * sort — the scale-safe form of quantile bucketing. The classic
+    * `ntile(n) over (partition by p order by v)` plans one task per
+    * partition value that sorts everything in it; with ~10 languages over
+    * a 100 TB corpus that is 10 corpus-sized sorts. Here the exact rank
+    * comes from a band histogram (the rankedShards construction, two-level
+    * because `v` is quasi-continuous): band = v floored to `bandDp`
+    * decimals — monotone in v, so band order extends the (v, id) total
+    * order; per-(part, band) counts make a bounded histogram whose
+    * cumulative offsets are a window over the HISTOGRAM only; within-band
+    * row_number partitions by (part, band) and stays fully parallel.
+    * Bucket assignment then replays SQL ntile's size rule exactly: with
+    * N rows and n buckets, the first N mod n buckets carry ⌈N/n⌉ rows —
+    * so output is bit-identical to the built-in ntile under the same
+    * order. Returns the input plus (global `rankCol` within its part,
+    * `bucketCol` in 1..n). */
+  def ntileByBands(df: DataFrame, idCol: String, valueCol: String,
+                   partCol: String, nBuckets: Int, bandDp: Int = 2,
+                   rankCol: String = "rank",
+                   bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val band = floor(col(valueCol) * lit(math.pow(10, bandDp)))
+    val banded = df.withColumn("__band", band)
+    val hist = banded.groupBy(col(partCol), col("__band"))
+      .agg(count(lit(1)).as("__bn"))
+    val wOff = Window.partitionBy(partCol).orderBy(col("__band").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select(col(partCol), col("__band"), col("__off"))
+    val totals = hist.groupBy(partCol).agg(sum("__bn").as("__N"))
+    val wIn = Window.partitionBy(col(partCol), col("__band"))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = banded
+      .join(broadcast(offsets), Seq(partCol, "__band"))
+      .join(broadcast(totals), Seq(partCol))
+      .withColumn(rankCol, row_number().over(wIn).cast("long") + col("__off"))
+    // SQL ntile size rule: q = N div n, rem = N mod n; buckets 1..rem get
+    // q+1 rows. All-integer arithmetic (`div`, never Column./ which is
+    // double division), so cross-engine exact.
+    ranked
+      .withColumn("__q", expr(s"__N div $nBuckets"))
+      .withColumn("__rem", col("__N") % nBuckets)
+      .withColumn("__cut", (col("__q") + 1) * col("__rem"))
+      .withColumn(bucketCol, expr(
+        s"""CASE WHEN $rankCol <= __cut THEN ($rankCol - 1) div (__q + 1) + 1
+           |     ELSE __rem + ($rankCol - __cut - 1) div __q + 1 END""".stripMargin)
+        .cast("int"))
+      .drop("__band", "__off", "__N", "__q", "__rem", "__cut")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score every
+    * document by unigram-LM cross-entropy against a reference corpus
+    * ([[CorpusStats.unigramLogLoss]]), then split each language into
+    * `nBuckets` equal-frequency buckets (head = 1 is the most
+    * reference-like). The classic curation dial: keep head+middle, drop
+    * tail, or mix buckets with different weights.
+    *
+    * Scale shape: the LM scoring is q61's (map-only explode, vocabulary-
+    * bounded model join, one doc-grain aggregate); bucketing is
+    * [[ntileByBands]] — no per-language corpus sort. Returns
+    * (idCol, langCol, xent, bucket). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, ref: DataFrame, refTextCol: String,
+                        nBuckets: Int): DataFrame = {
+    val scored = CorpusStats.unigramLogLoss(docs, idCol, textCol, ref, refTextCol)
+      .select(col(idCol), col("xent"))
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    ntileByBands(scored, idCol, "xent", langCol, nBuckets)
+      .select(col(idCol), col(langCol), col("xent"), col("bucket"))
+  }
+
+  /** DSIR-style importance scores (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): represent each doc as
+    * a bag of hashed n-gram features (unigrams + bigrams hashed into
+    * `buckets` buckets), fit add-one-smoothed bag-of-features models on a
+    * TARGET corpus (the domain you want more of) and on the raw corpus
+    * itself, and score log w(x) = Σ_features [ln p_target(f) − ln p_raw(f)]
+    * over the doc's feature occurrences. High logw ⇒ target-like.
+    *
+    * Both models are `buckets`-bounded (the whole point of feature
+    * hashing): the model join broadcasts, feature extraction is a map-only
+    * explode, and the score is one doc-grain aggregate — nothing scales
+    * with vocabulary. Each per-feature ln is 6dp-rounded before the
+    * decimal sum (Qutil), so scores replay exactly in the SQL oracle; the
+    * hash is the md5-derived integer family every sketch here uses.
+    * Returns (idCol, logw, n_feats). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String,
+                 buckets: Int): DataFrame = {
+    import graft.queries.Qutil
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, "buckets must be >= 2")
+    def feats(df: DataFrame, id: Column, text: Column): DataFrame = {
+      val ws = df.select(id.as("__id"), words(text).as("__ws"))
+      val uni = ws.select(col("__id"), explode(col("__ws")).as("__t"))
+        .select(col("__id"), pmod(md5Int(col("__t")), lit(buckets)).as("f"))
+      val bi = ws
+        .where(size(col("__ws")) >= 2)
+        .select(col("__id"), explode(
+          transform(sequence(lit(2), size(col("__ws"))), i =>
+            concat(element_at(col("__ws"), i - 1), lit(" "),
+              element_at(col("__ws"), i)))).as("__t"))
+        .select(col("__id"), pmod(md5Int(col("__t")), lit(buckets)).as("f"))
+      uni.unionByName(bi)
+    }
+    def model(f: DataFrame): DataFrame =
+      f.groupBy("f").agg(count(lit(1)).as("cnt"))
+    val tgt = model(feats(target, col(idCol), col(targetTextCol)))
+      .select(col("f"), col("cnt").as("__ct"))
+    val raw = model(feats(docs, col(idCol), col(textCol)))
+      .select(col("f"), col("cnt").as("__cq"))
+    val tN = tgt.agg(sum("__ct").as("__Nt"))
+    val qN = raw.agg(sum("__cq").as("__Nq"))
+    val lr = tgt.join(raw, Seq("f"), "full_outer")
+      .crossJoin(broadcast(tN)).crossJoin(broadcast(qN))
+      .select(col("f"),
+        (Qutil.dround(log((coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+            (col("__Nt") + lit(buckets))), 6) -
+          Qutil.dround(log((coalesce(col("__cq"), lit(0L)) + lit(1.0)) /
+            (col("__Nq") + lit(buckets))), 6)).as("__lr"))
+    val scored = feats(docs, col(idCol), col(textCol))
+      .join(broadcast(lr), Seq("f"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__lr").cast(DecimalType(38, 8))).cast("double").as("logw"),
+        count(lit(1)).as("n_feats"))
+    docs.select(col(idCol)).join(
+        scored.select(col("__id").as(idCol), col("logw"), col("n_feats")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        Qutil.dround(coalesce(col("logw"), lit(0.0)), 6).as("logw"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"))
+  }
+
+  /** DSIR selection: Gumbel-top-k resampling under the importance weights —
+    * key = logw + Gumbel(0,1) with the Gumbel noise −ln(−ln(u)) built from
+    * the deterministic uniform u = (md5(salt:id)+1)/2³², the
+    * [[weightedSample]] discipline (Gumbel-top-k IS sampling without
+    * replacement ∝ e^logw, the paper's resampling step — and it never
+    * needs the weights exponentiated, so large |logw| can't overflow).
+    * One map pass + TakeOrdered; re-runs, retries, and repartitionings
+    * select the same docs. Returns the k selected (idCol, logw, key). */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String,
+                 buckets: Int, k: Int, salt: String = "dsir"): DataFrame = {
+    import graft.queries.Qutil
+    val u = (md5Int(concat(lit(salt), lit(":"), col(idCol).cast("string"))) + 1)
+      .cast("double") / lit(4294967296.0)
+    dsirScores(docs, idCol, textCol, target, targetTextCol, buckets)
+      .withColumn("key", Qutil.dround(col("logw") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

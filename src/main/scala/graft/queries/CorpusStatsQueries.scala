@@ -537,6 +537,68 @@ object CorpusStatsQueries {
         .orderBy("rank")
     },
 
+    // Hybrid retrieval: BM25 and TF-IDF query scores fused by reciprocal
+    // rank (RRF, Cormack et al.) — only RANKS cross the fusion boundary,
+    // so incomparable score scales need no calibration. Both rankers
+    // score the same matched-docs set (shared query-term filter); each
+    // reciprocal is 6dp-rounded then decimal-summed, so fused scores are
+    // engine-exact. Top-20 under the (rrf desc, id) total order.
+    Q.sql("q113_hybrid_retrieval_rrf", {
+      val inList = BmTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+         |  WHERE term IN ($inList) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |                 CAST(sum(len(ws)) AS DOUBLE) AS sumdl FROM w),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |s1 AS (
+         |  SELECT tf.doc_id,
+         |         floor((ln((stats.n - df.df + 5e-1) / (df.df + 5e-1) + 1e0)
+         |           * (CAST(tf.tf AS DOUBLE) * ${BmK1 + 1}e0)
+         |           / (CAST(tf.tf AS DOUBLE) + (${1 - BmB}e0 + ${BmB}e0 * dl.dl / (stats.sumdl / stats.n)) * ${BmK1}e0))
+         |           * 1e6 + 5e-1) / 1e6 AS s
+         |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |a1 AS (SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
+         |       FROM s1 GROUP BY 1),
+         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |       FROM a1),
+         |s2 AS (
+         |  SELECT tf.doc_id,
+         |         floor((CAST(tf.tf AS DOUBLE) * (ln((stats.n + 1e0) / (df.df + 1e0)) + 1e0))
+         |           * 1e6 + 5e-1) / 1e6 AS s
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+         |a2 AS (SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score
+         |       FROM s2 GROUP BY 1),
+         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |       FROM a2),
+         |c AS (
+         |  SELECT doc_id, floor(1e0 / (60 + rank) * 1e6 + 5e-1) / 1e6 AS c FROM r1
+         |  UNION ALL
+         |  SELECT doc_id, floor(1e0 / (60 + rank) * 1e6 + 5e-1) / 1e6 AS c FROM r2),
+         |f AS (SELECT doc_id, CAST(sum(CAST(c AS DECIMAL(18,8))) AS DOUBLE) AS rrf,
+         |             count(*) AS n_lists
+         |      FROM c GROUP BY 1)
+         |SELECT doc_id, rrf, CAST(n_lists AS BIGINT) AS n_lists
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bm = CorpusStats.bm25(docs, "doc_id", "text", BmTerms, BmK1, BmB)
+        .select("doc_id", "score")
+      val ti = CorpusStats.tfidfQueryScore(docs, "doc_id", "text", BmTerms)
+        .select("doc_id", "score")
+      CorpusStats.rrfFuse(Seq(bm, ti), "doc_id", "score", 20)
+        .select(col("doc_id"), col("rrf"), col("n_lists"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+
     // Top-3 terms per source, written as the PLAIN window row_number()≤k
     // idiom with WindowTopKRewrite injected — the optimizer rule itself is
     // oracle-checked end to end: the query plans onto the bounded-heap

@@ -38,6 +38,12 @@ object CurationQueries {
   // fractional copy), src1 dropped (0 epochs), everything else 1 epoch
   private val EpochMap = Seq("src0" -> 2.5, "src1" -> 0.0)
   private val DefaultEpochs = 1.0
+  private val PplxBuckets = 3      // q114 CCNet head/middle/tail
+  private val PplxRefMod = 5L      // q114 reference corpus = doc_id % 5 == 0 (q61's)
+  private val DsirB = 512          // q115 hashed-feature buckets
+  private val DsirK = 100          // q115 selection size
+  private val DsirTarget = "src0"  // q115 target domain
+  private val DsirSalt = "dsir"
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -525,5 +531,103 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("tot_weight"))
         .orderBy("shard")
+    },
+
+    // CCNet-style perplexity bucketing (Wenzek et al.): q61's unigram-LM
+    // cross-entropy, then each language split into equal-frequency
+    // head/middle/tail buckets. The Spark side computes the EXACT ntile
+    // rank from a band histogram (Curation.ntileByBands — no per-language
+    // corpus sort); the oracle uses the built-in ntile under the identical
+    // (xent, doc_id) total order, so the sort-free rank construction is
+    // itself what's being verified.
+    Q.sql("q114_perplexity_buckets",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |ref AS (
+         |  SELECT term, count(*) AS cnt FROM tok
+         |  WHERE doc_id % $PplxRefMod = 0 GROUP BY 1),
+         |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM ref),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |         floor(ln((coalesce(r.cnt, 0) + 1.0) / (st.n + st.v)) * 1000000 + 0.5) / 1000000 AS lp
+         |  FROM tok t LEFT JOIN ref r USING (term) CROSS JOIN st),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CAST(lp AS DECIMAL(38,8))) AS DOUBLE) AS slp
+         |  FROM lp GROUP BY 1),
+         |x AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+         |              ELSE floor(-a.slp / a.n_tokens * 1000000 + 0.5) / 1000000
+         |         END AS xent
+         |  FROM documents d LEFT JOIN agg a USING (doc_id))
+         |SELECT doc_id, lang, xent,
+         |       CAST(ntile($PplxBuckets) OVER
+         |              (PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS INTEGER)
+         |         AS bucket
+         |FROM x ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+          docs.where(pmod(col("doc_id"), lit(PplxRefMod)) === 0), "text",
+          PplxBuckets)
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance resampling (Xie et al., NeurIPS'23): hashed
+    // unigram+bigram bag-of-features models on a target domain vs the raw
+    // corpus; per-doc importance logw = Σ (ln p_target − ln p_raw) over
+    // feature occurrences; Gumbel-top-k selection (≡ sampling without
+    // replacement ∝ e^logw) with the deterministic md5 uniforms. Models
+    // are $DsirB-bounded, so nothing here scales with vocabulary.
+    Q.sql("q115_dsir_select", {
+      val u = s"(${md5IntSql(s"'$DsirSalt:' || CAST(doc_id AS VARCHAR)")} + 1) / 4294967296.0"
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |uni AS (SELECT doc_id, source, unnest(ws) AS t FROM w),
+         |bi AS (
+         |  SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS t
+         |  FROM (SELECT doc_id, source, ws,
+         |               unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 2)),
+         |ft AS (
+         |  SELECT doc_id, source, ${md5IntSql("t")} % $DsirB AS f
+         |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+         |tc AS (SELECT f, count(*) AS ct FROM ft WHERE source = '$DsirTarget' GROUP BY 1),
+         |qc AS (SELECT f, count(*) AS cq FROM ft GROUP BY 1),
+         |tn AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tc),
+         |qn AS (SELECT CAST(sum(cq) AS BIGINT) AS nq FROM qc),
+         |lr AS (
+         |  SELECT q.f,
+         |         floor(ln((coalesce(t.ct, 0) + 1.0) / (tn.nt + $DsirB)) * 1e6 + 0.5) / 1e6
+         |       - floor(ln((q.cq + 1.0) / (qn.nq + $DsirB)) * 1e6 + 0.5) / 1e6 AS lr
+         |  FROM qc q LEFT JOIN tc t USING (f) CROSS JOIN tn CROSS JOIN qn),
+         |sc AS (
+         |  SELECT ft.doc_id, count(*) AS n_feats,
+         |         CAST(sum(CAST(lr.lr AS DECIMAL(38,8))) AS DOUBLE) AS slw
+         |  FROM ft JOIN lr USING (f) GROUP BY 1),
+         |lw AS (
+         |  SELECT d.doc_id,
+         |         floor(coalesce(sc.slw, 0.0) * 1e6 + 0.5) / 1e6 AS logw,
+         |         CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats
+         |  FROM documents d LEFT JOIN sc USING (doc_id)),
+         |k AS (
+         |  SELECT doc_id, logw, n_feats,
+         |         floor((logw - ln(-ln($u))) * 1e6 + 0.5) / 1e6 AS key
+         |  FROM lw)
+         |SELECT doc_id, logw, n_feats, key
+         |FROM k ORDER BY key DESC, doc_id LIMIT $DsirK""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.dsirSelect(docs, "doc_id", "text",
+          docs.where(col("source") === DsirTarget), "text", DsirB, DsirK,
+          DsirSalt)
+        .orderBy(col("key").desc, col("doc_id"))
     })
 }

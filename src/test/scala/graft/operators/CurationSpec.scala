@@ -260,4 +260,79 @@ class CurationSpec extends SparkSpec {
       .select("doc_id", "copy").as[(Long, Int)].collect().toSet
     assert(again == out.select("doc_id", "copy").as[(Long, Int)].collect().toSet)
   }
+
+  test("ntileByBands == built-in ntile, including ties, small parts, N<n") {
+    import org.apache.spark.sql.expressions.Window
+    // ties (several rows share a value), a partition smaller than the
+    // bucket count, and values straddling band boundaries (x.005 vs x.004)
+    val rows = Seq(
+      ("en", 1L, 0.123456), ("en", 2L, 0.123456), ("en", 3L, 0.125),
+      ("en", 4L, 3.0), ("en", 5L, 3.0), ("en", 6L, 3.0), ("en", 7L, 0.0),
+      ("de", 10L, 1.5), ("de", 11L, 1.4999),
+      ("zh", 20L, 9.9)).toDF("lang", "id", "x")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val want = rows.withColumn("bucket",
+          ntile(n).over(Window.partitionBy("lang").orderBy(col("x").asc, col("id").asc)))
+        .select("id", "bucket").as[(Long, Int)].collect().toSet
+      val got = Curation.ntileByBands(rows, "id", "x", "lang", n)
+        .select("id", "bucket").as[(Long, Int)].collect().toSet
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("ntileByBands: corpus-sized work never single-partitions") {
+    // the only unpartitioned window must run over the band HISTOGRAM, not
+    // the input: assert the input-grain window is partitioned
+    val rows = (1L to 100L).map(i => ("en", i, (i % 7) / 10.0)).toDF("lang", "id", "x")
+    val plan = Curation.ntileByBands(rows, "id", "x", "lang", 3)
+      .queryExecution.optimizedPlan.toString
+    // row_number windows: one per grain; the input-grain one carries the
+    // (part, band) partition spec
+    assert(plan.contains("windowspecdefinition(lang"), plan)
+  }
+
+  test("perplexityBuckets: reference-like docs land in head, garbage in tail") {
+    val refText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (
+      (1L to 20L).map(i => (i, "en", refText)) ++                  // reference-like
+      (21L to 30L).map(i => (i, "en", s"zzz$i qqq$i xxw$i vvv$i")) // OOV garbage
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+        docs.where($"doc_id" <= 20), "text", 3)
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    assert((1L to 20L).forall(out(_) <= 2))       // ref-like: head/middle
+    assert((21L to 30L).forall(out(_) == 3))      // garbage: tail
+  }
+
+  test("dsirScores: target-like docs score higher; empty doc scores 0; repartition-invariant") {
+    val target = (1L to 30L).map(i => (i + 1000L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),      // exactly target-like
+      (2L, "omega psi chi phi"),           // not target-like
+      (3L, "")).toDF("doc_id", "text")
+    val s = Curation.dsirScores(docs, "doc_id", "text", target, "text", 256)
+    val m = s.select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    assert(m(1L) > m(2L))
+    assert(m(3L) == 0.0)
+    val again = Curation.dsirScores(docs.repartition(7), "doc_id", "text",
+      target, "text", 256).select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    assert(again == m)
+  }
+
+  test("dsirSelect: exactly k, deterministic, biased toward target-like docs") {
+    val target = (1L to 50L).map(i => (i + 5000L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val docs = ((1L to 50L).map(i => (i, "alpha beta gamma delta epsilon")) ++
+      (51L to 100L).map(i => (i, s"junk$i noise$i blob$i crud$i"))).toDF("doc_id", "text")
+    val sel = Curation.dsirSelect(docs, "doc_id", "text", target, "text", 256, 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel.size == 40)
+    // Gumbel noise is O(1); the logw gap between target-like and junk is
+    // large, so the target-like half dominates the selection
+    assert(sel.count(_ <= 50L) >= 35)
+    val again = Curation.dsirSelect(docs, "doc_id", "text", target, "text", 256, 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sel)
+  }
 }

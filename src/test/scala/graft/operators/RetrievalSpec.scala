@@ -52,4 +52,35 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("rrfFuse: hand-computed fusion, single-list docs, top-k boundary") {
+    // list 1 ranks: a=1, b=2, c=3 ; list 2 ranks: b=1, a=2 (no c)
+    val l1 = Seq(("a", 9.0), ("b", 5.0), ("c", 1.0)).toDF("id", "score")
+    val l2 = Seq(("b", 7.0), ("a", 3.0)).toDF("id", "score")
+    val out = CorpusStats.rrfFuse(Seq(l1, l2), "id", "score", 10, rrfK = 60)
+      .select("id", "rrf", "n_lists").as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def r(k: Int) = math.floor(1.0 / (60 + k) * 1e6 + 0.5) / 1e6
+    assert(out("a") == ((r(1) + r(2), 2L)))
+    assert(out("b") == ((r(2) + r(1), 2L)))
+    assert(out("c") == ((r(3), 1L)))
+    // a and b tie exactly (same reciprocal pair) — id breaks the tie;
+    // k=2 keeps the tied pair and drops the single-list doc
+    val top2 = CorpusStats.rrfFuse(Seq(l1, l2), "id", "score", 2)
+      .select("id").as[String].collect().toSeq
+    assert(top2 == Seq("a", "b"))
+  }
+
+  test("tfidfQueryScore: hand computation; only matched docs; term filter pushes down") {
+    val docs = Seq(
+      (1L, "spark spark query"), (2L, "spark other words"), (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tfidfQueryScore(docs, "doc_id", "text", Seq("spark", "query"))
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    def idf(df: Long) = math.log(4.0 / (df + 1.0)) + 1.0
+    def rd(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(math.abs(out(1L) - (rd(2 * idf(2)) + rd(1 * idf(1)))) < 1e-9)
+    assert(math.abs(out(2L) - rd(1 * idf(2))) < 1e-9)
+  }
 }
