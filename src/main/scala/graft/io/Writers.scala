@@ -219,4 +219,57 @@ object Writers {
     rmRec(old)
     (before.length, parquetFiles.length)
   }
+
+  /** General-column front door to the z-ordered write: [[writeZOrdered]]
+    * needs its two columns already bucketized to small non-negative ints;
+    * this variant takes ANY ≥2 numeric columns, quantizes each to `bits`
+    * levels engine-side, and z-orders on the interleaved levels.
+    *
+    * Construction (all engine-side, one pass + the write):
+    *  1. per-column min/max from ONE aggregate (a config-sized row,
+    *     broadcast — nothing corpus-sized reaches the driver);
+    *  2. each column linearly quantized to `bits` (default 8) levels via
+    *     `width_bucket` — min/max scaling is the classic cheap variant;
+    *     heavily-skewed columns get fewer effective levels (the documented
+    *     trade; quantile boundaries would cost a percentile pass);
+    *  3. bit-interleave the quantized levels into one long z-value
+    *     (codegen'd shift/or expression, no UDF — the n-ary form of
+    *     [[zOrderValue]]);
+    *  4. `repartitionByRange(targetFiles, z)` + in-partition sort on z,
+    *     so file boundaries cut the curve into contiguous segments.
+    * Nulls sort first (bucket 0). At 100 TB the range partitioner samples
+    * z-values instead of sorting globally — the same one-shuffle cost as
+    * any clustered write. */
+  def writeZOrderedQuantized(df: DataFrame, path: String, zCols: Seq[String],
+                             targetFiles: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2, "z-ordering needs >= 2 columns (else just sort)")
+    require(zCols.size * bits <= 62, "z-value must fit a long")
+    val levels = 1 << bits
+    val mmCols = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val mm = df.agg(mmCols.head, mmCols.tail: _*)
+    val withStats = df.crossJoin(broadcast(mm))
+    val buckets = zCols.map { c =>
+      // width_bucket(v, mn, mx, n) ∈ [1, n+1]; clamp to [0, levels-1].
+      // Degenerate mn == mx (constant column) → bucket 0 everywhere.
+      val b = when(col(c).isNull || col(s"__mn_$c") === col(s"__mx_$c"), lit(0L))
+        .otherwise(least(
+          expr(s"width_bucket(CAST(`$c` AS DOUBLE), `__mn_$c`, `__mx_$c`, ${levels})") - 1L,
+          lit(levels - 1L)))
+      b.cast("long")
+    }
+    val n = zCols.size
+    val z = (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    withStats.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(("__z" +: zCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c"))): _*)
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
+  }
 }

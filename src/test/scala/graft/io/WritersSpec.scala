@@ -127,6 +127,39 @@ class WritersSpec extends SparkSpec {
       grid.as[(Long, Long)].collect().toSet)
   }
 
+  test("writeZOrderedQuantized: 3 raw double columns cluster in every dim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 16×16×16 lattice on awkward raw scales (negative offsets, floats) —
+    // the quantizing front door must handle these without pre-bucketing
+    val pts = (0 until 4096).map { i =>
+      val (x, y, zc) = (i / 256, (i / 16) % 16, i % 16)
+      (i.toLong, x * 3.5 - 100.0, y * 0.25 + 7.0, zc * 11.0)
+    }.toDF("id", "x", "y", "z")
+    val base = java.nio.file.Files.createTempDirectory("zorderq").toString
+    Writers.writeZOrderedQuantized(pts, s"$base/zq", Seq("x", "y", "z"),
+      targetFiles = 16, bits = 4)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/xsort")
+    def spans(path: String): Seq[Double] = {
+      val m = Writers.scanManifest(spark, path, Seq("x", "y", "z"))
+        .select("min_x", "max_x", "min_y", "max_y", "min_z", "max_z")
+        .as[(Double, Double, Double, Double, Double, Double)].collect()
+      Seq(m.map(r => r._2 - r._1).sum / m.length,
+        m.map(r => r._4 - r._3).sum / m.length,
+        m.map(r => r._6 - r._5).sum / m.length)
+    }
+    val zs = spans(s"$base/zq")
+    val ss = spans(s"$base/xsort")
+    // full ranges: x 52.5, y 3.75, z 165. x-sort: only x tight.
+    assert(ss(0) < 7 && ss(1) > 3.0 && ss(2) > 130, ss.toString)
+    // z-order: every dim bounded well under half its full range
+    assert(zs(0) < 26 && zs(1) < 1.9 && zs(2) < 83, zs.toString)
+    // data round-trips identically
+    assert(spark.read.parquet(s"$base/zq").as[(Long, Double, Double, Double)]
+      .collect().toSet == pts.as[(Long, Double, Double, Double)].collect().toSet)
+  }
+
   test("compactFiles merges small files, preserves data exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
