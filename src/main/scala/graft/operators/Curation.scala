@@ -219,6 +219,38 @@ object Curation {
         (col("n_overlap").cast("double") / col("eval_ngrams")).as("containment"))
   }
 
+  /** Multi-benchmark contamination MATRIX — the release-gate report over
+    * [[ngramContamination]]: for every (corpus source × benchmark), how
+    * many training docs are contaminated (containment ≥ `threshold`
+    * against at least one eval doc of that benchmark), how many eval docs
+    * are hit, and the worst containment. Pre-training runs decontaminate
+    * against MANY suites at once; the per-source breakdown is what tells
+    * you which ingest feed is leaking.
+    *
+    * Scale shape: one pair table per the q42 argument (eval side
+    * broadcast, corpus shingles never shuffled — benchmarks are small by
+    * definition); the pair table is overlap-bounded, so the source
+    * attach join and the (source, bench) rollup shuffle only contaminated
+    * rows. Returns (sourceCol, benchCol, n_train_docs, n_eval_docs,
+    * max_containment). */
+  def contaminationReport(train: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, evals: DataFrame,
+                          benchCol: String, n: Int,
+                          threshold: Double): DataFrame = {
+    import graft.queries.Qutil
+    val pairs = ngramContamination(
+      train.select(col(idCol), col(textCol)),
+      evals.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .where(col("containment") >= threshold)
+    pairs
+      .join(train.select(col(idCol).as("train_id"), col(sourceCol)), "train_id")
+      .join(evals.select(col(idCol).as("eval_id"), col(benchCol)), "eval_id")
+      .groupBy(col(sourceCol), col(benchCol))
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        Qutil.dround(max(col("containment")), 4).as("max_containment"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, IPL'06):
     * each row draws key = −ln(u)/w from its deterministic uniform
     * u = (md5(salt:id)+1)/2³² and the k SMALLEST keys win — one pass, no

@@ -44,6 +44,9 @@ object CurationQueries {
   private val DsirK = 100          // q115 selection size
   private val DsirTarget = "src0"  // q115 target domain
   private val DsirSalt = "dsir"
+  private val ReportN = 2          // q116 matrix n-gram order (dense on synthetic text)
+  private val ReportThr = 0.05     // q116 containment gate
+  private val ReportBenches = 3    // q116 synthetic benchmark count
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -629,5 +632,48 @@ object CurationQueries {
           docs.where(col("source") === DsirTarget), "text", DsirB, DsirK,
           DsirSalt)
         .orderBy(col("key").desc, col("doc_id"))
+    },
+
+    // Multi-benchmark contamination MATRIX (the q42 mechanism rolled up to
+    // a release-gate report): per (corpus source × benchmark), contaminated
+    // train-doc count, eval docs hit, and worst containment. Eval docs are
+    // the q42 slice split into synthetic benchmarks; n = 2 keeps the
+    // matrix dense on random synthetic text.
+    Q.sql("q116_contamination_matrix",
+      s"""WITH $wsCte,
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${ReportN - 1}], ' ') AS sh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${ReportN - 1})) AS i
+         |        FROM w)),
+         |h AS (SELECT doc_id, ${md5IntSql("sh")} AS h FROM sh),
+         |tr AS (SELECT doc_id AS train_id, h FROM h WHERE doc_id % $EvalMod <> 0),
+         |ev AS (SELECT doc_id AS eval_id, h FROM h WHERE doc_id % $EvalMod = 0),
+         |evsz AS (SELECT eval_id, count(*) AS eval_ngrams FROM ev GROUP BY 1),
+         |ov AS (
+         |  SELECT train_id, eval_id, count(*) AS n_overlap
+         |  FROM tr JOIN ev USING (h) GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT o.train_id, o.eval_id,
+         |         CAST(o.n_overlap AS DOUBLE) / s.eval_ngrams AS c
+         |  FROM ov o JOIN evsz s USING (eval_id)
+         |  WHERE CAST(o.n_overlap AS DOUBLE) / s.eval_ngrams >= $ReportThr),
+         |src AS (SELECT doc_id AS train_id, source FROM documents),
+         |bn AS (SELECT doc_id AS eval_id,
+         |              'bench_' || CAST((doc_id // $EvalMod) % $ReportBenches AS VARCHAR) AS bench
+         |       FROM documents WHERE doc_id % $EvalMod = 0)
+         |SELECT s.source, b.bench,
+         |       count(DISTINCT p.train_id) AS n_train_docs,
+         |       count(DISTINCT p.eval_id) AS n_eval_docs,
+         |       floor(max(p.c) * 10000 + 0.5) / 10000 AS max_containment
+         |FROM pairs p JOIN src s USING (train_id) JOIN bn b USING (eval_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val train = docs.where(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      val evals = docs.where(pmod(col("doc_id"), lit(EvalMod)) === 0)
+        .withColumn("bench", concat(lit("bench_"),
+          (expr(s"doc_id div $EvalMod") % ReportBenches).cast("string")))
+      Curation.contaminationReport(train, "doc_id", "text", "source",
+          evals, "bench", ReportN, ReportThr)
+        .orderBy("source", "bench")
     })
 }

@@ -320,6 +320,23 @@ class CurationSpec extends SparkSpec {
     assert(again == m)
   }
 
+  test("contaminationReport: planted leak rolls up to its source and benchmark only") {
+    val train = Seq(
+      (1L, "webA", "the quick brown fox jumps over the lazy dog"), // = eval 100
+      (2L, "webA", "totally unrelated content words appear here"),
+      (3L, "webB", "another clean document sharing nothing at all"))
+      .toDF("doc_id", "source", "text")
+    val evals = Seq(
+      (100L, "mmlu", "the quick brown fox jumps over the lazy dog"),
+      (200L, "gsm", "completely different evaluation problem text"))
+      .toDF("doc_id", "bench", "text")
+    val out = Curation.contaminationReport(train, "doc_id", "text", "source",
+        evals, "bench", 3, 0.5)
+      .select("source", "bench", "n_train_docs", "n_eval_docs", "max_containment")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("webA", "mmlu", 1L, 1L, 1.0)))
+  }
+
   test("dsirSelect: exactly k, deterministic, biased toward target-like docs") {
     val target = (1L to 50L).map(i => (i + 5000L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
