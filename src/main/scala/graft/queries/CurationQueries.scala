@@ -675,5 +675,58 @@ object CurationQueries {
       Curation.contaminationReport(train, "doc_id", "text", "source",
           evals, "bench", ReportN, ReportThr)
         .orderBy("source", "bench")
+    },
+
+    // Training-mixture composition report: docs and tokens per
+    // (source × language × q114 quality bucket) — the planning view a
+    // mixture schedule (q108's epochs, q64's temperatures) is written
+    // against. Rollup over the q114 assignment; token counts are the
+    // whitespace grain both engines share.
+    Q.sql("q117_mixture_report",
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |ref AS (
+         |  SELECT term, count(*) AS cnt FROM tok
+         |  WHERE doc_id % $PplxRefMod = 0 GROUP BY 1),
+         |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM ref),
+         |lp AS (
+         |  SELECT t.doc_id,
+         |         floor(ln((coalesce(r.cnt, 0) + 1.0) / (st.n + st.v)) * 1000000 + 0.5) / 1000000 AS lp
+         |  FROM tok t LEFT JOIN ref r USING (term) CROSS JOIN st),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CAST(lp AS DECIMAL(38,8))) AS DOUBLE) AS slp
+         |  FROM lp GROUP BY 1),
+         |x AS (
+         |  SELECT d.doc_id, d.lang,
+         |         CASE WHEN a.n_tokens IS NULL OR a.n_tokens = 0 THEN 0.0
+         |              ELSE floor(-a.slp / a.n_tokens * 1000000 + 0.5) / 1000000
+         |         END AS xent
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, lang,
+         |         CAST(ntile($PplxBuckets) OVER
+         |                (PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS INTEGER)
+         |           AS bucket
+         |  FROM x)
+         |SELECT d.source, b.lang, b.bucket,
+         |       count(*) AS n_docs,
+         |       CAST(sum(len(w.ws)) AS BIGINT) AS n_tokens
+         |FROM b JOIN documents d USING (doc_id) JOIN w USING (doc_id)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val buckets = Curation.perplexityBuckets(docs, "doc_id", "text", "lang",
+        docs.where(pmod(col("doc_id"), lit(PplxRefMod)) === 0), "text",
+        PplxBuckets)
+      buckets.select("doc_id", "lang", "bucket")
+        .join(docs.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__toks")), "doc_id")
+        .groupBy("source", "lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("__toks").as("n_tokens"))
+        .orderBy("source", "lang", "bucket")
     })
 }
