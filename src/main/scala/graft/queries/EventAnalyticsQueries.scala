@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.catalyst.HllSketchAgg
 import graft.io.Tables
 import graft.ops.Sessions
 
@@ -291,5 +292,84 @@ object EventAnalyticsQueries {
         .select(col("cohort_day").cast("long").as("cohort_day"),
           col("day_offset").cast("long").as("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
+    },
+
+    // Mergeable HLL sketch rollup: per-event-type distinct user-days via a
+    // constant-size HllSketchAgg buffer, then an 'ALL' row produced by
+    // MERGING the per-type register arrays (element-wise max) — never
+    // rescanning the events — exactly how a 100 TB deployment rolls
+    // per-day/per-source sketch tables up to arbitrary windows. The exact
+    // count(distinct) column pins sketch accuracy and the oracle rebuilds
+    // every register from the deterministic 60-bit md5 hash, so a hash
+    // match proves the full register state, the merge, and the estimator
+    // bit-for-bit (estimator determinism notes: HllSketchAgg.hllEstimate).
+    Q.sql("q118_hll_rollup",
+      """WITH k AS (
+        |  SELECT event_type,
+        |         user_id::VARCHAR || ':' || strftime(ts, '%Y-%m-%d') AS k
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, k,
+        |         ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+        |  FROM k),
+        |r AS (
+        |  SELECT event_type, h % 64 AS j,
+        |         MAX(CASE WHEN h // 64 = 0 THEN 55
+        |                  ELSE 55 - length(ltrim(bin(h // 64), '0')) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |fullr AS (
+        |  SELECT t.event_type, g.j, coalesce(r.rho, 0) AS rho
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+        |  LEFT JOIN r ON r.event_type = t.event_type AND r.j = g.j),
+        |merged AS (
+        |  SELECT 'ALL' AS event_type, j, MAX(rho) AS rho FROM fullr GROUP BY 2),
+        |regs AS (SELECT * FROM fullr UNION ALL SELECT * FROM merged),
+        |est AS (
+        |  SELECT event_type,
+        |         SUM(1::BIGINT << (55 - rho)) AS intsum,
+        |         SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT k) AS exact_distinct FROM h GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT k) FROM h),
+        |fin AS (
+        |  SELECT e.event_type,
+        |         CASE WHEN ((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))) * CAST(4096 AS DOUBLE)) * CAST(36028797018963968 AS DOUBLE) / CAST(e.intsum AS DOUBLE) <= CAST(160 AS DOUBLE) AND e.v > 0
+        |              THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / CAST(e.v AS DOUBLE))
+        |              ELSE ((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))) * CAST(4096 AS DOUBLE)) * CAST(36028797018963968 AS DOUBLE) / CAST(e.intsum AS DOUBLE) END AS est,
+        |         x.exact_distinct
+        |  FROM est e JOIN ex x ON x.event_type = e.event_type)
+        |SELECT event_type,
+        |       floor(est * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100 AS DOUBLE) AS approx_distinct,
+        |       exact_distinct
+        |FROM fin ORDER BY event_type""".stripMargin) { (s, d) =>
+      val keyed = Tables.events(s, d)
+        .select(col("event_type"),
+          concat_ws(":", col("user_id"), to_date(col("ts"))).as("k"))
+        .withColumn("h",
+          expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)"))
+      val perType = keyed.groupBy("event_type")
+        .agg(HllSketchAgg.hllSketch(col("h")).as("regs"),
+          countDistinct(col("k")).as("exact_distinct"))
+      // 'ALL' = register-wise max across the five per-type sketches; the
+      // exact column is the only thing that has to touch the data again.
+      val mergedRegs = perType
+        .select(posexplode(col("regs")).as(Seq("j", "rho")))
+        .groupBy("j").agg(max(col("rho")).as("rho"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, rho))), s -> s.rho)")
+          .as("regs"))
+      val allRow = mergedRegs
+        .crossJoin(keyed.agg(countDistinct(col("k")).as("exact_distinct")))
+        .select(lit("ALL").as("event_type"),
+          HllSketchAgg.hllEstimate("regs").as("approx_distinct"),
+          col("exact_distinct"))
+      perType
+        .select(col("event_type"),
+          HllSketchAgg.hllEstimate("regs").as("approx_distinct"),
+          col("exact_distinct"))
+        .unionByName(allRow)
+        .orderBy("event_type")
     })
 }
