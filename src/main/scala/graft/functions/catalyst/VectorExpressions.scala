@@ -116,6 +116,51 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused squared-L2 distance: one pass accumulating (x_i - y_i)², same
+  * sequential left fold as DuckDB's list_reduce over the per-element
+  * squared differences — the PQ code-assignment metric (argmin ties are
+  * broken by code id, so bit-identical distances are what keep Spark and
+  * the SQL oracle assigning identical codes near Voronoi boundaries). */
+case class L2Squared(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkDoubleArrays(prettyName, left, right)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_squared"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per local — see DotProduct.doGenCode
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Squared =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
 
   private[catalyst] def checkDoubleArrays(name: String, l: Expression,
@@ -137,6 +182,15 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def l2Squared(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Squared(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Reference HOF formulation of l2Squared — same fold order; spec pin. */
+  def l2SquaredHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d),
+      (acc, x) => acc + x)
 
   /** Reference formulation via built-in higher-order functions — same fold
     * order, used by specs to pin bit-equality with the native expressions. */

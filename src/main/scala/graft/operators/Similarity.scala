@@ -365,4 +365,124 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "nid", "cos")
   }
+
+  // --- Product quantization (Jégou, Douze, Schmid: "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) ---
+
+  /** Per-subspace argmin code under fused squared-L2, ties to the lowest
+    * code id. The struct array_min trick mirrors [[nearestCentroid]]:
+    * lexicographic min of (distance, code) is exactly (dist asc, code asc). */
+  private def pqNearestCode(x: Column, codes: Seq[Array[Double]]): Column =
+    array_min(array(codes.zipWithIndex.map { case (c, ci) =>
+      struct(
+        graft.functions.catalyst.VectorExpressions
+          .l2Squared(x, typedlit(c.toSeq)).as("d"),
+        lit(ci).as("c"))
+    }: _*)).getField("c")
+
+  /** Deterministic PQ codebook training: split each UNIT vector into
+    * `nSub` contiguous `dims/nSub`-dim subvectors and run plain-L2 Lloyd
+    * independently per subspace (init = the `nCodes` lowest-id vectors'
+    * subranges; update = decimal-exact mean of 6dp-quantized coordinates;
+    * empty cells keep their centroid — the [[trainCentroids]] determinism
+    * rules, minus the spherical normalization, which PQ does not use).
+    * All subspaces train in the SAME distributed pass per iteration: one
+    * map-side assignment, one (s, code, pos)-grain aggregate, and only the
+    * nSub×nCodes×subDim model (config-sized) reaches the driver.
+    * Returns books(s)(code) = centroid. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, nSub: Int, nCodes: Int, iters: Int = 2,
+                       quantize: Int = 6): Seq[Seq[Array[Double]]] = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dims % nSub == 0, s"dims $dims not divisible by nSub $nSub")
+    val subDim = dims / nSub
+    val vecs = withUnitVec(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), "v", "u")
+      .select(col("id"), col("u"))
+    val sv = vecs
+      .select(col("id"), explode(sequence(lit(0), lit(nSub - 1))).as("s"), col("u"))
+      .withColumn("x", expr(s"slice(u, s * $subDim + 1, $subDim)"))
+      .select("id", "s", "x")
+    var books: Seq[Seq[Array[Double]]] = {
+      val firsts = vecs.orderBy("id").limit(nCodes).select("u").collect()
+        .map(_.getSeq[Double](0).toArray)
+      (0 until nSub).map(s =>
+        firsts.toSeq.map(_.slice(s * subDim, s * subDim + subDim)))
+    }
+    for (_ <- 0 until iters) {
+      val assign = books.zipWithIndex.foldRight(lit(-1): Column) {
+        case ((codes, si), acc) =>
+          when(col("s") === si, pqNearestCode(col("x"), codes)).otherwise(acc)
+      }
+      val sums = sv.withColumn("code", assign)
+        .select(col("s"), col("code"), posexplode(col("x")).as(Seq("pos", "xi")))
+        .groupBy("s", "code", "pos")
+        .agg(sum(graft.queries.Qutil.dround(col("xi"), quantize)
+          .cast(DecimalType(38, quantize + 2))).cast("double").as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("code")))
+      books = books.zipWithIndex.map { case (codes, s) =>
+        codes.zipWithIndex.map { case (old, code) =>
+          byKey.get((s, code)).fold(old) { rows =>
+            val c = old.clone()
+            rows.foreach { r =>
+              c(r.getAs[Int]("pos")) = r.getAs[Double]("sx") / r.getAs[Long]("n")
+            }
+            c
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ-compressed ANN with asymmetric distance computation (ADC): the
+    * corpus is stored as `nSub` small code ids per vector (the compressed
+    * tier — nSub bytes instead of dims×4/8), queries stay full-precision,
+    * and each query precomputes a (subspace × code) table of 6dp-rounded
+    * partial dot products ONCE; scoring a corpus row is then `nSub` array
+    * lookups + a fixed-order fold — no per-pair vector math at all.
+    *
+    * Scale shape: encoding is map-only against broadcast codebook
+    * literals; the scored cross join streams the CODES table (the point:
+    * at 100 TB the float vectors never leave the encode pass, repeated
+    * searches read only codes), query tables are config-sized
+    * (nQueries × nSub × nCodes doubles) and ride the broadcast; top-k is
+    * the bounded-heap [[graft.plans.TopK.topKPerGroup]]. Every step —
+    * training, assignment (fused-L2 argmin, code-id ties), table rounding,
+    * s-ascending ADC fold — is bit-deterministic, so the q119 oracle
+    * replays the whole pipeline in SQL. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dims: Int, nSub: Int, nCodes: Int,
+             iters: Int, k: Int): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dims, nSub, nCodes, iters)
+    val subDim = dims / nSub
+    val c = withUnitVec(
+      corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
+      .withColumn("codes", array((0 until nSub).map { s =>
+        pqNearestCode(expr(s"slice(nu, ${s * subDim + 1}, $subDim)"), books(s))
+      }: _*))
+      .select("nid", "codes")
+    val q = withUnitVec(
+      queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec", "qu")
+      .withColumn("dt", array((0 until nSub).map { s =>
+        val qsub = expr(s"slice(qu, ${s * subDim + 1}, $subDim)")
+        array(books(s).map(cb =>
+          graft.queries.Qutil.dround(dot(qsub, typedlit(cb.toSeq)), 6)): _*)
+      }: _*))
+      .select("qid", "dt")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${nSub - 1}), CAST(0 AS DOUBLE),
+           |(acc, s) -> acc + element_at(element_at(dt, s + 1),
+           |                             element_at(codes, s + 1) + 1))""".stripMargin))
+      .select("qid", "nid", "adc")
+    graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
+      Seq("adc" -> true, "nid" -> false), k)
+  }
 }

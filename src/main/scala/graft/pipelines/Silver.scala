@@ -202,7 +202,13 @@ object Silver {
     // the scan+flatten+join upstream once per consumer.
     val derived = deriveColumns(joined, cfg).persist()
     val profiles = aggregateProfiles(derived, cfg)
-    val withMeta = attachMeta(profiles, derived, metaCols)
+    // attachSeasonTotals self-joins its input, so without a persist the
+    // window+aggregate+meta subtree above runs TWICE (both sides re-read
+    // the persisted match frame, then redo the profile aggregation). The
+    // profile-grain frame is ~|matches|/sampleSize rows — far smaller than
+    // the match grain — so persisting it is cheap at any scale and the
+    // self-join's build side becomes a cache read.
+    val withMeta = attachMeta(profiles, derived, metaCols).persist()
     val withSeasonTotals = attachSeasonTotals(withMeta)
     Groups.enforceTypes(withSeasonTotals, cfg.intCols, cfg.stringCols)
   }

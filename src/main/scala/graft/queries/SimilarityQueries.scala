@@ -81,6 +81,68 @@ object SimilarityQueries {
        |${assignCte("asgf", s"centlist$iters", "")}""".stripMargin
   }
 
+  /** WITH-body prelude replaying `Similarity.trainPqCodebooks` + the final
+    * per-(vector, subspace) code assignment in `pasgf` (codebooks in
+    * `cbl<iters>`): unit vectors → per-subspace subranges → `iters` rounds
+    * of fused-L2 argmin assignment (ties to the lowest code) and
+    * decimal-exact 6dp-quantized MEAN updates — trainCentroids' determinism
+    * rules minus the spherical normalization, which PQ does not use. */
+  private def pqPrelude(nSub: Int, nCodes: Int, iters: Int, q: Int): String = {
+    val subDim = Dims / nSub
+    def l2sq(x: String, c: String): String =
+      s"list_reduce(list_transform(generate_series(1, $subDim), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])), (a, b) -> a + b)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""cbl${k - 1} AS (
+         |  SELECT s, code, list(val ORDER BY pos) AS cv FROM cb${k - 1} GROUP BY s, code),
+         |pasg$k AS (
+         |  SELECT vec_id, s, x, code FROM (
+         |    SELECT v.vec_id, v.s, v.x, c.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, v.s
+         |             ORDER BY ${l2sq("v.x", "c.cv")} ASC, c.code ASC) AS rn
+         |    FROM svo v JOIN cbl${k - 1} c ON c.s = v.s)
+         |  WHERE rn = 1),
+         |psums$k AS (
+         |  SELECT s, code, pos,
+         |         CAST(sum(CAST(floor(x[pos] * 1000000 + 0.5) / 1000000 AS DECIMAL(38, ${q + 2}))) AS DOUBLE) AS sx,
+         |         count(*) AS n
+         |  FROM (SELECT s, code, x, unnest(generate_series(1, $subDim)) AS pos FROM pasg$k)
+         |  GROUP BY s, code, pos),
+         |cb$k AS (
+         |  SELECT p.s, p.code, p.pos,
+         |         CASE WHEN t.sx IS NOT NULL AND t.n > 0 THEN t.sx / t.n ELSE p.val END AS val
+         |  FROM cb${k - 1} p
+         |  LEFT JOIN psums$k t ON t.s = p.s AND t.code = p.code AND t.pos = p.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |         CASE WHEN ${normSql("v")} > 0
+       |              THEN list_transform(v, x -> x / ${normSql("v")})
+       |              ELSE v END AS u
+       |  FROM e),
+       |svo AS (
+       |  SELECT vec_id, s, u[(s * $subDim + 1):(s * $subDim + $subDim)] AS x
+       |  FROM (SELECT vec_id, u, unnest(generate_series(0, ${nSub - 1})) AS s FROM u)),
+       |pinit AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, u
+       |  FROM (SELECT vec_id, u FROM u ORDER BY vec_id LIMIT $nCodes)),
+       |cb0 AS (
+       |  SELECT ss.s, pinit.code, pp.pos, u[ss.s * $subDim + pp.pos] AS val
+       |  FROM pinit
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${nSub - 1})) AS s) ss
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS pos) pp),
+       |$iterCtes,
+       |cbl$iters AS (
+       |  SELECT s, code, list(val ORDER BY pos) AS cv FROM cb$iters GROUP BY s, code),
+       |pasgf AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT v.vec_id, v.s, c.code,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.s
+       |             ORDER BY ${l2sq("v.x", "c.cv")} ASC, c.code ASC) AS rn
+       |    FROM svo v JOIN cbl$iters c ON c.s = v.s)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Brute-force exact cosine top-5 for 8 query vectors. The fold order of
@@ -340,6 +402,49 @@ object SimilarityQueries {
           lsh = Some((Dims, 12, 6)), maxBucketSize = Some(256))
         .select(col("id_a"), col("id_b"), dround(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
+    },
+
+    // The COMPRESSED-STORAGE tier: product-quantization ANN with ADC
+    // scoring (Similarity.pqTopK). Corpus vectors are stored as 8 code
+    // ids (8 bytes vs 256/512 for the floats); each query precomputes a
+    // (subspace × code) table of 6dp-rounded partial dots and scoring is
+    // 8 lookups + a fixed-order fold. Training (decimal-exact means,
+    // lowest-id init), assignment (fused-L2 argmin, code-id ties), and
+    // the s-ascending ADC fold are all bit-deterministic, so the oracle
+    // replays codebooks → codes → tables → top-k exactly. SimilaritySpec
+    // pins recall against the q25 exact baseline on planted duplicates.
+    Q.sql("q119_ann_pq", {
+      val nSub = 8; val nCodes = 16; val iters = 2; val subDim = Dims / nSub
+      def foldDotSub(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, $subDim), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+      s"""WITH ${pqPrelude(nSub, nCodes, iters, 6)},
+         |qs AS (
+         |  SELECT vec_id AS qid, s,
+         |         u[(s * $subDim + 1):(s * $subDim + $subDim)] AS qx
+         |  FROM (SELECT vec_id, u, unnest(generate_series(0, ${nSub - 1})) AS s
+         |        FROM u WHERE vec_id < $NQueries)),
+         |dt AS (
+         |  SELECT qid, qs.s, c.code,
+         |         floor(${foldDotSub("qx", "c.cv")} * 1000000 + 0.5) / 1000000 AS contrib
+         |  FROM qs JOIN cbl$iters c ON c.s = qs.s),
+         |contribs AS (
+         |  SELECT d.qid, a.vec_id AS nid, d.s, d.contrib
+         |  FROM pasgf a JOIN dt d ON d.s = a.s AND d.code = a.code
+         |  WHERE a.vec_id != d.qid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |         list_reduce(list(contrib ORDER BY s), (a, b) -> a + b) AS adc
+         |  FROM contribs GROUP BY qid, nid),
+         |r AS (SELECT qid, nid, adc,
+         |             row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid, nid, adc FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding", Dims,
+          nSub = 8, nCodes = 16, iters = 2, k = TopK)
+        .orderBy("qid", "nid")
     },
 
     // Contrastive-pair mining (Similarity.hardPairs): per query, the

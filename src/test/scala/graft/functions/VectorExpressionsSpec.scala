@@ -74,6 +74,15 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("native L2Squared is bit-identical to the HOF formulation") {
+    val both = vecs.as("a").join(vecs.as("b"), $"a.id" < $"b.id")
+      .select(
+        VectorExpressions.l2Squared($"a.v", $"b.v").as("native"),
+        VectorExpressions.l2SquaredHof($"a.v", $"b.v").as("hof"))
+    assert(both.where($"native" =!= $"hof").count() == 0)
+    assert(both.where($"native" > 0d).count() > 0)
+  }
+
   test("type check rejects non-array arguments") {
     val e = intercept[Exception] {
       Seq((1, 2)).toDF("x", "y")

@@ -424,4 +424,59 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 3, k = 5).as[(Long, Long, Double)].collect().toSet
     assert(ivf == brute)
   }
+
+  test("pqTopK: ADC scores equal a driver-side PQ reference bit-for-bit, " +
+    "planted dup recalled first") {
+    val dims = 16; val nSub = 4; val nCodes = 4; val iters = 2; val subDim = 4
+    val base = Array.tabulate(dims)(i => math.sin(i * 1.7) * 3)
+    val nearDup = base.clone(); nearDup(0) += 1e-9
+    val corpus = ((0L, base) +: (1L, nearDup) +:
+      (2L until 60L).map(i => (i, Array.tabulate(dims)(j => math.cos(i * dims + j) * 3))))
+      .toDF("vec_id", "embedding")
+    val rows = corpus.as[(Long, Array[Double])].collect().sortBy(_._1)
+    val books = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      dims, nSub, nCodes, iters)
+    assert(books.length == nSub && books.forall(_.length == nCodes) &&
+      books.forall(_.forall(_.length == subDim)))
+
+    // driver-side reference, replicating every fold order and rounding
+    def unit(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; v.foreach(x => acc += x * x)
+      val n = math.sqrt(acc); if (n > 0) v.map(_ / n) else v
+    }
+    def dround6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def l2sq(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { val d = a(off + i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    def dotSub(a: Array[Double], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += a(off + i) * c(i); i += 1 }
+      acc
+    }
+    def codesOf(u: Array[Double]): Seq[Int] = (0 until nSub).map { s =>
+      var best = 0; var bestD = l2sq(u, s * subDim, books(s)(0))
+      for (c <- 1 until nCodes) {
+        val d = l2sq(u, s * subDim, books(s)(c))
+        if (d < bestD) { best = c; bestD = d }
+      }
+      best
+    }
+    val qu = unit(base)
+    val refTop = rows.filter(_._1 != 0L).map { case (nid, v) =>
+      val cs = codesOf(unit(v))
+      var adc = 0.0
+      for (s <- 0 until nSub) adc += dround6(dotSub(qu, s * subDim, books(s)(cs(s))))
+      (nid, adc)
+    }.sortBy { case (nid, adc) => (-adc, nid) }.take(5).toSeq
+
+    val top = Similarity.pqTopK(corpus, corpus.where($"vec_id" === 0L),
+      "vec_id", "embedding", dims, nSub, nCodes, iters, k = 5)
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (_, nid, adc) => (-adc, nid) }
+      .map { case (_, nid, adc) => (nid, adc) }.toSeq
+    assert(top == refTop) // ids AND double bits
+    assert(top.head._1 == 1L) // identical codes as the query ⇒ top rank
+  }
 }
