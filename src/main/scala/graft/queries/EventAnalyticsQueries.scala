@@ -371,5 +371,85 @@ object EventAnalyticsQueries {
           col("exact_distinct"))
         .unionByName(allRow)
         .orderBy("event_type")
+    },
+
+    // Incremental sketch table AT REST (the q102 composition applied to
+    // q118's sketches): history days are aggregated to one 64-register row
+    // per (event_type, day), WRITTEN to a day-partitioned table, re-read,
+    // and merged with the new batch days' sketches by register max — the
+    // raw history events are never touched again. The oracle computes the
+    // registers in ONE pass over all raw events with no day split, so a
+    // hash match proves the at-rest round trip AND the merge-associativity
+    // contract (per-day sketches merged ≡ sketch of the union) on real
+    // data, not just in the unit spec. At 100 TB this is the only sane
+    // shape for "distinct users over an arbitrary window": the sketch
+    // table is O(days × types × 64 bytes) and windows prune partitions.
+    Q.sql("q120_hll_incremental",
+      """WITH k AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         user_id::VARCHAR || ':' || strftime(ts, '%Y-%m-%d') AS k
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, day, k,
+        |         ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+        |  FROM k),
+        |r AS (
+        |  SELECT event_type, h % 64 AS j,
+        |         MAX(CASE WHEN h // 64 = 0 THEN 55
+        |                  ELSE 55 - length(ltrim(bin(h // 64), '0')) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |fullr AS (
+        |  SELECT t.event_type, g.j, coalesce(r.rho, 0) AS rho
+        |  FROM (SELECT DISTINCT event_type FROM h) t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) g
+        |  LEFT JOIN r ON r.event_type = t.event_type AND r.j = g.j),
+        |est AS (
+        |  SELECT event_type,
+        |         SUM(1::BIGINT << (55 - rho)) AS intsum,
+        |         SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+        |  FROM fullr GROUP BY 1),
+        |dd AS (
+        |  SELECT event_type, count(DISTINCT day) AS n_days FROM h GROUP BY 1),
+        |fin AS (
+        |  SELECT e.event_type,
+        |         CASE WHEN ((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))) * CAST(4096 AS DOUBLE)) * CAST(36028797018963968 AS DOUBLE) / CAST(e.intsum AS DOUBLE) <= CAST(160 AS DOUBLE) AND e.v > 0
+        |              THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / CAST(e.v AS DOUBLE))
+        |              ELSE ((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE))) * CAST(4096 AS DOUBLE)) * CAST(36028797018963968 AS DOUBLE) / CAST(e.intsum AS DOUBLE) END AS est,
+        |         d.n_days
+        |  FROM est e JOIN dd d ON d.event_type = e.event_type)
+        |SELECT event_type,
+        |       floor(est * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100 AS DOUBLE) AS approx_distinct,
+        |       n_days
+        |FROM fin ORDER BY event_type""".stripMargin) { (s, d) =>
+      val cut = "2024-01-21"
+      val keyed = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          concat_ws(":", col("user_id"), to_date(col("ts"))).as("k"))
+        .withColumn("h",
+          expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)"))
+      // history: one sketch row per (type, day), at rest, day-partitioned
+      keyed.where(col("day") < lit(cut).cast("date"))
+        .groupBy("event_type", "day")
+        .agg(HllSketchAgg.hllSketch(col("h")).as("regs"))
+        .write.mode("overwrite").partitionBy("day")
+        .saveAsTable("graft_hll_daily")
+      val batch = keyed.where(col("day") >= lit(cut).cast("date"))
+        .groupBy("event_type", "day")
+        .agg(HllSketchAgg.hllSketch(col("h")).as("regs"))
+      val allSketches = s.table("graft_hll_daily")
+        .select("event_type", "day", "regs").unionByName(batch)
+      val regsByType = allSketches
+        .select(col("event_type"), posexplode(col("regs")).as(Seq("j", "rho")))
+        .groupBy("event_type", "j").agg(max(col("rho")).as("rho"))
+        .groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(j, rho))), s -> s.rho)")
+          .as("regs"))
+      val days = allSketches.groupBy("event_type")
+        .agg(countDistinct(col("day")).as("n_days"))
+      regsByType.join(days, Seq("event_type"))
+        .select(col("event_type"),
+          HllSketchAgg.hllEstimate("regs").as("approx_distinct"),
+          col("n_days"))
+        .orderBy("event_type")
     })
 }

@@ -413,4 +413,35 @@ class StreamingSpec extends SparkSpec {
       assert(byId(2L)._2 == "pre post" && byId(2L)._3 == 6L) // cross-batch trim
     } finally q.stop()
   }
+
+  test("hllSketch aggregates across microbatches and equals the batch sketch") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.catalyst.HllSketchAgg
+    implicit val sql = spark.sqlContext
+    val hashExpr =
+      "CAST(conv(substr(md5(CAST(uid AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("a", 4L), ("b", 3L), ("b", 5L))
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("event_type", "uid")
+      .withColumn("h", expr(hashExpr))
+      .groupBy("event_type")
+      .agg(HllSketchAgg.hllSketch(col("h")).as("regs"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*) // includes a re-delivery of uid 3
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").select("event_type", "regs")
+        .as[(String, Seq[Int])].collect().toMap
+      val batch = rows.toDF("event_type", "uid")
+        .withColumn("h", expr(hashExpr))
+        .groupBy("event_type")
+        .agg(HllSketchAgg.hllSketch(col("h")).as("regs"))
+        .select("event_type", "regs")
+        .as[(String, Seq[Int])].collect().toMap
+      assert(streamed == batch) // duplicate absorbed; state = registers only
+    } finally q.stop()
+  }
 }
