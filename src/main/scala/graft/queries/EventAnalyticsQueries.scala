@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.functions.catalyst.HllSketchAgg
+import graft.functions.catalyst.{CountMinAgg, HllSketchAgg, KmvSketchAgg}
 import graft.io.Tables
 import graft.ops.Sessions
 
@@ -451,5 +451,153 @@ object EventAnalyticsQueries {
           HllSketchAgg.hllEstimate("regs").as("approx_distinct"),
           col("n_days"))
         .orderBy("event_type")
+    },
+
+    // Count-Min frequency sketch (the additive twin of q118's HLL): one
+    // 4×512 counter matrix per event type from a constant-16KB
+    // CountMinAgg buffer, merged to an 'ALL' matrix by ELEMENT-WISE SUM
+    // (never rescanning the events), then probed for the top-10 users'
+    // frequencies. The oracle rebuilds every probed cell from the
+    // deterministic md5 hash fields, so a hash match proves the counter
+    // state, the merge, and the min-over-rows estimator exactly; the
+    // exact_count column pins the overcount-only guarantee on real data
+    // (and is the only thing that would be dropped in production — the
+    // sketch exists so "how often did key k occur" never rescans 100 TB).
+    Q.sql("q121_cms_freq",
+      """WITH k AS (
+        |  SELECT user_id::VARCHAR AS k FROM events),
+        |h AS (
+        |  SELECT k, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM k),
+        |cells AS (
+        |  SELECT g.i, (h.h >> (9 * g.i)) % 512 AS col, count(*) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT k, h, count(*) AS exact_count
+        |  FROM h GROUP BY 1, 2
+        |  ORDER BY exact_count DESC, k LIMIT 10),
+        |est AS (
+        |  SELECT ex.k, ex.exact_count, min(c.c) AS est_count
+        |  FROM ex JOIN cells c ON c.col = (ex.h >> (9 * c.i)) % 512
+        |  GROUP BY 1, 2)
+        |SELECT CAST(k AS BIGINT) AS user_id, est_count, exact_count
+        |FROM est ORDER BY exact_count DESC, user_id""".stripMargin) { (s, d) =>
+      val keyed = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("k"))
+        .withColumn("h",
+          expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)"))
+      val perType = keyed.groupBy("event_type")
+        .agg(CountMinAgg.cmsSketch(col("h")).as("m"))
+      // 'ALL' = element-wise sum across the per-type matrices — the
+      // at-rest rollup op (per-day/source sketch tables add the same way)
+      val merged = perType
+        .select(posexplode(col("m")).as(Seq("j", "c")))
+        .groupBy("j").agg(sum(col("c")).as("c"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), s -> CAST(s.c AS BIGINT))")
+          .as("m"))
+      val probes = keyed.groupBy("k", "h").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("k")).limit(10)
+      probes.crossJoin(merged)
+        .select(col("k").cast("bigint").as("user_id"),
+          CountMinAgg.cmsEstimate("m", "h").as("est_count"),
+          col("exact_count"))
+        .orderBy(col("exact_count").desc, col("user_id"))
+    },
+
+    // KMV/theta bottom-k sketches: per-event-type sketches of the distinct
+    // user universe (constant ≤64-long KmvSketchAgg buffer — no
+    // (type, user) distinct pre-shuffle), then ALL pairwise segment
+    // overlaps estimated from the sketches ALONE: union sketch = bottom-k
+    // of the two sketches' union (closure property), θ = its max,
+    // est_union = 63·2^60/θ, est_inter = overlap/64 · est_union. The
+    // oracle replays the identical bottom-k selection and estimator
+    // arithmetic over the deterministic hashes, and exact_inter pins
+    // accuracy on real data. At 100 TB this answers "audience overlap
+    // between any two segments" from O(segments × 64) longs at rest.
+    Q.sql("q122_kmv_overlap",
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h),
+        |sk AS (SELECT event_type, h FROM r WHERE rn <= 64),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM t a JOIN t b ON a.event_type < b.event_type),
+        |un AS (
+        |  SELECT p.type_a, p.type_b, s.h
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+        |  GROUP BY 1, 2, 3),
+        |ur AS (
+        |  SELECT type_a, type_b, h,
+        |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+        |         count(*) OVER (PARTITION BY type_a, type_b) AS nu
+        |  FROM un),
+        |uk AS (SELECT * FROM ur WHERE rn <= 64),
+        |fl AS (
+        |  SELECT u.type_a, u.type_b, u.h, u.nu,
+        |         max(CASE WHEN s.event_type = u.type_a THEN 1 ELSE 0 END) AS in_a,
+        |         max(CASE WHEN s.event_type = u.type_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM uk u JOIN sk s ON s.h = u.h AND s.event_type IN (u.type_a, u.type_b)
+        |  GROUP BY 1, 2, 3, 4),
+        |ag AS (
+        |  SELECT type_a, type_b, min(nu) AS nu, max(h) AS theta,
+        |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS m
+        |  FROM fl GROUP BY 1, 2),
+        |ei AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS exact_inter
+        |  FROM h a JOIN h b ON b.h = a.h AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT g.type_a, g.type_b, g.nu, g.m,
+        |         CASE WHEN g.nu < 64 THEN CAST(g.nu AS DOUBLE)
+        |              ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(g.theta AS DOUBLE) END AS raw_union,
+        |         coalesce(e.exact_inter, 0) AS exact_inter
+        |  FROM ag g LEFT JOIN ei e
+        |    ON e.type_a = g.type_a AND e.type_b = g.type_b)
+        |SELECT type_a, type_b,
+        |       floor(raw_union * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100 AS DOUBLE) AS est_union,
+        |       CAST(m AS BIGINT) AS sketch_overlap,
+        |       floor((CASE WHEN nu < 64 THEN CAST(m AS DOUBLE)
+        |                   ELSE CAST(m AS DOUBLE) / CAST(64 AS DOUBLE) * raw_union END) * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(100 AS DOUBLE) AS est_inter,
+        |       exact_inter
+        |FROM est ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+      val sk = h.groupBy("event_type").agg(KmvSketchAgg.kmvSketch(col("h")).as("s"))
+      val pairs = sk.as("a").join(sk.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.s").as("sa"), col("b.s").as("sb"))
+      val dh = h.distinct()
+      val ei = dh.as("x").join(dh.as("y"),
+          col("y.h") === col("x.h") && col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("exact_inter"))
+      val rawUnion = "CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE) " +
+        s"ELSE CAST(63 AS DOUBLE) * ${KmvSketchAgg.HashSpace} / CAST(theta AS DOUBLE) END"
+      pairs
+        .withColumn("u", expr("slice(array_sort(array_union(sa, sb)), 1, 64)"))
+        .withColumn("nu", expr("size(array_union(sa, sb))"))
+        .withColumn("theta", expr("element_at(u, size(u))"))
+        .withColumn("m",
+          expr("size(filter(u, x -> array_contains(sa, x) AND array_contains(sb, x)))"))
+        .withColumn("raw_union", expr(rawUnion))
+        .join(ei, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          Qutil.dround(col("raw_union"), 2).as("est_union"),
+          col("m").cast("bigint").as("sketch_overlap"),
+          Qutil.dround(expr("CASE WHEN nu < 64 THEN CAST(m AS DOUBLE) " +
+            "ELSE CAST(m AS DOUBLE) / CAST(64 AS DOUBLE) * raw_union END"), 2)
+            .as("est_inter"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy("type_a", "type_b")
     })
 }
