@@ -104,6 +104,47 @@ object Writers {
     n
   }
 
+  /** Delta-style MERGE INTO for a partitioned parquet table at rest,
+    * rewriting ONLY the partitions the batch touches. Contract: `keyCols`
+    * identify a row, `partitionCol` is immutable per key (a fact's
+    * day/month never moves), and `versionCol` is a total order per key
+    * across table ∪ batch (ties would make keep-latest nondeterministic,
+    * so give re-deliveries a higher version). Upserts and brand-new keys
+    * both work; rows absent from the batch survive untouched.
+    *
+    * Scale shape — the whole point of the operator: the touched-partition
+    * list is read from the BATCH (distinct partition values — calendar-
+    * scale, config-sized driver traffic), the existing side is read with a
+    * partition-pruned `isin` scan (PartitionFilters, never a full-table
+    * scan), keep-latest is one key-grain window over touched data only,
+    * and the dynamic-overwrite write replaces only touched directories —
+    * so merge cost scales with the batch's data locality, not with table
+    * size. Untouched partition files are not rewritten (MergeSpec asserts
+    * byte-identical files), which also preserves their page/footer stats
+    * and any z-order layout. This is the MERGE half of the lakehouse
+    * pattern whose SCD2 half is `ops.Scd.scd2Merge`. */
+  def mergeIntoPartitioned(table: String, batch: DataFrame, keyCols: Seq[String],
+                           versionCol: String, partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val touched = batch.select(partitionCol).distinct()
+      .collect().map(_.get(0)) // calendar-scale by contract
+    val existing = spark.read.parquet(table)
+      .where(col(partitionCol).isin(touched: _*))
+      .select(batch.columns.map(col): _*) // align column order for union
+    val merged = graft.ops.Windows.keepBest(
+      existing.unionByName(batch), keyCols, Seq(col(versionCol).desc))
+    // Read-modify-write against the SAME path: Spark statically rejects
+    // overwriting a source path, and committing mid-read would be unsafe
+    // anyway. localCheckpoint materializes the merged result (bounded by
+    // the TOUCHED partitions' data, not the table) and cuts the file-scan
+    // lineage, so the overwrite sees a plan with no self-reference — the
+    // poor-engine's transaction the lakehouse formats solve with a log.
+    val staged = merged.localCheckpoint()
+    try writePartitioned(staged, table, partitionCol)
+    finally staged.unpersist()
+  }
+
   /** K8 — per-aggregation-period fan-out: one filtered write per period
     * table (STAGING/GOLD-data-loader-experiment-form.py:552-576). */
   def writePerPeriod(df: DataFrame, pathFor: String => String,

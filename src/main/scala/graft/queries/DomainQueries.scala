@@ -307,5 +307,61 @@ object DomainQueries {
           keys = Seq("c_custkey"), tracked = Seq("c_mktsegment", "c_acctbal"),
           effectiveDate = "2024-06-01")
         .orderBy("c_custkey", "valid_from")
+    },
+
+    // Partition-pruned MERGE INTO parquet at rest (Writers.
+    // mergeIntoPartitioned — the fact-table upsert half of the lakehouse
+    // pattern; q81 is the dimension/SCD2 half): the full orders history
+    // lands month-partitioned, then a late batch re-delivers every 7th
+    // order of the last three months at version 2 with doubled prices AND
+    // appends brand-new orders — and ONLY those month partitions are
+    // rewritten (MergeSpec asserts untouched files byte-identical; merge
+    // cost scales with the batch's months, never the table). The oracle
+    // replays history ∪ batch with keep-max-version per key, so a hash
+    // match proves upsert, insert, survivor, and partition-routing
+    // semantics on the re-read table — version_sum pins exactly which
+    // rows the batch replaced.
+    Q.sql("q123_merge_partitioned",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS mon,
+        |         o_totalprice AS price
+        |  FROM orders),
+        |hist AS (SELECT k, mon, price, 1 AS v FROM base),
+        |recent AS (SELECT * FROM base WHERE mon >= '2001-06'),
+        |batch AS (
+        |  SELECT k, mon, price * CAST(2 AS DOUBLE) AS price, 2 AS v
+        |  FROM recent WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + 10000000, mon, price, 2 FROM recent),
+        |merged AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |    FROM (SELECT * FROM hist UNION ALL SELECT * FROM batch))
+        |  WHERE rn = 1)
+        |SELECT mon, count(*) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |       CAST(SUM(v) AS BIGINT) AS version_sum
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files.createTempDirectory("q123merge").toString + "/orders_m"
+      val base = graft.io.Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        col("o_totalprice").as("price"))
+      graft.io.Writers.writePartitioned(
+        base.withColumn("v", lit(1L)), tbl, "mon")
+      val recent = base.where(col("mon") >= "2001-06")
+      val batch = recent.where(col("k") % 7 === 0)
+        .withColumn("price", col("price") * lit(2.0))
+        .unionByName(recent.withColumn("k", col("k") + 10000000L))
+        .withColumn("v", lit(2L))
+      graft.io.Writers.mergeIntoPartitioned(tbl, batch,
+        keyCols = Seq("k"), versionCol = "v", partitionCol = "mon")
+      s.read.parquet(tbl)
+        .groupBy("mon")
+        .agg(count(lit(1)).as("n_rows"),
+          Qutil.msum(col("price"), 2).as("total_price"),
+          sum(col("v")).as("version_sum"))
+        .orderBy("mon")
     })
 }
