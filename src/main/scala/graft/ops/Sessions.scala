@@ -91,6 +91,43 @@ object Sessions {
         count(lit(1)).as("n_events"))
   }
 
+  /** Daily-grid gap fill + forward fill — the distributed form of pandas
+    * `resample('D').last().ffill()` per key (the reference stack's idiom
+    * for sensor/metric panels with missing days). Per (key, day) the LAST
+    * observation wins under the exact (micros, tie-id) total order — one
+    * `max(struct(...))` aggregate, no window; each key's grid spans its
+    * own [first, last] active day (`sequence` explode — map-only); missing
+    * days carry the previous value via `last(ignoreNulls)` over a
+    * day-ordered window.
+    *
+    * Scale: 1 (key, day) aggregate, 1 key-grain span aggregate, 1 grid⋈obs
+    * equi-join, 1 key-partitioned window — all hash-distributed on the
+    * key; per-key window state is one carried value. Grid size is
+    * keys × span-days (bounded by calendar, not events); a 100 TB event
+    * log compacts to the (key, day) grain BEFORE the grid join, so the
+    * join sides are day-grain-sized. Output: (key, day, obs, carried,
+    * is_filled) with `carried` null-free from each key's first day on. */
+  def gapFillForward(events: DataFrame, userCol: String, tsCol: String,
+                     tieCol: String, valueCol: String): DataFrame = {
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+    val obs = events
+      .select(col(userCol), day.as("day"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+        col(tieCol).cast("long").as("__tie"),
+        col(valueCol).as("__v"))
+      .groupBy(col(userCol), col("day"))
+      .agg(max(struct(col("__us"), col("__tie"), col("__v")))
+        .getField("__v").as("obs"))
+    val grid = obs.groupBy(userCol)
+      .agg(min("day").as("__mn"), max("day").as("__mx"))
+      .select(col(userCol), explode(expr("sequence(__mn, __mx)")).as("day"))
+    val w = Window.partitionBy(userCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(userCol, "day"), "left")
+      .withColumn("carried", last(col("obs"), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col("obs").isNull)
+  }
+
   /** Cohort retention: users are cohorted by their first activity day;
     * output counts distinct active users per (cohort day, day offset).
     * Days are exact integers (days since epoch / day differences). */

@@ -78,6 +78,35 @@ object Stats {
       .drop(bCols: _*)
   }
 
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation), and the count of rows with |x − median| > k·MAD — the
+    * data-cleaning screen that, unlike the z-score (A5/C11), is not itself
+    * dragged by the outliers it hunts (mean and std both move with a heavy
+    * tail; the median/MAD pair has a 50% breakdown point — Hampel's
+    * identifier). Two fit aggregates (median, then MAD over the deviation
+    * join) + one counting pass, all on the zscore/quantileBins fit+apply
+    * shape with group-cardinality-sized un-hinted fit tables.
+    *
+    * Exact `percentile` sorts each group — contractual here so the DuckDB
+    * oracle (quantile_cont) reproduces it bit-for-bit; the 100 TB dial is
+    * the same as q55's: swap in approx_percentile (or the fixed-grid
+    * histogram quantile, q56) when the screen doesn't need to be exact.
+    * No consistency constant (1.4826) is applied — k is in MAD units. */
+  def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                     k: Double): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(med, keys)
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(keys.map(col): _*)
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    dev.join(mad, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Pairwise Pearson correlations over `cols` in ONE scan: every moment
     * (Σx, Σx², Σxy, n) is a term in a single shared aggregate — the
     * textbook single-pass formulation

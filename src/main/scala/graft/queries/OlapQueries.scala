@@ -261,5 +261,44 @@ object OlapQueries {
       graft.ops.Stats.corrMatrix(Tables.lineitem(s, d),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("var_a", "var_b")
+    },
+
+    // Wide pivot report (`DataFrame.pivot` with an EXPLICIT value list —
+    // the reference stack's pandas pivot_table): region × order-year
+    // revenue matrix. The explicit values matter at scale: without them
+    // Spark runs a driver-side distinct pass over the pivot column before
+    // planning; with them the pivot compiles to one conditional aggregate
+    // — a single partial→final exchange, exactly the shape the oracle
+    // writes out by hand. Dims broadcast; decimal sums keep every cell
+    // engine-exact.
+    Q.sql("q126_pivot_revenue", {
+      val years = (1995 to 2001).map(_.toString)
+      val cells = years.map { y =>
+        s"""CAST(SUM(CASE WHEN yr = '$y' THEN p END) AS DOUBLE) AS "$y""""
+      }.mkString(",\n       ")
+      s"""SELECT r_name,
+         |       $cells
+         |FROM (
+         |  SELECT r_name, strftime(o_orderdate, '%Y') AS yr,
+         |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"),
+          date_format(col("o_orderdate"), "yyyy").as("yr"),
+          col("o_totalprice"))
+        .groupBy("r_name")
+        .pivot("yr", (1995 to 2001).map(_.toString))
+        .agg(Qutil.msum(col("o_totalprice"), 2))
+        .orderBy("r_name")
     })
 }

@@ -92,5 +92,35 @@ object ProfilingQueries {
             "4-NOT SPECIFIED", "5-LOW")),
           Uniqueness(Seq("o_orderkey"))))
         .orderBy("expectation")
+    },
+
+    // Robust per-group outlier screen (Stats.robustOutliers): median + MAD
+    // + Hampel count at k = 3 MAD units — the data-cleaning complement to
+    // the z-score (q05), immune to the heavy tail it hunts (50% breakdown
+    // point vs the mean/std's 0%). Exact interpolating percentile on both
+    // engines (Spark `percentile` ≡ DuckDB `quantile_cont`), so the oracle
+    // replays medians, deviations, and the strict-> threshold bit-for-bit.
+    Q.sql("q124_robust_outliers",
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        |  FROM events e JOIN med m ON m.event_type = e.event_type),
+        |mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+        |SELECT d.event_type,
+        |       floor(min(d.med) * 1000000 + 0.5) / 1000000 AS med,
+        |       floor(min(a.mad) * 1000000 + 0.5) / 1000000 AS mad,
+        |       CAST(SUM(CASE WHEN d.ad > CAST(3 AS DOUBLE) * a.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a ON a.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Stats.robustOutliers(
+          Tables.events(s, d).select("event_type", "value"),
+          Seq("event_type"), "value", k = 3.0)
+        .select(col("event_type"),
+          Qutil.dround(col("med"), 6).as("med"),
+          Qutil.dround(col("mad"), 6).as("mad"),
+          col("n_outliers"))
+        .orderBy("event_type")
     })
 }

@@ -52,5 +52,52 @@ object TemporalQueries {
         .groupBy("band_name")
         .agg(count(lit(1)).as("n"), Qutil.msum(col("o_totalprice")).as("total"))
         .orderBy("band_name")
+    },
+
+    // Daily-grid gap fill + forward fill (Sessions.gapFillForward — the
+    // distributed pandas resample('D').last().ffill()): per user, the last
+    // event value each day under the exact (micros, event_id) order, a
+    // sequence-exploded grid over the user's own active span, and missing
+    // days carrying the previous value via last(ignoreNulls). The oracle
+    // replays grid, last-per-day, and carry with generate_series +
+    // IGNORE NULLS, so a hash match proves all three; n_filled pins
+    // exactly which grid days were synthesized.
+    Q.sql("q125_gap_fill_forward",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |         epoch_us(ts) AS us, event_id, value
+        |  FROM events),
+        |obs AS (
+        |  SELECT user_id, day, value AS obs FROM (
+        |    SELECT user_id, day, value,
+        |           row_number() OVER (PARTITION BY user_id, day
+        |                              ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |         FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.day, o.obs
+        |      FROM grid g LEFT JOIN obs o
+        |        ON o.user_id = g.user_id AND o.day = g.day),
+        |f AS (SELECT user_id, day, obs,
+        |             last_value(obs IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY day
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS carried
+        |      FROM j)
+        |SELECT user_id, count(*) AS n_days,
+        |       CAST(SUM(CASE WHEN obs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_filled,
+        |       CAST(SUM(CAST(carried AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS carried_sum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Sessions.gapFillForward(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_filled"), 1L).otherwise(0L)).as("n_filled"),
+          Qutil.msum(col("carried"), 4).as("carried_sum"))
+        .orderBy("user_id")
     })
 }
