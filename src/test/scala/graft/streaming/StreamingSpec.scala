@@ -444,4 +444,43 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch) // duplicate absorbed; state = registers only
     } finally q.stop()
   }
+
+  test("cmsSketch and kmvSketch aggregate across microbatches and equal " +
+    "their batch sketches") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import graft.functions.catalyst.{CountMinAgg, KmvSketchAgg}
+    implicit val sql = spark.sqlContext
+    val hashExpr =
+      "CAST(conv(substr(md5(CAST(uid AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    val rows = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("a", 4L), ("b", 3L), ("b", 5L))
+    val in = MemoryStream[(String, Long)]
+    val q = in.toDF().toDF("event_type", "uid")
+      .withColumn("h", expr(hashExpr))
+      .groupBy("event_type")
+      .agg(CountMinAgg.cmsSketch(col("h")).as("m"),
+        KmvSketchAgg.kmvSketch(col("h")).as("s"))
+      .writeStream.format("memory").queryName("cms_kmv_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*) // includes a re-delivery of uid 3
+      q.processAllAvailable()
+      val streamed = spark.table("cms_kmv_stream")
+        .select("event_type", "m", "s")
+        .as[(String, Seq[Long], Seq[Long])].collect()
+        .map { case (t, m, s) => t -> (m, s) }.toMap
+      val batch = rows.toDF("event_type", "uid")
+        .withColumn("h", expr(hashExpr))
+        .groupBy("event_type")
+        .agg(CountMinAgg.cmsSketch(col("h")).as("m"),
+          KmvSketchAgg.kmvSketch(col("h")).as("s"))
+        .select("event_type", "m", "s")
+        .as[(String, Seq[Long], Seq[Long])].collect()
+        .map { case (t, m, s) => t -> (m, s) }.toMap
+      // CMS counts the re-delivery (frequency semantics), KMV absorbs it
+      // (distinct semantics) — both match the batch run over the same rows
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
