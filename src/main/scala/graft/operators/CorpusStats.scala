@@ -147,7 +147,6 @@ object CorpusStats {
     * Returns (idCol, score, n_terms). */
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import graft.queries.Qutil
     val tf = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
       .where(col("term").isInCollection(terms))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -155,6 +154,17 @@ object CorpusStats {
       .select(col(idCol), tokenCount(col(textCol)).cast("double").as("dl"))
     val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
       sum(tokenCount(col(textCol))).cast("double").as("__sumdl"))
+    bm25Score(tf, dl, stats, idCol, k1, b)
+  }
+
+  /** The BM25 arithmetic shared by the one-shot path ([[bm25]]) and the
+    * index-at-rest path ([[bm25FromIndex]]): inputs are the (id, term, tf)
+    * grain, matched-doc lengths, and the single-row corpus stats —
+    * identical values through identical expressions, so the two paths are
+    * bit-for-bit interchangeable (q128 hash-matches q93's oracle). */
+  private def bm25Score(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                        idCol: String, k1: Double, b: Double): DataFrame = {
+    import graft.queries.Qutil
     val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val s = tf.join(dfT, "term").join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
@@ -166,6 +176,42 @@ object CorpusStats {
     s.groupBy(col(idCol))
       .agg(sum(col("s").cast(DecimalType(18, 8))).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
+  }
+
+  /** Inverted index AT REST: postings (id, term, tf) in a managed table
+    * BUCKETED BY TERM, plus doc-length and single-row corpus-stats side
+    * tables. The one-time build cost is [[docTermCounts]]' aggregate; the
+    * payoff is at query time ([[bm25FromIndex]]). */
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                         prefix: String, nBuckets: Int = 8): Unit = {
+    graft.io.Writers.replaceBucketedTable(
+      docTermCounts(docs, idCol, textCol), s"${prefix}_postings", "term", nBuckets)
+    docs.select(col(idCol), tokenCount(col(textCol)).cast("double").as("dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_doclen")
+    docs.agg(count(lit(1)).cast("double").as("__n"),
+        sum(tokenCount(col(textCol))).cast("double").as("__sumdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_stats")
+  }
+
+  /** BM25 over the at-rest inverted index — the repeated-queries shape for
+    * 100 TB retrieval: the corpus text is NEVER rescanned. The query-term
+    * `isin` filter on the bucket column prunes the postings scan to the
+    * terms' buckets (`SelectedBucketsCount` in the plan, spec-asserted),
+    * so per-query cost is posting-list-sized: O(df(terms)) rows read, one
+    * vocabulary-bounded df aggregate, one matched-doc semi-join against
+    * the length table, stats as a broadcast single row. Scores are
+    * bit-identical to [[bm25]] (shared [[bm25Score]]); rebuilding the
+    * index after ingest is q102's incremental-index story, not a scoring
+    * concern. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, prefix: String,
+                    idCol: String, terms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = spark.table(s"${prefix}_postings")
+      .where(col("term").isInCollection(terms))
+    val dl = spark.table(s"${prefix}_doclen")
+      .join(tf.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    val stats = spark.table(s"${prefix}_stats")
+    bm25Score(tf, dl, stats, idCol, k1, b)
   }
 
   /** Corpus vocabulary: one row per distinct token with total occurrences

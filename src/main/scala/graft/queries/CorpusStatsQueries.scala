@@ -25,6 +25,44 @@ object CorpusStatsQueries {
   private val BmK1 = 1.2
   private val BmB = 0.75
 
+  /** q93's full-replay BM25 oracle — shared verbatim by q128 (the
+    * index-at-rest path), whose contract is exactly "same scores, the
+    * corpus never rescanned". */
+  private lazy val Bm25Oracle: String = {
+    val inList = BmTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+       |  WHERE term IN ($inList) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |                 CAST(sum(len(ws)) AS DOUBLE) AS sumdl FROM w),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id,
+       |         floor((ln((stats.n - df.df + 5e-1) / (df.df + 5e-1) + 1e0)
+       |           * (CAST(tf.tf AS DOUBLE) * ${BmK1 + 1}e0)
+       |           / (CAST(tf.tf AS DOUBLE) + (${1 - BmB}e0 + ${BmB}e0 * dl.dl / (stats.sumdl / stats.n)) * ${BmK1}e0))
+       |           * 1e6 + 5e-1) / 1e6 AS s
+       |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score,
+       |         count(*) AS n_terms
+       |  FROM s GROUP BY 1),
+       |r AS (SELECT doc_id, score, n_terms,
+       |             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |      FROM agg)
+       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score,
+       |       CAST(n_terms AS BIGINT) AS n_terms
+       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+  }
+
   /** Chained-CTE replay of `BpeSteps` BPE training rounds (q91/q92): each
     * round's argmax pair is a scalar subquery over the previous round's
     * pair counts, and the greedy non-overlapping merge is the
@@ -490,45 +528,35 @@ object CorpusStatsQueries {
     // 2.2000000000000002, not 2.2) with an e0 suffix so DuckDB parses
     // DOUBLE, not DECIMAL — per-term scores 6dp-round then decimal-sum,
     // so the per-doc total is order-independent in both engines.
-    Q.sql("q93_bm25_retrieval", {
-      val inList = BmTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-         |              ELSE string_split_regex(trim(text), '\\s+') END AS ws
-         |  FROM documents),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
-         |  WHERE term IN ($inList) GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
-         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-         |                 CAST(sum(len(ws)) AS DOUBLE) AS sumdl FROM w),
-         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-         |s AS (
-         |  SELECT tf.doc_id,
-         |         floor((ln((stats.n - df.df + 5e-1) / (df.df + 5e-1) + 1e0)
-         |           * (CAST(tf.tf AS DOUBLE) * ${BmK1 + 1}e0)
-         |           / (CAST(tf.tf AS DOUBLE) + (${1 - BmB}e0 + ${BmB}e0 * dl.dl / (stats.sumdl / stats.n)) * ${BmK1}e0))
-         |           * 1e6 + 5e-1) / 1e6 AS s
-         |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
-         |  CROSS JOIN stats),
-         |agg AS (
-         |  SELECT doc_id, CAST(sum(CAST(s AS DECIMAL(18,8))) AS DOUBLE) AS score,
-         |         count(*) AS n_terms
-         |  FROM s GROUP BY 1),
-         |r AS (SELECT doc_id, score, n_terms,
-         |             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-         |      FROM agg)
-         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, score,
-         |       CAST(n_terms AS BIGINT) AS n_terms
-         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
-    }) { (s, d) =>
+    Q.sql("q93_bm25_retrieval", Bm25Oracle) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val out = CorpusStats.bm25(Tables.documents(s, d), "doc_id", "text",
         BmTerms, BmK1, BmB)
       // TakeOrdered gets the 20 under a (score, id) total order; the rank
       // window then runs over 20 rows, never the corpus
+      out.orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("int"))
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+        .orderBy("rank")
+    },
+
+    // BM25 over the inverted index AT REST (CorpusStats.writeInvertedIndex
+    // + bm25FromIndex): postings bucketed by term, doc lengths and corpus
+    // stats as side tables — query-time cost is posting-list-sized (the
+    // term `isin` prunes the postings scan to the query terms' buckets;
+    // BucketedIndexSpec asserts SelectedBucketsCount), the corpus text is
+    // never rescanned. The oracle is q93's VERBATIM: a hash match proves
+    // the at-rest index path reproduces the one-shot scores bit-for-bit —
+    // the retrieval twin of q102's "bucketed storage changes cost only"
+    // contract.
+    Q.sql("q128_bm25_index", Bm25Oracle) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      CorpusStats.writeInvertedIndex(Tables.documents(s, d), "doc_id", "text",
+        prefix = "graft_inv", nBuckets = 8)
+      val out = CorpusStats.bm25FromIndex(s, "graft_inv", "doc_id",
+        BmTerms, BmK1, BmB)
       out.orderBy(col("score").desc, col("doc_id")).limit(20)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("score").desc, col("doc_id")))

@@ -599,5 +599,78 @@ object EventAnalyticsQueries {
             .as("est_inter"),
           coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
         .orderBy("type_a", "type_b")
+    },
+
+    // Incremental histogram-quantile table at rest — the QUANTILE slot of
+    // the mergeable family (q120 HLL = distinct, q121 CMS = frequency,
+    // q122 KMV = overlap): per (event_type, day) sparse fixed-grid
+    // histograms (bucket = floor(value·100) — the 2dp grid) land in a
+    // day-partitioned table; merge-on-read is a plain additive rollup with
+    // the new batch days; p50/p95/p99 come off the merged cumulative
+    // histogram as the smallest bucket with 100·cum ≥ p·n — grid-exact,
+    // all-integer, so the oracle (one raw-event pass, no day split)
+    // replays it bit-for-bit and a hash match proves the at-rest round
+    // trip AND histogram additivity on real data. At 100 TB: quantiles
+    // over an arbitrary window read O(days × types × grid) sketch rows,
+    // never the events; exact `percentile` (q55) stays the one-shot path.
+    Q.sql("q127_histogram_quantile_incremental",
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bucket
+        |  FROM events),
+        |h AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT event_type, bucket,
+        |             CAST(sum(n) OVER (PARTITION BY event_type
+        |                               ORDER BY bucket) AS BIGINT) AS cum
+        |      FROM h),
+        |q AS (
+        |  SELECT c.event_type, p.p, min(c.bucket) AS qb
+        |  FROM c JOIN t ON t.event_type = c.event_type
+        |  CROSS JOIN (VALUES (50), (95), (99)) p(p)
+        |  WHERE c.cum * 100 >= p.p * t.total
+        |  GROUP BY 1, 2)
+        |SELECT t.event_type, t.total AS n,
+        |       CAST(max(CASE WHEN p = 50 THEN qb END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p50_g,
+        |       CAST(max(CASE WHEN p = 95 THEN qb END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p95_g,
+        |       CAST(max(CASE WHEN p = 99 THEN qb END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p99_g
+        |FROM q JOIN t ON t.event_type = q.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cut = "2024-01-21"
+      val keyed = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("bucket"))
+      // history: sparse per-day histograms at rest, day-partitioned
+      keyed.where(col("day") < lit(cut).cast("date"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .write.mode("overwrite").partitionBy("day")
+        .saveAsTable("graft_hist_daily")
+      val batch = keyed.where(col("day") >= lit(cut).cast("date"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(count(lit(1)).as("n"))
+      // merge-on-read: histograms are additive
+      val merged = s.table("graft_hist_daily")
+        .select("event_type", "bucket", "n").unionByName(batch.drop("day"))
+        .groupBy("event_type", "bucket").agg(sum("n").as("n"))
+      val tot = merged.groupBy("event_type").agg(sum("n").as("total"))
+      val cum = merged.withColumn("cum",
+        sum("n").over(Window.partitionBy("event_type").orderBy("bucket")))
+      import s.implicits._
+      val qb = cum.join(tot, "event_type")
+        .crossJoin(Seq(50, 95, 99).toDF("p"))
+        .where(col("cum") * 100 >= col("p") * col("total"))
+        .groupBy("event_type", "p").agg(min("bucket").as("qb"))
+      qb.groupBy("event_type")
+        .agg(max(when(col("p") === 50, col("qb"))).as("qb50"),
+          max(when(col("p") === 95, col("qb"))).as("qb95"),
+          max(when(col("p") === 99, col("qb"))).as("qb99"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("total").as("n"),
+          (col("qb50").cast("double") / lit(100.0)).as("p50_g"),
+          (col("qb95").cast("double") / lit(100.0)).as("p95_g"),
+          (col("qb99").cast("double") / lit(100.0)).as("p99_g"))
+        .orderBy("event_type")
     })
 }

@@ -132,4 +132,22 @@ class BucketedIndexSpec extends SparkSpec {
       Dedup.releaseSpanCaches() // caller-owned span caches (see scaladoc)
     })
   }
+
+  test("bm25FromIndex: the query-term filter prunes postings buckets and " +
+    "scores equal the one-shot bm25 bit-for-bit") {
+    Seq("inv_t_postings", "inv_t_doclen", "inv_t_stats").foreach(cleanTable)
+    val terms = Seq("alpha", "one")
+    CorpusStats.writeInvertedIndex(docs, "doc_id", "text", "inv_t", nBuckets = 4)
+    val fromIndex =
+      CorpusStats.bm25FromIndex(spark, "inv_t", "doc_id", terms)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    // the isin on the bucket column reaches the postings scan as bucket
+    // pruning: strictly fewer than all 4 buckets are read
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, plan)
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt, plan)
+    val oneShot = CorpusStats.bm25(docs, "doc_id", "text", terms)
+    assert(fromIndex.collect().toSet == oneShot.collect().toSet)
+  }
 }
