@@ -61,4 +61,43 @@ object Scd {
     closed.select(histCols: _*)
       .unionByName(keepOpen).unionByName(closeOld).unionByName(openNew)
   }
+
+  /** Snapshot diff — the audit/CDC companion to [[scd2Merge]] and the
+    * MERGE writer (`Writers.mergeIntoPartitioned`): classify every key
+    * across two table snapshots as added / removed / changed / unchanged,
+    * with a per-column change flag for changed keys. What a data team runs
+    * before trusting a re-delivered feed ("what exactly moved?") and what
+    * a CDC pipeline emits as its change stream.
+    *
+    * One full-outer join on the key — the single data-sized shuffle; the
+    * comparison is null-safe `<=>` per compared column, so NULL→value and
+    * value→NULL count as changes (the scd2Merge rule). Output: keys ++
+    * `status` ++ one boolean `chg_<col>` per compared column (null for
+    * added/removed — there is no counterpart to compare against). At
+    * 100 TB the usual consumer is the aggregate (counts per status,
+    * changed-count per column) which reduces this to a config-sized
+    * report frame. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select(
+        (keys.map(col) ++ compareCols.map(c => col(c).as(s"__o_$c"))): _*)
+      .withColumn("__old", lit(1))
+    val n = newDf.select(
+        (keys.map(col) ++ compareCols.map(c => col(c).as(s"__n_$c"))): _*)
+      .withColumn("__new", lit(1))
+    val joined = o.join(n, keys, "full_outer")
+    val changed = compareCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val hasOld = col("__old").isNotNull
+    val hasNew = col("__new").isNotNull
+    val status = when(hasOld && !hasNew, "removed")
+      .when(!hasOld && hasNew, "added")
+      .when(changed, "changed")
+      .otherwise("unchanged")
+    val chgCols = compareCols.map { c =>
+      when(hasOld && hasNew, !(col(s"__o_$c") <=> col(s"__n_$c")))
+        .as(s"chg_$c")
+    }
+    joined.select((keys.map(col) :+ status.as("status")) ++ chgCols: _*)
+  }
 }

@@ -363,5 +363,65 @@ object DomainQueries {
           Qutil.msum(col("price"), 2).as("total_price"),
           sum(col("v")).as("version_sum"))
         .orderBy("mon")
+    },
+
+    // Snapshot diff / CDC report (ops.Scd.snapshotDiff — the audit
+    // companion to q81's SCD2 and q123's MERGE): a re-delivered customer
+    // snapshot drops every 13th key, re-banks every 11th, re-segments
+    // every 19th, and invents keys for every 17th; the diff classifies
+    // every key with null-safe per-column change flags and one full-outer
+    // join. The oracle replays join, classification, and flags — the
+    // per-column counts pin that overlapping edits (a key hit by both the
+    // 11 and 19 rules) attribute to BOTH columns, not to a single
+    // 'changed' bucket.
+    Q.sql("q130_snapshot_diff",
+      """WITH oldt AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |  FROM customer),
+        |newt AS (
+        |  SELECT k,
+        |         CASE WHEN k % 19 = 0 THEN 'DIFF' ELSE seg END AS seg,
+        |         CASE WHEN k % 11 = 0 THEN bal + CAST(10 AS DOUBLE)
+        |              ELSE bal END AS bal
+        |  FROM oldt WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000, seg, bal FROM oldt WHERE k % 17 = 0),
+        |j AS (SELECT o.k IS NOT NULL AS has_old, n.k IS NOT NULL AS has_new,
+        |             o.seg AS oseg, n.seg AS nseg, o.bal AS obal, n.bal AS nbal
+        |      FROM oldt o FULL OUTER JOIN newt n ON n.k = o.k),
+        |c AS (SELECT
+        |        CASE WHEN has_old AND NOT has_new THEN 'removed'
+        |             WHEN has_new AND NOT has_old THEN 'added'
+        |             WHEN NOT (oseg IS NOT DISTINCT FROM nseg)
+        |               OR NOT (obal IS NOT DISTINCT FROM nbal) THEN 'changed'
+        |             ELSE 'unchanged' END AS status,
+        |        CASE WHEN has_old AND has_new
+        |             THEN NOT (oseg IS NOT DISTINCT FROM nseg) END AS chg_seg,
+        |        CASE WHEN has_old AND has_new
+        |             THEN NOT (obal IS NOT DISTINCT FROM nbal) END AS chg_bal
+        |      FROM j)
+        |SELECT status, count(*) AS n,
+        |       CAST(SUM(CASE WHEN chg_seg THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_chg_segment,
+        |       CAST(SUM(CASE WHEN chg_bal THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_chg_acctbal
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val old = graft.io.Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      val newer = old.where(col("k") % 13 =!= 0)
+        .withColumn("seg",
+          when(col("k") % 19 === 0, lit("DIFF")).otherwise(col("seg")))
+        .withColumn("bal",
+          when(col("k") % 11 === 0, col("bal") + lit(10.0)).otherwise(col("bal")))
+        .unionByName(old.where(col("k") % 17 === 0)
+          .select((col("k") + 1000000L).as("k"), col("seg"), col("bal")))
+      graft.ops.Scd.snapshotDiff(old, newer, Seq("k"), Seq("seg", "bal"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("chg_seg"), 1L).otherwise(0L)).as("n_chg_segment"),
+          sum(when(col("chg_bal"), 1L).otherwise(0L)).as("n_chg_acctbal"))
+        .orderBy("status")
     })
 }

@@ -672,5 +672,79 @@ object EventAnalyticsQueries {
           (col("qb95").cast("double") / lit(100.0)).as("p95_g"),
           (col("qb99").cast("double") / lit(100.0)).as("p99_g"))
         .orderBy("event_type")
+    },
+
+    // Marketing attribution, both classic models in one report: each
+    // purchase's value goes to the user's most recent preceding touch
+    // (LAST-touch — the as-of join, q35's operator re-used on a business
+    // question) and to the user's first-ever touch at or before the
+    // purchase (FIRST-touch — argmin per user + one broadcast-size join).
+    // Purchases with no prior touch land in 'none'. The oracle replays
+    // joinAsOf's tagged-union window ordering (us, right-first, tie id)
+    // verbatim, so tie semantics — the part engines disagree on — are
+    // pinned exactly. All time comparisons are integer micros.
+    Q.sql("q129_touch_attribution",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+        |  FROM events),
+        |t AS (SELECT * FROM e
+        |      WHERE event_type IN ('click', 'view', 'signup')),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |un AS (
+        |  SELECT user_id, us, 1 AS is_right, event_id AS tie, NULL AS value,
+        |         event_type AS touch FROM t
+        |  UNION ALL
+        |  SELECT user_id, us, 0 AS is_right, NULL, value, NULL FROM p),
+        |w AS (
+        |  SELECT *, last_value(touch IGNORE NULLS) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY us, is_right DESC, coalesce(tie, 0)
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |  FROM un),
+        |lt AS (SELECT 'last_touch' AS model,
+        |              coalesce(carried, 'none') AS touch_type,
+        |              count(*) AS n_purchases,
+        |              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       FROM w WHERE is_right = 0 GROUP BY 1, 2),
+        |f AS (SELECT user_id, event_type AS ftype, us AS fus FROM (
+        |        SELECT user_id, event_type, us,
+        |               row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY us, event_id) AS rn
+        |        FROM t) WHERE rn = 1),
+        |ft AS (SELECT 'first_touch' AS model,
+        |              CASE WHEN f.user_id IS NOT NULL AND f.fus <= p.us
+        |                   THEN f.ftype ELSE 'none' END AS touch_type,
+        |              count(*) AS n_purchases,
+        |              CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       FROM p LEFT JOIN f ON f.user_id = p.user_id GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM lt UNION ALL SELECT * FROM ft)
+        |ORDER BY model, touch_type""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("event_id"), col("event_type"), col("value"))
+      val touches = e.where(col("event_type")
+        .isInCollection(Seq("click", "view", "signup")))
+      val purch = e.where(col("event_type") === "purchase")
+      val lt = graft.ops.AsOf.joinAsOf(purch, touches, "user_id", "us", "us",
+          payloadCols = Seq("event_type", "event_id"),
+          tieBreak = Some("event_id"))
+        .groupBy(coalesce(col("asof_event_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Qutil.msum(col("value"), 4).as("revenue"))
+        .withColumn("model", lit("last_touch"))
+      val first = graft.ops.Windows.keepBest(touches, Seq("user_id"),
+          Seq(col("us").asc, col("event_id").asc))
+        .select(col("user_id"), col("us").as("fus"),
+          col("event_type").as("ftype"))
+      val ft = purch.join(first, Seq("user_id"), "left")
+        .groupBy(when(col("fus").isNotNull && col("fus") <= col("us"),
+            col("ftype")).otherwise("none").as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Qutil.msum(col("value"), 4).as("revenue"))
+        .withColumn("model", lit("first_touch"))
+      lt.unionByName(ft)
+        .select("model", "touch_type", "n_purchases", "revenue")
+        .orderBy("model", "touch_type")
     })
 }

@@ -54,4 +54,29 @@ class ScdSpec extends SparkSpec {
     assert(opens.values.forall(_ == 1L))
     assert(opens.keySet == Set(1L, 2L, 3L, 9L))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged with " +
+    "null-safe per-column flags (NULL→value and value→NULL are changes)") {
+    val oldDf = Seq(
+      (1L, Option("a"), Option(1.0)),  // unchanged
+      (2L, Option("b"), Option(2.0)),  // value→NULL on x
+      (3L, None: Option[String], Option(3.0)), // NULL→value on s
+      (4L, Option("d"), Option(4.0)))  // removed
+      .toDF("id", "s", "x")
+    val newDf = Seq(
+      (1L, Option("a"), Option(1.0)),
+      (2L, Option("b"), None: Option[Double]),
+      (3L, Option("c"), Option(3.0)),
+      (5L, Option("e"), Option(5.0)))  // added
+      .toDF("id", "s", "x")
+    val got = Scd.snapshotDiff(oldDf, newDf, Seq("id"), Seq("s", "x"))
+      .orderBy("id")
+      .as[(Long, String, Option[Boolean], Option[Boolean])].collect().toSeq
+    assert(got == Seq(
+      (1L, "unchanged", Some(false), Some(false)),
+      (2L, "changed", Some(false), Some(true)),
+      (3L, "changed", Some(true), Some(false)),
+      (4L, "removed", None, None),
+      (5L, "added", None, None)))
+  }
 }
