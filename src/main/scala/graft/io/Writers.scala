@@ -53,6 +53,32 @@ object Writers {
     writeBucketed(df, table, bucketCol, numBuckets)
   }
 
+  /** Drop-and-replace a managed parquet table (optionally partitioned) —
+    * the non-bucketed sibling of [[replaceBucketedTable]], and the ONLY
+    * safe way to refresh a recurring managed sketch/side table:
+    * `saveAsTable(Overwrite)` from a fresh JVM over a previous JVM's
+    * surviving warehouse directory throws LOCATION_ALREADY_EXISTS (the
+    * in-memory catalog forgot the table; its directory persisted), which
+    * is exactly the re-run shape of every scheduled job. Cleans catalog
+    * entry + location first; the write itself is plain parquet. */
+  def replaceManagedTable(df: DataFrame, table: String,
+                          partitionCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val whDir = if (wh.getScheme == "file") new java.io.File(wh).getPath
+                else wh.getPath match { case null => wh.toString; case p => p }
+    val loc = new java.io.File(whDir, table)
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(): Unit
+    }
+    rmRec(loc)
+    val w = df.write.mode("overwrite")
+      .option("compression", "snappy").format("parquet")
+    partitionCol.fold(w)(c => w.partitionBy(c)).saveAsTable(table)
+  }
+
   /** Training-shard output: the corpus written as `shard=K/` parquet
     * partitions whose token totals are balanced by sorted round-robin
     * ([[graft.operators.Curation.rankedShards]] — exact global rank from a

@@ -186,11 +186,13 @@ object CorpusStats {
                          prefix: String, nBuckets: Int = 8): Unit = {
     graft.io.Writers.replaceBucketedTable(
       docTermCounts(docs, idCol, textCol), s"${prefix}_postings", "term", nBuckets)
-    docs.select(col(idCol), tokenCount(col(textCol)).cast("double").as("dl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_doclen")
-    docs.agg(count(lit(1)).cast("double").as("__n"),
-        sum(tokenCount(col(textCol))).cast("double").as("__sumdl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_stats")
+    graft.io.Writers.replaceManagedTable(
+      docs.select(col(idCol), tokenCount(col(textCol)).cast("double").as("dl")),
+      s"${prefix}_doclen")
+    graft.io.Writers.replaceManagedTable(
+      docs.agg(count(lit(1)).cast("double").as("__n"),
+        sum(tokenCount(col(textCol))).cast("double").as("__sumdl")),
+      s"${prefix}_stats")
   }
 
   /** BM25 over the at-rest inverted index — the repeated-queries shape for

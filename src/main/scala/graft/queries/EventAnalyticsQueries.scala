@@ -428,11 +428,11 @@ object EventAnalyticsQueries {
         .withColumn("h",
           expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)"))
       // history: one sketch row per (type, day), at rest, day-partitioned
-      keyed.where(col("day") < lit(cut).cast("date"))
-        .groupBy("event_type", "day")
-        .agg(HllSketchAgg.hllSketch(col("h")).as("regs"))
-        .write.mode("overwrite").partitionBy("day")
-        .saveAsTable("graft_hll_daily")
+      graft.io.Writers.replaceManagedTable(
+        keyed.where(col("day") < lit(cut).cast("date"))
+          .groupBy("event_type", "day")
+          .agg(HllSketchAgg.hllSketch(col("h")).as("regs")),
+        "graft_hll_daily", partitionCol = Some("day"))
       val batch = keyed.where(col("day") >= lit(cut).cast("date"))
         .groupBy("event_type", "day")
         .agg(HllSketchAgg.hllSketch(col("h")).as("regs"))
@@ -642,11 +642,11 @@ object EventAnalyticsQueries {
         .select(col("event_type"), to_date(col("ts")).as("day"),
           floor(col("value") * 100).cast("long").as("bucket"))
       // history: sparse per-day histograms at rest, day-partitioned
-      keyed.where(col("day") < lit(cut).cast("date"))
-        .groupBy("event_type", "day", "bucket")
-        .agg(count(lit(1)).as("n"))
-        .write.mode("overwrite").partitionBy("day")
-        .saveAsTable("graft_hist_daily")
+      graft.io.Writers.replaceManagedTable(
+        keyed.where(col("day") < lit(cut).cast("date"))
+          .groupBy("event_type", "day", "bucket")
+          .agg(count(lit(1)).as("n")),
+        "graft_hist_daily", partitionCol = Some("day"))
       val batch = keyed.where(col("day") >= lit(cut).cast("date"))
         .groupBy("event_type", "day", "bucket")
         .agg(count(lit(1)).as("n"))
