@@ -253,6 +253,38 @@ object CorpusStats {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Collocation mining: top-k term PAIRS by pointwise mutual information
+    * over document co-occurrence — PMI(a,b) = ln(n_ab·N / (n_a·n_b)) on
+    * doc-level incidence. The pair space is bounded BEFORE the self-join:
+    * only the `topTerms` highest-df terms (TakeOrdered — k rows to the
+    * driver, deterministic (df desc, term) order) enter, so candidate
+    * pairs are ≤ topTerms² regardless of corpus size and the join is
+    * doc-keyed equi over a filtered incidence ≤ topTerms rows per doc.
+    * The unfiltered alternative explodes quadratically in per-doc
+    * vocabulary — the classic collocation-job OOM. N rides as a broadcast
+    * single row; ln rounds to the 6dp grid (the q61 libm rule). */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               topTerms: Int, k: Int): DataFrame = {
+    import graft.queries.Qutil
+    val inc = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .distinct()
+    val dfT = inc.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(topTerms)
+    val filtered = inc.join(broadcast(dfT), "term")
+    val pairs = filtered.as("a").join(filtered.as("b"),
+        col(s"a.$idCol") === col(s"b.$idCol") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    pairs.crossJoin(broadcast(n))
+      .withColumn("pmi", Qutil.dround(
+        log(col("n_ab").cast("double") * col("__n").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double"))), 6))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b")).limit(k)
+      .select("term_a", "term_b", "n_ab", "df_a", "df_b", "pmi")
+  }
+
   /** Unigram language-model quality scoring (the CCNet/KenLM-style filter
     * stage, reduced to order 1 so it stays SQL-replayable): train unigram
     * counts on a REFERENCE corpus, score every document by its per-token

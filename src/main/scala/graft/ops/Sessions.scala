@@ -128,6 +128,40 @@ object Sessions {
       .withColumn("is_filled", col("obs").isNull)
   }
 
+  /** Rolling-window anomaly detection: flag events whose value deviates
+    * more than `k` sample standard deviations from the mean of the
+    * PREVIOUS `n` events of the same key (the current row is excluded —
+    * an anomaly must not dilute the baseline that judges it). Exact
+    * decimal Σx and Σx² in the frame make the moments order-independent
+    * and engine-exact; the σ arithmetic then runs on identical doubles.
+    * Rows with fewer than `minObs` predecessors are not evaluated (warm-up
+    * — a 2-row baseline flags everything).
+    *
+    * One exchange on the key; per-key window state is the n-row ring
+    * buffer — O(n) bounded, the scalable direction (keys are the
+    * parallelism). Appends `n_prev`, `anomaly` (null while warming up). */
+  def rollingAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, valueCol: String,
+                       n: Int, k: Double, minObs: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol).cast("timestamp")), col(tieCol))
+      .rowsBetween(-n, -1)
+    val dec = DecimalType(28, 8)
+    val out = events
+      .withColumn("__s1", sum(col(valueCol).cast(dec)).over(w).cast("double"))
+      .withColumn("__s2",
+        sum((col(valueCol) * col(valueCol)).cast(dec)).over(w).cast("double"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+    val mean = col("__s1") / col("n_prev")
+    val varS = (col("__s2") - col("n_prev") * mean * mean) /
+      (col("n_prev") - lit(1))
+    out.withColumn("anomaly",
+        when(col("n_prev") >= minObs,
+          abs(col(valueCol) - mean) > lit(k) * sqrt(greatest(varS, lit(0.0)))))
+      .drop("__s1", "__s2")
+  }
+
   /** Cohort retention: users are cohorted by their first activity day;
     * output counts distinct active users per (cohort day, day offset).
     * Days are exact integers (days since epoch / day differences). */

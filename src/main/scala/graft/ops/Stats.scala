@@ -107,6 +107,30 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Per-group winsorization: clip `valueCol` to its group's [pLo, pHi]
+    * exact percentiles — the tail-taming cleaner that KEEPS rows
+    * ([[robustOutliers]] flags them, quantileBins ranks them). Same
+    * fit+apply shape: one exact-percentile fit aggregate, an un-hinted
+    * group-key join, then a map-only clip. Boundaries round to the 6dp
+    * grid BEFORE comparing, so clip decisions are engine-exact (the
+    * quantileBins discipline). Appends `clipped` plus `clip_lo`/`clip_hi`
+    * flags. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, "pLo must be < pHi")
+    val fit = df.groupBy(keys.map(col): _*).agg(
+      graft.queries.Qutil.dround(expr(s"percentile($valueCol, $pLo)"), 6).as("__lo"),
+      graft.queries.Qutil.dround(expr(s"percentile($valueCol, $pHi)"), 6).as("__hi"))
+    df.join(fit, keys)
+      .withColumn("clip_lo", col(valueCol) < col("__lo"))
+      .withColumn("clip_hi", col(valueCol) > col("__hi"))
+      .withColumn("clipped",
+        when(col("clip_lo"), col("__lo"))
+          .when(col("clip_hi"), col("__hi"))
+          .otherwise(col(valueCol)))
+      .drop("__lo", "__hi")
+  }
+
   /** Pairwise Pearson correlations over `cols` in ONE scan: every moment
     * (Σx, Σx², Σxy, n) is a term in a single shared aggregate — the
     * textbook single-pass formulation

@@ -667,5 +667,41 @@ object CorpusStatsQueries {
       tf.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
         .select("source", "term", "cnt") // rn dropped → the rewrite fires
         .orderBy("source", "term")
+    },
+
+    // Collocation mining (CorpusStats.pmiPairs): top-30 term pairs by
+    // document-level PMI, with the pair space bounded to the 120
+    // highest-df terms BEFORE the self-join — the classic unbounded
+    // collocation job explodes quadratically in per-doc vocabulary. The
+    // oracle replays top-term selection (deterministic df/term order),
+    // doc-keyed pairing, and the 6dp-rounded ln.
+    Q.sql("q134_pmi_pairs",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |inc AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)),
+        |dfx AS (SELECT term, count(*) AS df FROM inc GROUP BY 1
+        |        ORDER BY df DESC, term LIMIT 120),
+        |fi AS (SELECT i.doc_id, i.term, d.df
+        |       FROM inc i JOIN dfx d ON d.term = i.term),
+        |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+        |              a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+        |       FROM fi a JOIN fi b
+        |         ON b.doc_id = a.doc_id AND a.term < b.term
+        |       GROUP BY 1, 2, 3, 4),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |p AS (SELECT term_a, term_b, n_ab, df_a, df_b,
+        |             floor(ln(CAST(n_ab AS DOUBLE) * CAST(nn.n AS DOUBLE)
+        |                      / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)))
+        |                   * 1000000 + 0.5) / 1000000 AS pmi
+        |      FROM pr CROSS JOIN nn)
+        |SELECT term_a, term_b, n_ab, df_a, df_b, pmi
+        |FROM p ORDER BY pmi DESC, term_a, term_b LIMIT 30""".stripMargin) { (s, d) =>
+      CorpusStats.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+        topTerms = 120, k = 30)
     })
 }

@@ -746,5 +746,46 @@ object EventAnalyticsQueries {
       lt.unionByName(ft)
         .select("model", "touch_type", "n_purchases", "revenue")
         .orderBy("model", "touch_type")
+    },
+
+    // First-order Markov transition matrix over each user's event stream:
+    // consecutive-event (from → to) counts under the exact (micros,
+    // event_id) order, with per-from-state probabilities — the
+    // session-behavior model behind next-event prediction and funnel
+    // drop-off analysis. One user-keyed window (lead) + one pair-grain
+    // aggregate; the probability join is states²-sized (config-scale).
+    // Integer counts; probabilities are identical divisions 6dp-rounded.
+    Q.sql("q133_markov_transitions",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |tr AS (SELECT from_type, to_type, count(*) AS n FROM t
+        |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |       floor(CAST(tr.n AS DOUBLE) / CAST(tot.tot AS DOUBLE) * 1000000 + 0.5) / 1000000 AS p
+        |FROM tr JOIN tot ON tot.from_type = tr.from_type
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val tr = e
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum("n").as("tot"))
+      tr.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          Qutil.dround(col("n").cast("double") / col("tot").cast("double"), 6)
+            .as("p"))
+        .orderBy("from_type", "to_type")
     })
 }

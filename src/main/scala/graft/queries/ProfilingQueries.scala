@@ -122,5 +122,39 @@ object ProfilingQueries {
           Qutil.dround(col("mad"), 6).as("mad"),
           col("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // Per-group winsorization (Stats.winsorize): values clip to their
+    // group's 6dp-rounded [p05, p95]; the report pins counts on both
+    // tails and the decimal sum of the clipped column — so a hash match
+    // proves fit boundaries, clip decisions, and replacement values. The
+    // tail-taming cleaner that KEEPS rows where q124 flags them.
+    Q.sql("q131_winsorize",
+      """WITH fit AS (
+        |  SELECT event_type,
+        |         floor(quantile_cont(value, 0.05) * 1000000 + 0.5) / 1000000 AS lo,
+        |         floor(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS hi
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.value < f.lo AS clip_lo,
+        |         e.value > f.hi AS clip_hi,
+        |         CASE WHEN e.value < f.lo THEN f.lo
+        |              WHEN e.value > f.hi THEN f.hi
+        |              ELSE e.value END AS clipped
+        |  FROM events e JOIN fit f ON f.event_type = e.event_type)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CASE WHEN clip_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(SUM(CASE WHEN clip_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |       CAST(SUM(CAST(clipped AS DECIMAL(18,6))) AS DOUBLE) AS clipped_sum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Stats.winsorize(
+          Tables.events(s, d).select("event_type", "value"),
+          Seq("event_type"), "value", pLo = 0.05, pHi = 0.95)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clip_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("clip_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          Qutil.msum(col("clipped"), 6).as("clipped_sum"))
+        .orderBy("event_type")
     })
 }

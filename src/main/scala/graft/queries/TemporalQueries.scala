@@ -99,5 +99,47 @@ object TemporalQueries {
           sum(when(col("is_filled"), 1L).otherwise(0L)).as("n_filled"),
           Qutil.msum(col("carried"), 4).as("carried_sum"))
         .orderBy("user_id")
+    },
+
+    // Rolling-window anomaly detection (Sessions.rollingAnomalies): each
+    // event judged against the mean ± 3σ of its user's PREVIOUS 20 events
+    // (current row excluded; <10 predecessors = warm-up, not evaluated).
+    // Exact decimal Σx/Σx² in the frame; the oracle replays the identical
+    // moment arithmetic (association order and all), so the strict->
+    // threshold decisions are engine-exact. The streaming sibling of the
+    // batch z-score (q05): state is an O(n) ring buffer per key.
+    Q.sql("q132_rolling_anomaly",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events),
+        |w AS (
+        |  SELECT user_id, value,
+        |         CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER win AS DOUBLE) AS s2,
+        |         COUNT(*) OVER win AS n_prev
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |a AS (
+        |  SELECT user_id, n_prev,
+        |         CASE WHEN n_prev >= 10 THEN
+        |           abs(value - s1 / n_prev) >
+        |             CAST(3 AS DOUBLE) *
+        |             sqrt(greatest((s2 - n_prev * (s1 / n_prev) * (s1 / n_prev))
+        |                             / (n_prev - 1),
+        |                           CAST(0 AS DOUBLE)))
+        |         END AS anomaly
+        |  FROM w)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CASE WHEN n_prev >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_evaluated,
+        |       CAST(SUM(CASE WHEN anomaly THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_anomalies
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Sessions.rollingAnomalies(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value", n = 20, k = 3.0, minObs = 10)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("n_prev") >= 10, 1L).otherwise(0L)).as("n_evaluated"),
+          sum(when(col("anomaly") === true, 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy("user_id")
     })
 }
