@@ -728,5 +728,37 @@ object CurationQueries {
         .groupBy("source", "lang", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("__toks").as("n_tokens"))
         .orderBy("source", "lang", "bucket")
+    },
+
+    // Fixed-QUOTA stratified sample: exactly k docs per source (all, when a
+    // stratum is smaller), selected by deterministic hash order — the
+    // per-stratum twin of q43's rate sampling, for val/test sets that need
+    // exact per-stratum sizes. Runs on the bounded-heap TopKPerGroup exec
+    // (one exchange on the stratum, NO per-stratum sort — the window
+    // formulation sorts every stratum fully); selection is a pure function
+    // of (doc_id, salt), so re-runs, retries, and any engine reproduce the
+    // same sample — which is literally what the oracle proves.
+    Q.sql("q136_quota_sample",
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR || ':q136'), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                   ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM r WHERE rn <= 10 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hashed = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("h", expr(
+          "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':q136')), 1, 15), 16, 10) AS BIGINT)"))
+      graft.plans.TopK.topKPerGroup(hashed, Seq("source"),
+          Seq("h" -> false, "doc_id" -> false), 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars_sum"))
+        .orderBy("source")
     })
 }

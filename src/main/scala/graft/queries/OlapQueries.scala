@@ -263,6 +263,46 @@ object OlapQueries {
         .orderBy("var_a", "var_b")
     },
 
+    // TPC-H Q5-shaped local-supplier volume: the 6-table snowflake with a
+    // region filter on BOTH customer and supplier sides (c_nationkey =
+    // s_nationkey is the "local" constraint) and a one-year date window.
+    // The join-order stress test of the suite: orders prunes on the date
+    // BEFORE joining lineitem (PushedFilters), nation/region broadcast,
+    // and the only data-sized exchanges are the two fact joins. Revenue is
+    // the decimal-summed l_extendedprice·(1−l_discount).
+    Q.sql("q135_local_supplier_volume",
+      """SELECT n_name,
+        |       cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(msum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Wide pivot report (`DataFrame.pivot` with an EXPLICIT value list —
     // the reference stack's pandas pivot_table): region × order-year
     // revenue matrix. The explicit values matter at scale: without them
