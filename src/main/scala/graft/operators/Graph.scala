@@ -143,4 +143,42 @@ object Graph {
     tri.select(explode(array(col("u"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** k-core peeling, `rounds` synchronous rounds: each round drops every
+    * node whose CURRENT degree is < k, then edges incident to dropped
+    * nodes — the standard dense-subgraph extractor (community cores, spam
+    * rings, "remove the long tail before the expensive algorithm"). Runs
+    * to the true k-core when it converges within `rounds` (peeling is
+    * monotone, so detecting convergence is one count compare; callers
+    * wanting the fixpoint loop until stable). Fixed rounds keep the whole
+    * computation a replayable chained query — the BPE-rounds oracle
+    * technique — which is what q137 verifies.
+    *
+    * Per round: one degree aggregate + two semi-joins, all keyed on node
+    * ids — edge-bounded shuffles that SHRINK monotonically (peeling only
+    * removes). Each round's survivor edge set is localCheckpoint-
+    * materialized: blocks are touched-data-sized and the alternative —
+    * `rounds` nested semi-joins — grows the Catalyst tree geometrically
+    * (the duplicateClusters ×3-per-round lesson). Returns surviving
+    * (node, degree) at the final round. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    var sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    var i = 0
+    while (i < rounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("src").as("node"))
+      // eager localCheckpoint: the previous round's blocks become
+      // unreachable as `sym` is reassigned and the ContextCleaner reclaims
+      // them; blocks are shrinking edge subsets, never corpus-sized
+      sym = sym
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      i += 1
+    }
+    sym.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
 }

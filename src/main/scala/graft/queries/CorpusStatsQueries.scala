@@ -703,5 +703,60 @@ object CorpusStatsQueries {
         |FROM p ORDER BY pmi DESC, term_a, term_b LIMIT 30""".stripMargin) { (s, d) =>
       CorpusStats.pmiPairs(Tables.documents(s, d), "doc_id", "text",
         topTerms = 120, k = 30)
+    },
+
+    // Zipf-law fit: least-squares slope/intercept of ln(freq) on ln(rank)
+    // over the top-1000 terms — the one-number corpus health check (a
+    // natural-language corpus slopes near −1; template/boilerplate-heavy
+    // corpora flatten). TakeOrdered bounds the fit frame to 1000 rows;
+    // each ln lands on the 6dp grid and the moment sums are exact
+    // decimals (the q61 libm discipline), so the closed-form slope runs
+    // on identical doubles in both engines.
+    Q.sql("q138_zipf_fit",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |tok AS (SELECT unnest(ws) AS term FROM w),
+        |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+        |top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 1000),
+        |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+        |      FROM top),
+        |xy AS (SELECT
+        |         floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS x,
+        |         floor(ln(CAST(tf AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS y
+        |       FROM r),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |      FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000 + 0.5) / 1000000 AS slope,
+        |       floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) * 1000000 + 0.5) / 1000000 AS intercept
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val tf = CorpusStats.vocabulary(Tables.documents(s, d), "doc_id", "text")
+        .select("term", "tf")
+      val top = tf.orderBy(col("tf").desc, col("term")).limit(1000)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+      val xy = top.select(
+        Qutil.dround(log(col("rank").cast("double")), 6).as("x"),
+        Qutil.dround(log(col("tf").cast("double")), 6).as("y"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(28, 12))).cast("double")
+      val m = xy.agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      m.select(col("n").cast("bigint").as("n_terms"),
+        Qutil.dround(slope, 6).as("slope"),
+        Qutil.dround((col("sy") - slope * col("sx")) / col("n"), 6)
+          .as("intercept"))
     })
 }

@@ -16,6 +16,8 @@ object GraphQueries {
   private val Damping = 0.85
   private val Scale = 9
   private val TriMaxSize = 15 // q97 co-purchase graph: parts with p_size ≤ 15
+  private val KCoreK = 3      // q137 peel threshold
+  private val KCoreRounds = 4 // q137 synchronous peel rounds (CTE-replayed)
 
   /** floor-scale rounding at Scale decimals — Qutil.dround in SQL. */
   private def rnd(e: String): String =
@@ -112,6 +114,51 @@ object GraphQueries {
         .distinct()
       Graph.triangleCounts(e0)
         .select(col("node").as("part_id"), col("triangles"))
+        .orderBy("part_id")
+    },
+
+    // k-core peeling over the q97 co-purchase graph: KCoreRounds
+    // synchronous rounds of "drop nodes with degree < k" (Graph.
+    // kCorePeel), verified by replaying EVERY round as a chained CTE —
+    // the q91 BPE-rounds technique applied to graph peeling. Surviving
+    // (node, degree) after the final round; peeling is monotone, so this
+    // IS the k-core whenever the peel converges within the round budget.
+    Q.sql("q137_kcore", {
+      val base =
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a
+           |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |                 AND a.l_partkey < b.l_partkey
+           |  JOIN part pa ON pa.p_partkey = a.l_partkey AND pa.p_size <= $TriMaxSize
+           |  JOIN part pb ON pb.p_partkey = b.l_partkey AND pb.p_size <= $TriMaxSize),
+           |sym0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+      val rounds = (1 to KCoreRounds).map { r =>
+        s""",
+           |k$r AS (SELECT src AS node FROM sym${r - 1}
+           |        GROUP BY 1 HAVING count(*) >= $KCoreK),
+           |sym$r AS (SELECT s.src, s.dst FROM sym${r - 1} s
+           |          JOIN k$r a ON a.node = s.src
+           |          JOIN k$r b ON b.node = s.dst)"""
+      }.mkString
+      val fin =
+        s"""
+           |SELECT src AS part_id, count(*) AS degree FROM sym$KCoreRounds
+           |GROUP BY 1 ORDER BY 1"""
+      (base + rounds + fin).stripMargin
+    }) { (s, d) =>
+      val ok = Tables.part(s, d).where(col("p_size") <= TriMaxSize)
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(ok, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.kCorePeel(e0, KCoreK, KCoreRounds)
+        .select(col("node").as("part_id"), col("degree"))
         .orderBy("part_id")
     })
 }
