@@ -171,6 +171,50 @@ object Writers {
     finally staged.unpersist()
   }
 
+  /** Partition-pruned DELETE from a partitioned parquet table at rest —
+    * targeted erasure (GDPR/right-to-be-forgotten, bad-batch retraction)
+    * with the same cost contract as [[mergeIntoPartitioned]]: `deletes`
+    * carries (key, partition) rows, ONLY the partitions named in the
+    * batch are read (pruned `isin` scan) and rewritten (dynamic
+    * overwrite); everything else stays byte-identical at rest. The delete
+    * itself is one left-anti join on the key columns within touched
+    * partitions. Keys absent from the table are a no-op. Same
+    * localCheckpoint staging as the merge (self-path overwrite). */
+  def deleteFromPartitioned(table: String, deletes: DataFrame,
+                            keyCols: Seq[String], partitionCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = deletes.sparkSession
+    val touched = deletes.select(partitionCol).distinct()
+      .collect().map(_.get(0)) // calendar-scale by contract
+    val existing = spark.read.parquet(table)
+      .where(col(partitionCol).isin(touched: _*))
+    val kept = existing.join(
+      deletes.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+    val staged = kept.localCheckpoint()
+    try {
+      // dynamic overwrite only replaces partitions PRESENT in the output —
+      // a partition whose every row was deleted writes nothing and its old
+      // files would silently survive; drop those directories explicitly
+      val keptParts = staged.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      writePartitioned(staged, table, partitionCol)
+      touched.filterNot(keptParts).foreach { v =>
+        val dir = new java.io.File(
+          new java.net.URI(table).getScheme match {
+            case null => table
+            case "file" => new java.net.URI(table).getPath
+            case _ => table
+          }, s"$partitionCol=$v")
+        def rmRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+          f.delete(): Unit
+        }
+        rmRec(dir)
+      }
+    } finally staged.unpersist()
+  }
+
   /** K8 — per-aggregation-period fan-out: one filtered write per period
     * table (STAGING/GOLD-data-loader-experiment-form.py:552-576). */
   def writePerPeriod(df: DataFrame, pathFor: String => String,

@@ -423,5 +423,49 @@ object DomainQueries {
           sum(when(col("chg_seg"), 1L).otherwise(0L)).as("n_chg_segment"),
           sum(when(col("chg_bal"), 1L).otherwise(0L)).as("n_chg_acctbal"))
         .orderBy("status")
+    },
+
+    // Partition-pruned DELETE at rest (Writers.deleteFromPartitioned —
+    // the erasure third of the lakehouse trio with q123's MERGE and q81's
+    // SCD2): a GDPR-style request erases every order of the targeted
+    // customers within the named months, AND the entire final month (the
+    // retracted-batch case — which exercises the fully-emptied-partition
+    // branch, where dynamic overwrite alone would silently leave the old
+    // files). Only named partitions are read/rewritten; the oracle
+    // replays the key anti-join over the re-read table, so a hash match
+    // proves targeted rows died, everything else survived, and the empty
+    // partition is really gone.
+    Q.sql("q139_partitioned_delete",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS mon,
+        |         o_totalprice AS price, o_custkey
+        |  FROM orders),
+        |del AS (SELECT k FROM base
+        |        WHERE (o_custkey % 37 = 0 AND mon >= '2001-06')
+        |           OR mon = '2001-08'),
+        |kept AS (SELECT b.mon, b.price FROM base b
+        |         WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.k = b.k))
+        |SELECT mon, count(*) AS n_rows,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files.createTempDirectory("q139del").toString + "/orders_m"
+      val base = graft.io.Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        col("o_totalprice").as("price"),
+        col("o_custkey"))
+      graft.io.Writers.writePartitioned(base, tbl, "mon")
+      val del = base.where(
+          (col("o_custkey") % 37 === 0 && col("mon") >= "2001-06") ||
+            col("mon") === "2001-08")
+        .select("k", "mon")
+      graft.io.Writers.deleteFromPartitioned(tbl, del,
+        keyCols = Seq("k"), partitionCol = "mon")
+      s.read.parquet(tbl)
+        .groupBy("mon")
+        .agg(count(lit(1)).as("n_rows"),
+          Qutil.msum(col("price"), 2).as("total_price"))
+        .orderBy("mon")
     })
 }

@@ -53,6 +53,35 @@ class MergeSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("deleteFromPartitioned erases targeted keys, drops fully-emptied " +
+    "partition directories, and leaves untouched partitions byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("delspec").toString
+    val tbl = s"$root/t"
+    val hist = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0),
+      (3L, "b", 30.0), (4L, "b", 40.0),
+      (5L, "c", 50.0))
+      .toDF("k", "p", "x")
+    Writers.writePartitioned(hist, tbl, "p")
+    val aBefore = parquetFiles(new File(s"$tbl/p=a"))
+    Thread.sleep(1100)
+
+    // delete k=3 from partition b, and ALL of partition c
+    val del = Seq((3L, "b"), (5L, "c")).toDF("k", "p")
+    Writers.deleteFromPartitioned(tbl, del, Seq("k"), "p")
+
+    assert(parquetFiles(new File(s"$tbl/p=a")) == aBefore) // untouched
+    assert(!new File(s"$tbl/p=c").exists()) // fully-emptied dir removed
+    val got = spark.read.parquet(tbl).select("k", "p", "x").orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "a", 20.0), (4L, "b", 40.0)))
+
+    // deleting absent keys is a no-op
+    Writers.deleteFromPartitioned(tbl,
+      Seq((99L, "b")).toDF("k", "p"), Seq("k"), "p")
+    assert(spark.read.parquet(tbl).count() == 3)
+  }
+
   test("merge with a batch of only-new keys appends without disturbing " +
     "existing rows in the touched partition") {
     val root = java.nio.file.Files.createTempDirectory("mergespec2").toString
