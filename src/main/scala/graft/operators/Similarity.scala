@@ -485,4 +485,54 @@ object Similarity {
     graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
       Seq("adc" -> true, "nid" -> false), k)
   }
+
+  /** IVF + PQ composed — the realistic billion-vector index (FAISS
+    * IVFPQ's shape): a coarse quantizer routes each vector to a cell
+    * ([[ivfTopK]]'s recall dial) and the stored representation inside
+    * every cell is nSub code bytes ([[pqTopK]]'s storage tier), so search
+    * touches ~nProbe/nLists of the corpus AND reads only codes — at
+    * 100 TB the float vectors exist solely in the (map-only) encode pass,
+    * and a cell-partitioned codes table turns probing into scan-time
+    * partition pruning exactly as in [[writeIvfIndex]]. Scoring is the
+    * ADC fold against broadcast per-query tables; candidates come from
+    * the cell equi-join, each (query, neighbour) pair at most once (a
+    * corpus row lives in ONE cell). Recall dials: (nLists, nProbe) for
+    * routing loss, (nSub, nCodes) for quantization loss — independent,
+    * which is the point of the composition. Every step inherits the
+    * bit-determinism of its parts, so the q140 oracle replays BOTH
+    * training loops and the composed search in SQL. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, cents: Seq[Array[Double]], nProbe: Int,
+                dims: Int, nSub: Int, nCodes: Int, iters: Int,
+                k: Int): DataFrame = {
+    val books = trainPqCodebooks(corpus, idCol, vecCol, dims, nSub, nCodes, iters)
+    val subDim = dims / nSub
+    val c = withUnitVec(
+      corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
+      .withColumn("cell", nearestCentroid(col("nu"), cents))
+      .withColumn("codes", array((0 until nSub).map { s =>
+        pqNearestCode(expr(s"slice(nu, ${s * subDim + 1}, $subDim)"), books(s))
+      }: _*))
+      .select("nid", "cell", "codes")
+    val q = withUnitVec(
+      queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec", "qu")
+      .withColumn("dt", array((0 until nSub).map { s =>
+        val qsub = expr(s"slice(qu, ${s * subDim + 1}, $subDim)")
+        array(books(s).map(cb =>
+          graft.queries.Qutil.dround(dot(qsub, typedlit(cb.toSeq)), 6)): _*)
+      }: _*))
+      .withColumn("cell", explode(nearestCentroids(col("qu"), cents, nProbe)))
+      .select("qid", "cell", "dt")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", expr(
+        s"""aggregate(sequence(0, ${nSub - 1}), CAST(0 AS DOUBLE),
+           |(acc, s) -> acc + element_at(element_at(dt, s + 1),
+           |                             element_at(codes, s + 1) + 1))""".stripMargin))
+      .select("qid", "nid", "adc")
+    graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
+      Seq("adc" -> true, "nid" -> false), k)
+  }
 }

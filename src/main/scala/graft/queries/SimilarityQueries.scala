@@ -87,7 +87,8 @@ object SimilarityQueries {
     * of fused-L2 argmin assignment (ties to the lowest code) and
     * decimal-exact 6dp-quantized MEAN updates — trainCentroids' determinism
     * rules minus the spherical normalization, which PQ does not use. */
-  private def pqPrelude(nSub: Int, nCodes: Int, iters: Int, q: Int): String = {
+  private def pqPrelude(nSub: Int, nCodes: Int, iters: Int, q: Int,
+                        includeBase: Boolean = true): String = {
     val subDim = Dims / nSub
     def l2sq(x: String, c: String): String =
       s"list_reduce(list_transform(generate_series(1, $subDim), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])), (a, b) -> a + b)"
@@ -113,14 +114,17 @@ object SimilarityQueries {
          |  FROM cb${k - 1} p
          |  LEFT JOIN psums$k t ON t.s = p.s AND t.code = p.code AND t.pos = p.pos)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |u AS (
-       |  SELECT vec_id,
-       |         CASE WHEN ${normSql("v")} > 0
-       |              THEN list_transform(v, x -> x / ${normSql("v")})
-       |              ELSE v END AS u
-       |  FROM e),
-       |svo AS (
+    val base = if (includeBase)
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |u AS (
+         |  SELECT vec_id,
+         |         CASE WHEN ${normSql("v")} > 0
+         |              THEN list_transform(v, x -> x / ${normSql("v")})
+         |              ELSE v END AS u
+         |  FROM e),
+         |""".stripMargin
+    else "" // composition with lloydPrelude: e/u already defined, identically
+    s"""${base}svo AS (
        |  SELECT vec_id, s, u[(s * $subDim + 1):(s * $subDim + $subDim)] AS x
        |  FROM (SELECT vec_id, u, unnest(generate_series(0, ${nSub - 1})) AS s FROM u)),
        |pinit AS (
@@ -444,6 +448,62 @@ object SimilarityQueries {
       val queries = emb.where(col("vec_id") < NQueries)
       Similarity.pqTopK(emb, queries, "vec_id", "embedding", Dims,
           nSub = 8, nCodes = 16, iters = 2, k = TopK)
+        .orderBy("qid", "nid")
+    },
+
+    // IVF + PQ composed (Similarity.ivfPqTopK — FAISS IVFPQ's shape):
+    // the coarse quantizer routes search to nProbe cells AND the stored
+    // representation is nSub code bytes, so search touches ~nProbe/nLists
+    // of the corpus and reads only codes. The oracle chains BOTH training
+    // replays (q41's Lloyd prelude + q119's PQ prelude, shared unit-vector
+    // base) and the composed probe→ADC search — the two recall dials
+    // verified independently and together, hash-exact.
+    Q.sql("q140_ann_ivfpq", {
+      val nLists = 16; val ivfIters = 3; val nProbe = 4
+      val nSub = 8; val nCodes = 16; val pqIters = 2; val subDim = Dims / nSub
+      def foldDotSub(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, $subDim), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+      s"""WITH ${lloydPrelude(nLists, ivfIters, 6)},
+         |${pqPrelude(nSub, nCodes, pqIters, 6, includeBase = false)},
+         |probes AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM u s CROSS JOIN centlist$ivfIters c
+         |    WHERE s.vec_id < $NQueries)
+         |  WHERE rn <= $nProbe),
+         |qs AS (
+         |  SELECT vec_id AS qid, s,
+         |         u[(s * $subDim + 1):(s * $subDim + $subDim)] AS qx
+         |  FROM (SELECT vec_id, u, unnest(generate_series(0, ${nSub - 1})) AS s
+         |        FROM u WHERE vec_id < $NQueries)),
+         |dt AS (
+         |  SELECT qid, qs.s, c.code,
+         |         floor(${foldDotSub("qx", "c.cv")} * 1000000 + 0.5) / 1000000 AS contrib
+         |  FROM qs JOIN cbl$pqIters c ON c.s = qs.s),
+         |contribs AS (
+         |  SELECT d.qid, pa.vec_id AS nid, d.s, d.contrib
+         |  FROM pasgf pa
+         |  JOIN dt d ON d.s = pa.s AND d.code = pa.code
+         |  JOIN asgf a ON a.vec_id = pa.vec_id
+         |  JOIN probes p ON p.qid = d.qid AND p.cell = a.cell
+         |  WHERE pa.vec_id != d.qid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |         list_reduce(list(contrib ORDER BY s), (a, b) -> a + b) AS adc
+         |  FROM contribs GROUP BY qid, nid),
+         |r AS (SELECT qid, nid, adc,
+         |             row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid, nid, adc FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", cents,
+          nProbe = 4, dims = Dims, nSub = 8, nCodes = 16, iters = 2, k = TopK)
         .orderBy("qid", "nid")
     },
 
