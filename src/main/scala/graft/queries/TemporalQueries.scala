@@ -141,5 +141,47 @@ object TemporalQueries {
           sum(when(col("n_prev") >= 10, 1L).otherwise(0L)).as("n_evaluated"),
           sum(when(col("anomaly") === true, 1L).otherwise(0L)).as("n_anomalies"))
         .orderBy("user_id")
+    },
+
+    // Point-in-time SCD2 lookup: each event joins the dimension VERSION
+    // that was valid at the event's time (every 7th customer re-segments
+    // to VIP mid-stream, so events straddle the change) — the
+    // time-travel-correct enrichment that prevents training-data leakage
+    // from future attributes. Spark-first: SCD2 intervals are contiguous
+    // per key, so "the version valid at t" ≡ as-of join on valid_from
+    // (ops.AsOf.joinAsOf — ONE key-partitioned window, no range join, no
+    // BroadcastNestedLoop). The oracle states the INTERVAL semantics
+    // (vf ≤ day < vt) directly — a hash match proves the as-of
+    // composition implements them exactly.
+    Q.sql("q141_pit_lookup",
+      """WITH c AS (SELECT c_custkey AS user_id, c_mktsegment AS seg
+        |           FROM customer),
+        |v AS (SELECT user_id, seg, DATE '1995-01-01' AS vf,
+        |             CASE WHEN user_id % 7 = 0 THEN DATE '2024-01-15' END AS vt
+        |      FROM c
+        |      UNION ALL
+        |      SELECT user_id, 'VIP', DATE '2024-01-15', NULL
+        |      FROM c WHERE user_id % 7 = 0),
+        |e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |j AS (SELECT e.value, v.seg FROM e JOIN v ON v.user_id = e.user_id
+        |      AND e.day >= v.vf AND (v.vt IS NULL OR e.day < v.vt))
+        |SELECT seg AS segment, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+      val versions = cust
+        .withColumn("vf", lit("1995-01-01").cast("date"))
+        .unionByName(cust.where(col("user_id") % 7 === 0)
+          .withColumn("seg", lit("VIP"))
+          .withColumn("vf", lit("2024-01-15").cast("date")))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      graft.ops.AsOf.joinAsOf(ev, versions, "user_id", "day", "vf",
+          payloadCols = Seq("seg"))
+        .groupBy(col("asof_seg").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          Qutil.msum(col("value"), 4).as("total_value"))
+        .orderBy("segment")
     })
 }
