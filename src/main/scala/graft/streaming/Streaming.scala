@@ -64,6 +64,45 @@ object Streaming {
       }
   }
 
+  final case class AnomalyFlag(user_id: Long, ts: java.sql.Timestamp,
+                               value: Double, nPrev: Int,
+                               anomaly: Option[Boolean])
+
+  /** Streaming twin of `ops.Sessions.rollingAnomalies`: per-key state is
+    * the ring buffer of the last `n` values (n doubles per key in the
+    * state store — bounded regardless of stream length), each event is
+    * judged against the buffer BEFORE being appended (the batch op's
+    * "current row excluded" rule), and rows with fewer than `minObs`
+    * predecessors emit `None` (warm-up). Within a micro-batch rows are
+    * processed in event-time order; cross-batch order is the source's
+    * delivery contract (pair with a watermark upstream for late data —
+    * the scenario drives in-order batches, and StreamingSpec pins flag
+    * parity with the batch operator on identical input). */
+  def anomalyStream(events: Dataset[EventRow], n: Int, k: Double,
+                    minObs: Int): Dataset[AnomalyFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Double], AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Vector[Double]]) =>
+          var buf = state.getOption.getOrElse(Vector.empty[Double])
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { e =>
+            val nPrev = buf.size
+            val flag = if (nPrev >= minObs) {
+              val mean = buf.sum / nPrev
+              val varS = (buf.map(x => x * x).sum - nPrev * mean * mean) /
+                (nPrev - 1)
+              Some(math.abs(e.value - mean) > k * math.sqrt(math.max(varS, 0d)))
+            } else None
+            buf = (buf :+ e.value).takeRight(n)
+            AnomalyFlag(uid, e.ts, e.value, nPrev, flag)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen within the
     * watermark horizon. `dropDuplicatesWithinWatermark` keeps one state-store
     * entry per key and evicts it once the watermark passes — state is

@@ -483,4 +483,47 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("anomalyStream flags equal the batch rollingAnomalies on the same " +
+    "in-order input, across microbatch boundaries") {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    implicit val sql = spark.sqlContext
+    // user 7: stable baseline then a spike mid-stream; user 8: too few
+    // events to ever evaluate
+    val base = (0 until 8).map(i =>
+      EventRow(7L, ts(f"2024-01-01 10:0$i:00"), 1.0 + 0.01 * i))
+    val spike = EventRow(7L, ts("2024-01-01 10:08:00"), 100.0)
+    val after = EventRow(7L, ts("2024-01-01 10:09:00"), 1.05)
+    val tiny = Seq(EventRow(8L, ts("2024-01-01 11:00:00"), 5.0),
+      EventRow(8L, ts("2024-01-01 11:01:00"), 6.0))
+    val in = MemoryStream[EventRow]
+    val q = Streaming.anomalyStream(in.toDS(), n = 5, k = 3.0, minObs = 3)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(base: _*)            // batch 1: warm-up + baseline
+      q.processAllAvailable()
+      in.addData(spike, after)        // batch 2: crosses the state boundary
+      q.processAllAvailable()
+      in.addData(tiny: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_stream")
+        .select("user_id", "ts", "anomaly")
+        .as[(Long, Timestamp, Option[Boolean])].collect()
+        .map(r => (r._1, r._2.getTime) -> r._3).toMap
+      val all = (base :+ spike :+ after) ++ tiny
+      val batchFlags = graft.ops.Sessions.rollingAnomalies(
+          all.toDF("user_id", "ts", "value")
+            .withColumn("event_id", monotonically_increasing_id()),
+          "user_id", "ts", "event_id", "value", n = 5, k = 3.0, minObs = 3)
+        .select($"user_id", $"ts", $"anomaly")
+        .as[(Long, Timestamp, Option[Boolean])].collect()
+        .map(r => (r._1, r._2.getTime) -> r._3).toMap
+      assert(streamed == batchFlags)
+      // and the spike is actually caught
+      assert(streamed((7L, ts("2024-01-01 10:08:00").getTime)) == Some(true))
+      // warm-up rows are unevaluated, not false
+      assert(streamed((8L, ts("2024-01-01 11:01:00").getTime)).isEmpty)
+    } finally q.stop()
+  }
 }
