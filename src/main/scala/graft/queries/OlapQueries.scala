@@ -303,6 +303,52 @@ object OlapQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // TPC-H Q21-shaped "waiting supplier": suppliers who shipped late in
+    // multi-supplier orders where NO other supplier was late — the
+    // double-correlated EXISTS / NOT EXISTS pattern, expressed Spark-first
+    // as explicit semi + anti joins on the (order, supplier) grain.
+    // Exercises exactly the planner shapes correlated subqueries decorrelate
+    // into; all grains are distinct-compacted before joining.
+    Q.sql("q142_waiting_supplier",
+      """WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk, l_shipdate AS sd
+        |           FROM lineitem),
+        |o AS (SELECT o_orderkey AS ok, o_orderdate AS od FROM orders),
+        |late AS (SELECT DISTINCT l.ok, l.sk FROM l JOIN o ON o.ok = l.ok
+        |         WHERE l.sd > o.od + INTERVAL 100 DAY),
+        |multi AS (SELECT DISTINCT a.ok, a.sk FROM l a
+        |          WHERE EXISTS (SELECT 1 FROM l b
+        |                        WHERE b.ok = a.ok AND b.sk <> a.sk)),
+        |cand AS (SELECT late.ok, late.sk FROM late
+        |         JOIN multi ON multi.ok = late.ok AND multi.sk = late.sk),
+        |solo AS (SELECT c.ok, c.sk FROM cand c
+        |         WHERE NOT EXISTS (SELECT 1 FROM late x
+        |                           WHERE x.ok = c.ok AND x.sk <> c.sk))
+        |SELECT s_name, count(*) AS numwait
+        |FROM solo JOIN supplier ON s_suppkey = sk
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+      val l = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"), col("l_shipdate").as("sd"))
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_orderdate").as("od"))
+      val late = l.join(o, "ok")
+        .where(col("sd") > col("od") + expr("INTERVAL 100 DAYS"))
+        .select("ok", "sk").distinct()
+      val pairs = l.select("ok", "sk").distinct()
+      // EXISTS another supplier in the same order → self semi-join
+      val multi = pairs.as("a").join(pairs.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"),
+          "left_semi")
+        .select(col("a.ok").as("ok"), col("a.sk").as("sk"))
+      val cand = late.join(multi, Seq("ok", "sk"), "left_semi")
+      // NOT EXISTS another LATE supplier in the same order → anti join
+      val only = cand.as("c").join(late.as("x"),
+          col("c.ok") === col("x.ok") && col("c.sk") =!= col("x.sk"),
+          "left_anti")
+      only.join(Tables.supplier(s, d), col("sk") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
     // Wide pivot report (`DataFrame.pivot` with an EXPLICIT value list —
     // the reference stack's pandas pivot_table): region × order-year
     // revenue matrix. The explicit values matter at scale: without them

@@ -183,5 +183,39 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n_events"),
           Qutil.msum(col("value"), 4).as("total_value"))
         .orderBy("segment")
+    },
+
+    // Rolling 7-day distinct active users per day — the DAU/WAU panel.
+    // Sliding DISTINCT windows can't use frame aggregation (distinct
+    // state isn't subtractable), so the scalable form compacts to the
+    // (day, user) grain FIRST, then each observation claims the ≤7 target
+    // days it supports (sequence explode — map-only ×7 on the compacted
+    // grain, never on raw events) and one count(distinct) per target day
+    // finishes it. Integer day arithmetic end to end.
+    Q.sql("q143_rolling_active_users",
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |         user_id
+        |  FROM events),
+        |b AS (SELECT max(day) AS mx FROM d),
+        |x AS (SELECT day + i AS day, user_id
+        |      FROM d CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)),
+        |f AS (SELECT x.day, x.user_id FROM x CROSS JOIN b WHERE x.day <= b.mx)
+        |SELECT day, count(DISTINCT user_id) AS active_7d
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val days = Tables.events(s, d)
+        .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .as("day"),
+          col("user_id"))
+        .distinct()
+      val mx = days.agg(max("day").as("mx"))
+      days
+        .withColumn("i", explode(expr("sequence(0, 6)")))
+        .withColumn("day", (col("day") + col("i")).cast("long"))
+        .crossJoin(broadcast(mx))
+        .where(col("day") <= col("mx"))
+        .groupBy("day")
+        .agg(count_distinct(col("user_id")).as("active_7d"))
+        .orderBy("day")
     })
 }
