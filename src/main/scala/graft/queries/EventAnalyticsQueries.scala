@@ -787,5 +787,70 @@ object EventAnalyticsQueries {
           Qutil.dround(col("n").cast("double") / col("tot").cast("double"), 6)
             .as("p"))
         .orderBy("from_type", "to_type")
+    },
+
+    // Growth accounting (the DAU ledger): every active (user, day)
+    // classifies as new (first day ever) / retained (also active
+    // yesterday) / resurrected (active before, but not yesterday), and
+    // churn counts users active yesterday who went silent today — the
+    // standard product-analytics decomposition (new + retained +
+    // resurrected − churned = ΔDAU). One exchange on the user key (min +
+    // lag/lead share the window sort), day-grain aggregates after;
+    // integer day arithmetic end to end. Days with zero actives report no
+    // row (a churn-only day folds into the next active day's ledger).
+    Q.sql("q144_growth_accounting",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(ts AS DATE) - DATE '1970-01-01' AS day
+        |  FROM events),
+        |f AS (SELECT user_id, day,
+        |             min(day) OVER (PARTITION BY user_id) AS first_day,
+        |             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+        |             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        |      FROM d),
+        |act AS (
+        |  SELECT day,
+        |         CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |         CAST(SUM(CASE WHEN day <> first_day AND prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |         CAST(SUM(CASE WHEN day <> first_day AND prev_day <> day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |b AS (SELECT max(day) AS mx FROM d),
+        |ch AS (SELECT day + 1 AS day, count(*) AS n_churned
+        |       FROM f CROSS JOIN b
+        |       WHERE day + 1 <= mx AND (next_day IS NULL OR next_day > day + 1)
+        |       GROUP BY 1)
+        |SELECT a.day, a.n_new, a.n_retained, a.n_resurrected,
+        |       CAST(coalesce(ch.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM act a LEFT JOIN ch ON ch.day = a.day
+        |ORDER BY a.day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val wAll = Window.partitionBy("user_id")
+      val wOrd = Window.partitionBy("user_id").orderBy("day")
+      val f = days
+        .withColumn("first_day", min("day").over(wAll))
+        .withColumn("prev_day", lag("day", 1).over(wOrd))
+        .withColumn("next_day", lead("day", 1).over(wOrd))
+      val act = f.groupBy("day").agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day") &&
+          col("prev_day") === col("day") - 1, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("day") =!= col("first_day") &&
+          col("prev_day") =!= col("day") - 1, 1L).otherwise(0L)).as("n_resurrected"))
+      val mx = days.agg(max("day").as("mx"))
+      val ch = f.crossJoin(broadcast(mx))
+        .where(col("day") + 1 <= col("mx") &&
+          (col("next_day").isNull || col("next_day") > col("day") + 1))
+        .groupBy((col("day") + 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      act.join(ch, Seq("day"), "left")
+        .select(col("day"), col("n_new"), col("n_retained"),
+          col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("day")
     })
 }

@@ -105,6 +105,39 @@ object TextQueries {
         .orderBy("fp")
     },
 
+    // Ingest-quality novelty dashboard: per source, how many docs are the
+    // FIRST occurrence of their content fingerprint corpus-wide (global
+    // first claimed by lowest doc_id — deterministic) vs re-posts of
+    // content seen elsewhere. The per-shard duplication report a data
+    // team reads before buying/ingesting more of a source. One fp-keyed
+    // window + one source-grain aggregate.
+    Q.sql("q145_source_novelty",
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |r AS (SELECT source,
+        |             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |      FROM f)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       floor(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS novel_rate
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val r = f.withColumn("rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      r.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_novel"),
+          Qutil.dround(col("n_novel").cast("double") /
+            col("n_docs").cast("double"), 6).as("novel_rate"))
+        .orderBy("source")
+    },
+
     // Order-sensitive rolling-hash fingerprint: left fold of
     // (acc·B + md5Int(word)) mod M over the word sequence. DuckDB's
     // list_reduce seeds with the first element, which equals the
