@@ -41,7 +41,10 @@ object Explain {
       "q135_local_supplier_volume", "q136_quota_sample", "q137_kcore",
       "q138_zipf_fit", "q139_partitioned_delete", "q140_ann_ivfpq",
       "q141_pit_lookup", "q142_waiting_supplier", "q143_rolling_active_users",
-      "q144_growth_accounting", "q145_source_novelty")
+      "q144_growth_accounting", "q145_source_novelty",
+      "q146_bloom_join_reduction", "q147_zonemap_skipping",
+      "q148_interval_coverage", "q149_ab_ztest", "q150_rollup_routing",
+      "q151_referential_audit", "q152_label_propagation")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -48,8 +48,41 @@ case class BloomMightContain(child: Expression, filter: BloomFilter)
     copy(child = newChild)
 }
 
+/** Long-key twin of [[BloomMightContain]] for integral join keys.
+  *
+  * `DataFrameStatFunctions.bloomFilter` inserts integral columns via
+  * `putLong`, so the probe must be `mightContainLong` — probing the
+  * decimal-string rendering would hash different bytes and lose the
+  * no-false-negative guarantee the semi-join reduction relies on. */
+case class BloomMightContainLong(child: Expression, filter: BloomFilter)
+    extends UnaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint argument, got ${t.simpleString}")
+  }
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def nullSafeEval(v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 object BloomExpressions {
   def mightContain(c: Column, filter: BloomFilter): Column =
     GraftColumnBridge.column(BloomMightContain(
+      GraftColumnBridge.expression(c), filter))
+
+  def mightContainLong(c: Column, filter: BloomFilter): Column =
+    GraftColumnBridge.column(BloomMightContainLong(
       GraftColumnBridge.expression(c), filter))
 }

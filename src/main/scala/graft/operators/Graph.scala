@@ -181,4 +181,41 @@ object Graph {
     sym.groupBy("src").agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
   }
+
+  /** Synchronous label propagation (community detection): every node starts
+    * as its own label; each round every node adopts the most frequent label
+    * among its neighbors, ties broken by MIN label — the deterministic
+    * variant of LPA (classic async LPA is run-order-dependent and could
+    * never be oracle-replayed).
+    *
+    * Scale shape: per round ONE edges⋈labels equi-join + a (node, label)
+    * count + an argmax window on the node grain — the PageRank cost
+    * profile, O(rounds · |E|) total, no pair explosion. Labels are
+    * localCheckpoint-rebased per round (the duplicateClusters lineage
+    * lesson). A fixed round budget keeps the whole run a replayable
+    * chained query; LPA is used as a fixed-round smoother, convergence is
+    * not required for the labels to be meaningful communities.
+    *
+    * `edges` must already be symmetric (src↔dst both present) and
+    * dangling-free, as [[pageRank]] requires. Returns (node, label). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("lab", col("node"))
+    var i = 0
+    while (i < rounds) {
+      val counts = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("cnt").desc, col("lab").asc)
+      labels = counts
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels
+  }
 }

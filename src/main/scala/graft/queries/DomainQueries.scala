@@ -467,5 +467,37 @@ object DomainQueries {
         .agg(count(lit(1)).as("n_rows"),
           Qutil.msum(col("price"), 2).as("total_price"))
         .orderBy("mon")
+    },
+
+    // Zone-map file skipping (io.ZoneMaps): a range-clustered write +
+    // per-file min/max manifest answers a date-range scan reading only the
+    // files whose envelope intersects the predicate — the Delta/Iceberg
+    // data-skipping pattern over plain parquet. The exact predicate is
+    // re-applied to surviving rows, so the oracle is the plain range
+    // filter; the spec asserts the skipping rate separately.
+    Q.sql("q147_zonemap_skipping",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-03-01'
+        |  AND o_orderdate <= TIMESTAMP '1998-06-30'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files.createTempDirectory("q147zm").toString + "/orders_c"
+      val orders = graft.io.Tables.orders(s, d)
+      orders.repartitionByRange(8, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(tbl)
+      val manifest = graft.io.ZoneMaps.writeManifest(s, tbl, Seq("o_orderdate"))
+      val (scan, _, _) = graft.io.ZoneMaps.prunedScan(s, tbl, manifest,
+        "o_orderdate",
+        java.sql.Timestamp.valueOf("1998-03-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1998-06-30 00:00:00"))
+      scan.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("mon")
     })
 }

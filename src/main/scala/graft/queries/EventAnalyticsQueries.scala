@@ -852,5 +852,118 @@ object EventAnalyticsQueries {
           col("n_resurrected"),
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
         .orderBy("day")
+    },
+
+    // Interval-union coverage (ops.Intervals): each event opens a span of
+    // 60·⌊value⌋ seconds; overlapping/touching spans per user merge into
+    // maximal islands and covered time counts each second ONCE — the
+    // uptime/watch-time primitive where naive SUM(duration) double-counts.
+    // One key-partitioned window, integer epoch arithmetic end to end.
+    Q.sql("q148_interval_coverage",
+      """WITH sp AS (
+        |  SELECT user_id, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           + 60 * CAST(floor(value) AS BIGINT) AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, s, e,
+        |         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM sp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM f),
+        |i AS (
+        |  SELECT user_id, isl, min(s) AS i_s, max(e) AS i_e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |       CAST(SUM(i_e - i_s) AS BIGINT) AS covered
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // ts lands as TIMESTAMP_NTZ; the ltz hop under the UTC session TZ
+      // yields the same naive-as-UTC epoch seconds DuckDB's epoch() gives.
+      val epochS = col("ts").cast("timestamp_ltz").cast("long")
+      val spans = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        epochS.as("s"),
+        (epochS + lit(60L) * floor(col("value")).cast("long")).as("e"))
+      graft.ops.Intervals.coverage(spans, "user_id", "s", "e", "event_id")
+        .orderBy("user_id")
+    },
+
+    // Two-proportion z-test A/B readout: variant = user_id parity,
+    // conversion = "user produced this event_type with value > 100",
+    // exposure = all users in the variant. One report row per event_type
+    // with rates, pooled z and the |z| > 1.96 flag. All inputs are exact
+    // integer counts; sqrt/division are correctly-rounded IEEE ops, so the
+    // 6dp-rounded statistics replay bit-identically in DuckDB. Scale: two
+    // distinct-count aggregates on the (type, variant, user) grain — no
+    // per-user state leaves the executors.
+    Q.sql("q149_ab_ztest",
+      """WITH u AS (SELECT DISTINCT user_id,
+        |                  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v
+        |           FROM events),
+        |tot AS (SELECT v, count(*) AS n FROM u GROUP BY 1),
+        |conv AS (
+        |  SELECT event_type,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |         count(DISTINCT user_id) AS c
+        |  FROM events WHERE value > 100 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT c.event_type,
+        |         MAX(CASE WHEN c.v = 'A' THEN c.c END) AS ca,
+        |         MAX(CASE WHEN c.v = 'B' THEN c.c END) AS cb,
+        |         MAX(CASE WHEN t.v = 'A' THEN t.n END) AS na,
+        |         MAX(CASE WHEN t.v = 'B' THEN t.n END) AS nb
+        |  FROM conv c JOIN tot t ON c.v = t.v
+        |  GROUP BY 1),
+        |z AS (
+        |  SELECT event_type, ca, cb, na, nb,
+        |         CAST(ca AS DOUBLE) / na AS pa,
+        |         CAST(cb AS DOUBLE) / nb AS pb,
+        |         CAST(ca + cb AS DOUBLE) / (na + nb) AS p
+        |  FROM w)
+        |SELECT event_type,
+        |       CASE WHEN p > 0 AND p < 1 THEN
+        |         floor((pa - pb)
+        |               / sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+        |               * 1000000 + 0.5) / 1000000 END AS z_score,
+        |       floor(pa * 1000000 + 0.5) / 1000000 AS rate_a,
+        |       floor(pb * 1000000 + 0.5) / 1000000 AS rate_b,
+        |       CASE WHEN p > 0 AND p < 1 AND abs((pa - pb)
+        |              / sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))) > 1.96
+        |            THEN 1 ELSE 0 END AS significant
+        |FROM z ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val variant = when(col("user_id") % 2 === 0, "A").otherwise("B")
+      val tot = ev.select(col("user_id")).distinct()
+        .groupBy(variant.as("v")).agg(count(lit(1)).as("n"))
+      val conv = ev.where(col("value") > 100)
+        .groupBy(col("event_type"), variant.as("v"))
+        .agg(count_distinct(col("user_id")).as("c"))
+      val w = conv.join(tot, "v")
+        .groupBy("event_type")
+        .agg(max(when(col("v") === "A", col("c"))).as("ca"),
+          max(when(col("v") === "B", col("c"))).as("cb"),
+          max(when(col("v") === "A", col("n"))).as("na"),
+          max(when(col("v") === "B", col("n"))).as("nb"))
+      val pa = col("ca").cast("double") / col("na")
+      val pb = col("cb").cast("double") / col("nb")
+      val p = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+      val se = sqrt(p * (lit(1) - p) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+      // degenerate experiment (everyone or no one converts): se = 0 —
+      // z is undefined, not infinite; flag stays 0 on both sides
+      val z = when(p > 0 && p < 1, (pa - pb) / se)
+      w.select(col("event_type"),
+          Qutil.dround(z, 6).as("z_score"),
+          Qutil.dround(pa, 6).as("rate_a"),
+          Qutil.dround(pb, 6).as("rate_b"),
+          when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
+        .orderBy("event_type")
     })
 }

@@ -18,6 +18,7 @@ object GraphQueries {
   private val TriMaxSize = 15 // q97 co-purchase graph: parts with p_size ≤ 15
   private val KCoreK = 3      // q137 peel threshold
   private val KCoreRounds = 4 // q137 synchronous peel rounds (CTE-replayed)
+  private val LpaRounds = 3   // q152 label-propagation rounds (CTE-replayed)
 
   /** floor-scale rounding at Scale decimals — Qutil.dround in SQL. */
   private def rnd(e: String): String =
@@ -160,5 +161,46 @@ object GraphQueries {
       Graph.kCorePeel(e0, KCoreK, KCoreRounds)
         .select(col("node").as("part_id"), col("degree"))
         .orderBy("part_id")
+    },
+
+    // Deterministic synchronous label propagation (LpaRounds rounds) over
+    // the customer–supplier trade graph: most-frequent neighbor label,
+    // ties → MIN label. Every round is replayed as a chained CTE (the
+    // q73/q137 technique); output is the community-size histogram.
+    Q.sql("q152_label_propagation", {
+      val roundCtes = (1 to LpaRounds).map { r =>
+        s""",
+           |c$r AS (SELECT e.dst AS node, l.lab, count(*) AS cnt
+           |        FROM e JOIN l${r - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |l$r AS (SELECT node, lab FROM (
+           |          SELECT node, lab, row_number() OVER (
+           |            PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+           |          FROM c$r) WHERE rn = 1)"""
+      }.mkString
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT 'c' || CAST(c AS VARCHAR) AS src,
+         |         's' || CAST(s AS VARCHAR) AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM pairs),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |l0 AS (SELECT node, node AS lab FROM n)$roundCtes
+         |SELECT lab AS community, count(*) AS size
+         |FROM l$LpaRounds GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e0 = pairs.select(
+        concat(lit("c"), col("c").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, LpaRounds)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy("community")
     })
 }

@@ -386,5 +386,70 @@ object OlapQueries {
         .pivot("yr", (1995 to 2001).map(_.toString))
         .agg(Qutil.msum(col("o_totalprice"), 2))
         .orderBy("r_name")
+    },
+
+    // Bloom semi-join reduction (ops.JoinReduce): a selective dim filter
+    // (one brand ≈ 5% of parts) is turned into a map-side Bloom predicate
+    // on the fact scan BEFORE the join shuffle — the explicit form of
+    // Spark's runtime bloom filter, deterministic instead of heuristic.
+    // Correctness never depends on the filter (no false negatives; false
+    // positives die in the exact join), so the oracle is the plain join.
+    // At 100 TB: the fact shuffle carries ~5% of lineitem instead of all
+    // of it; the filter itself is a fixed-size bit array built by a
+    // distributed tree-aggregate over dim keys.
+    Q.sql("q146_bloom_join_reduction",
+      """SELECT p_type, count(*) AS n_items,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#4'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dim = Tables.part(s, d).where(col("p_brand") === "Brand#4")
+      graft.ops.JoinReduce.reducedJoin(
+          Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount"),
+          "l_partkey", dim.select("p_partkey", "p_type"), "p_partkey",
+          expectedKeys = 1 << 16)
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_items"),
+          Qutil.msum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("p_type")
+    },
+
+    // Materialized-view routing (aggregate navigator): a day-grain summary
+    // table at rest answers the month-grain query WITHOUT touching the
+    // fact table at query time — the warehouse summary-table pattern.
+    // Decimal partial sums re-aggregate exactly (decimal addition is
+    // associative), which is precisely why the rollup stores DECIMAL and
+    // not DOUBLE: double partials would re-sum in a different order than
+    // the direct aggregation and drift in the last ulp. The oracle IS the
+    // direct fact-table aggregation — a hash match proves rollup-path ≡
+    // fact-path bit-for-bit. At 100 TB the summary is day×status-sized
+    // (~10k rows/decade), maintained incrementally by day partition, and
+    // query cost becomes summary-sized, not fact-sized.
+    Q.sql("q150_rollup_routing",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS mon, o_orderstatus AS status,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val mv = java.nio.file.Files.createTempDirectory("q150mv").toString + "/orders_daily"
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("rev"))
+        .write.mode("overwrite").parquet(mv)
+      s.read.parquet(mv)
+        .where(col("day") >= lit("1997-01-01").cast("date") &&
+          col("day") < lit("1999-01-01").cast("date"))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("mon"), col("status"))
+        .agg(sum(col("n")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("mon", "status")
     })
 }

@@ -156,5 +156,48 @@ object ProfilingQueries {
           sum(when(col("clip_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
           Qutil.msum(col("clipped"), 6).as("clipped_sum"))
         .orderBy("event_type")
+    },
+
+    // Referential-integrity audit (ops.Referential) — the cross-table half
+    // of data quality: five FK constraints over the star schema, one
+    // report row each with orphan key/row counts. The events.user_id →
+    // customer constraint is genuinely violated in the synthetic data, so
+    // the failing branch is exercised, not just compiled. Child sides are
+    // compacted to their key grain before the anti-join probe.
+    Q.sql("q151_referential_audit", {
+      def one(name: String, child: String, ck: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk,
+           |       count(*) AS n_rows,
+           |       count(DISTINCT c.k) AS n_keys,
+           |       CAST(SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_orphan_rows,
+           |       count(DISTINCT CASE WHEN p.pk IS NULL THEN c.k END)
+           |         AS n_orphan_keys,
+           |       CASE WHEN count(DISTINCT CASE WHEN p.pk IS NULL THEN c.k END) = 0
+           |            THEN 1 ELSE 0 END AS ok
+           |FROM (SELECT $ck AS k FROM $child WHERE $ck IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $parent) p ON c.k = p.pk""".stripMargin
+      Seq(
+        one("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        one("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        one("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
+    }) { (s, d) =>
+      import graft.ops.Referential._
+      audit(Seq(
+          Fk("events.user_id->customer", Tables.events(s, d), "user_id",
+            Tables.customer(s, d), "c_custkey"),
+          Fk("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          Fk("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"),
+          Fk("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"),
+          Fk("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey")))
+        .orderBy("fk")
     })
 }
