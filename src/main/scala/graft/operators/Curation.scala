@@ -609,4 +609,27 @@ object Curation {
       .orderBy(col("key").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Stratified k-fold cross-validation assignment: within each stratum,
+    * rows are ranked by the deterministic md5 order (the shuffle) and dealt
+    * round-robin into folds — per-stratum fold sizes are exactly balanced
+    * (±1), unlike Bernoulli `fold = hash % k`, whose per-stratum counts
+    * are only balanced in expectation.
+    *
+    * Membership is a pure function of (id, salt, the stratum's id set):
+    * re-runs and retries agree; adding documents only reshuffles within
+    * the stratum (the unavoidable cost of exact balance — fully stable
+    * assignment under growth is what plain hash % k gives up balance for,
+    * and both variants live here: use [[deterministicSample]]'s bucket for
+    * that trade). One window per stratum partition — the q136 quota-sample
+    * cost shape. */
+  def cvFolds(df: DataFrame, idCol: String, stratumCol: String, k: Int,
+              salt: String = "cv"): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5Int(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+  }
 }

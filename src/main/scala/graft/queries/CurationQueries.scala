@@ -760,5 +760,30 @@ object CurationQueries {
           sum("doc_id").as("id_sum"),
           sum("n_chars").as("chars_sum"))
         .orderBy("source")
+    },
+
+    // Stratified k-fold CV assignment (Curation.cvFolds): rows ranked by
+    // the deterministic md5 order within each lang and dealt round-robin —
+    // per-stratum fold sizes exactly balanced (±1), not just in
+    // expectation. The oracle replays the rank-and-deal; the id_sum column
+    // pins the exact MEMBERSHIP of every fold, not just its size.
+    Q.sql("q153_cv_folds",
+      s"""WITH f AS (
+         |  SELECT lang, n_chars, doc_id,
+         |         (row_number() OVER (
+         |            PARTITION BY lang
+         |            ORDER BY ${md5IntSql("'cv:' || CAST(doc_id AS VARCHAR)")},
+         |                     doc_id) - 1) % 5 AS fold
+         |  FROM documents)
+         |SELECT fold, lang, count(*) AS n_docs,
+         |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Curation.cvFolds(Tables.documents(s, d), "doc_id", "lang", k = 5)
+        .groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("id_sum"),
+          sum("n_chars").as("chars_sum"))
+        .orderBy("fold", "lang")
     })
 }

@@ -579,5 +579,60 @@ object DedupQueries {
       Dedup.dedupCorpusKeepBest(docs, "doc_id", pairs, col("n_chars"))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // Train/eval split-leakage audit: a hash-based 90/10 split (q43's
+    // deterministic membership) is crossed with the MinHash-LSH near-dup
+    // pairs (q21's candidates) — any pair straddling the split is
+    // train→eval leakage that a row-level splitter cannot see. The report
+    // pins the pair count, the leaky subset, and the exact set of
+    // contaminated eval docs (id_sum). Scale: the pair table is the
+    // banded LSH join (never all-pairs); the split column is a map-side
+    // pure function of doc_id.
+    Q.sql("q154_split_leakage",
+      s"""$shingleCte,
+         |$minhashCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ${md5IntSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |              THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |j AS (
+         |  SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+         |  FROM pairs p
+         |  JOIN sp sa ON sa.doc_id = p.id_a
+         |  JOIN sp sb ON sb.doc_id = p.id_b),
+         |leaky_eval AS (
+         |  SELECT DISTINCT CASE WHEN split_a = 'eval' THEN id_a ELSE id_b END AS eid
+         |  FROM j WHERE split_a <> split_b)
+         |SELECT (SELECT count(*) FROM j) AS n_pairs,
+         |       (SELECT count(*) FROM j WHERE split_a <> split_b) AS n_leaky_pairs,
+         |       (SELECT count(*) FROM leaky_eval) AS n_eval_contaminated,
+         |       (SELECT COALESCE(CAST(SUM(eid) AS BIGINT), 0) FROM leaky_eval)
+         |         AS eval_id_sum""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = Dedup.shingleTable(docs, "doc_id", "text", ShingleN)
+      val sig = Dedup.minhashSignaturesSketch(sh, "doc_id", K)
+      val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+      val split = when(
+        pmod(graft.functions.TextFunctions.md5Int(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)) < 90,
+        "train").otherwise("eval")
+      val sp = docs.select(col("doc_id"), split.as("split"))
+      val j = pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      val leaky = j.where(col("split_a") =!= col("split_b"))
+        .select(when(col("split_a") === "eval", col("id_a"))
+          .otherwise(col("id_b")).as("eid"))
+        .distinct()
+      val base = j.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("n_leaky_pairs"))
+      val evalSide = leaky.agg(
+        count(lit(1)).as("n_eval_contaminated"),
+        coalesce(sum(col("eid")), lit(0L)).as("eval_id_sum"))
+      base.crossJoin(evalSide)
     })
 }

@@ -273,4 +273,45 @@ object Streaming {
         onBatch(batchId, outcomes)
       }
       .start()
+
+  final case class SpanRow(user_id: Long, s: Long, e: Long)
+  final case class CoverageSnapshot(user_id: Long, n_islands: Long,
+                                    covered: Long)
+
+  /** Streaming twin of `ops.Intervals.coverage`: per-key state is the
+    * SORTED DISJOINT island set, each arriving span merges in (absorbing
+    * every island it overlaps or touches), and each micro-batch emits the
+    * key's updated coverage snapshot (Update mode).
+    *
+    * Unlike the window-function batch form, this handles out-of-order
+    * arrival for free — merging is order-independent, so no watermark is
+    * needed for correctness, only for state if spans were evicted. State
+    * is O(islands per key): it SHRINKS as gaps fill (merging absorbs
+    * islands) and is worst-case O(spans) only while coverage stays fully
+    * fragmented — the honest bound; a 100 TB deploy with unbounded
+    * fragmentation should snapshot-compact islands past the watermark into
+    * the at-rest table and keep only the active horizon in the store. */
+  def coverageStream(spans: Dataset[SpanRow]): Dataset[CoverageSnapshot] = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    spans.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[(Long, Long)], CoverageSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Vector[(Long, Long)]]) =>
+          var islands = state.getOption.getOrElse(Vector.empty[(Long, Long)])
+          rows.foreach { r =>
+            val (lo, mid, hi) = (
+              islands.filter(_._2 < r.s),          // strictly before (no touch)
+              islands.filter(i => i._2 >= r.s && i._1 <= r.e), // absorbed
+              islands.filter(_._1 > r.e))          // strictly after
+            val merged = (
+              (r.s +: mid.map(_._1)).min,
+              (r.e +: mid.map(_._2)).max)
+            islands = (lo :+ merged) ++ hi
+          }
+          state.update(islands)
+          Iterator.single(CoverageSnapshot(uid, islands.size.toLong,
+            islands.map(i => i._2 - i._1).sum))
+      }
+  }
 }

@@ -526,4 +526,37 @@ class StreamingSpec extends SparkSpec {
       assert(streamed((8L, ts("2024-01-01 11:01:00").getTime)).isEmpty)
     } finally q.stop()
   }
+
+  test("coverageStream: out-of-order spans converge to the batch interval union") {
+    implicit val sql = spark.sqlContext
+    import Streaming.{CoverageSnapshot, SpanRow}
+    val in = MemoryStream[SpanRow]
+    val q = Streaming.coverageStream(in.toDS())
+      .writeStream.format("memory").queryName("coverage_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: two disjoint islands for user 1, one for user 2
+      in.addData(SpanRow(1L, 0L, 10L), SpanRow(1L, 20L, 30L),
+        SpanRow(2L, 5L, 6L))
+      q.processAllAvailable()
+      val mid = spark.table("coverage_test").as[CoverageSnapshot].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.last }
+      assert(mid(1L).n_islands == 2 && mid(1L).covered == 20)
+      // batch 2 arrives OUT OF ORDER and bridges user 1's gap (touching
+      // both islands), plus a fully-contained span that adds nothing
+      in.addData(SpanRow(1L, 10L, 20L), SpanRow(1L, 2L, 4L))
+      q.processAllAvailable()
+      val fin = spark.table("coverage_test").as[CoverageSnapshot].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.covered) }
+      assert(fin(1L).n_islands == 1 && fin(1L).covered == 30)
+      // parity with the batch operator on the union of all arrivals
+      val allSpans = Seq((1L, 0L, 10L, 1L), (1L, 20L, 30L, 2L),
+        (2L, 5L, 6L, 3L), (1L, 10L, 20L, 4L), (1L, 2L, 4L, 5L))
+        .toDF("user_id", "s", "e", "id")
+      val batch = graft.ops.Intervals.coverage(allSpans, "user_id", "s", "e", "id")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(batch(1L) == ((fin(1L).n_islands, fin(1L).covered)))
+      assert(batch(2L) == ((fin(2L).n_islands, fin(2L).covered)))
+    } finally q.stop()
+  }
 }
