@@ -535,4 +535,51 @@ object Similarity {
     graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
       Seq("adc" -> true, "nid" -> false), k)
   }
+
+  /** Embedding-space QA report: per label, member count, COHESION (mean L2
+    * distance of members to their label centroid) and SEPARATION (min L2
+    * distance from this centroid to any other label's centroid). The
+    * embedding-quality dashboard row: collapsing cohesion or shrinking
+    * separation flags drifted encoders or mislabeled slices before any
+    * model consumes the vectors.
+    *
+    * Scale + determinism shape: one posexplode pass to the (label, pos)
+    * grain; centroids are a labels×dims config-sized frame (broadcast into
+    * the member-distance join — the corpus-sized side never reshuffles);
+    * the centroid-pair space is labels² — driver-free but trivially
+    * small. All cross-dimension sums follow the trainCentroids discipline
+    * (quantize to a decimal grid, decimal-sum — order-independent, so
+    * DuckDB replays them bit-for-bit). */
+  def classSeparationReport(df: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.queries.Qutil.dround
+    val e = df.select(col(labelCol).as("label"), col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .withColumn("xq", dround(col("x"), 6))
+    val cent = e.groupBy("label", "pos")
+      .agg((sum(col("xq").cast(DecimalType(38, 8))).cast("double") /
+        count(lit(1))).as("c"))
+    val member = e
+      .join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("sq",
+        dround((col("xq") - col("c")) * (col("xq") - col("c")), 12))
+      .groupBy("label", "id")
+      .agg(sqrt(sum(col("sq").cast(DecimalType(38, 14))).cast("double"))
+        .as("dist"))
+    val coh = member.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        dround(sum(dround(col("dist"), 6).cast(DecimalType(38, 8)))
+          .cast("double") / count(lit(1)), 6).as("cohesion"))
+    val pd = cent.as("a")
+      .join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") =!= col("b.label"))
+      .withColumn("sq",
+        dround((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")), 12))
+      .groupBy(col("a.label").as("label"), col("b.label").as("lb"))
+      .agg(sqrt(sum(col("sq").cast(DecimalType(38, 14))).cast("double"))
+        .as("d"))
+    val sep = pd.groupBy("label").agg(dround(min(col("d")), 6).as("separation"))
+    coh.join(sep, Seq("label"))
+  }
 }

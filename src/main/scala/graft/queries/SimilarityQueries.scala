@@ -535,5 +535,51 @@ object SimilarityQueries {
         .select(col("qid"), col("kind"), col("nid"), col("label"),
           dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "kind")
+    },
+
+    // Embedding-space QA (Similarity.classSeparationReport): per-label
+    // cohesion (mean member→centroid L2) and separation (min centroid→
+    // other-centroid L2). Every cross-dimension sum is a decimal sum of
+    // grid-quantized terms (the trainCentroids discipline), so the oracle
+    // replays centroids, member distances, and the pair matrix exactly.
+    Q.sql("q155_class_separation",
+      """WITH e AS (
+        |  SELECT label, vec_id AS id, u.i AS pos,
+        |         floor(CAST(u.x AS DOUBLE) * 1000000 + 0.5) / 1000000 AS xq
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(embedding) AS x,
+        |                       generate_subscripts(embedding, 1) AS i) u),
+        |cent AS (
+        |  SELECT label, pos,
+        |         CAST(SUM(CAST(xq AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |member AS (
+        |  SELECT e.label, e.id,
+        |         sqrt(CAST(SUM(CAST(
+        |           floor((e.xq - c.c) * (e.xq - c.c) * 1e12 + 0.5) / 1e12
+        |           AS DECIMAL(38,14))) AS DOUBLE)) AS dist
+        |  FROM e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+        |  GROUP BY 1, 2),
+        |coh AS (
+        |  SELECT label, count(*) AS n,
+        |         floor(CAST(SUM(CAST(floor(dist * 1000000 + 0.5) / 1000000
+        |                             AS DECIMAL(38,8))) AS DOUBLE)
+        |               / count(*) * 1000000 + 0.5) / 1000000 AS cohesion
+        |  FROM member GROUP BY 1),
+        |pd AS (
+        |  SELECT a.label AS label, b.label AS lb,
+        |         sqrt(CAST(SUM(CAST(
+        |           floor((a.c - b.c) * (a.c - b.c) * 1e12 + 0.5) / 1e12
+        |           AS DECIMAL(38,14))) AS DOUBLE)) AS d
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |sep AS (
+        |  SELECT label, floor(MIN(d) * 1000000 + 0.5) / 1000000 AS separation
+        |  FROM pd GROUP BY 1)
+        |SELECT c.label, c.n, c.cohesion, s.separation
+        |FROM coh c JOIN sep s USING (label) ORDER BY 1""".stripMargin) { (s, d) =>
+      Similarity.classSeparationReport(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .orderBy("label")
     })
 }
