@@ -45,7 +45,9 @@ object Explain {
       "q146_bloom_join_reduction", "q147_zonemap_skipping",
       "q148_interval_coverage", "q149_ab_ztest", "q150_rollup_routing",
       "q151_referential_audit", "q152_label_propagation", "q153_cv_folds",
-      "q154_split_leakage", "q155_class_separation")
+      "q154_split_leakage", "q155_class_separation",
+      "q156_decayed_engagement", "q157_large_orders", "q158_idle_customers",
+      "q159_supplier_share")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -965,5 +965,38 @@ object EventAnalyticsQueries {
           Qutil.dround(pb, 6).as("rate_b"),
           when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
         .orderBy("event_type")
+    },
+
+    // Exponentially time-decayed engagement score (7-day half-life,
+    // anchored at the corpus max day — recency-weighted user value, the
+    // feature-store staple). λ is a fixed literal so the exp() argument is
+    // bit-identical in both engines; each term is grid-quantized at 4dp
+    // BEFORE the decimal sum (the q134 6dp-ln precedent: libm exp may
+    // differ in the last ulp, the grid absorbs it, the decimal sum makes
+    // order irrelevant). One aggregate on the user grain after a map-only
+    // projection.
+    Q.sql("q156_decayed_engagement",
+      """WITH b AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |         floor(value * exp(-0.099021
+        |                           * (b.mx - CAST(ts AS DATE)))
+        |               * 10000 + 0.5) / 10000 AS term
+        |  FROM events CROSS JOIN b)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS engagement
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val mx = ev.agg(max("day").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("term", Qutil.dround(
+          col("value") * exp(lit(-0.099021) * datediff(col("mx"), col("day"))),
+          4))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("term").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double").as("engagement"))
+        .orderBy("user_id")
     })
 }

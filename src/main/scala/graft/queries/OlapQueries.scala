@@ -451,5 +451,99 @@ object OlapQueries {
         .agg(sum(col("n")).as("n_orders"),
           sum(col("rev")).cast("double").as("revenue"))
         .orderBy("mon", "status")
+    },
+
+    // TPC-H Q18 shape (large-volume orders): IN over a grouped-HAVING
+    // subquery. Decorrelated Spark form: aggregate lineitem to the order
+    // grain FIRST (map-side-combinable sum), filter the threshold, then
+    // join the order/customer dims onto the small survivor set — the
+    // fact table is touched once, at its natural grain.
+    Q.sql("q157_large_orders",
+      """SELECT c_name, o_orderkey,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_qty
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING SUM(l_quantity) > 250)
+        |GROUP BY 1, 2 ORDER BY 2""".stripMargin) { (s, d) =>
+      val perOrder = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(Qutil.msum(col("l_quantity"), 2).as("total_qty"))
+        .where(col("total_qty") > 250)
+      perOrder
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("total_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q22 shape (idle high-balance customers): scalar-subquery
+    // threshold + NOT EXISTS. Decorrelated: the global positive-balance
+    // mean is a one-row broadcast; the "no recent orders" predicate is a
+    // left anti join against the distinct recent-buyer keys.
+    Q.sql("q158_idle_customers",
+      """WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |                         AS DOUBLE) / count(*) AS t
+        |             FROM customer WHERE c_acctbal > 0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_bal
+        |FROM customer c CROSS JOIN thr
+        |WHERE c.c_acctbal > thr.t
+        |  AND NOT EXISTS (SELECT 1 FROM recent r
+        |                  WHERE r.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+      // decimal-exact mean: double avg would be partial-order-dependent
+      val thr = cust.where(col("c_acctbal") > 0)
+        .agg(Qutil.mavg(col("c_acctbal"), 2).as("t"))
+      val recent = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(thr))
+        .where(col("c_acctbal") > col("t"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"),
+          Qutil.msum(col("c_acctbal"), 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // TPC-H Q11 shape (important-supplier share): HAVING against a scalar
+    // fraction of the GLOBAL total. Both totals come off ONE aggregation
+    // pass each (per-supplier, then re-aggregated global — decimal, so
+    // the re-sum is exact); the global scalar broadcasts into the filter.
+    Q.sql("q159_supplier_share",
+      """WITH per_s AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                  AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(rev) AS t FROM per_s)
+        |SELECT s_name, CAST(p.rev AS DOUBLE) AS revenue,
+        |       floor(CAST(p.rev AS DOUBLE) / CAST(t.t AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000 AS share
+        |FROM per_s p CROSS JOIN tot t
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE CAST(p.rev AS DOUBLE) > CAST(t.t AS DOUBLE) * 0.0105
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      val perS = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev"))
+      val tot = perS.agg(sum(col("rev")).as("t"))
+      perS.crossJoin(broadcast(tot))
+        .where(col("rev").cast("double") > col("t").cast("double") * 0.0105)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("rev").cast("double").as("revenue"),
+          Qutil.dround(col("rev").cast("double") / col("t").cast("double"), 6)
+            .as("share"))
+        .orderBy("s_name")
     })
 }
