@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Non-associative sequential recurrences — the operator class window
+  * functions CANNOT express: a clamped running balance
+  * `bal_i = max(0, bal_{i-1} + delta_i)` depends on every prefix through a
+  * non-linear function, so there is no frame aggregation, no prefix sum,
+  * no two-pass trick that computes it (contrast `ops.Windows`' running
+  * sums, which are associative and stay in declarative window land).
+  *
+  * This is the documented LAST-RESORT tier (d) of the operator preference
+  * order: repartition by key + in-partition secondary sort + one
+  * sequential fold per key inside `mapPartitions`. The honest scale
+  * contract:
+  *  - parallelism is per KEY (a key's rows must fold in order — inherent
+  *    to the semantics, not the implementation);
+  *  - one shuffle (the repartition) + one in-partition sort, the same cost
+  *    as any windowed aggregation over the key;
+  *  - state is O(1) per key (the running balance/peak/reset counters) and
+  *    rows stream through the iterator — nothing is materialized
+  *    per-partition;
+  *  - all arithmetic is integer (callers pass deltas in minor units), so
+  *    results are engine-exact and the recurrence is replayable as a
+  *    DuckDB recursive CTE.
+  */
+object Recurrence {
+
+  final case class BalanceReport(user_id: Long, final_balance: Long,
+                                 peak_balance: Long, n_resets: Long)
+
+  /** Fold `(key, ts, id, delta)` rows — ordered by (ts, id) within each
+    * key — through the clamped-balance recurrence; one report row per key.
+    * `n_resets` counts rows where the unclamped balance went negative. */
+  def clampedBalance(rows: Dataset[(Long, Long, Long, Long)])
+  : Dataset[BalanceReport] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        new Iterator[BalanceReport] {
+          private var cur = Option.empty[BalanceReport]
+          private var pending = Option.empty[BalanceReport]
+          private def fold(r: (Long, Long, Long, Long)): Unit = {
+            val (k, _, _, delta) = r
+            cur match {
+              case Some(s) if s.user_id == k =>
+                val raw = s.final_balance + delta
+                val bal = math.max(0L, raw)
+                cur = Some(BalanceReport(k, bal,
+                  math.max(s.peak_balance, bal),
+                  s.n_resets + (if (raw < 0) 1L else 0L)))
+              case other =>
+                pending = other // previous key complete — emit it
+                val raw = delta
+                val bal = math.max(0L, raw)
+                cur = Some(BalanceReport(k, bal, bal,
+                  if (raw < 0) 1L else 0L))
+            }
+          }
+          def hasNext: Boolean = pending.nonEmpty || it.hasNext || cur.nonEmpty
+          def next(): BalanceReport = {
+            while (pending.isEmpty && it.hasNext) fold(it.next())
+            pending match {
+              case Some(p) => pending = None; p
+              case None => // input exhausted: flush the last key
+                val last = cur.get; cur = None; last
+            }
+          }
+        }
+      }
+  }
+
+  /** DataFrame front door: selects/casts the four columns and returns the
+    * per-key report frame. */
+  def clampedBalanceReport(df: DataFrame, keyCol: String, tsCol: String,
+                           idCol: String, deltaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    clampedBalance(df.select(
+      col(keyCol).cast("long").as("_1"), col(tsCol).cast("long").as("_2"),
+      col(idCol).cast("long").as("_3"), col(deltaCol).cast("long").as("_4"))
+      .as[(Long, Long, Long, Long)])
+      .toDF()
+  }
+}

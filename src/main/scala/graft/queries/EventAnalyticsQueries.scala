@@ -998,5 +998,47 @@ object EventAnalyticsQueries {
           sum(col("term").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
             .cast("double").as("engagement"))
         .orderBy("user_id")
+    },
+
+    // Clamped running balance (ops.Recurrence): bal_i = max(0, bal_{i-1} +
+    // delta_i) — a NON-ASSOCIATIVE recurrence no window frame or prefix
+    // sum can express, folded sequentially per key after one repartition +
+    // in-partition sort (the documented mapPartitions last-resort tier,
+    // with the honest per-key-parallelism contract). Integer cents end to
+    // end; the oracle replays the recurrence as a recursive CTE stepping
+    // rn → rn+1 — a hash match proves every intermediate clamp decision.
+    Q.sql("q160_clamped_balance",
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) - 10000 AS delta,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |cnt AS (SELECT user_id, count(*) AS n FROM seq GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn,
+        |         GREATEST(CAST(0 AS BIGINT), delta) AS bal,
+        |         GREATEST(CAST(0 AS BIGINT), delta) AS peak,
+        |         CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+        |              ELSE CAST(0 AS BIGINT) END AS resets
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn,
+        |         GREATEST(CAST(0 AS BIGINT), r.bal + s.delta),
+        |         GREATEST(r.peak, GREATEST(CAST(0 AS BIGINT), r.bal + s.delta)),
+        |         r.resets + CASE WHEN r.bal + s.delta < 0 THEN 1 ELSE 0 END
+        |  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+        |SELECT r.user_id, r.bal AS final_balance, r.peak AS peak_balance,
+        |       r.resets AS n_resets
+        |FROM r JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n
+        |ORDER BY r.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"),
+        (floor(col("value") * 100 + 0.5).cast("long") - 10000L).as("delta"))
+      graft.ops.Recurrence
+        .clampedBalanceReport(ev, "user_id", "us", "event_id", "delta")
+        .orderBy("user_id")
     })
 }

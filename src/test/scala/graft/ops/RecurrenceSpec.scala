@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RecurrenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts, id, delta)
+  private def rows = Seq(
+    (1L, 10L, 1L, 5L),    // bal 5
+    (1L, 20L, 2L, -8L),   // raw -3 → clamp 0, reset
+    (1L, 30L, 3L, 7L),    // bal 7 (peak)
+    (1L, 40L, 4L, -2L),   // bal 5
+    (2L, 10L, 1L, -1L),   // raw -1 → clamp 0, reset
+    (2L, 20L, 2L, 3L)     // bal 3
+  ).toDF("k", "ts", "id", "delta")
+
+  private def report(df: org.apache.spark.sql.DataFrame) =
+    Recurrence.clampedBalanceReport(df, "k", "ts", "id", "delta")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("clamp, peak and reset semantics") {
+    assert(report(rows) === Seq((1L, 5L, 7L, 1L), (2L, 3L, 3L, 1L)))
+  }
+
+  test("unsorted, multi-partition input folds in (ts, id) order per key") {
+    assert(report(rows.orderBy(rand(7)).repartition(5)) ===
+      Seq((1L, 5L, 7L, 1L), (2L, 3L, 3L, 1L)))
+  }
+
+  test("clamping is order-sensitive — the recurrence is not a prefix sum") {
+    // same multiset of deltas, different order → different final balance,
+    // proving a windowed/prefix-sum formulation could not be equivalent
+    val reordered = Seq(
+      (1L, 10L, 1L, -8L), (1L, 20L, 2L, 5L), (1L, 30L, 3L, -2L),
+      (1L, 40L, 4L, 7L)
+    ).toDF("k", "ts", "id", "delta")
+    assert(report(reordered) === Seq((1L, 10L, 10L, 1L)))
+  }
+
+  test("ties on ts break by id deterministically") {
+    val tied = Seq(
+      (1L, 10L, 2L, -5L), (1L, 10L, 1L, 3L) // id 1 first: 3 → clamp(-2)=0
+    ).toDF("k", "ts", "id", "delta")
+    assert(report(tied) === Seq((1L, 0L, 3L, 1L)))
+  }
+}
