@@ -47,7 +47,8 @@ object Explain {
       "q151_referential_audit", "q152_label_propagation", "q153_cv_folds",
       "q154_split_leakage", "q155_class_separation",
       "q156_decayed_engagement", "q157_large_orders", "q158_idle_customers",
-      "q159_supplier_share", "q160_clamped_balance")
+      "q159_supplier_share", "q160_clamped_balance", "q161_basket_lift",
+      "q162_bounce_report", "q163_mi_screen", "q164_benford_screen")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -174,4 +174,32 @@ object Sessions {
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Entry-point/bounce report: sessionize by inactivity gap (the
+    * [[sessionize]] recurrence), pick each session's ENTRY event by the
+    * deterministic (ts, id) struct-min — no second window pass — and roll
+    * up per entry type: sessions started there, single-event "bounces",
+    * and the bounce rate. The landing-page analytics staple, one gap
+    * window + two aggregates. */
+  def bounceReport(events: DataFrame, userCol: String, tsCol: String,
+                   eventIdCol: String, typeCol: String,
+                   gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("__us").asc, col(eventIdCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val flagged = events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__new",
+        when(col("__us") - lag("__us", 1).over(w) > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("session_idx", sum("__new").over(w))
+    val sessions = flagged.groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(struct(col("__us").as("u"), col(eventIdCol).as("i"),
+          col(typeCol).as("t"))).getField("t").as("entry_type"),
+        count(lit(1)).as("n_events"))
+    sessions.groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate", graft.queries.Qutil.dround(
+        col("n_bounces").cast("double") / col("n_sessions"), 6))
+  }
 }

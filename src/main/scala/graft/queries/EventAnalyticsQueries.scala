@@ -1040,5 +1040,48 @@ object EventAnalyticsQueries {
       graft.ops.Recurrence
         .clampedBalanceReport(ev, "user_id", "us", "event_id", "delta")
         .orderBy("user_id")
+    },
+
+    // Session entry-point / bounce report (ops.Sessions.bounceReport):
+    // 30-min gap sessionization (q53's recurrence), entry event by the
+    // deterministic (us, id) struct-min — one gap window, no second
+    // window pass — rolled up per entry type with the bounce rate.
+    Q.sql("q162_bounce_report",
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         CASE WHEN us - lag(us) OVER w > ${GapSeconds * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         sum(new_session) OVER (PARTITION BY user_id
+         |                                ORDER BY us, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f),
+         |s2 AS (
+         |  SELECT user_id, sid, event_type,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY us, event_id) AS rn
+         |  FROM s),
+         |entry AS (SELECT user_id, sid, event_type AS entry_type
+         |          FROM s2 WHERE rn = 1),
+         |cnt AS (SELECT user_id, sid, count(*) AS n_events
+         |        FROM s GROUP BY 1, 2),
+         |sess AS (
+         |  SELECT c.user_id, c.sid, e.entry_type, c.n_events
+         |  FROM cnt c JOIN entry e USING (user_id, sid))
+         |SELECT entry_type, count(*) AS n_sessions,
+         |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_bounces,
+         |       floor(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+         |         AS bounce_rate
+         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Sessions.bounceReport(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", GapSeconds)
+        .orderBy("entry_type")
     })
 }

@@ -545,5 +545,52 @@ object OlapQueries {
           Qutil.dround(col("rev").cast("double") / col("t").cast("double"), 6)
             .as("share"))
         .orderBy("s_name")
+    },
+
+    // Market-basket lift (q134's PMI shape on transactions): pair space
+    // bounded to the top-200 parts by basket support BEFORE the within-order
+    // self-join — the unbounded version is quadratic in basket width. Lift
+    // = sup(ab)·N / (sup(a)·sup(b)); all counts exact integers, the ratio
+    // rounds at 6dp. Output is every qualifying pair ordered by key (no
+    // rank-by-float ambiguity).
+    Q.sql("q161_basket_lift",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT o) AS n_baskets FROM items),
+        |sup AS (SELECT p, count(*) AS s FROM items GROUP BY 1),
+        |topm AS (SELECT p, s FROM sup ORDER BY s DESC, p LIMIT 200),
+        |ti AS (SELECT i.o, i.p FROM items i JOIN topm t ON t.p = i.p),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS sab
+        |  FROM ti a JOIN ti b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, sab,
+        |       floor(CAST(sab AS DOUBLE) * n.n_baskets
+        |             / (sa.s * sb.s) * 1000000 + 0.5) / 1000000 AS lift
+        |FROM pairs CROSS JOIN n
+        |JOIN topm sa ON sa.p = pa
+        |JOIN topm sb ON sb.p = pb
+        |ORDER BY pa, pb""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nB = items.agg(count_distinct(col("o")).as("n_baskets"))
+      val sup = items.groupBy("p").agg(count(lit(1)).as("s"))
+      val topm = sup.orderBy(col("s").desc, col("p").asc).limit(200)
+      val ti = items.join(broadcast(topm.select("p")), Seq("p"))
+      val pairs = ti.as("a")
+        .join(ti.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("sab"))
+        .where(col("sab") >= 2)
+      pairs
+        .join(broadcast(topm.select(col("p").as("pa"), col("s").as("sa_s"))), "pa")
+        .join(broadcast(topm.select(col("p").as("pb"), col("s").as("sb_s"))), "pb")
+        .crossJoin(broadcast(nB))
+        .select(col("pa"), col("pb"), col("sab"),
+          Qutil.dround(col("sab").cast("double") * col("n_baskets") /
+            (col("sa_s") * col("sb_s")), 6).as("lift"))
+        .orderBy("pa", "pb")
     })
 }

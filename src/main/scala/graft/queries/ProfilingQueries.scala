@@ -199,5 +199,91 @@ object ProfilingQueries {
           Fk("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
             Tables.customer(s, d), "c_custkey")))
         .orderBy("fk")
+    },
+
+    // Mutual information between event_type and the value decile — the
+    // feature-dependency screen (does this categorical predict that
+    // numeric?). One contingency aggregate; marginals re-aggregate off it;
+    // each p·ln term is 9dp-grid-quantized before the decimal sum (the
+    // q134 ln discipline), so MI is engine-exact at 6dp.
+    Q.sql("q163_mi_screen",
+      """WITH cells AS (
+        |  SELECT event_type AS a,
+        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS b,
+        |         count(*) AS nij
+        |  FROM events GROUP BY 1, 2),
+        |ma AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+        |mb AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT floor(CAST(c.nij AS DOUBLE) / n.n
+        |               * ln(CAST(c.nij AS DOUBLE) * n.n / (ma.ni * mb.nj))
+        |               * 1e9 + 0.5) / 1e9 AS t
+        |  FROM cells c CROSS JOIN n
+        |  JOIN ma ON ma.a = c.a JOIN mb ON mb.b = c.b)
+        |SELECT (SELECT count(*) FROM cells) AS n_cells,
+        |       (SELECT n FROM n) AS n,
+        |       (SELECT floor(CAST(SUM(CAST(t AS DECIMAL(38,11))) AS DOUBLE)
+        |                     * 1000000 + 0.5) / 1000000 FROM terms) AS mi""".stripMargin) { (s, d) =>
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type").as("a"),
+          least(floor(col("value") / 50).cast("long"), lit(9L)).as("b"))
+        .agg(count(lit(1)).as("nij"))
+      val ma = cells.groupBy("a").agg(sum("nij").as("ni"))
+      val mb = cells.groupBy("b").agg(sum("nij").as("nj"))
+      val n = cells.agg(sum("nij").as("n"))
+      val terms = cells.crossJoin(broadcast(n))
+        .join(broadcast(ma), "a").join(broadcast(mb), "b")
+        .select(Qutil.dround(
+          col("nij").cast("double") / col("n") *
+            log(col("nij").cast("double") * col("n") / (col("ni") * col("nj"))),
+          9).as("t"))
+      val nCells = cells.agg(count(lit(1)).as("n_cells"))
+      val mi = terms.agg(Qutil.dround(
+        sum(col("t").cast(org.apache.spark.sql.types.DecimalType(38, 11)))
+          .cast("double"), 6).as("mi"))
+      nCells.crossJoin(n).crossJoin(mi)
+        .select(col("n_cells"), col("n"), col("mi"))
+    },
+
+    // Benford first-digit screen on order totals (the fraud/data-entry
+    // anomaly staple): the leading digit of the cents integer equals the
+    // leading digit of the price (×100 shifts the decimal point), so digit
+    // extraction is exact string math — no log10 on data. Expected
+    // frequencies are shared 12dp literals; chi² terms round at 6dp.
+    Q.sql("q164_benford_screen", {
+      val probs = (1 to 9).map(dg =>
+        s"WHEN '$dg' THEN ${f"${math.log10(1 + 1.0 / dg)}%.12f"}")
+        .mkString(" ")
+      s"""WITH d AS (
+         |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         |                     AS VARCHAR), 1, 1) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+         |n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+         |SELECT digit, n_obs,
+         |       floor((CASE digit $probs END) * n.n * 1000000 + 0.5) / 1000000
+         |         AS expected_n,
+         |       floor((n_obs - (CASE digit $probs END) * n.n)
+         |             * (n_obs - (CASE digit $probs END) * n.n)
+         |             / ((CASE digit $probs END) * n.n) * 1000000 + 0.5)
+         |         / 1000000 AS chi2_term
+         |FROM c CROSS JOIN n ORDER BY digit""".stripMargin
+    }) { (s, d) =>
+      val digit = substring(
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1)
+      val c = Tables.orders(s, d)
+        .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
+      val n = c.agg(sum("n_obs").cast("long").as("n"))
+      val p = (1 to 9).foldLeft(lit(0.0)) { (els, dg) =>
+        when(col("digit") === dg.toString,
+          lit(f"${math.log10(1 + 1.0 / dg)}%.12f".toDouble)).otherwise(els)
+      }
+      val dev = col("n_obs") - p * col("n")
+      c.crossJoin(broadcast(n))
+        .select(col("digit"), col("n_obs"),
+          Qutil.dround(p * col("n"), 6).as("expected_n"),
+          Qutil.dround(dev * dev / (p * col("n")), 6).as("chi2_term"))
+        .orderBy("digit")
     })
 }
