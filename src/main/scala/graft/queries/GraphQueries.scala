@@ -165,8 +165,10 @@ object GraphQueries {
 
     // Deterministic synchronous label propagation (LpaRounds rounds) over
     // the customer–supplier trade graph: most-frequent neighbor label,
-    // ties → MIN label. Every round is replayed as a chained CTE (the
-    // q73/q137 technique); output is the community-size histogram.
+    // ties → MAX label (so the per-round argmax is a sort-free
+    // max-over-structs aggregate — see Graph.labelPropagation). Every
+    // round is replayed as a chained CTE (the q73/q137 technique); output
+    // is the community-size histogram.
     Q.sql("q152_label_propagation", {
       val roundCtes = (1 to LpaRounds).map { r =>
         s""",
@@ -174,7 +176,7 @@ object GraphQueries {
            |        FROM e JOIN l${r - 1} l ON l.node = e.src GROUP BY 1, 2),
            |l$r AS (SELECT node, lab FROM (
            |          SELECT node, lab, row_number() OVER (
-           |            PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+           |            PARTITION BY node ORDER BY cnt DESC, lab DESC) AS rn
            |          FROM c$r) WHERE rn = 1)"""
       }.mkString
       s"""WITH pairs AS (

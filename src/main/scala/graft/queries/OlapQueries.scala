@@ -402,9 +402,10 @@ object OlapQueries {
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand = 'Brand#4'
+        |WHERE (p_brand = 'Brand#4' OR p_brand LIKE 'Brand#4#s%')
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val dim = Tables.part(s, d).where(col("p_brand") === "Brand#4")
+      val dim = Tables.part(s, d).where(col("p_brand") === "Brand#4" ||
+        col("p_brand").startsWith("Brand#4#s"))
       graft.ops.JoinReduce.reducedJoin(
           Tables.lineitem(s, d).select("l_partkey", "l_extendedprice", "l_discount"),
           "l_partkey", dim.select("p_partkey", "p_type"), "p_partkey",

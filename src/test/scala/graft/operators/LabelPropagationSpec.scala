@@ -22,12 +22,12 @@ class LabelPropagationSpec extends SparkSpec {
     assert(labels("a") !== labels("x"))
   }
 
-  test("ties break to the MIN label deterministically") {
-    // path a-b-c after 1 round: b sees {a,c} equally often → picks "a"
+  test("ties break to the MAX label deterministically") {
+    // path a-b-c after 1 round: b sees {a,c} equally often → picks "c"
     val edges = sym(Seq(("a", "b"), ("b", "c")))
     val labels = Graph.labelPropagation(edges, rounds = 1)
       .as[(String, String)].collect().toMap
-    assert(labels("b") === "a")
+    assert(labels("b") === "c")
     assert(labels("a") === "b") // a's only neighbor is b
     assert(labels("c") === "b")
   }
