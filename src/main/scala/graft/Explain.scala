@@ -48,7 +48,8 @@ object Explain {
       "q154_split_leakage", "q155_class_separation",
       "q156_decayed_engagement", "q157_large_orders", "q158_idle_customers",
       "q159_supplier_share", "q160_clamped_balance", "q161_basket_lift",
-      "q162_bounce_report", "q163_mi_screen", "q164_benford_screen")
+      "q162_bounce_report", "q163_mi_screen", "q164_benford_screen",
+      "q165_time_travel", "q166_period_end_balance", "q167_feature_hashing")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -785,5 +785,45 @@ object CurationQueries {
           sum("doc_id").as("id_sum"),
           sum("n_chars").as("chars_sum"))
         .orderBy("fold", "lang")
+    },
+
+    // Feature hashing (the hashing trick): categorical tokens map to a
+    // fixed 16-bucket vector via md5 bucket + md5 sign — dimensionality is
+    // a CONSTANT independent of vocabulary, the property that makes the
+    // trick scale-free (no vocabulary table to build, broadcast, or grow).
+    // Map-only token explode + one (user, bucket) aggregate; the oracle
+    // replays bucket and sign hashes exactly.
+    Q.sql("q167_feature_hashing", {
+      def tok(e: String) = s"'fh:' || $e"
+      def sg(e: String) = s"'sg:' || $e"
+      s"""WITH t AS (
+         |  SELECT user_id, tok FROM (
+         |    SELECT user_id,
+         |           unnest(['type=' || event_type,
+         |                   'bucket=' || CAST(least(CAST(floor(value / 50) AS BIGINT), 9)
+         |                                     AS VARCHAR)]) AS tok
+         |    FROM events)),
+         |h AS (
+         |  SELECT user_id,
+         |         ${md5IntSql(tok("tok"))} % 16 AS bucket,
+         |         CASE WHEN ${md5IntSql(sg("tok"))} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM t)
+         |SELECT user_id, bucket, CAST(SUM(sgn) AS BIGINT) AS val
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val toks = Tables.events(s, d).select(
+        col("user_id"),
+        explode(array(
+          concat(lit("type="), col("event_type")),
+          concat(lit("bucket="),
+            least(floor(col("value") / 50).cast("long"), lit(9L)).cast("string"))
+        )).as("tok"))
+      toks.select(col("user_id"),
+          pmod(md5Int(concat(lit("fh:"), col("tok"))), lit(16L)).as("bucket"),
+          when(pmod(md5Int(concat(lit("sg:"), col("tok"))), lit(2L)) === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy("user_id", "bucket")
+        .agg(sum("sgn").as("val"))
+        .orderBy("user_id", "bucket")
     })
 }

@@ -499,5 +499,40 @@ object DomainQueries {
         .agg(count(lit(1)).as("n_orders"),
           Qutil.msum(col("o_totalprice"), 2).as("total_price"))
         .orderBy("mon")
+    },
+
+    // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
+    // the 2001 append; reading version 1 AFTER commit 2 landed must see
+    // exactly the pre-append table (the manifest, not the directory,
+    // defines the snapshot). The oracle states both versions' contents
+    // directly from the date split — a hash match proves the v1 read is
+    // unaffected by the later commit AND the v2 read unions both commits.
+    Q.sql("q165_time_travel",
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS mon, o_totalprice AS p,
+        |         o_orderdate AS dt
+        |  FROM orders),
+        |a AS (SELECT 1 AS version, mon, count(*) AS n_orders,
+        |             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |      FROM m WHERE dt < TIMESTAMP '2001-01-01' GROUP BY 2),
+        |b AS (SELECT 2 AS version, mon, count(*) AS n_orders,
+        |             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |      FROM m GROUP BY 2)
+        |SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY version, mon""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files.createTempDirectory("q165tt").toString + "/orders_v"
+      val orders = graft.io.Tables.orders(s, d)
+      val cut = lit("2001-01-01").cast("timestamp")
+      graft.io.Versioned.commit(orders.where(col("o_orderdate") < cut), tbl)
+      graft.io.Versioned.commit(orders.where(col("o_orderdate") >= cut), tbl)
+      def agg(version: Int) =
+        graft.io.Versioned.snapshot(s, tbl, version)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+          .agg(count(lit(1)).as("n_orders"),
+            Qutil.msum(col("o_totalprice"), 2).as("total"))
+          .select(lit(version).as("version"), col("mon"),
+            col("n_orders"), col("total"))
+      agg(1).unionByName(agg(2)).orderBy("version", "mon")
     })
 }

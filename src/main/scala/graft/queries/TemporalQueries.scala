@@ -217,5 +217,39 @@ object TemporalQueries {
         .groupBy("day")
         .agg(count_distinct(col("user_id")).as("active_7d"))
         .orderBy("day")
+    },
+
+    // Semi-additive period-end rollup: a balance-like measure sums across
+    // ACCOUNTS but not across TIME — each (user, day) contributes its
+    // LAST observation (by event time, id tie-break), then days sum
+    // across users. The BI staple plain SUM gets silently wrong. One
+    // (user, day)-keyed argmax window + a day-grain decimal aggregate.
+    Q.sql("q166_period_end_balance",
+      """WITH e AS (
+        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, value,
+        |         epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |last AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT user_id, day, value,
+        |           row_number() OVER (PARTITION BY user_id, day
+        |                              ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1)
+        |SELECT day, count(*) AS n_accounts,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS eod_total
+        |FROM last GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"))
+      graft.ops.Windows.keepBest(e, Seq("user_id", "day"),
+          Seq(col("us").desc, col("event_id").desc))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_accounts"),
+          Qutil.msum(col("value"), 4).as("eod_total"))
+        .orderBy("day")
     })
 }
