@@ -314,4 +314,66 @@ object Streaming {
             islands.map(i => i._2 - i._1).sum))
       }
   }
+
+  final case class TopKSnapshot(user_id: Long, n_top: Int, top_sum: Double,
+                                top_min: Double)
+
+  /** Spark 4 `transformWithState` showcase: per-key running top-k values
+    * via the new arbitrary-state API (StatefulProcessor + typed ListState,
+    * RocksDB-backed). Versus `flatMapGroupsWithState` (the rest of this
+    * module): state is a NAMED, TTL-capable, individually-updatable store
+    * slot rather than one opaque blob per key — the API Spark is steering
+    * stateful pipelines toward. State is exactly k doubles per key; each
+    * micro-batch emits the key's refreshed snapshot (Update mode).
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) — transformWithState
+    * does not run on the default HDFS-backed store; the spec scopes that
+    * conf to its own query. */
+  class TopKValuesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, TopKSnapshot] {
+    @transient private var top: org.apache.spark.sql.streaming.ListState[Double] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      top = getHandle.getListState[Double]("topk",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[TopKSnapshot] = {
+      var cur = top.get().toVector
+      rows.foreach(e => cur = (cur :+ e.value).sortBy(x => -x).take(k))
+      top.put(cur.toArray)
+      Iterator.single(TopKSnapshot(key, cur.size, cur.sum, cur.min))
+    }
+  }
+
+  /** Per-user running top-k of `value` as a continuously-updated snapshot
+    * stream. */
+  def topKStream(events: Dataset[EventRow], k: Int): Dataset[TopKSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKValuesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Stream → versioned table: each micro-batch lands as one
+    * `io.Versioned` commit, so a long-running ingest gets table-format
+    * semantics for free — readers pin a snapshot and are isolated from
+    * in-flight batches, and `snapshot(v)` time-travels the ingest history.
+    * Micro-batch commit aligns the streaming epoch with the table version:
+    * the checkpoint replays an epoch only into an already-written version
+    * (commit is idempotent per epoch at-least-once with manifest last-
+    * writer-wins — the same contract foreachBatch itself gives). */
+  def versionedSink(df: DataFrame, table: String,
+                    checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.Versioned.commit(batch, table): Unit
+      }
+      .start()
 }

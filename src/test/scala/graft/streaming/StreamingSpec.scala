@@ -559,4 +559,60 @@ class StreamingSpec extends SparkSpec {
       assert(batch(2L) == ((fin(2L).n_islands, fin(2L).covered)))
     } finally q.stop()
   }
+
+  test("topKStream: transformWithState ListState top-k across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import Streaming.TopKSnapshot
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventRow]
+    val q = Streaming.topKStream(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventRow(1L, ts("2024-01-01 10:00:00"), 5.0),
+        EventRow(1L, ts("2024-01-01 10:01:00"), 1.0),
+        EventRow(2L, ts("2024-01-01 10:02:00"), 7.0))
+      q.processAllAvailable()
+      // batch 2: user 1 gets two more values; 9 and 4 displace 1.0
+      in.addData(
+        EventRow(1L, ts("2024-01-01 10:03:00"), 9.0),
+        EventRow(1L, ts("2024-01-01 10:04:00"), 4.0))
+      q.processAllAvailable()
+      val last = spark.table("topk_test").as[TopKSnapshot].collect()
+        .groupBy(_.user_id).map { case (k, v) =>
+          k -> v.maxBy(s => (s.n_top, s.top_sum)) }
+      // user 1 top-3 of {5,1,9,4} = {9,5,4}
+      assert(last(1L).n_top == 3 && last(1L).top_sum == 18.0 &&
+        last(1L).top_min == 4.0)
+      assert(last(2L).n_top == 1 && last(2L).top_sum == 7.0)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
+  test("versionedSink: each micro-batch is a pinned, time-travelable commit") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vsink").toString
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.versionedSink(in.toDS().toDF("id", "v"),
+      s"$base/t", s"$base/ckpt")
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      val v1 = graft.io.Versioned.latestVersion(s"$base/t")
+      assert(v1 >= 1)
+      val v1Rows = graft.io.Versioned.snapshot(spark, s"$base/t", v1).count()
+      in.addData((3L, 3.0))
+      q.processAllAvailable()
+      // the pinned snapshot is isolated from the later commit
+      assert(graft.io.Versioned.snapshot(spark, s"$base/t", v1).count() === v1Rows)
+      assert(graft.io.Versioned.latestVersion(s"$base/t") > v1)
+      assert(graft.io.Versioned.snapshot(spark, s"$base/t").count() === 3)
+    } finally q.stop()
+  }
 }
