@@ -49,7 +49,8 @@ object Explain {
       "q156_decayed_engagement", "q157_large_orders", "q158_idle_customers",
       "q159_supplier_share", "q160_clamped_balance", "q161_basket_lift",
       "q162_bounce_report", "q163_mi_screen", "q164_benford_screen",
-      "q165_time_travel", "q166_period_end_balance", "q167_feature_hashing")
+      "q165_time_travel", "q166_period_end_balance", "q167_feature_hashing",
+      "q168_zonemap_append", "q169_theil_sen")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

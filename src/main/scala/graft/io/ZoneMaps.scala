@@ -36,6 +36,17 @@ object ZoneMaps {
     side
   }
 
+  /** Incremental manifest maintenance: scan ONLY `newDataDir` (a fresh
+    * commit/append directory — e.g. one `io.Versioned` commit) and append
+    * its per-file stats to an existing manifest. This is the Iceberg
+    * per-snapshot-manifest shape: ingest cost is proportional to the NEW
+    * files, never a rescan of the table, which is what keeps zone maps
+    * maintainable on a table that takes appends forever. */
+  def appendManifest(spark: SparkSession, newDataDir: String,
+                     manifestPath: String, auditCols: Seq[String]): Unit =
+    Writers.scanManifest(spark, newDataDir, auditCols)
+      .write.mode("append").parquet(manifestPath)
+
   /** Files whose [min_col, max_col] envelope intersects [lo, hi].
     * Null-stat files (all-null column) are kept — skipping must be
     * conservative. */

@@ -534,5 +534,48 @@ object DomainQueries {
           .select(lit(version).as("version"), col("mon"),
             col("n_orders"), col("total"))
       agg(1).unionByName(agg(2)).orderBy("version", "mon")
+    },
+
+    // Zone-map maintenance under append (io.ZoneMaps.appendManifest over
+    // io.Versioned commits — the Iceberg per-snapshot-manifest shape):
+    // each commit lands date-clustered and contributes ONLY its own files'
+    // stats to the manifest; a range scan spanning both commits prunes
+    // from the unioned manifest and still answers exactly. Ingest cost is
+    // new-files-proportional — the table is never rescanned.
+    Q.sql("q168_zonemap_append",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        |  AND o_orderdate <= TIMESTAMP '1998-06-30'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files.createTempDirectory("q168za").toString + "/orders_v"
+      val manifest = tbl + "_zonemap"
+      val orders = graft.io.Tables.orders(s, d)
+      val cut = lit("1998-01-01").cast("timestamp")
+      def clustered(df: org.apache.spark.sql.DataFrame) =
+        df.repartitionByRange(4, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+      val v1 = graft.io.Versioned.commit(
+        clustered(orders.where(col("o_orderdate") < cut)), tbl)
+      graft.io.ZoneMaps.appendManifest(s,
+        java.nio.file.Paths.get(tbl, "data", s"c$v1").toString,
+        manifest, Seq("o_orderdate"))
+      val v2 = graft.io.Versioned.commit(
+        clustered(orders.where(col("o_orderdate") >= cut)), tbl)
+      graft.io.ZoneMaps.appendManifest(s,
+        java.nio.file.Paths.get(tbl, "data", s"c$v2").toString,
+        manifest, Seq("o_orderdate"))
+      val (scan, _, _) = graft.io.ZoneMaps.prunedScan(s, tbl, manifest,
+        "o_orderdate",
+        java.sql.Timestamp.valueOf("1997-06-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1998-06-30 00:00:00"))
+      scan.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("mon")
     })
 }

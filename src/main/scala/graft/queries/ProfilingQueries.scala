@@ -285,5 +285,74 @@ object ProfilingQueries {
           Qutil.dround(p * col("n"), 6).as("expected_n"),
           Qutil.dround(dev * dev / (p * col("n")), 6).as("chi2_term"))
         .orderBy("digit")
+    },
+
+    // Theil–Sen robust trend on the daily-revenue series: the median of
+    // all pairwise slopes (breakdown point 29% vs OLS's 0). The series is
+    // COMPACTED to the day grain first, so the O(days²) pair space is
+    // calendar-sized — config-sized frames end to end, which is also why
+    // the global (unpartitioned) median windows here are fine: they sort
+    // ~days² rows, not data. Exact median (avg of the middle one/two 9dp
+    // slopes, deterministic ties) replays in DuckDB.
+    Q.sql("q169_theil_sen",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.day AS di, b.day AS dj,
+        |         floor((b.y - a.y) / (b.day - a.day) * 1e9 + 0.5) / 1e9
+        |           AS slope
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |pr AS (SELECT slope,
+        |              row_number() OVER (ORDER BY slope, di, dj) AS rn
+        |       FROM p),
+        |m AS (SELECT count(*) AS m FROM p),
+        |med AS (SELECT avg(slope) AS s FROM pr CROSS JOIN m
+        |        WHERE rn IN ((m + 1) // 2, (m + 2) // 2)),
+        |r AS (SELECT day,
+        |             floor((y - med.s * day) * 1e9 + 0.5) / 1e9 AS resid
+        |      FROM daily CROSS JOIN med),
+        |rr AS (SELECT resid,
+        |              row_number() OVER (ORDER BY resid, day) AS rn
+        |       FROM r),
+        |k AS (SELECT count(*) AS k FROM r),
+        |imed AS (SELECT avg(resid) AS i FROM rr CROSS JOIN k
+        |         WHERE rn IN ((k + 1) // 2, (k + 2) // 2))
+        |SELECT (SELECT count(*) FROM daily) AS n_days,
+        |       (SELECT m FROM m) AS n_pairs,
+        |       (SELECT floor(s * 1e9 + 0.5) / 1e9 FROM med) AS ts_slope,
+        |       (SELECT floor(i * 1e9 + 0.5) / 1e9 FROM imed) AS ts_intercept""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("day"))
+        .agg(Qutil.msum(col("value"), 4).as("y"))
+      val p = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+        .select(col("a.day").as("di"), col("b.day").as("dj"),
+          Qutil.dround((col("b.y") - col("a.y")) /
+            (col("b.day") - col("a.day")), 9).as("slope"))
+      val m = p.agg(count(lit(1)).as("m"))
+      val pr = p.withColumn("rn",
+        row_number().over(Window.orderBy(col("slope"), col("di"), col("dj"))))
+      val med = pr.crossJoin(broadcast(m))
+        .where(col("rn") === expr("(m + 1) div 2") ||
+          col("rn") === expr("(m + 2) div 2"))
+        .agg(avg(col("slope")).as("s"))
+      val r = daily.crossJoin(broadcast(med))
+        .select(col("day"),
+          Qutil.dround(col("y") - col("s") * col("day"), 9).as("resid"))
+      val k = r.agg(count(lit(1)).as("k"))
+      val rr = r.withColumn("rn",
+        row_number().over(Window.orderBy(col("resid"), col("day"))))
+      val imed = rr.crossJoin(broadcast(k))
+        .where(col("rn") === expr("(k + 1) div 2") ||
+          col("rn") === expr("(k + 2) div 2"))
+        .agg(avg(col("resid")).as("i"))
+      val nDays = daily.agg(count(lit(1)).as("n_days"))
+      nDays.crossJoin(m).crossJoin(med).crossJoin(imed)
+        .select(col("n_days"), col("m").as("n_pairs"),
+          Qutil.dround(col("s"), 9).as("ts_slope"),
+          Qutil.dround(col("i"), 9).as("ts_intercept"))
     })
 }
