@@ -84,4 +84,28 @@ class PlanSpec extends SparkSpec {
     val r = out.head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getDouble(2) == 5.0)
   }
+
+  test("q146: the bloom probe is a native predicate in the fact scan stage") {
+    val plan = SparkEntry.queries("q146_bloom_join_reduction")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain_long"), plan)
+  }
+
+  test("q150: the MV-routed query plan reads the rollup, never the fact table") {
+    val df = SparkEntry.queries("q150_rollup_routing")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("orders_daily")),
+      s"expected the MV scan:\n${scans.mkString("\n")}")
+    assert(!scans.exists(_.contains("orders.parquet")),
+      s"fact table scanned at query time:\n${scans.mkString("\n")}")
+  }
+
+  test("q166: the period-end argmax plans one window, no self-join") {
+    val plan = SparkEntry.queries("q166_period_end_balance")(spark, sf)
+      .queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"argmax should not join:\n$plan")
+  }
 }
