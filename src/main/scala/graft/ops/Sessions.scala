@@ -66,6 +66,33 @@ object Sessions {
     }.reduce(_.unionAll(_))
   }
 
+  /** [[funnel]] with a conversion deadline: step k counts only if it
+    * happens within `windowUs` of reaching step k-1 (product analytics'
+    * "converted within 24h" — the unbounded funnel over-counts stale
+    * conversions). Same per-step min-aggregate recurrence and exchange
+    * reuse; only the join predicate gains the upper bound. */
+  def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col(userCol),
+      col(typeCol).as("__type"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+    val first = ev.where(col("__type") === steps.head)
+      .groupBy(userCol).agg(min("__us").as("__t"))
+    val reaches = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.where(col("__type") === step)
+        .join(prev.select(col(userCol), col("__t").as("__tprev")), userCol)
+        .where(col("__us") > col("__tprev") &&
+          col("__us") <= col("__tprev") + windowUs)
+        .groupBy(userCol).agg(min("__us").as("__t"))
+    }
+    reaches.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Gaps-and-islands run-length encoding: collapse consecutive events with
     * the same state value (per user, ordered by ts then event id) into one
     * row per run — the standard change-point compaction for state logs

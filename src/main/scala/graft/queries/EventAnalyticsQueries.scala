@@ -1083,5 +1083,39 @@ object EventAnalyticsQueries {
       graft.ops.Sessions.bounceReport(Tables.events(s, d),
           "user_id", "ts", "event_id", "event_type", GapSeconds)
         .orderBy("entry_type")
+    },
+
+    // Windowed funnel (Sessions.windowedFunnel): each step must land
+    // within 24h of reaching the previous one — the conversion-deadline
+    // variant of q57 (whose unbounded form over-counts stale
+    // conversions). Same min-aggregate recurrence; the oracle adds the
+    // identical upper bound per step.
+    Q.sql("q170_windowed_funnel", {
+      val w = 24L * 3600 * 1000000
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.us) AS t
+         |       FROM e JOIN s1 ON s1.user_id = e.user_id
+         |       WHERE e.event_type = 'click' AND e.us > s1.t
+         |         AND e.us <= s1.t + $w GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.us) AS t
+         |       FROM e JOIN s2 ON s2.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase' AND e.us > s2.t
+         |         AND e.us <= s2.t + $w GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         |         count(*) AS n_users FROM s1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+         |ORDER BY step_idx""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Sessions.windowedFunnel(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowUs = 24L * 3600 * 1000000)
+        .orderBy("step_idx")
     })
 }
