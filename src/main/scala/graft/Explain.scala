@@ -50,7 +50,8 @@ object Explain {
       "q159_supplier_share", "q160_clamped_balance", "q161_basket_lift",
       "q162_bounce_report", "q163_mi_screen", "q164_benford_screen",
       "q165_time_travel", "q166_period_end_balance", "q167_feature_hashing",
-      "q168_zonemap_append", "q169_theil_sen", "q170_windowed_funnel")
+      "q168_zonemap_append", "q169_theil_sen", "q170_windowed_funnel",
+      "q171_time_to_convert")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -1117,5 +1117,53 @@ object EventAnalyticsQueries {
           "event_type", Seq("view", "click", "purchase"),
           windowUs = 24L * 3600 * 1000000)
         .orderBy("step_idx")
+    },
+
+    // Time-to-convert distribution: among q170's full converters, seconds
+    // from first view to the (deadline-respecting) purchase — exact
+    // linear-interpolated percentiles at 6dp (the q55 discipline). The
+    // funnel recurrence reuses the user-key exchange end to end.
+    Q.sql("q171_time_to_convert", {
+      val w = 24L * 3600 * 1000000
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |s1 AS (SELECT user_id, min(us) AS t FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.us) AS t
+         |       FROM e JOIN s1 ON s1.user_id = e.user_id
+         |       WHERE e.event_type = 'click' AND e.us > s1.t
+         |         AND e.us <= s1.t + $w GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.us) AS t
+         |       FROM e JOIN s2 ON s2.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase' AND e.us > s2.t
+         |         AND e.us <= s2.t + $w GROUP BY 1),
+         |conv AS (
+         |  SELECT (s3.t - s1.t) / 1000000.0 AS ttc_s
+         |  FROM s3 JOIN s1 ON s1.user_id = s3.user_id)
+         |SELECT count(*) AS n_converters,
+         |       floor(quantile_cont(ttc_s, 0.5) * 1000000 + 0.5) / 1000000
+         |         AS p50_s,
+         |       floor(quantile_cont(ttc_s, 0.9) * 1000000 + 0.5) / 1000000
+         |         AS p90_s
+         |FROM conv""".stripMargin
+    }) { (s, d) =>
+      val w = 24L * 3600 * 1000000L
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      def first(t: String) = ev.where(col("event_type") === t)
+        .groupBy("user_id").agg(min("us").as("t"))
+      def bounded(prev: org.apache.spark.sql.DataFrame, t: String) =
+        ev.where(col("event_type") === t)
+          .join(prev.select(col("user_id"), col("t").as("tprev")), "user_id")
+          .where(col("us") > col("tprev") && col("us") <= col("tprev") + w)
+          .groupBy("user_id").agg(min("us").as("t"))
+      val s1 = first("view")
+      val s3 = bounded(bounded(s1, "click"), "purchase")
+      s3.join(s1.select(col("user_id"), col("t").as("t1")), "user_id")
+        .select(((col("t") - col("t1")) / lit(1000000.0)).as("ttc_s"))
+        .agg(count(lit(1)).as("n_converters"),
+          Qutil.dround(expr("percentile(ttc_s, 0.5)"), 6).as("p50_s"),
+          Qutil.dround(expr("percentile(ttc_s, 0.9)"), 6).as("p90_s"))
     })
 }

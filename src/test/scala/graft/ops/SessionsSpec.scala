@@ -85,4 +85,24 @@ class SessionsSpec extends SparkSpec {
     assert(out((day0 + 2, 0)) == 1L)   // user 8's own cohort
     assert(out.size == 3)
   }
+
+  test("windowedFunnel drops conversions past the deadline; funnel keeps them") {
+    // user 1 converts within the hour; user 2's click comes 3 days later
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-04 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val bounded = Sessions.windowedFunnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"), windowUs = 24L * 3600 * 1000000)
+      .orderBy("step_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(bounded === Seq((1L, "view", 2L), (2L, "click", 1L)))
+    val unbounded = Sessions.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .orderBy("step_idx")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(unbounded === Seq((1L, "view", 2L), (2L, "click", 2L)))
+  }
 }
