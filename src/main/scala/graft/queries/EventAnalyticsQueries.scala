@@ -1165,5 +1165,56 @@ object EventAnalyticsQueries {
         .agg(count(lit(1)).as("n_converters"),
           Qutil.dround(expr("percentile(ttc_s, 0.5)"), 6).as("p50_s"),
           Qutil.dround(expr("percentile(ttc_s, 0.9)"), 6).as("p90_s"))
+    },
+
+    // Cohort LTV curve: cumulative revenue per signup-day cohort by
+    // cohort age, normalized per user — the q54 retention matrix's
+    // revenue sibling. Raw events compact to the (cohort, age) grid
+    // FIRST (calendar² rows), so the prefix-sum window runs on the grid,
+    // never the event stream; the running sum stays DECIMAL inside the
+    // window, so the cumulative is exact at any order.
+    Q.sql("q173_cohort_ltv",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) - DATE '1970-01-01' AS day,
+        |         value
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS n_users FROM c GROUP BY 1),
+        |g AS (
+        |  SELECT c.cohort, e.day - c.cohort AS age,
+        |         CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, age,
+        |         CAST(SUM(CAST(rev AS DECIMAL(38,6)))
+        |              OVER (PARTITION BY cohort ORDER BY age
+        |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+        |  FROM g)
+        |SELECT m.cohort, m.age,
+        |       CAST(s.n_users AS BIGINT) AS n_users,
+        |       floor(m.cum_rev / s.n_users * 1000000 + 0.5) / 1000000
+        |         AS ltv_per_user
+        |FROM cum m JOIN sz s ON s.cohort = m.cohort
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.events(s, d).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("value"))
+      val c = e.groupBy("user_id").agg(min("day").as("cohort"))
+      val sz = c.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      val g = e.join(c, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("age"))
+        .agg(Qutil.msum(col("value"), 4).as("rev"))
+      val w = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("cum_rev",
+          sum(col("rev").cast(DecimalType(38, 6))).over(w).cast("double"))
+        .join(sz, "cohort")
+        .select(col("cohort"), col("age"), col("n_users"),
+          Qutil.dround(col("cum_rev") / col("n_users"), 6).as("ltv_per_user"))
+        .orderBy("cohort", "age")
     })
 }

@@ -354,5 +354,66 @@ object ProfilingQueries {
         .select(col("n_days"), col("m").as("n_pairs"),
           Qutil.dround(col("s"), 9).as("ts_slope"),
           Qutil.dround(col("i"), 9).as("ts_intercept"))
+    },
+
+    // Per-group OLS (closed form from exact moments): value-vs-day trend
+    // per event_type — slope, intercept, r². ONE aggregate computes the
+    // five moment sums as decimals of 6dp-grid terms (order-independent,
+    // so DuckDB replays them exactly); the closed form is then identical
+    // double arithmetic on identical inputs. The grouped complement of
+    // q169's global robust fit.
+    Q.sql("q172_grouped_ols",
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+        |         floor(value * 1000000 + 0.5) / 1000000 AS y
+        |  FROM events),
+        |mo AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(floor(y * y * 1000000 + 0.5) / 1000000
+        |                       AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n,
+        |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |         sx, sy, sxy, sxx, syy
+        |  FROM mo)
+        |SELECT event_type, n,
+        |       floor(slope * 1000000 + 0.5) / 1000000 AS slope,
+        |       floor((sy - slope * sx) / n * 1000000 + 0.5) / 1000000
+        |         AS intercept,
+        |       floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        |             * 1000000 + 0.5) / 1000000 AS r2
+        |FROM f ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val x = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("double")
+      val y = Qutil.dround(col("value"), 6)
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(38, 8))).cast("double")
+      val mo = Tables.events(s, d)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+          dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(Qutil.dround(col("y") * col("y"), 6)).as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      mo.withColumn("slope0", slope)
+        .select(col("event_type"), col("n"),
+          Qutil.dround(col("slope0"), 6).as("slope"),
+          Qutil.dround((col("sy") - col("slope0") * col("sx")) / col("n"), 6)
+            .as("intercept"),
+          Qutil.dround(num * num /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        .orderBy("event_type")
     })
 }
