@@ -86,4 +86,54 @@ object Recurrence {
       .as[(Long, Long, Long, Long)])
       .toDF()
   }
+
+  final case class EwmaReport(user_id: Long, n: Long, ewma: Double)
+
+  /** Per-key EWMA — s_i = α·x_i + (1-α)·s_{i-1}, s_1 = x_1 — the linear
+    * member of the sequential-recurrence family. It LOOKS window-friendly
+    * (the closed form is a weighted prefix sum) but the
+    * prefix-factorization s_i = α(1-α)^i Σ x_j(1-α)^{-j} overflows
+    * (0.75^-10000 ≈ 10^1249), so the honest scalable form is the same
+    * repartition + secondary-sort + streaming fold as [[clampedBalance]].
+    * Left-to-right fold with a fixed expression shape (α·x + (1-α)·s) —
+    * IEEE-deterministic, so a recursive-CTE oracle replays it bitwise
+    * when α is exactly representable (0.25 is). One report row per key:
+    * (key, n, final ewma). */
+  def ewmaReport(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, xCol: String, alpha: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("_1"), col(tsCol).cast("long").as("_2"),
+        col(idCol).cast("long").as("_3"), col(xCol).cast("double").as("_4"))
+      .as[(Long, Long, Long, Double)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        new Iterator[EwmaReport] {
+          private var cur = Option.empty[EwmaReport]
+          private var pending = Option.empty[EwmaReport]
+          private def fold(r: (Long, Long, Long, Double)): Unit = {
+            val (k, _, _, x) = r
+            cur match {
+              case Some(s) if s.user_id == k =>
+                cur = Some(EwmaReport(k, s.n + 1,
+                  alpha * x + (1 - alpha) * s.ewma))
+              case other =>
+                pending = other
+                cur = Some(EwmaReport(k, 1L, x))
+            }
+          }
+          def hasNext: Boolean = pending.nonEmpty || it.hasNext || cur.nonEmpty
+          def next(): EwmaReport = {
+            while (pending.isEmpty && it.hasNext) fold(it.next())
+            pending match {
+              case Some(p) => pending = None; p
+              case None => val last = cur.get; cur = None; last
+            }
+          }
+        }
+      }
+      .toDF()
+  }
 }

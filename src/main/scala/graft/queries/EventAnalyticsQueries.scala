@@ -1216,5 +1216,38 @@ object EventAnalyticsQueries {
         .select(col("cohort"), col("age"), col("n_users"),
           Qutil.dround(col("cum_rev") / col("n_users"), 6).as("ltv_per_user"))
         .orderBy("cohort", "age")
+    },
+
+    // Per-key EWMA (ops.Recurrence.ewmaReport, α = 0.25): the linear
+    // sequential recurrence — window-looking, but the closed-form prefix
+    // factorization overflows ((1-α)^-n), so it folds like q160. The
+    // recursive-CTE oracle steps the identical α·x + (1-α)·s expression,
+    // so every intermediate double matches bitwise; only the final report
+    // rounds (6dp).
+    Q.sql("q174_ewma",
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |cnt AS (SELECT user_id, count(*) AS n FROM seq GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn, value AS s FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.rn, 0.25 * q.value + 0.75 * r.s
+        |  FROM r JOIN seq q ON q.user_id = r.user_id AND q.rn = r.rn + 1)
+        |SELECT r.user_id, c.n,
+        |       floor(r.s * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM r JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n
+        |ORDER BY r.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      graft.ops.Recurrence.ewmaReport(ev, "user_id", "us", "event_id",
+          "value", alpha = 0.25)
+        .select(col("user_id"), col("n"),
+          Qutil.dround(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")
     })
 }

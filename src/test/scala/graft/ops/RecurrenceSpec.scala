@@ -46,4 +46,20 @@ class RecurrenceSpec extends SparkSpec {
     ).toDF("k", "ts", "id", "delta")
     assert(report(tied) === Seq((1L, 0L, 3L, 1L)))
   }
+
+  test("ewmaReport folds in order and is partition invariant") {
+    val xs = Seq(
+      (1L, 10L, 1L, 8.0), (1L, 20L, 2L, 4.0), (1L, 30L, 3L, 0.0),
+      (2L, 10L, 1L, 2.0)
+    ).toDF("k", "ts", "id", "x")
+    // user 1: s1=8; s2=0.25*4+0.75*8=7; s3=0.25*0+0.75*7=5.25
+    val expected = Seq((1L, 3L, 5.25), (2L, 1L, 2.0))
+    val a = Recurrence.ewmaReport(xs, "k", "ts", "id", "x", 0.25)
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(a === expected)
+    val b = Recurrence.ewmaReport(xs.orderBy(rand(3)).repartition(5),
+        "k", "ts", "id", "x", 0.25)
+      .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
+    assert(b === expected)
+  }
 }
