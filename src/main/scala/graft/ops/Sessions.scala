@@ -229,4 +229,28 @@ object Sessions {
       .withColumn("bounce_rate", graft.queries.Qutil.dround(
         col("n_bounces").cast("double") / col("n_sessions"), 6))
   }
+
+  /** Session path matrix: per session, the (entry, exit) event-type pair
+    * — both picked from ONE session-grain aggregate via struct-min and
+    * struct-max over (ts, id, type), so the gap window's sort is the only
+    * sort. Counts per (entry, exit) pair are the navigation-flow report. */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                   eventIdCol: String, typeCol: String,
+                   gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("__us").asc, col(eventIdCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val flagged = events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__new",
+        when(col("__us") - lag("__us", 1).over(w) > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("session_idx", sum("__new").over(w))
+    flagged.groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(struct(col("__us").as("u"), col(eventIdCol).as("i"),
+          col(typeCol).as("t"))).getField("t").as("entry_type"),
+        max(struct(col("__us").as("u"), col(eventIdCol).as("i"),
+          col(typeCol).as("t"))).getField("t").as("exit_type"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
 }

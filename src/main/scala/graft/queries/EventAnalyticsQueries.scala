@@ -1249,5 +1249,44 @@ object EventAnalyticsQueries {
         .select(col("user_id"), col("n"),
           Qutil.dround(col("ewma"), 6).as("ewma"))
         .orderBy("user_id")
+    },
+
+    // Session path matrix (Sessions.sessionPaths): (entry, exit) event
+    // types per session — the navigation-flow report. Entry and exit come
+    // from struct-min/struct-max in ONE session-grain aggregate (the q162
+    // no-second-sort rule); single-event sessions land on the diagonal.
+    Q.sql("q175_session_paths",
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         CASE WHEN us - lag(us) OVER w > ${GapSeconds * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |         sum(new_session) OVER (PARTITION BY user_id
+         |                                ORDER BY us, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f),
+         |s2 AS (
+         |  SELECT user_id, sid, event_type,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY us, event_id) AS rna,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY us DESC, event_id DESC) AS rnz
+         |  FROM s),
+         |sess AS (
+         |  SELECT a.user_id, a.sid, a.event_type AS entry_type,
+         |         z.event_type AS exit_type
+         |  FROM (SELECT * FROM s2 WHERE rna = 1) a
+         |  JOIN (SELECT * FROM s2 WHERE rnz = 1) z
+         |    ON z.user_id = a.user_id AND z.sid = a.sid)
+         |SELECT entry_type, exit_type, count(*) AS n_sessions
+         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Sessions.sessionPaths(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", GapSeconds)
+        .orderBy("entry_type", "exit_type")
     })
 }

@@ -360,6 +360,48 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class EwmaSnapshot(user_id: Long, n: Long, ewma: Double)
+
+  /** Streaming twin of `ops.Recurrence.ewmaReport`, on transformWithState
+    * ValueState (the scalar-slot sibling of [[TopKValuesProcessor]]'s
+    * ListState): state is one (count, ewma) pair per key, rows fold in
+    * event-time order within each micro-batch with the SAME α·x+(1-α)·s
+    * expression shape as the batch op — so on in-order delivery the final
+    * snapshot is bit-identical to the batch fold (StreamingSpec pins it). */
+  class EwmaProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, EwmaSnapshot] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("ewma",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[EwmaSnapshot] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0.0)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        s = if (n == 0) e.value else alpha * e.value + (1 - alpha) * s
+        n += 1
+      }
+      st.update((n, s))
+      Iterator.single(EwmaSnapshot(key, n, s))
+    }
+  }
+
+  /** Per-user running EWMA snapshots (Update mode). */
+  def ewmaStream(events: Dataset[EventRow], alpha: Double): Dataset[EwmaSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(alpha),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream → versioned table: each micro-batch lands as one
     * `io.Versioned` commit, so a long-running ingest gets table-format
     * semantics for free — readers pin a snapshot and are isolated from

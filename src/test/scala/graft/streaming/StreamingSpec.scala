@@ -615,4 +615,37 @@ class StreamingSpec extends SparkSpec {
       assert(graft.io.Versioned.snapshot(spark, s"$base/t").count() === 3)
     } finally q.stop()
   }
+
+  test("ewmaStream: ValueState fold is bit-identical to the batch recurrence") {
+    implicit val sql = spark.sqlContext
+    import Streaming.EwmaSnapshot
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventRow]
+    val q = Streaming.ewmaStream(in.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventRow(1L, ts("2024-01-01 10:00:00"), 8.0),
+        EventRow(1L, ts("2024-01-01 10:01:00"), 4.0))
+      q.processAllAvailable()
+      in.addData(EventRow(1L, ts("2024-01-01 10:02:00"), 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("ewma_test").as[EwmaSnapshot].collect()
+        .filter(_.user_id == 1L).maxBy(_.n)
+      // batch twin on the identical rows and order
+      val batch = graft.ops.Recurrence.ewmaReport(
+          Seq((1L, 1L, 1L, 8.0), (1L, 2L, 2L, 4.0), (1L, 3L, 3L, 0.0))
+            .toDF("k", "ts", "id", "x"), "k", "ts", "id", "x", 0.25)
+        .as[(Long, Long, Double)].collect().head
+      assert(fin.n === batch._2)
+      assert(fin.ewma === batch._3) // bitwise: same fold, same expression
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
 }
