@@ -52,7 +52,8 @@ object Explain {
       "q165_time_travel", "q166_period_end_balance", "q167_feature_hashing",
       "q168_zonemap_append", "q169_theil_sen", "q170_windowed_funnel",
       "q171_time_to_convert", "q172_grouped_ols", "q173_cohort_ltv",
-      "q174_ewma", "q175_session_paths")
+      "q174_ewma", "q175_session_paths", "q176_knn_accuracy",
+      "q177_psi_drift", "q178_revenue_gini")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -11,6 +11,12 @@ object ProfilingQueries {
 
   private val profCols = Seq("l_discount", "l_tax", "l_quantity")
 
+  /** 0..9 bucket spine for grid joins (q177). */
+  private def spark_buckets(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (0L to 9L).toDF("bucket")
+  }
+
   val all: Seq[Q] = Seq(
 
     // A10 — per-column null/zero percentages in one pass.
@@ -415,5 +421,121 @@ object ProfilingQueries {
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
         .orderBy("event_type")
+    },
+
+    // Population stability index (PSI) per event_type between the first
+    // 15 days and the rest — the ML-ops drift monitor (PSI > 0.2 ⇒
+    // investigate). Fixed-width buckets (q163's grid), Laplace smoothing
+    // so empty buckets stay finite and deterministic, 6dp-grid ln terms
+    // decimal-summed. One contingency aggregate; everything after is
+    // buckets-sized.
+    Q.sql("q177_psi_drift",
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN CAST(ts AS DATE) - DATE '2024-01-01' < 15
+        |              THEN 'a' ELSE 'b' END AS half,
+        |         least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+        |  FROM events),
+        |c AS (SELECT event_type, half, bucket, count(*) AS n
+        |      FROM e GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT DISTINCT e1.event_type, b.bucket
+        |  FROM (SELECT DISTINCT event_type FROM c) e1
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b),
+        |tot AS (SELECT event_type, half, CAST(SUM(n) AS BIGINT) AS tn
+        |        FROM c GROUP BY 1, 2),
+        |p AS (
+        |  SELECT g.event_type, g.bucket,
+        |         (COALESCE(ca.n, 0) + 1.0)
+        |           / (ta.tn + 10.0) AS pa,
+        |         (COALESCE(cb.n, 0) + 1.0)
+        |           / (tb.tn + 10.0) AS pb
+        |  FROM grid g
+        |  LEFT JOIN c ca ON ca.event_type = g.event_type
+        |    AND ca.bucket = g.bucket AND ca.half = 'a'
+        |  LEFT JOIN c cb ON cb.event_type = g.event_type
+        |    AND cb.bucket = g.bucket AND cb.half = 'b'
+        |  JOIN tot ta ON ta.event_type = g.event_type AND ta.half = 'a'
+        |  JOIN tot tb ON tb.event_type = g.event_type AND tb.half = 'b'),
+        |terms AS (
+        |  SELECT event_type,
+        |         floor((pa - pb) * ln(pa / pb) * 1000000 + 0.5) / 1000000
+        |           AS t
+        |  FROM p)
+        |SELECT event_type,
+        |       floor(CAST(SUM(CAST(t AS DECIMAL(38,8))) AS DOUBLE)
+        |             * 1000000 + 0.5) / 1000000 AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("event_type"),
+        when(datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) < 15,
+          "a").otherwise("b").as("half"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"))
+      val c = e.groupBy("event_type", "half", "bucket")
+        .agg(count(lit(1)).as("n"))
+      val grid = c.select("event_type").distinct()
+        .crossJoin(spark_buckets(s))
+      val tot = c.groupBy("event_type", "half").agg(sum("n").as("tn"))
+      def side(h: String, out: String) = c.where(col("half") === h)
+        .select(col("event_type"), col("bucket"), col("n").as(out))
+      def totSide(h: String, out: String) = tot.where(col("half") === h)
+        .select(col("event_type"), col("tn").as(out))
+      val p = grid
+        .join(side("a", "na"), Seq("event_type", "bucket"), "left")
+        .join(side("b", "nb"), Seq("event_type", "bucket"), "left")
+        .join(totSide("a", "ta"), "event_type")
+        .join(totSide("b", "tb"), "event_type")
+        .select(col("event_type"),
+          ((coalesce(col("na"), lit(0L)) + 1.0) / (col("ta") + 10.0)).as("pa"),
+          ((coalesce(col("nb"), lit(0L)) + 1.0) / (col("tb") + 10.0)).as("pb"))
+      p.select(col("event_type"),
+          Qutil.dround((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6)
+            .as("t"))
+        .groupBy("event_type")
+        .agg(Qutil.dround(
+          sum(col("t").cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+            .cast("double"), 6).as("psi"))
+        .orderBy("event_type")
+    },
+
+    // Gini concentration of revenue across customers (the inequality
+    // audit: "do 20% of customers carry 80% of revenue?"). Exact form
+    // needs the global rank by revenue — fine at customer-dimension
+    // cardinality (the window sorts customers, not orders); a 10⁹-key
+    // variant would bucket by revenue quantile first (q127's table) and
+    // compute the Lorenz sum per bucket. All sums decimal-exact; G =
+    // 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n on identical doubles.
+    Q.sql("q178_revenue_gini",
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS rev
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT rev,
+        |              row_number() OVER (ORDER BY rev, o_custkey) AS i
+        |       FROM r),
+        |agg AS (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(CAST(rev AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(i * rev AS DECIMAL(38,4))) AS DOUBLE) AS siy
+        |  FROM rk)
+        |SELECT n,
+        |       floor(sy * 100 + 0.5) / 100 AS total_rev,
+        |       floor((2 * siy / (n * sy) - (n + 1.0) / n) * 1000000 + 0.5)
+        |         / 1000000 AS gini
+        |FROM agg""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val r = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(Qutil.msum(col("o_totalprice"), 2).as("rev"))
+      val rk = r.withColumn("i",
+        row_number().over(Window.orderBy(col("rev"), col("o_custkey"))))
+      rk.agg(count(lit(1)).as("n"),
+          sum(col("rev").cast(DecimalType(38, 4))).cast("double").as("sy"),
+          sum((col("i") * col("rev")).cast(DecimalType(38, 4))).cast("double")
+            .as("siy"))
+        .select(col("n"),
+          Qutil.dround(col("sy"), 2).as("total_rev"),
+          Qutil.dround(lit(2) * col("siy") / (col("n") * col("sy")) -
+            (col("n") + 1.0) / col("n"), 6).as("gini"))
     })
 }

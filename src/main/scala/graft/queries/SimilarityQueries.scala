@@ -581,5 +581,53 @@ object SimilarityQueries {
       Similarity.classSeparationReport(Tables.embeddings(s, d),
           "vec_id", "embedding", "label")
         .orderBy("label")
+    },
+
+    // Leave-one-out 1-NN classification accuracy per label — the
+    // embedding-quality EVALUATION row (is the space actually separable?),
+    // complementing q155's geometry report. Exact cosine 1-NN is the
+    // declared quadratic baseline (the q37→q105 two-tier rule: the scale
+    // path swaps in the IVF probe); the oracle replays the fold-order-
+    // compatible cosine and the (cos DESC, nid) argmax.
+    Q.sql("q176_knn_accuracy", {
+      val dims = 64
+      def norm(e: String) =
+        s"sqrt(list_reduce(list_transform($e, x -> x * x), (x, y) -> x + y))"
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS qid, q.label AS qlabel,
+         |         n.vec_id AS nid, n.label AS nlabel,
+         |         list_reduce(list_transform(generate_series(1, $dims),
+         |                                    i -> q.v[i] * n.v[i]),
+         |                     (x, y) -> x + y)
+         |         / (${norm("q.v")} * ${norm("n.v")}) AS cos
+         |  FROM e q JOIN e n ON n.vec_id != q.vec_id),
+         |r AS (
+         |  SELECT qid, qlabel, nlabel,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, nid) AS rn
+         |  FROM s)
+         |SELECT qlabel AS label, count(*) AS n,
+         |       CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       floor(CAST(SUM(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+         |         AS accuracy
+         |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val labels = emb.select(col("vec_id"), col("label"))
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+        .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
+        .join(labels.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          dround(col("n_correct").cast("double") / col("n"), 6))
+        .orderBy("label")
     })
 }
