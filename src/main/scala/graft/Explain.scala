@@ -53,7 +53,7 @@ object Explain {
       "q168_zonemap_append", "q169_theil_sen", "q170_windowed_funnel",
       "q171_time_to_convert", "q172_grouped_ols", "q173_cohort_ltv",
       "q174_ewma", "q175_session_paths", "q176_knn_accuracy",
-      "q177_psi_drift", "q178_revenue_gini")
+      "q177_psi_drift", "q178_revenue_gini", "q179_peak_concurrency")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -253,4 +253,43 @@ object Sessions {
       .groupBy("entry_type", "exit_type")
       .agg(count(lit(1)).as("n_sessions"))
   }
+
+  /** Peak concurrent sessions per day — the capacity-planning sweep line.
+    * Input is the session grain (key, start_us, end_us); each session is
+    * clipped to the days it touches (≤ span-days explode — map-only),
+    * boundaries become (+1 at start, −1 past end) events, and a
+    * DAY-PARTITIONED prefix sum + max gives the peak. Sessions are closed
+    * intervals ([s, e] — end+1µs exclusive), so a one-event session still
+    * occupies its instant; at equal timestamps ends process before starts
+    * (delta ascending), with (key, idx) completing a total order.
+    *
+    * Scale shape: the sweep is per DAY, never global — the window sorts
+    * one day's boundaries, and days are independent partitions. (A
+    * global-timeline variant would be the q83-style two-pass prefix:
+    * per-partition sums + carry-in offsets.) */
+  def peakConcurrency(sessions: DataFrame, keyCol: String, idxCol: String,
+                      startUsCol: String, endUsCol: String): DataFrame = {
+    val DayUs = 86400000000L
+    val s = sessions.select(col(keyCol).as("k"), col(idxCol).as("idx"),
+      col(startUsCol).as("s"), (col(endUsCol) + 1L).as("e"))
+    val clipped = s
+      .withColumn("day",
+        explode(sequence(floor(col("s") / DayUs).cast("long"),
+          floor((col("e") - 1) / DayUs).cast("long"))))
+      .withColumn("lo", greatest(col("s"), col("day") * DayUs))
+      .withColumn("hi", least(col("e"), (col("day") + 1) * DayUs))
+    val bounds = clipped
+      .select(col("day"), col("lo").as("us"), lit(1L).as("delta"),
+        col("k"), col("idx"))
+      .unionByName(clipped.select(col("day"), col("hi").as("us"),
+        lit(-1L).as("delta"), col("k"), col("idx")))
+    val w = Window.partitionBy("day")
+      .orderBy(col("us"), col("delta"), col("k"), col("idx"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds
+      .withColumn("conc", sum(col("delta")).over(w))
+      .groupBy("day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+        max(col("conc")).as("peak_concurrency"))
+  }
 }

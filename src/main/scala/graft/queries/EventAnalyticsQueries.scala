@@ -1288,5 +1288,58 @@ object EventAnalyticsQueries {
       graft.ops.Sessions.sessionPaths(Tables.events(s, d),
           "user_id", "ts", "event_id", "event_type", GapSeconds)
         .orderBy("entry_type", "exit_type")
+    },
+
+    // Peak concurrent sessions per day (Sessions.peakConcurrency): the
+    // capacity-planning sweep line over q53's session grain — sessions
+    // clip to the days they touch, boundaries (+1/−1) prefix-sum inside a
+    // DAY-partitioned window, and the per-day max is the peak. Closed
+    // intervals (end+1µs), ends-before-starts at equal instants, total
+    // (us, delta, user, idx) order — all replayed by the oracle.
+    Q.sql("q179_peak_concurrency",
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, us,
+         |         CASE WHEN us - lag(us) OVER w > ${GapSeconds * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, us,
+         |         sum(new_session) OVER (PARTITION BY user_id
+         |                                ORDER BY us, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f),
+         |sess AS (SELECT user_id, sid, min(us) AS st, max(us) + 1 AS en
+         |         FROM s GROUP BY 1, 2),
+         |clip AS (
+         |  SELECT user_id, sid, day,
+         |         GREATEST(st, day * 86400000000) AS lo,
+         |         LEAST(en, (day + 1) * 86400000000) AS hi
+         |  FROM (SELECT user_id, sid, st, en,
+         |               unnest(generate_series(
+         |                 CAST(floor(st / 86400000000) AS BIGINT),
+         |                 CAST(floor((en - 1) / 86400000000) AS BIGINT)))
+         |                 AS day
+         |        FROM sess)),
+         |b AS (
+         |  SELECT day, lo AS us, CAST(1 AS BIGINT) AS delta, user_id, sid
+         |  FROM clip
+         |  UNION ALL
+         |  SELECT day, hi, CAST(-1 AS BIGINT), user_id, sid FROM clip),
+         |c AS (
+         |  SELECT day,
+         |         sum(delta) OVER (PARTITION BY day
+         |                          ORDER BY us, delta, user_id, sid
+         |                          ROWS UNBOUNDED PRECEDING) AS conc
+         |  FROM b)
+         |SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+         |       CAST(max(conc) AS BIGINT) AS peak_concurrency
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sessions = graft.ops.Sessions.sessionize(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value", GapSeconds)
+      graft.ops.Sessions.peakConcurrency(sessions,
+          "user_id", "session_idx", "start_us", "end_us")
+        .orderBy("day")
     })
 }

@@ -105,4 +105,29 @@ class SessionsSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(unbounded === Seq((1L, "view", 2L), (2L, "click", 2L)))
   }
+
+  test("peakConcurrency: overlap counting, day spanning, instant sessions") {
+    val D = 86400000000L
+    // day 0: A [100, 200], B [150, 300] overlap → peak 2;
+    //        C is an instant session at 150 → peak 3 at t=150
+    // A session D spans the day boundary [D-50, D+50] → touches days 0 and 1
+    val sessions = Seq(
+      (1L, 0L, 100L, 200L), (2L, 0L, 150L, 300L), (3L, 0L, 150L, 150L),
+      (4L, 0L, D - 50L, D + 50L)
+    ).toDF("user_id", "session_idx", "start_us", "end_us")
+    val out = Sessions.peakConcurrency(sessions,
+        "user_id", "session_idx", "start_us", "end_us")
+      .orderBy("day").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 4L, 3L), (1L, 1L, 1L)))
+  }
+
+  test("peakConcurrency: touching sessions do not overlap (end before start)") {
+    val sessions = Seq(
+      (1L, 0L, 100L, 200L), (2L, 0L, 201L, 300L) // closed [100,200], [201,300]
+    ).toDF("user_id", "session_idx", "start_us", "end_us")
+    val out = Sessions.peakConcurrency(sessions,
+        "user_id", "session_idx", "start_us", "end_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 2L, 1L)))
+  }
 }
