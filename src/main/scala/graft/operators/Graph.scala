@@ -182,6 +182,81 @@ object Graph {
       .select(col("src").as("node"), col("degree"))
   }
 
+  /** Adamic-Adar link prediction over a bipartite (entity, container)
+    * edge list — "which entity pairs share rare containers": common-
+    * neighbor scoring where each shared container contributes
+    * 1/ln(deg(container)), so rare co-occurrences dominate (the classic
+    * recommender / record-linkage prior; here: co-purchase affinity with
+    * orders as containers).
+    *
+    * Scale shape: candidate pairs are generated ONLY through a shared
+    * container — one self-equi-join of the weighted edge list on the
+    * container key plus one pair-grain aggregate, never an all-pairs
+    * product. The fan-out per container is deg², so the degree band
+    * [2, degCap] is part of the SEMANTICS: singleton containers
+    * contribute nothing, and mega-containers (deg > degCap) are excluded
+    * exactly as AllPairs drops stop-terms — each contributes a
+    * near-zero 1/ln(deg) weight yet quadratic candidate cost, which is
+    * what would explode on a 100 TB power-law basket table. The oracle
+    * replays the band, so the cap is verified, not hidden.
+    *
+    * Determinism: per-container weights are floor-scale-rounded at
+    * `scale` decimals (the q177 ln-term discipline — ln of a small-int
+    * degree then dround lands both engines on the same grid point), then
+    * decimal-summed so partition order can never shift a bit.
+    * Returns (a, b, n_common, aa_score) with a < b. */
+  def adamicAdar(edges: DataFrame, degCap: Int, scale: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+      .where(col("deg").between(2, degCap))
+    val ew = e.join(deg, "dst")
+      .select(col("dst"), col("src"),
+        dround(lit(1.0) / log(col("deg").cast("double")), scale).as("w"))
+    ew.as("a").join(ew.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("a"), col("b.src").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("a.w").cast(DecimalType(38, scale + 3)))
+          .cast("double").as("aa_score"))
+  }
+
+  /** Multi-source BFS hop labeling: minimum hop distance from any seed,
+    * expanded `rounds` rounds — reachability/blast-radius analysis
+    * (fraud rings from flagged accounts, contamination spread from a bad
+    * source). The missing member next to PageRank (importance), CC
+    * (membership), k-core (density) and LPA (community): DISTANCE.
+    *
+    * Frontier-only expansion — each round joins edges against just the
+    * nodes discovered LAST round (not all labels) and anti-joins the
+    * label set, so total work is O(Σ |frontier_i⋈edges|) ≤ O(rounds·|E|)
+    * with the equality only on pathological graphs; on real graphs the
+    * frontier shrinks once the core is reached. Per round: one equi-join
+    * + distinct + one anti-join, all node/edge-bounded; frontiers are
+    * localCheckpoint-rebased (the duplicateClusters lineage lesson).
+    * Pure integer hops — engine-exact, replayed by a chained-CTE oracle.
+    *
+    * `edges` directed (src, dst); pass the symmetric union for undirected
+    * graphs, as [[pageRank]] does. Returns (node, hop), hop ∈ [0, rounds]. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var labels = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = labels
+    var i = 1
+    while (i <= rounds) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(labels, Seq("node"), "left_anti")
+        .withColumn("hop", lit(i.toLong))
+        .localCheckpoint()
+      labels = labels.union(next).localCheckpoint()
+      frontier = next
+      i += 1
+    }
+    labels
+  }
+
   /** Synchronous label propagation (community detection): every node starts
     * as its own label; each round every node adopts the most frequent label
     * among its neighbors, ties broken by MAX label — the deterministic

@@ -19,6 +19,8 @@ object GraphQueries {
   private val KCoreK = 3      // q137 peel threshold
   private val KCoreRounds = 4 // q137 synchronous peel rounds (CTE-replayed)
   private val LpaRounds = 3   // q152 label-propagation rounds (CTE-replayed)
+  private val AaDegCap = 50   // q180 basket-size band upper bound
+  private val BfsRounds = 3   // q181 frontier rounds (CTE-replayed)
 
   /** floor-scale rounding at Scale decimals — Qutil.dround in SQL. */
   private def rnd(e: String): String =
@@ -204,5 +206,84 @@ object GraphQueries {
         .groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("size"))
         .orderBy("community")
+    },
+
+    // Adamic-Adar co-purchase affinity (Graph.adamicAdar): part pairs
+    // scored by their shared orders, each order weighted 1/ln(basket
+    // size) so RARE co-occurrence dominates — the link-prediction /
+    // recommender prior. Candidates come only through a shared order
+    // (one equi-join, never all-pairs); the [2, degCap] basket band is
+    // semantic and replayed by the oracle. Weights on a 6dp ln grid
+    // (q177 discipline), decimal-summed; top-100 by (score, a, b).
+    Q.sql("q180_adamic_adar",
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey AS src, l_orderkey AS dst
+         |  FROM lineitem),
+         |deg AS (SELECT dst, count(*) AS deg FROM e
+         |        GROUP BY 1 HAVING count(*) BETWEEN 2 AND $AaDegCap),
+         |ew AS (
+         |  SELECT e.dst, e.src,
+         |         floor(1.0 / ln(CAST(deg AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS w
+         |  FROM e JOIN deg USING (dst)),
+         |p AS (
+         |  SELECT a.src AS a, b.src AS b, a.w
+         |  FROM ew a JOIN ew b ON a.dst = b.dst AND a.src < b.src)
+         |SELECT a, b, count(*) AS n_common,
+         |       CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS aa_score
+         |FROM p GROUP BY 1, 2
+         |ORDER BY aa_score DESC, a, b LIMIT 100""".stripMargin) { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
+        .distinct()
+      Graph.adamicAdar(e, AaDegCap, scale = 6)
+        .orderBy(col("aa_score").desc, col("a"), col("b"))
+        .limit(100)
+    },
+
+    // Multi-source BFS hop labels (Graph.bfsHops): minimum hop distance
+    // from the AUTOMOBILE-segment customers over the symmetric trade
+    // graph, BfsRounds frontier-only rounds — reachability / blast-radius
+    // analysis, the distance member of the graph family. Pure integer
+    // hops; the oracle replays every frontier (expand → dedup → anti-join
+    // the label set) as a chained CTE.
+    Q.sql("q181_bfs_reachability", {
+      val roundCtes = (1 to BfsRounds).map { r =>
+        s""",
+           |f$r AS (
+           |  SELECT DISTINCT e.dst AS node
+           |  FROM e JOIN f${r - 1} f ON f.node = e.src
+           |  WHERE e.dst NOT IN (SELECT node FROM l${r - 1})),
+           |l$r AS (SELECT node, hop FROM l${r - 1}
+           |        UNION ALL SELECT node, $r FROM f$r)"""
+      }.mkString
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT 'c' || CAST(c AS VARCHAR) AS src,
+         |         's' || CAST(s AS VARCHAR) AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM pairs),
+         |f0 AS (
+         |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+         |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+         |l0 AS (SELECT node, 0 AS hop FROM f0)$roundCtes
+         |SELECT node, CAST(hop AS BIGINT) AS hop
+         |FROM l$BfsRounds ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val e0 = pairs.select(
+        concat(lit("c"), col("c").cast("string")).as("src"),
+        concat(lit("s"), col("s").cast("string")).as("dst"))
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "AUTOMOBILE")
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      Graph.bfsHops(edges, seeds, BfsRounds)
+        .select(col("node"), col("hop"))
+        .orderBy("node")
     })
 }

@@ -59,4 +59,47 @@ class GraphSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(r1 == r32) // bit-identical, not approximately equal
   }
+
+  test("adamicAdar: hand-checked scores, degree band, a<b canonical form") {
+    // containers: order 10 = {1,2} (deg 2), order 20 = {1,2,3} (deg 3),
+    // order 30 = {4} (deg 1 — excluded), order 40 = {1,2,...,6} capped out
+    val e = (Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L), (3L, 20L),
+      (4L, 30L)) ++ (1L to 6L).map(p => (p, 40L)))
+      .toDF("src", "dst")
+    val got = Graph.adamicAdar(e, degCap = 5, scale = 6)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    def w(deg: Int): Double =
+      math.floor(1.0 / math.log(deg.toDouble) * 1e6 + 0.5) / 1e6
+    // decimal sum of grid weights, as the operator computes (exact — NOT
+    // the double addition w(2)+w(3), which carries a ulp of error)
+    def dsum(ws: Double*): Double =
+      ws.map(x => BigDecimal(x).setScale(9)).sum.toDouble
+    // pair (1,2): shares order 10 (w(2)) and order 20 (w(3)); the deg-6
+    // order 40 is over the cap and the singleton order 30 is below it
+    assert(got((1L, 2L)) == ((2L, dsum(w(2), w(3)))))
+    assert(got((1L, 3L)) == ((1L, w(3))))
+    assert(got((2L, 3L)) == ((1L, w(3))))
+    assert(!got.keySet.exists { case (a, b) => a >= b })
+    assert(!got.contains((4L, 4L)) && got.size == 3)
+  }
+
+  test("bfsHops: min-hop wins, frontier stops at round budget, seeds at 0") {
+    // path 1-2-3-4-5 plus shortcut 1-4: node 4 is hop 1 via the shortcut
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val edges = und.union(und.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // round budget 1: node 3 and 5 not yet reached
+    val g1 = Graph.bfsHops(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(g1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // multi-source: nearest seed wins
+    val g2 = Graph.bfsHops(edges, Seq(1L, 5L).toDF("node"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
 }
