@@ -17,6 +17,7 @@ object SimilarityQueries {
   private val NQueries = 8 // query set = vec_id < 8
   private val NearDupTau = 0.35 // synthetic embeddings are near-orthogonal;
                                 // 0.35 yields a few hundred pairs at sf0.01
+  private val PcaIters = 4      // q182 power-iteration rounds (CTE-replayed)
 
   // --- shared oracle SQL fragments (q41 IVF + q60 SemDeDup) ---
   // sequential ascending fold; DuckDB's seedless list_reduce starts at
@@ -628,6 +629,82 @@ object SimilarityQueries {
             .as("n_correct"))
         .withColumn("accuracy",
           dround(col("n_correct").cast("double") / col("n"), 6))
+        .orderBy("label")
+    },
+
+    // PC1 decomposition report (operators.Decomposition.pc1Report): top
+    // principal direction of the embedding corpus via a ONE-PASS
+    // partial-combined gram matrix (the corpus never shuffles; only
+    // #partitions·d² accumulator rows do) + a grid-deterministic driver
+    // power iteration (PcaIters rounds) + a broadcast-v map-only
+    // projection. Per-label projection stats + explained-variance share.
+    // The oracle replays EVERY stage — means, centered gram, each
+    // matrix-vector round with its renormalization, and the projections —
+    // as scaled-long sums, so partition order can never shift a bit.
+    Q.sql("q182_pca_pc1", {
+      val iterCtes = (1 to PcaIters).map { k =>
+        s""",
+           |w$k AS (
+           |  SELECT c.i,
+           |         CAST(SUM(CAST(floor(c.v * v.v * 1e9 + 0.5) AS BIGINT))
+           |              AS BIGINT) / 1e9 AS w
+           |  FROM covf c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
+           |n$k AS (
+           |  SELECT sqrt(CAST(SUM(CAST(floor(w * w * 1e9 + 0.5) AS BIGINT))
+           |                   AS BIGINT) / 1e9) AS nrm FROM w$k),
+           |v$k AS (
+           |  SELECT i, floor(w / (SELECT nrm FROM n$k) * 1e9 + 0.5) / 1e9 AS v
+           |  FROM w$k)"""
+      }.mkString
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS i,
+         |         CAST(xe AS DOUBLE) AS x
+         |  FROM (SELECT vec_id, label, unnest(embedding) AS xe,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |m AS (
+         |  SELECT i,
+         |         floor(CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT))
+         |                    AS BIGINT) / 1e9 / (SELECT n FROM nn)
+         |               * 1e9 + 0.5) / 1e9 AS m
+         |  FROM x GROUP BY 1),
+         |c AS (SELECT x.vec_id, x.label, x.i, x.x - m.m AS c
+         |      FROM x JOIN m USING (i)),
+         |g AS (
+         |  SELECT a.i AS i, b.i AS j,
+         |         CAST(SUM(CAST(floor(a.c * b.c * 1e9 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS s
+         |  FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT i, j,
+         |         floor(s / 1e9 / ((SELECT n FROM nn) - 1) * 1e9 + 0.5) / 1e9
+         |           AS v
+         |  FROM g),
+         |covf AS (SELECT i, j, v FROM cov
+         |         UNION ALL SELECT j, i, v FROM cov WHERE i < j),
+         |v0 AS (SELECT i, CAST(1 AS DOUBLE) AS v FROM m)$iterCtes,
+         |tr AS (SELECT CAST(SUM(CAST(floor(v * 1e9 + 0.5) AS BIGINT))
+         |                   AS BIGINT) AS t
+         |       FROM cov WHERE i = j),
+         |er AS (SELECT floor((SELECT nrm FROM n$PcaIters) / (t / 1e9)
+         |                    * 1e6 + 0.5) / 1e6 AS er FROM tr),
+         |psp AS (
+         |  SELECT c.vec_id, c.label,
+         |         CAST(SUM(CAST(floor(c.c * v.v * 1e9 + 0.5) AS BIGINT))
+         |              AS BIGINT) AS sp
+         |  FROM c JOIN v$PcaIters v USING (i) GROUP BY 1, 2)
+         |SELECT label, count(*) AS n,
+         |       floor(CAST(SUM(sp) AS BIGINT) / 1e9 / count(*)
+         |             * 1e6 + 0.5) / 1e6 AS mean_proj,
+         |       min(sp) / 1e9 AS min_proj,
+         |       max(sp) / 1e9 AS max_proj,
+         |       (SELECT er FROM er) AS ev_ratio
+         |FROM psp GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      graft.operators.Decomposition.pc1Report(Tables.embeddings(s, d),
+          "embedding", "label", iters = PcaIters, scale = 9)
         .orderBy("label")
     })
 }
