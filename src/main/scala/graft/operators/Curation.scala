@@ -632,4 +632,44 @@ object Curation {
         col(idCol))
     df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
   }
+
+  /** Out-of-fold mean target encoding — the leakage-free way to turn a
+    * high-cardinality categorical into a numeric feature: the encoding a
+    * fold's rows receive is computed from the OTHER folds only, so a
+    * row's own target never leaks into its feature ([[cvFolds]]' sibling:
+    * folds partition the leakage, this consumes the partition).
+    * Smoothing shrinks thin categories toward the fold's global prior:
+    * enc = (oof_sum + m·prior) / (oof_n + m), prior = fold's
+    * out-of-fold global mean — the standard mean-encoding regularizer.
+    *
+    * Scale shape: ONE aggregate to the (category, fold) grain — decimal
+    * target sums, so partition order never shifts a bit — and everything
+    * after operates on that tiny grain: per-category totals and per-fold
+    * global totals are aggregates OF the grain frame, broadcast-joined
+    * back. The fact table is scanned once; no window over row-grain data.
+    *
+    * Returns (cat, fold, n_oof, encoding) — encoding on a 6dp grid. */
+  def targetEncodeOof(df: DataFrame, catCol: String, targetCol: String,
+                      foldCol: String, smoothing: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.queries.Qutil
+    val cf = df.groupBy(col(catCol).as("cat"), col(foldCol).as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(targetCol).cast(DecimalType(18, 4))).as("s"))
+    val perCat = cf.groupBy("cat")
+      .agg(sum("n").as("cat_n"), sum("s").as("cat_s"))
+    val perFold = cf.groupBy("fold")
+      .agg(sum("n").as("fold_n"), sum("s").as("fold_s"))
+    val tot = cf.agg(sum("n").as("tot_n"), sum("s").as("tot_s"))
+    cf.join(perCat, "cat").join(perFold, "fold").crossJoin(tot)
+      .select(col("cat"), col("fold"),
+        (col("cat_n") - col("n")).as("n_oof"),
+        Qutil.dround(
+          ((col("cat_s") - col("s")).cast("double") +
+            lit(smoothing) *
+              ((col("tot_s") - col("fold_s")).cast("double") /
+                (col("tot_n") - col("fold_n")))) /
+            ((col("cat_n") - col("n")) + lit(smoothing)), 6)
+          .as("encoding"))
+  }
 }

@@ -75,4 +75,37 @@ object Windows {
       .withColumn(as, row_number().over(lw).cast("long") + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** 2-D skyline (Pareto frontier) per group: keep rows not DOMINATED
+    * within their group, where s dominates r iff s.minimize ≤ r.minimize
+    * ∧ s.maximize ≥ r.maximize with at least one strict — the classic
+    * "cheapest AND biggest" shortlist query.
+    *
+    * In 2-D the O(n²) dominance test collapses to sorted running maxima,
+    * and that in turn collapses to ONE aggregate + one window over the
+    * (group, minimize)-grain frame — usually orders of magnitude smaller
+    * than the row grain: a row survives iff it carries its minimize-
+    * value's max `maximize` (no same-cost strictly-better row) AND beats
+    * the running max over all strictly smaller minimize values (no
+    * cheaper at-least-as-good row). Equal (minimize, maximize) twins
+    * don't dominate each other and both survive. The row-grain table is
+    * scanned once; the window sorts only the value-grain frame.
+    * (d > 2 has no such reduction — the general form is local-skyline
+    * per partition then re-skyline of the union, which dominance
+    * transitivity makes exact; 2-D is the overwhelmingly common report.)
+    *
+    * Returns the input rows of the frontier, plus nothing else. */
+  def skyline2D(df: DataFrame, groupCol: String, minimizeCol: String,
+                maximizeCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("__g"), col(minimizeCol).as("__m"))
+      .agg(max(col(maximizeCol)).as("__gmax"))
+    val pw = Window.partitionBy("__g").orderBy("__m")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = g.withColumn("__prevmax", max(col("__gmax")).over(pw))
+    df.join(g2,
+        col(groupCol) === col("__g") && col(minimizeCol) === col("__m"))
+      .where(col(maximizeCol) === col("__gmax") &&
+        (col("__prevmax").isNull || col("__prevmax") < col(maximizeCol)))
+      .drop("__g", "__m", "__gmax", "__prevmax")
+  }
 }

@@ -825,5 +825,50 @@ object CurationQueries {
         .groupBy("user_id", "bucket")
         .agg(sum("sgn").as("val"))
         .orderBy("user_id", "bucket")
+    },
+
+    // Out-of-fold mean target encoding (Curation.targetEncodeOof): each
+    // (segment, fold) cell's encoding uses only the OTHER folds' order
+    // totals, smoothed toward the fold's out-of-fold global mean
+    // (m = 20) — the leakage-free mean-encoding recipe, q153's consumer.
+    // ONE fact-table aggregate to the (segment, fold) grain; totals are
+    // aggregates OF that tiny grain. The oracle replays folds, decimal
+    // sums, and the smoothing formula.
+    Q.sql("q183_target_encoding", {
+      val fold =
+        s"${md5IntSql("'te:' || CAST(o_orderkey AS VARCHAR)")} % 5"
+      s"""WITH o AS (
+         |  SELECT c_mktsegment AS seg, o_totalprice AS t, $fold AS fold
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |cf AS (
+         |  SELECT seg, fold, count(*) AS n,
+         |         SUM(CAST(t AS DECIMAL(18,4))) AS s
+         |  FROM o GROUP BY 1, 2),
+         |pc AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS cat_n,
+         |              SUM(s) AS cat_s FROM cf GROUP BY 1),
+         |pf AS (SELECT fold, CAST(SUM(n) AS BIGINT) AS fold_n,
+         |              SUM(s) AS fold_s FROM cf GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+         |              SUM(s) AS tot_s FROM cf)
+         |SELECT cf.seg AS segment, cf.fold,
+         |       CAST(cat_n - n AS BIGINT) AS n_oof,
+         |       floor(((CAST(cat_s - s AS DOUBLE)
+         |               + 20.0 * (CAST(tot_s - fold_s AS DOUBLE)
+         |                         / (tot_n - fold_n)))
+         |              / ((cat_n - n) + 20.0)) * 1e6 + 0.5) / 1e6
+         |         AS encoding
+         |FROM cf JOIN pc USING (seg) JOIN pf USING (fold) CROSS JOIN tt
+         |ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_totalprice"),
+          pmod(md5Int(concat(lit("te:"), col("o_orderkey").cast("string"))),
+            lit(5L)).as("fold"))
+      Curation.targetEncodeOof(o, "seg", "o_totalprice", "fold",
+          smoothing = 20.0)
+        .select(col("cat").as("segment"), col("fold"), col("n_oof"),
+          col("encoding"))
+        .orderBy("segment", "fold")
     })
 }

@@ -593,5 +593,33 @@ object OlapQueries {
           Qutil.dround(col("sab").cast("double") * col("n_baskets") /
             (col("sa_s") * col("sb_s")), 6).as("lift"))
         .orderBy("pa", "pb")
+    },
+
+    // 2-D skyline / Pareto frontier (ops.Windows.skyline2D): per brand,
+    // the parts where no brand-mate is both cheaper-or-equal and
+    // bigger-or-equal with one strict — "cheapest AND biggest" shortlist.
+    // The implementation is the value-grain window reduction (one
+    // aggregate + one window over the (brand, price) grain, row table
+    // scanned once); the oracle is the INDEPENDENT O(n²) NOT-EXISTS
+    // dominance definition, so the window rewrite itself is what's
+    // being verified.
+    Q.sql("q184_skyline",
+      """SELECT p_brand, p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_brand, p_partkey""".stripMargin) { (s, d) =>
+      graft.ops.Windows.skyline2D(
+          Tables.part(s, d)
+            .select(col("p_brand"), col("p_partkey"),
+              col("p_retailprice"), col("p_size")),
+          "p_brand", "p_retailprice", "p_size")
+        .select(col("p_brand"), col("p_partkey"),
+          col("p_retailprice"), col("p_size"))
+        .orderBy("p_brand", "p_partkey")
     })
 }

@@ -352,4 +352,34 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == sel)
   }
+
+  test("targetEncodeOof: own fold's targets never leak into its encoding") {
+    // cat X: fold 0 rows have target 100, fold 1 rows have target 0 —
+    // with smoothing 0, fold 0's encoding must be the OTHER fold's mean
+    val df = Seq(
+      ("X", 100.0, 0L), ("X", 100.0, 0L), ("X", 0.0, 1L), ("X", 0.0, 1L),
+      ("Y", 50.0, 0L), ("Y", 70.0, 1L))
+      .toDF("cat", "t", "fold")
+    val got = Curation.targetEncodeOof(df, "cat", "t", "fold", smoothing = 0.0)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(got(("X", 0L)) == ((2L, 0.0)))    // sees only fold 1's zeros
+    assert(got(("X", 1L)) == ((2L, 100.0)))  // sees only fold 0's hundreds
+    assert(got(("Y", 0L)) == ((1L, 70.0)))
+    assert(got(("Y", 1L)) == ((1L, 50.0)))
+  }
+
+  test("targetEncodeOof: smoothing shrinks thin categories to the OOF prior") {
+    // cat Z has a single fold-1 row; its fold-0... (no fold-0 rows for Z).
+    // For cat W fold 0 (one OOF row, t=10) with m=1 and fold-0 OOF prior:
+    // prior_0 = mean of all fold-1 targets = (10 + 90) / 2 = 50
+    // enc(W,0) = (10 + 1*50) / (1 + 1) = 30
+    val df = Seq(
+      ("W", 20.0, 0L), ("W", 10.0, 1L), ("Z", 90.0, 1L))
+      .toDF("cat", "t", "fold")
+    val got = Curation.targetEncodeOof(df, "cat", "t", "fold", smoothing = 1.0)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    assert(got(("W", 0L)) == 30.0)
+  }
 }
