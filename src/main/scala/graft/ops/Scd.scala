@@ -100,4 +100,35 @@ object Scd {
     }
     joined.select((keys.map(col) :+ status.as("status")) ++ chgCols: _*)
   }
+
+  /** CDC-stream compaction (latest-wins with tombstones): fold a change
+    * feed of (key, sequence, op ∈ I/U/D, payload…) events into the final
+    * table state — the apply step of every log-shipping pipeline
+    * (Debezium/binlog feeds, change data feeds): for each key the
+    * highest-sequence event wins; if that event is a delete the key is a
+    * TOMBSTONE and emits nothing. Out-of-order delivery is free — the
+    * sequence decides, not arrival order.
+    *
+    * Scale shape: ONE key-grain aggregate, and the winner is picked by
+    * `max(struct(seq, tieBreak, op, payload…))` — the sort-free argmax
+    * (the q152/q162 rule: a window row_number formulation sorts the whole
+    * feed; the struct-max partial-aggregates map-side, so a key's events
+    * combine within each partition before the shuffle). `tieBreak` makes
+    * the struct order total, so equal-seq duplicates (redelivery) pick
+    * deterministically.
+    *
+    * Output: (key, seq, n_changes) ++ payload columns of the winner,
+    * tombstoned keys dropped. */
+  def applyCdc(feed: DataFrame, keyCol: String, seqCol: String,
+               tieBreakCol: String, opCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val winner = struct(
+      (Seq(col(seqCol).as("seq"), col(tieBreakCol).as("tb"),
+        col(opCol).as("op")) ++ payloadCols.map(col)): _*)
+    val agg = feed.groupBy(col(keyCol).as("key"))
+      .agg(max(winner).as("w"), count(lit(1)).as("n_changes"))
+    agg.where(col("w.op") =!= "D")
+      .select((Seq(col("key"), col("w.seq").as("seq"), col("n_changes")) ++
+        payloadCols.map(c => col(s"w.$c").as(c))): _*)
+  }
 }

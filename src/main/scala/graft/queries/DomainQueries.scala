@@ -577,5 +577,75 @@ object DomainQueries {
         .agg(count(lit(1)).as("n_orders"),
           Qutil.msum(col("o_totalprice"), 2).as("total_price"))
         .orderBy("mon")
+    },
+
+    // Small-file compaction fidelity (io.Writers.compactFiles): orders is
+    // deliberately fragmented into ~40 small files, compacted into few
+    // large ones via the rename-swap, and the REPORT READS THE COMPACTED
+    // TABLE — the oracle reads the original, so the hash gate proves the
+    // rewrite is byte-faithful (rows, keys, decimal totals), not just
+    // that file counts shrank (WritersSpec pins those). This is the
+    // OPTIMIZE maintenance job every incrementally-appended lake table
+    // runs; at 100 TB it goes per leaf partition.
+    Q.sql("q185_compaction_fidelity",
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q185compact").toString + "/orders_f"
+      graft.io.Tables.orders(s, d).repartition(40)
+        .write.mode("overwrite").parquet(tbl)
+      val (before, after) =
+        graft.io.Writers.compactFiles(s, tbl, targetFileBytes = 1L << 22)
+      require(after < before,
+        s"compaction did not reduce file count ($before -> $after)")
+      s.read.parquet(tbl)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("status")
+    },
+
+    // CDC latest-wins apply with tombstones (ops.Scd.applyCdc): the
+    // events stream becomes a change feed — signup inserts, error
+    // deletes, click/view/purchase update — and the final per-user state
+    // is the highest-(ts, event_id) event, tombstoned users dropped.
+    // ONE key-grain sort-free struct-max aggregate (map-side combinable;
+    // no window sort of the feed). The oracle replays it as the
+    // independent row_number-desc formulation.
+    Q.sql("q186_cdc_apply",
+      """WITH feed AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |         CASE event_type WHEN 'signup' THEN 'I'
+        |                         WHEN 'error' THEN 'D'
+        |                         ELSE 'U' END AS op,
+        |         value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, us, event_id, op, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY us DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM feed)
+        |SELECT user_id AS key, us AS seq,
+        |       CAST(n_changes AS BIGINT) AS n_changes, value
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val feed = graft.io.Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        col("value"))
+      graft.ops.Scd.applyCdc(feed, "user_id", "us", "event_id", "op",
+          payloadCols = Seq("value"))
+        .orderBy("key")
     })
 }

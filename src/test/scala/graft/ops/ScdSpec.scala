@@ -79,4 +79,28 @@ class ScdSpec extends SparkSpec {
       (4L, "removed", None, None),
       (5L, "added", None, None)))
   }
+
+  test("applyCdc: latest wins, tombstones drop, out-of-order and redelivery") {
+    // key 1: I then U — final value from the U
+    // key 2: I then D — tombstoned, emits nothing
+    // key 3: delivered OUT OF ORDER (U seq 5 arrives before I seq 1) —
+    //        sequence decides, final is the seq-5 U
+    // key 4: D then a LATER re-insert — delete is not terminal
+    // key 5: equal-seq redelivery — tieBreak (event id) picks id 21
+    val feed = Seq(
+      (1L, 1L, 10L, "I", 1.0), (1L, 2L, 11L, "U", 2.0),
+      (2L, 1L, 12L, "I", 3.0), (2L, 2L, 13L, "D", 0.0),
+      (3L, 5L, 14L, "U", 9.0), (3L, 1L, 15L, "I", 4.0),
+      (4L, 1L, 16L, "D", 0.0), (4L, 2L, 17L, "I", 7.0),
+      (5L, 1L, 20L, "U", 5.0), (5L, 1L, 21L, "U", 6.0))
+      .toDF("k", "seq", "eid", "op", "v")
+    val got = Scd.applyCdc(feed, "k", "seq", "eid", "op", Seq("v"))
+      .orderBy("key")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 2.0),
+      (3L, 5L, 2L, 9.0),
+      (4L, 2L, 2L, 7.0),
+      (5L, 1L, 2L, 6.0)))
+  }
 }
