@@ -532,4 +532,50 @@ object CorpusStats {
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Positional inverted index: (token, doc_id, pos) with 0-based word
+    * positions — the structure phrase and proximity queries need beyond
+    * q128's frequency-only postings. Map-only explode; at rest it would
+    * bucket by token exactly as the BM25 index does. */
+  def positionalIndex(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos"))
+
+  /** Exact phrase search over a positional index: occurrences of the
+    * n-term phrase are positions where every slot k's posting list
+    * contains (doc, start + k) — the classic positional-intersection
+    * query, n−1 equi-joins on (doc_id, normalized start), never a scan
+    * of the documents themselves.
+    *
+    * Join order is RARE-TERM-FIRST: posting lists are intersected in
+    * ascending document-frequency order, so the running intermediate is
+    * bounded by the rarest term's postings from the first join on — the
+    * standard IR trick that makes "the <rare-word> the" cheap even when
+    * "the" has a trillion postings (a left-to-right chain would carry
+    * the most frequent slot's list through the whole pipeline).
+    * Left-semi joins keep occurrence starts only, so nothing widens.
+    * The df probe is one aggregate over the phrase terms' postings
+    * (n rows to the driver — config-sized).
+    *
+    * Returns (doc_id, start) — one row per occurrence; overlapping
+    * occurrences each count. */
+  def phraseSearch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val dfs = index.where(col("token").isin(phrase.distinct: _*))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a term absent from the corpus ⇒ no occurrences; keep the plan shape
+    // (the first where() below yields the empty frame naturally)
+    val slots = phrase.zipWithIndex
+      .sortBy { case (t, k) => (dfs.getOrElse(t, 0L), k) }
+    def postings(t: String, k: Int): DataFrame =
+      index.where(col("token") === t)
+        .select(col("doc_id"), (col("pos") - k).as("start"))
+    val (t0, k0) = slots.head
+    slots.tail.foldLeft(postings(t0, k0)) { case (cur, (t, k)) =>
+      cur.join(postings(t, k), Seq("doc_id", "start"), "left_semi")
+    }
+  }
 }

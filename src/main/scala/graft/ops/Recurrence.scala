@@ -136,4 +136,61 @@ object Recurrence {
       }
       .toDF()
   }
+
+  final case class HoltReport(user_id: Long, n: Long, level: Double,
+                              trend: Double)
+
+  /** Per-key Holt linear (double exponential) smoothing — EWMA's
+    * two-state sibling: a level AND a trend, so the one-step forecast
+    * (level + trend) tracks drifting series instead of lagging them.
+    *   l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+    *   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1};  l_1 = x_1, b_1 = 0.
+    * Coupled two-state recurrences have no window/prefix factorization
+    * at all (even EWMA's overflowing closed form doesn't exist here), so
+    * this is the same honest fold tier as [[ewmaReport]]: repartition by
+    * key + secondary sort + one streaming O(1)-state fold. Fixed
+    * expression shapes (the exact forms above, reusing the freshly
+    * computed l_i inside b_i) — IEEE-deterministic, so a two-column
+    * recursive-CTE oracle replays every intermediate bitwise when α and
+    * β are exactly representable (0.5 and 0.25 are). One report row per
+    * key: (key, n, final level, final trend). */
+  def holtReport(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, xCol: String, alpha: Double,
+                 beta: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("_1"), col(tsCol).cast("long").as("_2"),
+        col(idCol).cast("long").as("_3"), col(xCol).cast("double").as("_4"))
+      .as[(Long, Long, Long, Double)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        new Iterator[HoltReport] {
+          private var cur = Option.empty[HoltReport]
+          private var pending = Option.empty[HoltReport]
+          private def fold(r: (Long, Long, Long, Double)): Unit = {
+            val (k, _, _, x) = r
+            cur match {
+              case Some(s) if s.user_id == k =>
+                val l = alpha * x + (1 - alpha) * (s.level + s.trend)
+                val b = beta * (l - s.level) + (1 - beta) * s.trend
+                cur = Some(HoltReport(k, s.n + 1, l, b))
+              case other =>
+                pending = other
+                cur = Some(HoltReport(k, 1L, x, 0.0))
+            }
+          }
+          def hasNext: Boolean = pending.nonEmpty || it.hasNext || cur.nonEmpty
+          def next(): HoltReport = {
+            while (pending.isEmpty && it.hasNext) fold(it.next())
+            pending match {
+              case Some(p) => pending = None; p
+              case None => val last = cur.get; cur = None; last
+            }
+          }
+        }
+      }
+      .toDF()
+  }
 }

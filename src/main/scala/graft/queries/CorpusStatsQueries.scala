@@ -758,5 +758,38 @@ object CorpusStatsQueries {
         Qutil.dround(slope, 6).as("slope"),
         Qutil.dround((col("sy") - slope * col("sx")) / col("n"), 6)
           .as("intercept"))
+    },
+
+    // Exact phrase search over a positional inverted index
+    // (CorpusStats.positionalIndex + phraseSearch): occurrences of
+    // "part filter scan" as positional-intersection equi-joins,
+    // rare-term-first so the intermediate never exceeds the rarest
+    // posting list. The oracle replays tokenization, positions, and the
+    // adjacency joins independently (anchor-relative, fixed order) —
+    // same occurrence set either way, which is the commutativity the
+    // rare-first optimization relies on.
+    Q.sql("q187_phrase_search",
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(text), '\s+') END AS ws
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(ws) AS tok,
+        |             unnest(generate_series(1, len(ws))) AS pos FROM w),
+        |occ AS (
+        |  SELECT a.doc_id, a.pos AS start
+        |  FROM p a
+        |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |          AND b.tok = 'filter'
+        |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |          AND c.tok = 'scan'
+        |  WHERE a.tok = 'part')
+        |SELECT doc_id, count(*) AS n_occurrences
+        |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val idx = CorpusStats.positionalIndex(
+        Tables.documents(s, d), "doc_id", "text")
+      CorpusStats.phraseSearch(idx, Seq("part", "filter", "scan"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("doc_id")
     })
 }

@@ -1251,6 +1251,49 @@ object EventAnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // Per-key Holt linear smoothing (ops.Recurrence.holtReport,
+    // α = 0.5, β = 0.25): level + trend — the two-state member of the
+    // sequential-recurrence family (q160 non-linear, q174 linear
+    // one-state, this one COUPLED two-state, which kills every window
+    // factorization outright). The recursive-CTE oracle carries both
+    // states and steps the identical expression shapes, so every
+    // intermediate double matches bitwise; the forecast column is the
+    // one-step-ahead level + trend.
+    Q.sql("q188_holt_linear",
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |cnt AS (SELECT user_id, count(*) AS n FROM seq GROUP BY 1),
+        |r AS (
+        |  SELECT user_id, rn, value AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT q.user_id, q.rn,
+        |         0.5 * q.value + 0.5 * (r.l + r.b),
+        |         0.25 * ((0.5 * q.value + 0.5 * (r.l + r.b)) - r.l)
+        |           + 0.75 * r.b
+        |  FROM r JOIN seq q ON q.user_id = r.user_id AND q.rn = r.rn + 1)
+        |SELECT r.user_id, c.n,
+        |       floor(r.l * 1000000 + 0.5) / 1000000 AS level,
+        |       floor(r.b * 1000000 + 0.5) / 1000000 AS trend,
+        |       floor((r.l + r.b) * 1000000 + 0.5) / 1000000 AS forecast
+        |FROM r JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n
+        |ORDER BY r.user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      graft.ops.Recurrence.holtReport(ev, "user_id", "us", "event_id",
+          "value", alpha = 0.5, beta = 0.25)
+        .select(col("user_id"), col("n"),
+          Qutil.dround(col("level"), 6).as("level"),
+          Qutil.dround(col("trend"), 6).as("trend"),
+          Qutil.dround(col("level") + col("trend"), 6).as("forecast"))
+        .orderBy("user_id")
+    },
+
     // Session path matrix (Sessions.sessionPaths): (entry, exit) event
     // types per session — the navigation-flow report. Entry and exit come
     // from struct-min/struct-max in ONE session-grain aggregate (the q162

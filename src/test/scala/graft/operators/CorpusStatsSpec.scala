@@ -117,4 +117,21 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Double]("c")).toMap
     assert(c.forall { case (k, (v, _)) => c2(k) == v })
   }
+
+  test("phraseSearch: adjacency only, overlaps count, repeated terms, absent term") {
+    val docs = Seq(
+      (1L, "a b c a b"),      // "a b" at 0 and 3; "b c" at 1
+      (2L, "a x b"),          // non-adjacent a..b — no match
+      (3L, "a a a"),          // overlapping "a a" at 0 and 1
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val idx = CorpusStats.positionalIndex(docs, "doc_id", "text")
+    def occ(p: String*) =
+      CorpusStats.phraseSearch(idx, p).as[(Long, Long)].collect().toSet
+    assert(occ("a", "b") == Set((1L, 0L), (1L, 3L)))
+    assert(occ("a", "b", "c") == Set((1L, 0L)))
+    assert(occ("a", "a") == Set((3L, 0L), (3L, 1L))) // overlapping hits
+    assert(occ("a", "zzz").isEmpty)                  // absent term
+    assert(occ("b") == Set((1L, 1L), (1L, 4L), (2L, 2L))) // single-term
+  }
 }

@@ -62,4 +62,23 @@ class RecurrenceSpec extends SparkSpec {
       .orderBy("user_id").as[(Long, Long, Double)].collect().toSeq
     assert(b === expected)
   }
+
+  test("holtReport: hand-computed two-state fold; partition/order invariant") {
+    val xs = Seq(
+      (1L, 10L, 1L, 8.0), (1L, 20L, 2L, 4.0), (1L, 30L, 3L, 12.0),
+      (2L, 10L, 1L, 2.0)
+    ).toDF("k", "ts", "id", "x")
+    // user 1 (α=.5, β=.25):
+    //   l1=8, b1=0
+    //   l2=.5·4+.5·(8+0)=6;   b2=.25·(6−8)+.75·0=−0.5
+    //   l3=.5·12+.5·(6−0.5)=8.75; b3=.25·(8.75−6)+.75·(−0.5)=0.3125
+    val expected = Seq((1L, 3L, 8.75, 0.3125), (2L, 1L, 2.0, 0.0))
+    val a = Recurrence.holtReport(xs, "k", "ts", "id", "x", 0.5, 0.25)
+      .orderBy("user_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(a === expected)
+    val b = Recurrence.holtReport(xs.orderBy(rand(7)).repartition(5),
+        "k", "ts", "id", "x", 0.5, 0.25)
+      .orderBy("user_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(b === expected)
+  }
 }
