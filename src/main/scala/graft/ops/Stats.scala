@@ -217,4 +217,41 @@ object Stats {
       if (inv(c)) (col(c) * -1d).as(c) else col(c)
     }: _*)
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split an integer
+    * `budget` across keys proportionally to `weightCol`, exactly —
+    * allocations are integers that SUM TO THE BUDGET, the property
+    * naive per-key rounding loses (budget shares, sampling quotas,
+    * shard capacities all need it). Each key gets ⌊budget·w/total⌋;
+    * the unassigned remainder units (< #keys of them) go to the largest
+    * fractional remainders, ties broken by the key's sort order.
+    *
+    * Operates on the KEY grain — callers aggregate the fact table
+    * first, so the windows here sort a group-cardinality frame, not
+    * rows. Weights must be exact (decimal-summed) for cross-engine
+    * determinism; quota arithmetic is fixed-shape IEEE.
+    * Returns (key, weight, alloc). */
+  def largestRemainder(grain: DataFrame, keyCol: String, weightCol: String,
+                       budget: Long): DataFrame = {
+    val w = Window.orderBy(
+      (col("__q") - floor(col("__q"))).desc, col(keyCol).asc)
+    // decimal total: the weights are grain-level exact values (≤6dp);
+    // a double sum would drift by partition order across engines
+    val tot = grain.agg(
+      sum(col(weightCol).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double").as("__tot"))
+    grain.crossJoin(broadcast(tot))
+      .withColumn("__q",
+        lit(budget.toDouble) * col(weightCol).cast("double") / col("__tot"))
+      .withColumn("__base", floor(col("__q")).cast("long"))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__left",
+        lit(budget) - sum(col("__base")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .select(col(keyCol), col(weightCol),
+        (col("__base") +
+          when(col("__rank") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
 }

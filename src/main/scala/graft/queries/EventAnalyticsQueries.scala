@@ -1294,6 +1294,48 @@ object EventAnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // Sequence-conformance audit: purchases with NO prior view by the
+    // same user — the event-ordering business rule every funnel assumes,
+    // checked explicitly (instrumentation bugs and bot traffic both
+    // surface here). One prefix-window flag (seen-a-view-before-me,
+    // (us, event_id) order) + one user-grain aggregate; violations
+    // pin the lowest offending event id so the report is actionable.
+    Q.sql("q189_sequence_conformance",
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type,
+        |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS seen_view
+        |  FROM t)
+        |SELECT user_id, count(*) AS n_purchases,
+        |       CAST(SUM(CASE WHEN coalesce(seen_view, 0) = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |       min(CASE WHEN coalesce(seen_view, 0) = 0
+        |                THEN event_id END) AS first_violation_id
+        |FROM f WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val f = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("seen_view",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      val violated = coalesce(col("seen_view"), lit(0)) === 0
+      f.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(violated, 1L).otherwise(0L)).as("n_violations"),
+          min(when(violated, col("event_id"))).as("first_violation_id"))
+        .orderBy("user_id")
+    },
+
     // Session path matrix (Sessions.sessionPaths): (entry, exit) event
     // types per session — the navigation-flow report. Entry and exit come
     // from struct-min/struct-max in ONE session-grain aggregate (the q162

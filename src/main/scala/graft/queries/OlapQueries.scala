@@ -621,5 +621,45 @@ object OlapQueries {
         .select(col("p_brand"), col("p_partkey"),
           col("p_retailprice"), col("p_size"))
         .orderBy("p_brand", "p_partkey")
+    },
+
+    // Largest-remainder (Hamilton) apportionment (ops.Stats.
+    // largestRemainder): a 10,000-unit budget split across nations
+    // proportional to order revenue, allocations integer AND summing
+    // exactly to the budget — what naive per-key rounding loses. The
+    // fact table aggregates to the nation grain first; the apportionment
+    // windows sort 25 rows. The oracle replays quotas, floors, remainder
+    // ranks, and the top-up.
+    Q.sql("q190_largest_remainder",
+      """WITH rev AS (
+        |  SELECT n_name,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+        |             AS tot FROM rev),
+        |q AS (SELECT n_name, revenue,
+        |             10000.0 * revenue / (SELECT tot FROM t) AS quota
+        |      FROM rev),
+        |b AS (SELECT n_name, revenue, quota,
+        |             CAST(floor(quota) AS BIGINT) AS base,
+        |             row_number() OVER (ORDER BY quota - floor(quota) DESC,
+        |                                n_name ASC) AS rnk
+        |      FROM q),
+        |l AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b)
+        |SELECT n_name, revenue,
+        |       base + CASE WHEN rnk <= (SELECT leftover FROM l)
+        |                   THEN 1 ELSE 0 END AS alloc
+        |FROM b ORDER BY n_name""".stripMargin) { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(Qutil.msum(col("o_totalprice"), 2).as("revenue"))
+      graft.ops.Stats.largestRemainder(rev, "n_name", "revenue", 10000L)
+        .orderBy("n_name")
     })
 }

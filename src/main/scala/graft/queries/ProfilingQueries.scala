@@ -537,5 +537,58 @@ object ProfilingQueries {
           Qutil.dround(col("sy"), 2).as("total_rev"),
           Qutil.dround(lit(2) * col("siy") / (col("n") * col("sy")) -
             (col("n") + 1.0) / col("n"), 6).as("gini"))
+    },
+
+    // Chi-squared test of independence between market segment and order
+    // priority — q163's MI screen is the information-theoretic sibling;
+    // chi² is the classical test with a known null distribution. ONE
+    // contingency aggregate; expected counts from the marginals of that
+    // tiny grain; per-cell terms on a 6dp grid, decimal-summed. The
+    // oracle replays marginals, expectations, and every term.
+    Q.sql("q191_chi2_independence",
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+        |         count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |c AS (SELECT pri, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |terms AS (
+        |  SELECT cells.o,
+        |         floor((cells.o - e) * (cells.o - e) / e * 1e6 + 0.5) / 1e6
+        |           AS term
+        |  FROM (SELECT cells.*,
+        |               CAST(rt * ct AS DOUBLE) / (SELECT n FROM nt) AS e
+        |        FROM cells JOIN r USING (seg) JOIN c USING (pri)) cells),
+        |dims AS (SELECT count(DISTINCT seg) AS nr, count(DISTINCT pri) AS nc
+        |         FROM cells)
+        |SELECT CAST((SELECT n FROM nt) AS BIGINT) AS n,
+        |       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+        |       (SELECT CAST(SUM(CAST(term AS DECIMAL(38,9))) AS DOUBLE)
+        |        FROM terms) AS chi2
+        |FROM dims""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("o"))
+      val r = cells.groupBy("seg").agg(sum("o").as("rt"))
+      val c = cells.groupBy("pri").agg(sum("o").as("ct"))
+      val nt = cells.agg(sum("o").as("n"))
+      val terms = cells.join(r, "seg").join(c, "pri")
+        .crossJoin(broadcast(nt))
+        .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+        .withColumn("term",
+          Qutil.dround((col("o") - col("e")) * (col("o") - col("e")) /
+            col("e"), 6))
+      val dims = cells.agg(countDistinct("seg").as("nr"),
+        countDistinct("pri").as("nc"))
+      terms.agg(sum("o").as("n"),
+          sum(col("term").cast(DecimalType(38, 9))).cast("double").as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          col("chi2"))
     })
 }
