@@ -53,7 +53,12 @@ object Explain {
       "q168_zonemap_append", "q169_theil_sen", "q170_windowed_funnel",
       "q171_time_to_convert", "q172_grouped_ols", "q173_cohort_ltv",
       "q174_ewma", "q175_session_paths", "q176_knn_accuracy",
-      "q177_psi_drift", "q178_revenue_gini", "q179_peak_concurrency")
+      "q177_psi_drift", "q178_revenue_gini", "q179_peak_concurrency",
+      "q180_adamic_adar", "q181_bfs_reachability", "q182_pca_pc1",
+      "q183_target_encoding", "q184_skyline", "q185_compaction_fidelity",
+      "q186_cdc_apply", "q187_phrase_search", "q188_holt_linear",
+      "q189_sequence_conformance", "q190_largest_remainder",
+      "q191_chi2_independence")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

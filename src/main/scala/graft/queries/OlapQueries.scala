@@ -623,6 +623,89 @@ object OlapQueries {
         .orderBy("p_brand", "p_partkey")
     },
 
+    // TPC-H Q17 shape (small-quantity revenue): a correlated scalar AVG
+    // subquery ("below 20% of this part's average quantity"),
+    // decorrelated the Spark way: the per-part average is its own
+    // aggregate at the part grain (decimal sum / count — exact), joined
+    // back to the fact rows — the fact table is scanned twice but never
+    // per-row re-aggregated, and the brand filter prunes the probe side
+    // before the join.
+    Q.sql("q192_small_qty_revenue",
+      """WITH avgq AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS aq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_li,
+        |       floor(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lineitem
+        |JOIN avgq USING (l_partkey)
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand IN ('Brand#23', 'Brand#31')
+        |  AND l_quantity < 0.2 * aq""".stripMargin) { (s, d) =>
+      val avgq = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg((Qutil.msum(col("l_quantity"), 2) / count(lit(1))).as("aq"))
+      Tables.lineitem(s, d)
+        .join(avgq, "l_partkey")
+        .join(Tables.part(s, d).where(
+            col("p_brand").isin("Brand#23", "Brand#31")),
+          col("p_partkey") === col("l_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(count(lit(1)).as("n_li"),
+          Qutil.dround(Qutil.msum(col("l_extendedprice"), 2) / 7.0, 2)
+            .as("avg_yearly"))
+    },
+
+    // TPC-H Q2 shape (min-cost supplier per part): the correlated MIN
+    // subquery, decorrelated to a sort-free struct-min argmax at the
+    // part grain (the q152/q186 rule — a window row_number would sort
+    // the whole offer table). Offers are synthesized from lineitem
+    // (per-(part, supplier) best unit price); eligibility: EUROPE
+    // suppliers, parts in the 10–15 size band. The oracle is the
+    // independent row_number formulation.
+    Q.sql("q193_min_cost_supplier",
+      """WITH offers AS (
+        |  SELECT l_partkey AS p, l_suppkey AS sk,
+        |         min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eur AS (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |r AS (
+        |  SELECT o.p, o.sk, o.cost, e.s_name,
+        |         row_number() OVER (PARTITION BY o.p
+        |                            ORDER BY o.cost, o.sk) AS rn
+        |  FROM offers o
+        |  JOIN eur e ON e.s_suppkey = o.sk
+        |  JOIN part ON p_partkey = o.p AND p_size BETWEEN 10 AND 15)
+        |SELECT p AS p_partkey, sk AS s_suppkey, s_name,
+        |       floor(cost * 10000 + 0.5) / 10000 AS cost
+        |FROM r WHERE rn = 1 ORDER BY p""".stripMargin) { (s, d) =>
+      val offers = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+      val eur = Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("n_nationkey") === col("s_nationkey"))
+        .join(Tables.region(s, d), col("r_regionkey") === col("n_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_name"))
+      offers
+        .join(broadcast(eur), col("s_suppkey") === col("sk"))
+        .join(broadcast(Tables.part(s, d)
+            .where(col("p_size").between(10, 15)).select(col("p_partkey"))),
+          col("p_partkey") === col("p"))
+        .groupBy(col("p"))
+        .agg(min(struct(col("cost"), col("sk"), col("s_name"))).as("w"))
+        .select(col("p").as("p_partkey"), col("w.sk").as("s_suppkey"),
+          col("w.s_name").as("s_name"),
+          Qutil.dround(col("w.cost"), 4).as("cost"))
+        .orderBy("p_partkey")
+    },
+
     // Largest-remainder (Hamilton) apportionment (ops.Stats.
     // largestRemainder): a 10,000-unit budget split across nations
     // proportional to order revenue, allocations integer AND summing
