@@ -121,14 +121,40 @@ object Scd {
     * tombstoned keys dropped. */
   def applyCdc(feed: DataFrame, keyCol: String, seqCol: String,
                tieBreakCol: String, opCol: String,
+               payloadCols: Seq[String]): DataFrame =
+    cdcView(cdcState(feed, keyCol, seqCol, tieBreakCol, opCol, payloadCols),
+      payloadCols)
+
+  /** The MERGEABLE state behind [[applyCdc]]: per-key winner struct +
+    * change count, TOMBSTONES INCLUDED — a deleted key's (seq, 'D')
+    * marker must stay in state so a stale out-of-order update arriving
+    * later cannot resurrect it (drop the marker and latest-wins breaks
+    * under reordering). struct-max is associative and the count sums, so
+    * two states — or a state and a new batch's state — merge exactly
+    * ([[cdcMerge]]): the property that makes CDC apply INCREMENTAL
+    * (streaming foreachBatch, per-partition backfills) with
+    * batch-equivalent results. Serving layers read through [[cdcView]],
+    * which filters the tombstones out. */
+  def cdcState(feed: DataFrame, keyCol: String, seqCol: String,
+               tieBreakCol: String, opCol: String,
                payloadCols: Seq[String]): DataFrame = {
     val winner = struct(
       (Seq(col(seqCol).as("seq"), col(tieBreakCol).as("tb"),
         col(opCol).as("op")) ++ payloadCols.map(col)): _*)
-    val agg = feed.groupBy(col(keyCol).as("key"))
+    feed.groupBy(col(keyCol).as("key"))
       .agg(max(winner).as("w"), count(lit(1)).as("n_changes"))
-    agg.where(col("w.op") =!= "D")
+  }
+
+  /** Exact merge of two CDC states (same schema): winners re-max,
+    * counts re-sum. Associative and commutative — any batching of the
+    * feed folds to the same state. */
+  def cdcMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("key")
+      .agg(max(col("w")).as("w"), sum("n_changes").as("n_changes"))
+
+  /** Serving view of a CDC state: tombstones dropped, winner flattened. */
+  def cdcView(state: DataFrame, payloadCols: Seq[String]): DataFrame =
+    state.where(col("w.op") =!= "D")
       .select((Seq(col("key"), col("w.seq").as("seq"), col("n_changes")) ++
         payloadCols.map(c => col(s"w.$c").as(c))): _*)
-  }
 }

@@ -414,6 +414,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply: foreachBatch-merged state ≡ batch applyCdc; " +
+    "tombstones block stale resurrection across batches") {
+    import graft.ops.Scd
+    implicit val sql = spark.sqlContext
+    val cols = ("k", "seq", "eid", "op", "v")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Scd.cdcState(df, cols._1, cols._2, cols._3, cols._4, Seq("v"))
+    var acc = Option.empty[org.apache.spark.sql.DataFrame]
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = in.toDF().toDF("k", "seq", "eid", "op", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = state(batch)
+        acc = Some(acc.fold(s)(prev =>
+          Scd.cdcMerge(prev, s).localCheckpoint()))
+        ()
+      }.start()
+    val b1 = Seq(
+      (1L, 1L, 10L, "I", 1.0), (2L, 1L, 11L, "I", 3.0),
+      (2L, 2L, 12L, "D", 0.0), (3L, 5L, 13L, "U", 9.0))
+    val b2 = Seq(
+      (1L, 2L, 14L, "U", 2.0),
+      (2L, 1L, 15L, "U", 8.0), // STALE update after key 2's delete
+      (3L, 1L, 16L, "I", 4.0)) // late arrival, loses to seq 5
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Scd.cdcView(acc.get, Seq("v"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batchAll = Scd.applyCdc(
+        (b1 ++ b2).toDF("k", "seq", "eid", "op", "v"),
+        cols._1, cols._2, cols._3, cols._4, Seq("v"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batchAll)
+    // key 2 stays tombstoned: the stale post-delete update did not revive it
+    assert(!streamed.exists(_._1 == 2L))
+    assert(streamed == Set((1L, 2L, 2L, 2.0), (3L, 5L, 2L, 9.0)))
+  }
+
   test("hllSketch aggregates across microbatches and equals the batch sketch") {
     import org.apache.spark.sql.functions.{col, expr}
     import graft.functions.catalyst.HllSketchAgg
