@@ -55,4 +55,58 @@ object Intervals {
       .groupBy(keyCol)
       .agg(count(lit(1)).as("n_islands"),
         sum(col("island_end") - col("island_start")).as("covered"))
+
+  /** FIFO lot matching WITHOUT a sequential fold: first-in-first-out
+    * consumption (inventory costing, capacity draw-down, token-budget
+    * burn) looks like a per-key queue recurrence, but over INTEGER
+    * quantities it is exactly an interval intersection of two prefix-sum
+    * axes — lot i occupies units [lot_lo, lot_hi) of the key's
+    * cumulative inflow, sale j consumes units [sale_lo, sale_hi) of the
+    * same axis, and FIFO allocates their overlap. That turns the queue
+    * into two windows + one per-key interval join: fully declarative,
+    * no mapPartitions state (contrast ops.Recurrence, whose recurrences
+    * have no such unrolling).
+    *
+    * Scale shape: one window each side (the same shuffle any per-key
+    * ordering costs), then a key-equi join whose per-key pair space is
+    * near-diagonal (each sale overlaps few lots; a pathological
+    * single-key feed would compose with the q36 interval-binning join).
+    * Quantities MUST be integral — prefix sums are exact longs, overlap
+    * arithmetic never touches floats; `costCol` (per-unit) stays double
+    * and multiplies the integer overlap at the end.
+    *
+    * Returns the match grain: (key, lot order cols…, sale order cols…,
+    * units, alloc_cost = units · lot unit cost). Unmatched demand =
+    * sale units beyond the key's total inflow simply has no row —
+    * callers compare Σ units to the sale totals for shortage reports. */
+  def fifoMatch(lots: DataFrame, sales: DataFrame, keyCol: String,
+                qtyCol: String, costCol: String,
+                orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def axis(df: DataFrame, prefix: String, extra: Seq[String]) = {
+      val named = (Seq(keyCol) ++ orderCols ++ extra).distinct
+      df.select(named.map(col): _*)
+        .withColumn("__hi", sum(col(qtyCol).cast("long")).over(w))
+        .withColumn("__lo", col("__hi") - col(qtyCol).cast("long"))
+        .select((Seq(col(keyCol).as(s"${prefix}_key")) ++
+          orderCols.map(c => col(c).as(s"${prefix}_$c")) ++
+          extra.filterNot(e => (Seq(keyCol) ++ orderCols).contains(e))
+            .map(c => col(c).as(s"${prefix}_$c")) :+
+          col("__lo").as(s"${prefix}_lo") :+
+          col("__hi").as(s"${prefix}_hi")): _*)
+    }
+    val l = axis(lots, "lot", Seq(qtyCol, costCol))
+    val s = axis(sales, "sale", Seq(qtyCol))
+    l.join(s,
+        col("lot_key") === col("sale_key") &&
+          col("lot_lo") < col("sale_hi") && col("sale_lo") < col("lot_hi"))
+      .withColumn("units",
+        least(col("lot_hi"), col("sale_hi")) -
+          greatest(col("lot_lo"), col("sale_lo")))
+      .withColumn("alloc_cost", col("units") * col(s"lot_$costCol"))
+      .withColumnRenamed("lot_key", "key")
+      .drop("sale_key")
+  }
 }

@@ -1294,6 +1294,80 @@ object EventAnalyticsQueries {
         .orderBy("user_id")
     },
 
+    // CUPED-adjusted experiment readout (q149's variance-reduction
+    // companion): per-user post-period revenue y adjusted by the
+    // pre-period covariate x — adj = y − θ(x − x̄), θ the pooled OLS
+    // slope from ONE moment aggregate (the q172 machinery) — the
+    // standard trick that shrinks A/B variance without biasing the
+    // difference (θ and x̄ are pooled across variants). Per-user sums
+    // are decimal-exact; moment and adjusted terms live on 6dp grids,
+    // so the oracle replays θ, x̄, and every adjusted value.
+    Q.sql("q195_cuped_readout",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+        |         coalesce(CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |                        THEN CAST(value AS DECIMAL(18,4)) END)
+        |                  AS DOUBLE), 0) AS x,
+        |         coalesce(CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |                        THEN CAST(value AS DECIMAL(18,4)) END)
+        |                  AS DOUBLE), 0) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(floor(x * y * 1e6 + 0.5) / 1e6
+        |                       AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) / 1e6
+        |                       AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+        |  FROM u),
+        |th AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        |              sx / n AS xbar FROM m),
+        |a AS (SELECT variant, y,
+        |             floor((y - theta * (x - xbar)) * 1e6 + 0.5) / 1e6 AS adj
+        |      FROM u CROSS JOIN th)
+        |SELECT variant, count(*) AS n_users,
+        |       floor(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE)
+        |             / count(*) * 1e6 + 0.5) / 1e6 AS raw_mean,
+        |       floor(CAST(SUM(CAST(adj AS DECIMAL(38,9))) AS DOUBLE)
+        |             / count(*) * 1e6 + 0.5) / 1e6 AS adj_mean
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val cut = lit("2024-01-16").cast("timestamp")
+      val u = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"))
+        .agg(
+          coalesce(sum(when(col("ts") < cut,
+              col("value").cast(DecimalType(18, 4)))).cast("double"), lit(0.0))
+            .as("x"),
+          coalesce(sum(when(col("ts") >= cut,
+              col("value").cast(DecimalType(18, 4)))).cast("double"), lit(0.0))
+            .as("y"))
+      def dsum(c: org.apache.spark.sql.Column, s9: Boolean = false) =
+        sum(c.cast(if (s9) DecimalType(38, 9) else DecimalType(38, 6)))
+          .cast("double")
+      val m = u.agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(Qutil.dround(col("x") * col("y"), 6), s9 = true).as("sxy"),
+        dsum(Qutil.dround(col("x") * col("x"), 6), s9 = true).as("sxx"))
+      val th = m.select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        (col("sx") / col("n")).as("xbar"))
+      u.crossJoin(broadcast(th))
+        .select(col("variant"), col("y"),
+          Qutil.dround(col("y") - col("theta") * (col("x") - col("xbar")), 6)
+            .as("adj"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          Qutil.dround(dsum(col("y")) / count(lit(1)), 6).as("raw_mean"),
+          Qutil.dround(dsum(col("adj"), s9 = true) / count(lit(1)), 6)
+            .as("adj_mean"))
+        .orderBy("variant")
+    },
+
     // Sequence-conformance audit: purchases with NO prior view by the
     // same user — the event-ordering business rule every funnel assumes,
     // checked explicitly (instrumentation bugs and bot traffic both

@@ -706,6 +706,78 @@ object OlapQueries {
         .orderBy("p_partkey")
     },
 
+    // FIFO cost-of-goods allocation (ops.Intervals.fifoMatch): per part,
+    // 'F'-status lineitems are inbound lots and 'O'-status ones are
+    // sales; FIFO consumption is the interval intersection of the two
+    // cumulative-unit axes — two windows + one near-diagonal per-key
+    // join, NO sequential queue fold (the declarative unrolling of what
+    // looks like a Recurrence-tier operator). Integer units throughout;
+    // per-match cost on a 4dp grid, decimal-summed. The oracle replays
+    // both prefix axes and the overlap arithmetic.
+    Q.sql("q194_fifo_cogs",
+      """WITH li AS (
+        |  SELECT l_partkey p, l_orderkey o, l_linenumber ln, l_linestatus st,
+        |         CAST(l_quantity AS BIGINT) q,
+        |         l_extendedprice / l_quantity AS uc,
+        |         epoch_us(l_shipdate) us
+        |  FROM lineitem),
+        |lots AS (
+        |  SELECT p, q, uc,
+        |         SUM(q) OVER (PARTITION BY p ORDER BY us, o, ln
+        |                      ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM li WHERE st = 'F'),
+        |sales AS (
+        |  SELECT p, q,
+        |         SUM(q) OVER (PARTITION BY p ORDER BY us, o, ln
+        |                      ROWS UNBOUNDED PRECEDING) AS hi
+        |  FROM li WHERE st = 'O'),
+        |m AS (
+        |  SELECT l.p,
+        |         LEAST(l.hi, s.hi) - GREATEST(l.hi - l.q, s.hi - s.q)
+        |           AS units,
+        |         l.uc
+        |  FROM lots l JOIN sales s
+        |    ON s.p = l.p AND l.hi - l.q < s.hi AND s.hi - s.q < l.hi),
+        |agg AS (
+        |  SELECT p, count(*) AS n_matches,
+        |         CAST(SUM(units) AS BIGINT) AS units_matched,
+        |         CAST(SUM(CAST(floor(units * uc * 1e4 + 0.5) / 1e4
+        |                       AS DECIMAL(38,6))) AS DOUBLE) AS cogs
+        |  FROM m GROUP BY 1),
+        |sold AS (SELECT p, CAST(SUM(q) AS BIGINT) AS units_sold
+        |         FROM li WHERE st = 'O' GROUP BY 1)
+        |SELECT s.p AS part, s.units_sold,
+        |       coalesce(a.n_matches, 0) AS n_matches,
+        |       coalesce(a.units_matched, 0) AS units_matched,
+        |       coalesce(a.cogs, CAST(0 AS DOUBLE)) AS cogs
+        |FROM sold s LEFT JOIN agg a ON a.p = s.p
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d).select(
+        col("l_partkey").as("p"), col("l_orderkey"), col("l_linenumber"),
+        col("l_linestatus").as("st"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice") / col("l_quantity")).as("uc"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+      val lots = li.where(col("st") === "F")
+      val sales = li.where(col("st") === "O")
+      val matched = graft.ops.Intervals.fifoMatch(lots, sales, "p", "q",
+          "uc", Seq("us", "l_orderkey", "l_linenumber"))
+        .groupBy(col("key").as("p"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("units")).as("units_matched"),
+          sum(Qutil.dround(col("alloc_cost"), 4).cast(DecimalType(38, 6)))
+            .cast("double").as("cogs"))
+      sales.groupBy(col("p"))
+        .agg(sum(col("q")).as("units_sold"))
+        .join(matched, Seq("p"), "left")
+        .select(col("p").as("part"), col("units_sold"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("units_matched"), lit(0L)).as("units_matched"),
+          coalesce(col("cogs"), lit(0.0)).as("cogs"))
+        .orderBy("part")
+    },
+
     // Largest-remainder (Hamilton) apportionment (ops.Stats.
     // largestRemainder): a 10,000-unit budget split across nations
     // proportional to order revenue, allocations integer AND summing
