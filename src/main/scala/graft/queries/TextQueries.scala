@@ -48,6 +48,30 @@ object TextQueries {
   private val QcBias = -1.2
   private val QcThreshold = 0.5
 
+  /** Shared CTE chain ending in p(doc_id, p_quality) — q94's scoring
+    * replay, reused verbatim by the model-eval queries (q196/q197):
+    * their contract is exactly "same scores, evaluated". */
+  private lazy val qcScoreCtes: String = {
+    val f1 = "least(CAST(len(ws) AS DOUBLE) / 100, 1e0)"
+    val f2 = s"""(CASE WHEN len(ws) = 0 THEN 0e0
+                |  ELSE CAST(len(list_filter(ws, w -> list_contains($enSwList, w))) AS DOUBLE) / len(ws) END)""".stripMargin
+    val f3 = """(CASE WHEN length(text) = 0 THEN 0e0
+               |  ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END)""".stripMargin
+    val f4 = """least((CASE WHEN len(ws) = 0 THEN 0e0
+               |  ELSE CAST(list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS DOUBLE) / len(ws) END) / 10, 1e0)""".stripMargin
+    val (w1, w2, w3, w4) = QcW
+    s"""$wsCte,
+       |z AS (
+       |  SELECT doc_id,
+       |         $f1 * ${w1}e0
+       |         + $f2 * ${w2}e0
+       |         + $f3 * ${w3}e0
+       |         + $f4 * ${w4}e0
+       |         + ${QcBias}e0 AS z
+       |  FROM t),
+       |p AS (SELECT doc_id, floor((1e0 / (1e0 + exp(-z))) * 1e6 + 5e-1) / 1e6 AS p_quality FROM z)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Token counting, word-length, punctuation, stopword ratio, composite
@@ -179,32 +203,117 @@ object TextQueries {
     // the same Scala doubles with an e0 suffix (DOUBLE, not DECIMAL, in
     // DuckDB), feature terms summed in the same left-assoc order, sigmoid
     // 6dp-rounded before thresholding so keep/drop is engine-exact.
-    Q.sql("q94_quality_classifier", {
-      val f1 = "least(CAST(len(ws) AS DOUBLE) / 100, 1e0)"
-      val f2 = s"""(CASE WHEN len(ws) = 0 THEN 0e0
-                  |  ELSE CAST(len(list_filter(ws, w -> list_contains($enSwList, w))) AS DOUBLE) / len(ws) END)""".stripMargin
-      val f3 = """(CASE WHEN length(text) = 0 THEN 0e0
-                 |  ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END)""".stripMargin
-      val f4 = """least((CASE WHEN len(ws) = 0 THEN 0e0
-                 |  ELSE CAST(list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS DOUBLE) / len(ws) END) / 10, 1e0)""".stripMargin
-      val (w1, w2, w3, w4) = QcW
-      s"""$wsCte,
-         |z AS (
-         |  SELECT doc_id,
-         |         $f1 * ${w1}e0
-         |         + $f2 * ${w2}e0
-         |         + $f3 * ${w3}e0
-         |         + $f4 * ${w4}e0
-         |         + ${QcBias}e0 AS z
-         |  FROM t),
-         |p AS (SELECT doc_id, floor((1e0 / (1e0 + exp(-z))) * 1e6 + 5e-1) / 1e6 AS p_quality FROM z)
+    Q.sql("q94_quality_classifier",
+      s"""$qcScoreCtes
          |SELECT doc_id, p_quality,
          |       CAST(CASE WHEN p_quality >= ${QcThreshold}e0 THEN 1 ELSE 0 END AS INTEGER) AS keep
-         |FROM p ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.Curation.classifierQuality(Tables.documents(s, d),
           "doc_id", "text", QcW, QcBias, enSw, QcThreshold)
         .select(col("doc_id"), col("p_quality"), col("keep"))
         .orderBy("doc_id")
+    },
+
+    // Decile gains table for the q94 classifier against the independent
+    // lang='en' ground truth — the ranking-eval every curation model
+    // ships with ("how concentrated are the positives in the top
+    // deciles"). Deciles come from Curation.ntileByBands on the NEGATED
+    // score (band histogram — corpus-sized work never single-partitions;
+    // the oracle uses plain ntile() as the independent formulation, the
+    // equivalence CurationSpec already pins). Cumulative gain over the
+    // 10-row decile grain.
+    Q.sql("q196_gains_table",
+      s"""$qcScoreCtes,
+         |lab AS (
+         |  SELECT p.doc_id, p.p_quality,
+         |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM p JOIN documents d USING (doc_id)),
+         |r AS (SELECT *, ntile(10) OVER (ORDER BY p_quality DESC, doc_id)
+         |               AS decile
+         |      FROM lab),
+         |g AS (SELECT decile, count(*) AS n_docs,
+         |             CAST(SUM(pos) AS BIGINT) AS n_pos
+         |      FROM r GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(pos) AS BIGINT) AS tot FROM lab)
+         |SELECT decile, n_docs, n_pos,
+         |       floor(CAST(n_pos AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+         |         AS pos_rate,
+         |       floor(CAST(SUM(n_pos) OVER (ORDER BY decile
+         |                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |             / (SELECT tot FROM tt) * 1e6 + 0.5) / 1e6 AS cum_gain
+         |FROM g ORDER BY decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val lab = graft.operators.Curation.classifierQuality(docs,
+          "doc_id", "text", QcW, QcBias, enSw, QcThreshold)
+        .select(col("doc_id"), col("p_quality"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+        .withColumn("negp", -col("p_quality"))
+        .withColumn("one", lit(1))
+      val deciled = graft.operators.Curation.ntileByBands(lab, "doc_id",
+        "negp", "one", nBuckets = 10, bandDp = 2, bucketCol = "decile")
+      val g = deciled.groupBy(col("decile").cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"))
+      val tot = lab.agg(sum("pos").as("tot"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.crossJoin(broadcast(tot))
+        .withColumn("cum_pos", sum("n_pos").over(wc))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          Qutil.dround(col("n_pos").cast("double") / col("n_docs"), 6)
+            .as("pos_rate"),
+          Qutil.dround(col("cum_pos").cast("double") / col("tot"), 6)
+            .as("cum_gain"))
+        .orderBy("decile")
+    },
+
+    // Calibration bins (reliability diagram) for the q94 classifier: is
+    // a predicted 0.7 actually right 70% of the time against the
+    // lang='en' truth? Fixed probability bins (no ranking pass at all —
+    // map-only bin assignment + one bin-grain aggregate); mean predicted
+    // vs observed rate and the gap per bin. Scores are on q94's 6dp
+    // grid, so bin membership and the decimal mean replay exactly.
+    Q.sql("q197_calibration_bins",
+      s"""$qcScoreCtes,
+         |lab AS (
+         |  SELECT p.doc_id, p.p_quality,
+         |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM p JOIN documents d USING (doc_id)),
+         |b AS (SELECT least(CAST(floor(p_quality * 10) AS BIGINT), 9)
+         |               AS bin, p_quality, pos
+         |      FROM lab)
+         |SELECT bin, count(*) AS n_docs,
+         |       floor(CAST(SUM(CAST(p_quality AS DECIMAL(38,6))) AS DOUBLE)
+         |             / count(*) * 1e6 + 0.5) / 1e6 AS mean_pred,
+         |       floor(CAST(SUM(pos) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+         |         AS obs_rate,
+         |       floor(abs(
+         |         floor(CAST(SUM(CAST(p_quality AS DECIMAL(38,6))) AS DOUBLE)
+         |               / count(*) * 1e6 + 0.5) / 1e6
+         |         - floor(CAST(SUM(pos) AS DOUBLE) / count(*) * 1e6 + 0.5)
+         |           / 1e6) * 1e6 + 0.5) / 1e6 AS gap
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, d)
+      val lab = graft.operators.Curation.classifierQuality(docs,
+          "doc_id", "text", QcW, QcBias, enSw, QcThreshold)
+        .select(col("doc_id"), col("p_quality"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+        .withColumn("bin",
+          least(floor(col("p_quality") * 10).cast("long"), lit(9L)))
+      val g = lab.groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("p_quality").cast(DecimalType(38, 6))).cast("double") /
+            count(lit(1))).as("mp_raw"),
+          (sum("pos").cast("double") / count(lit(1))).as("or_raw"))
+      g.select(col("bin"), col("n_docs"),
+          Qutil.dround(col("mp_raw"), 6).as("mean_pred"),
+          Qutil.dround(col("or_raw"), 6).as("obs_rate"),
+          Qutil.dround(
+            abs(Qutil.dround(col("mp_raw"), 6) - Qutil.dround(col("or_raw"), 6)),
+            6).as("gap"))
+        .orderBy("bin")
     })
 }
