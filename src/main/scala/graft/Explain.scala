@@ -58,7 +58,9 @@ object Explain {
       "q183_target_encoding", "q184_skyline", "q185_compaction_fidelity",
       "q186_cdc_apply", "q187_phrase_search", "q188_holt_linear",
       "q189_sequence_conformance", "q190_largest_remainder",
-      "q191_chi2_independence")
+      "q191_chi2_independence", "q192_small_qty_revenue",
+      "q193_min_cost_supplier", "q194_fifo_cogs", "q195_cuped_readout",
+      "q196_gains_table", "q197_calibration_bins")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -86,4 +86,44 @@ object Expectations {
     }
     withUniques.select(explode(array(structs: _*)).as("r")).select("r.*")
   }
+
+  /** Bucket-granular table integrity diff (Merkle-lite): compare two
+    * copies of a table (replica, migration target, backup restore) by
+    * per-bucket CHECKSUMS instead of row-by-row — each side reduces to
+    * `buckets` rows of (count, additive hash sum), and only buckets
+    * whose summaries disagree need the expensive row-level diff
+    * (q130's snapshotDiff, scoped to the flagged buckets). At 100 TB
+    * this turns "compare two tables" into two scans + a buckets-sized
+    * join; the additive long sum of row hashes is order- and
+    * partition-free, so layout differences between the copies never
+    * false-positive.
+    *
+    * Row hash: md5 over the string forms of `hashCols` joined on the
+    * \u0001 field separator (an empty-string join would collide across
+    * field boundaries: ('ab','c') vs ('a','bc')), nulls encoded as the
+    * \u0002 sentinel (so NULL ≠ empty string); bucket: md5 of the key
+    * column mod `buckets` — all replayable in SQL via chr(1)/chr(2).
+    * Callers hash STABLE string forms (ints, cents, epoch micros),
+    * never engine-formatted doubles or timestamps. Collisions:
+    * a bucket disagreeing is PROOF of difference; agreement is
+    * probabilistic (a 32-bit-per-row additive sum — the standard
+    * checksum trade, tightened by more hash bits if needed).
+    *
+    * Returns one row per DIFFERING bucket:
+    * (bucket, n_a, n_b, sum_a, sum_b). Empty result = copies agree. */
+  def integrityDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                    hashCols: Seq[String], buckets: Int): DataFrame = {
+    import graft.functions.TextFunctions.md5Int
+    def summary(df: DataFrame, pfx: String): DataFrame = {
+      val row = md5Int(concat_ws("\u0001",
+        hashCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+      df.groupBy(pmod(md5Int(col(keyCol).cast("string")), lit(buckets.toLong))
+          .as("bucket"))
+        .agg(count(lit(1)).as(s"n_$pfx"), sum(row).as(s"sum_$pfx"))
+    }
+    summary(a, "a").join(summary(b, "b"), Seq("bucket"), "full_outer")
+      .where(!(col("n_a") <=> col("n_b")) || !(col("sum_a") <=> col("sum_b")))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        col("sum_a"), col("sum_b"))
+  }
 }

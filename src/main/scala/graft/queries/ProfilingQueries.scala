@@ -590,5 +590,56 @@ object ProfilingQueries {
         .crossJoin(broadcast(dims))
         .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
           col("chi2"))
+    },
+
+    // Bucket-granular integrity diff (ops.Expectations.integrityDiff):
+    // compare a table against a tampered copy (every 997th key's price
+    // bumped a cent, every 1999th row deleted) by per-bucket checksums —
+    // each side reduces to 256 (count, additive-hash) rows, and only
+    // disagreeing buckets would get the row-level q130 diff. Additive
+    // long sums are order/partition-free, so copy layout never
+    // false-positives. Hash inputs are long/string-normalized (cents,
+    // epoch micros) — never engine-formatted doubles or timestamps.
+    Q.sql("q198_integrity_diff", {
+      def h(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+      val rowCat = "concat_ws(chr(1), CAST(k AS VARCHAR), CAST(ck AS VARCHAR), " +
+        "st, CAST(cents AS VARCHAR), CAST(us AS VARCHAR), pri)"
+      def side(src: String, pfx: String) =
+        s"""SELECT ${h("CAST(k AS VARCHAR)")} % 256 AS bucket,
+           |       count(*) AS n_$pfx,
+           |       CAST(SUM(${h(rowCat)}) AS BIGINT) AS sum_$pfx
+           |FROM $src GROUP BY 1""".stripMargin
+      s"""WITH prep AS (
+         |  SELECT o_orderkey k, o_custkey ck, o_orderstatus st,
+         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents,
+         |         epoch_us(o_orderdate) us, o_orderpriority pri
+         |  FROM orders),
+         |tam AS (
+         |  SELECT k, ck, st,
+         |         CASE WHEN k % 997 = 0 THEN cents + 1 ELSE cents END
+         |           AS cents,
+         |         us, pri
+         |  FROM prep WHERE k % 1999 <> 0),
+         |sa AS (${side("prep", "a")}),
+         |sb AS (${side("tam", "b")})
+         |SELECT bucket, n_a, n_b, sum_a, sum_b
+         |FROM sa FULL OUTER JOIN sb USING (bucket)
+         |WHERE NOT (n_a IS NOT DISTINCT FROM n_b)
+         |   OR NOT (sum_a IS NOT DISTINCT FROM sum_b)
+         |ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      val prep = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderpriority").as("pri"))
+      val tampered = prep.where(pmod(col("k"), lit(1999L)) =!= 0)
+        .withColumn("cents",
+          when(pmod(col("k"), lit(997L)) === 0, col("cents") + 1)
+            .otherwise(col("cents")))
+      graft.ops.Expectations.integrityDiff(prep, tampered, "k",
+          Seq("k", "ck", "st", "cents", "us", "pri"), buckets = 256)
+        .orderBy("bucket")
     })
 }

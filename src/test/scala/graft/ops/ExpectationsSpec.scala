@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, when}
 
 class ExpectationsSpec extends SparkSpec {
   import spark.implicits._
@@ -39,5 +40,25 @@ class ExpectationsSpec extends SparkSpec {
     // no uniqueness → exactly one Aggregate over one scan
     val aggs = "Aggregate \\[".r.findAllIn(plan).size
     assert(aggs == 1, s"expected a single shared aggregate, plan:\n$plan")
+  }
+
+  test("integrityDiff: identical copies agree; edits/deletes flag exactly their buckets") {
+    val a = (1L to 400L).map(k => (k, s"v$k", k * 10)).toDF("k", "s", "x")
+    // identical copy — different partitioning must NOT matter
+    assert(Expectations.integrityDiff(a, a.repartition(13), "k",
+      Seq("k", "s", "x"), buckets = 16).count() == 0)
+    // one edited row and one deleted row → their buckets (and only
+    // theirs) flagged; count stays equal for the pure edit
+    val b = a.withColumn("x",
+        when(col("k") === 7L, lit(999L)).otherwise(col("x")))
+      .where(col("k") =!= 250L)
+    val diff = Expectations.integrityDiff(a, b, "k",
+        Seq("k", "s", "x"), buckets = 16)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(diff.length <= 2 && diff.nonEmpty) // ≤2 buckets, possibly same
+    val editBucket = diff.find(r => r._2 == r._3) // edit: counts equal
+    val delBucket = diff.find(r => r._2 == r._3 + 1) // delete: one fewer
+    assert(diff.length == 1 || (editBucket.isDefined && delBucket.isDefined))
+    assert(diff.forall(r => r._4 != r._5)) // checksums always disagree
   }
 }
