@@ -706,5 +706,72 @@ object SimilarityQueries {
       graft.operators.Decomposition.pc1Report(Tables.embeddings(s, d),
           "embedding", "label", iters = PcaIters, scale = 9)
         .orderBy("label")
+    },
+
+    // Quantization recall eval: does int8 symmetric quantization (q62's
+    // pipeline) return the same neighbors as exact fp cosine (q25's)?
+    // recall@k per query — the accuracy/compression trade every
+    // vector-index deployment must measure before shipping the 4×-smaller
+    // index (q176's eval discipline applied to the index, not the
+    // embeddings). Both pipelines are the verified operators; the eval
+    // is one (qid, nid) equi-join + a query-grain aggregate. The oracle
+    // replays both rankings and intersects.
+    Q.sql("q199_quantization_recall",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < $NQueries),
+         |xs AS (
+         |  SELECT qid, e.vec_id AS nid,
+         |         ${foldDot("qv", "v")}
+         |         / (${normSql("qv")} * ${normSql("v")}) AS cos
+         |  FROM e, q WHERE e.vec_id != qid),
+         |xr AS (SELECT qid, nid,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY cos DESC, nid) AS rn
+         |       FROM xs),
+         |ex AS (SELECT qid, nid FROM xr WHERE rn <= $TopK),
+         |sc AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+         |qv2 AS (
+         |  SELECT e.vec_id,
+         |         CASE WHEN sc.s > 0
+         |              THEN list_transform(e.v, x -> greatest(-127.0, least(127.0, floor(x / sc.s + 0.5))))
+         |              ELSE list_transform(e.v, x -> 0.0) END AS q
+         |  FROM e JOIN sc USING (vec_id)),
+         |nz AS (SELECT vec_id, q FROM qv2
+         |       WHERE list_max(list_transform(q, x -> abs(x))) > 0),
+         |qs AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         ${foldDot("a.q", "b.q")}
+         |         / (${normSql("a.q")} * ${normSql("b.q")}) AS qcos
+         |  FROM nz a JOIN nz b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < $NQueries),
+         |qr AS (SELECT qid, nid,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY qcos DESC, nid) AS rn
+         |       FROM qs),
+         |qt AS (SELECT qid, nid FROM qr WHERE rn <= $TopK),
+         |ov AS (SELECT ex.qid, count(*) AS n_overlap
+         |       FROM ex JOIN qt ON qt.qid = ex.qid AND qt.nid = ex.nid
+         |       GROUP BY 1)
+         |SELECT s.qid, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |       floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / $TopK
+         |             * 1e6 + 0.5) / 1e6 AS recall
+         |FROM (SELECT DISTINCT qid FROM ex) s
+         |LEFT JOIN ov ON ov.qid = s.qid
+         |ORDER BY s.qid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", TopK).select(col("qid"), col("nid"))
+      val quant = Similarity.quantizedTopK(emb, queries, "vec_id",
+          "embedding", TopK).select(col("qid"), col("nid"))
+      val ov = exact.join(quant, Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      exact.select("qid").distinct()
+        .join(ov, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          dround(coalesce(col("n_overlap"), lit(0L)).cast("double") / TopK, 6)
+            .as("recall"))
+        .orderBy("qid")
     })
 }
