@@ -647,5 +647,80 @@ object DomainQueries {
       graft.ops.Scd.applyCdc(feed, "user_id", "us", "event_id", "op",
           payloadCols = Seq("value"))
         .orderBy("key")
+    },
+
+    // Late-arriving dimension handling (q200): facts referencing dim keys
+    // that have not arrived yet get INFERRED placeholder members (so fact
+    // loads never drop or orphan rows); when the real dimension slice
+    // lands, a priority struct-max backfill replaces the placeholders
+    // in ONE key-grain aggregate (the q186 sort-free argmax — real beats
+    // inferred, never vice versa). Keys whose dimension never arrives
+    // stay placeholders, visible as the UNKNOWN segment. The report pins
+    // membership per segment, how many members were backfilled, and that
+    // the fact table has ZERO orphans against the final dimension.
+    Q.sql("q200_late_arriving_dim",
+      """WITH dim0 AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, 0 AS inferred
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |need AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |inf AS (
+        |  SELECT n.k, 'UNKNOWN' AS seg, 1 AS inferred
+        |  FROM need n WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.k = n.k)),
+        |d1 AS (SELECT * FROM dim0 UNION ALL SELECT * FROM inf),
+        |late AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, 0 AS inferred
+        |  FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 5 <> 0),
+        |merged AS (
+        |  SELECT k,
+        |         max(CASE WHEN inferred = 0 THEN 1 ELSE 0 END) AS has_real,
+        |         min(CASE WHEN inferred = 0 THEN seg END) AS real_seg,
+        |         min(seg) AS any_seg,
+        |         max(inferred) AS was_inferred
+        |  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM late) u
+        |  GROUP BY 1),
+        |fin AS (
+        |  SELECT k,
+        |         CASE WHEN has_real = 1 THEN real_seg ELSE any_seg END AS seg,
+        |         CASE WHEN was_inferred = 1 AND has_real = 1
+        |              THEN 1 ELSE 0 END AS backfilled
+        |  FROM merged),
+        |orph AS (
+        |  SELECT count(*) AS n_orphans FROM need n
+        |  WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.k = n.k))
+        |SELECT seg AS segment, count(*) AS n_members,
+        |       CAST(SUM(backfilled) AS BIGINT) AS n_backfilled,
+        |       (SELECT n_orphans FROM orph) AS n_orphans
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val cust = graft.io.Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      val dim0 = cust.where(col("k") % 3 =!= 0)
+        .withColumn("inferred", lit(0))
+      val need = graft.io.Tables.orders(s, d)
+        .select(col("o_custkey").as("k")).distinct()
+      val inferred = need.join(dim0.select("k"), Seq("k"), "left_anti")
+        .withColumn("seg", lit("UNKNOWN")).withColumn("inferred", lit(1))
+      val d1 = dim0.unionByName(inferred)
+      val late = cust.where(col("k") % 3 === 0 && col("k") % 5 =!= 0)
+        .withColumn("inferred", lit(0))
+      val merged = d1.unionByName(late)
+        .groupBy("k")
+        .agg(
+          max(when(col("inferred") === 0, 1).otherwise(0)).as("has_real"),
+          min(when(col("inferred") === 0, col("seg"))).as("real_seg"),
+          min(col("seg")).as("any_seg"),
+          max(col("inferred")).as("was_inferred"))
+      val fin = merged.select(col("k"),
+        when(col("has_real") === 1, col("real_seg")).otherwise(col("any_seg"))
+          .as("seg"),
+        when(col("was_inferred") === 1 && col("has_real") === 1, 1)
+          .otherwise(0).as("backfilled"))
+      val orph = need.join(fin.select("k"), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      fin.groupBy(col("seg").as("segment"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("backfilled")).as("n_backfilled"))
+        .crossJoin(broadcast(orph))
+        .orderBy("segment")
     })
 }
