@@ -402,6 +402,56 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class HoltSnapshot(user_id: Long, n: Long, level: Double,
+                                trend: Double)
+
+  /** Streaming twin of `ops.Recurrence.holtReport` — EWMA's two-state
+    * sibling on the same ValueState pattern: the per-key state is
+    * (count, level, trend) and every row folds through the IDENTICAL
+    * coupled expressions as the batch op (l' = α·x + (1−α)(l+b);
+    * b' = β(l'−l) + (1−β)b), so in-order delivery makes the final
+    * snapshot bit-identical to the batch fold (StreamingSpec pins it). */
+  class HoltProcessor(alpha: Double, beta: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, HoltSnapshot] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Double)]("holt",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[HoltSnapshot] = {
+      var (n, l, b) = if (st.exists()) st.get() else (0L, 0.0, 0.0)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        if (n == 0) { l = e.value; b = 0.0 }
+        else {
+          val nl = alpha * e.value + (1 - alpha) * (l + b)
+          b = beta * (nl - l) + (1 - beta) * b
+          l = nl
+        }
+        n += 1
+      }
+      st.update((n, l, b))
+      Iterator.single(HoltSnapshot(key, n, l, b))
+    }
+  }
+
+  /** Per-user running Holt level/trend snapshots (Update mode). */
+  def holtStream(events: Dataset[EventRow], alpha: Double,
+                 beta: Double): Dataset[HoltSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HoltProcessor(alpha, beta),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream → versioned table: each micro-batch lands as one
     * `io.Versioned` commit, so a long-running ingest gets table-format
     * semantics for free — readers pin a snapshot and are isolated from

@@ -108,4 +108,40 @@ class PlanSpec extends SparkSpec {
     }
     assert(joins.isEmpty, s"argmax should not join:\n$plan")
   }
+
+  test("q186: CDC apply is one sort-free aggregate — no window sort, no join") {
+    val plan = SparkEntry.queries("q186_cdc_apply")(spark, sf)
+      .queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"struct-max argmax should not join:\n$plan")
+    assert(!plan.toString.contains("WindowExec"),
+      s"struct-max argmax should not sort a window:\n$plan")
+  }
+
+  test("q187: phrase search plans the intersections as left-semi joins") {
+    val plan = SparkEntry.queries("q187_phrase_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("q182: the gram pass has no corpus-wide Exchange before the partials") {
+    // the only exchanges allowed are over the tiny (i, j|partition) cell
+    // frames — assert none of them carries the embedding column itself
+    val plan = SparkEntry.queries("q182_pca_pc1")(spark, sf)
+      .queryExecution.executedPlan
+    val shuffledEmbedding = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.output.exists(_.name == "embedding") => e
+    }
+    assert(shuffledEmbedding.isEmpty,
+      s"embedding column must never shuffle:\n$plan")
+  }
+
+  test("q194: FIFO matching joins on the key, never a cartesian/broadcast NL") {
+    val plan = SparkEntry.queries("q194_fifo_cogs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -687,4 +687,38 @@ class StreamingSpec extends SparkSpec {
       prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
     }
   }
+
+  test("holtStream: two-state ValueState fold ≡ batch holtReport bitwise") {
+    implicit val sql = spark.sqlContext
+    import Streaming.HoltSnapshot
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventRow]
+    val q = Streaming.holtStream(in.toDS(), alpha = 0.5, beta = 0.25)
+      .writeStream.format("memory").queryName("holt_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventRow(1L, ts("2024-01-01 10:00:00"), 8.0),
+        EventRow(1L, ts("2024-01-01 10:01:00"), 4.0))
+      q.processAllAvailable()
+      // state survives the micro-batch boundary: batch 2 continues the fold
+      in.addData(EventRow(1L, ts("2024-01-01 10:02:00"), 12.0))
+      q.processAllAvailable()
+      val fin = spark.table("holt_test").as[HoltSnapshot].collect()
+        .filter(_.user_id == 1L).maxBy(_.n)
+      val batch = graft.ops.Recurrence.holtReport(
+          Seq((1L, 1L, 1L, 8.0), (1L, 2L, 2L, 4.0), (1L, 3L, 3L, 12.0))
+            .toDF("k", "ts", "id", "x"), "k", "ts", "id", "x", 0.5, 0.25)
+        .as[(Long, Long, Double, Double)].collect().head
+      assert(fin.n === batch._2)
+      assert(fin.level === batch._3) // bitwise
+      assert(fin.trend === batch._4) // bitwise
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
 }
