@@ -45,7 +45,12 @@ object Bench {
       graft.operators.Graph.releaseGraphCaches()
       spark.catalog.clearCache()
     }
+    // dev-only filter (the driver sets no filter): comma-separated names
+    // for targeted scaling runs, e.g. the new-operator sf1 sweeps
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def measure(name: String,
                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       releaseAll()
