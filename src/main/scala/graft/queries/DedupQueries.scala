@@ -634,5 +634,61 @@ object DedupQueries {
         count(lit(1)).as("n_eval_contaminated"),
         coalesce(sum(col("eid")), lit(0L)).as("eval_id_sum"))
       base.crossJoin(evalSide)
+    },
+
+    // MinHash-LSH candidate-quality eval (the q199 eval discipline
+    // applied to dedup): precision/recall of the q21 banded candidates
+    // against the EXACT jaccard-≥0.2 pair set. The Spark truth side runs
+    // the prefix-filtered exact join (q98's machinery at t = 1/5); the
+    // ORACLE computes truth from the unfiltered all-co-shingled-pairs
+    // join — so a prefix filter that dropped a true pair would hash-fail,
+    // verifying the filter's losslessness along the way. Single report
+    // row: candidate volume, truth volume, hits, precision, recall.
+    Q.sql("q202_lsh_dedup_eval", {
+      val tau = "0.2"
+      s"""$shingleCte,
+         |$minhashCtes,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.id_a
+         |  JOIN sz sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.inter AS DOUBLE) * 1.0
+         |        / (sa.sz + sb.sz - i.inter) >= $tau),
+         |hits AS (SELECT p.id_a FROM pairs p
+         |         JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+         |m AS (SELECT (SELECT count(*) FROM pairs) AS n_cand,
+         |             (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM hits) AS n_hit)
+         |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       floor(CAST(n_hit AS DOUBLE) / n_cand * 1e6 + 0.5) / 1e6
+         |         AS precision,
+         |       floor(CAST(n_hit AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6
+         |         AS recall
+         |FROM m""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text",
+        ShingleN).persist()
+      val sig = Dedup.minhashSignaturesSketch(sh, "doc_id", K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+      val truth = Dedup.jaccardForPairs(
+          Dedup.prefixFilterPairs(sh, "doc_id", 1, 5), sh, "doc_id")
+        .where(col("jaccard") >= 0.2)
+        .select("id_a", "id_b")
+      val hits = cand.join(truth, Seq("id_a", "id_b"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cand"), col("n_true"), col("n_hit"),
+          dround(col("n_hit").cast("double") / col("n_cand"), 6)
+            .as("precision"),
+          dround(col("n_hit").cast("double") / col("n_true"), 6)
+            .as("recall"))
     })
 }

@@ -1368,6 +1368,82 @@ object EventAnalyticsQueries {
         .orderBy("variant")
     },
 
+    // Two-sample Kolmogorov–Smirnov drift test per event type — q177's
+    // PSI flags bucket-mass drift; KS is the classical distribution-free
+    // test with a known critical value. Values land on a cent grid (the
+    // production variant: ECDFs over a BOUNDED bucket grain, not the raw
+    // value grain, so the windows sort thousands of buckets, never rows);
+    // D = max |ECDF₁ − ECDF₂| at the bucket jumps, exact integer
+    // cumulative counts. Significance at α=0.05: D > 1.358·√((n1+n2)/(n1·n2)).
+    Q.sql("q201_ks_drift",
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 100) AS BIGINT) AS bucket,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+        |           AS half
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, bucket,
+        |         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c1,
+        |         CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c2
+        |  FROM b GROUP BY 1, 2),
+        |n AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) AS BIGINT) AS n2
+        |      FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT g.event_type,
+        |         CAST(SUM(c1) OVER (PARTITION BY g.event_type ORDER BY bucket
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum1,
+        |         CAST(SUM(c2) OVER (PARTITION BY g.event_type ORDER BY bucket
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |           AS cum2
+        |  FROM g),
+        |d AS (
+        |  SELECT c.event_type,
+        |         max(abs(CAST(cum1 AS DOUBLE) / n.n1
+        |                 - CAST(cum2 AS DOUBLE) / n.n2)) AS ks
+        |  FROM c JOIN n ON n.event_type = c.event_type
+        |  GROUP BY 1)
+        |SELECT d.event_type, n.n1, n.n2,
+        |       floor(d.ks * 1e6 + 0.5) / 1e6 AS ks_d,
+        |       CAST(CASE WHEN d.ks > 1.358 * sqrt((n.n1 + n.n2)
+        |                      / (CAST(n.n1 AS DOUBLE) * n.n2))
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS significant
+        |FROM d JOIN n ON n.event_type = d.event_type
+        |ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cut = lit("2024-01-16").cast("timestamp")
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("bucket"),
+          when(col("ts") < cut, 1).otherwise(2).as("half"))
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+      val n = g.groupBy("event_type")
+        .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ks = g
+        .withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .join(n, "event_type")
+        .groupBy("event_type")
+        .agg(max(abs(col("cum1").cast("double") / col("n1") -
+          col("cum2").cast("double") / col("n2"))).as("ks"))
+      ks.join(n, "event_type")
+        .select(col("event_type"), col("n1"), col("n2"),
+          Qutil.dround(col("ks"), 6).as("ks_d"),
+          when(col("ks") > lit(1.358) *
+              sqrt((col("n1") + col("n2")) /
+                (col("n1").cast("double") * col("n2"))), 1)
+            .otherwise(0).as("significant"))
+        .orderBy("event_type")
+    },
+
     // Sequence-conformance audit: purchases with NO prior view by the
     // same user — the event-ordering business rule every funnel assumes,
     // checked explicitly (instrumentation bugs and bot traffic both
