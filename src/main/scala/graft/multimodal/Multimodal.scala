@@ -377,4 +377,48 @@ object Multimodal {
         }
       }
   }
+
+  /** Perceptual difference hash (dHash) over the REAL decoded pixels:
+    * nearest-neighbour-sample a (gw+1)×gh luminance grid (integer source
+    * mapping ⌊g·dim/grid⌋ — the q88 resize rule, bit-reproducible) and
+    * emit one bit per horizontally-adjacent pair (left < right), packed
+    * little-endian into a long — the standard near-duplicate image
+    * fingerprint (crops/recompressions keep most bits; random images
+    * differ in ~half). gray = (r+g+b)/3 integer division. Map-only over
+    * the payload scan, thread-local codecs (the q30 discipline);
+    * lossless containers only — JPEG pixels are not bit-replayable and
+    * callers exclude them exactly as q30 masks them. Returns
+    * (doc_id, dhash: gw·gh bits). */
+  def dHashImages(df: DataFrame, idCol: String, gw: Int = 8,
+                  gh: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .filter(_._2 == "image")
+      .mapPartitions { it =>
+        it.map { case (id, _, bytes) =>
+          val img = readImage(bytes)
+          val (w, h) = (img.getWidth, img.getHeight)
+          def gray(gx: Int, gy: Int): Int = {
+            val x = gx * w / (gw + 1)
+            val y = gy * h / gh
+            val rgb = img.getRGB(x, y)
+            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          }
+          var hash = 0L
+          var j = 0
+          while (j < gh) {
+            var i = 0
+            while (i < gw) {
+              if (gray(i + 1, j) > gray(i, j)) hash |= 1L << (j * gw + i)
+              i += 1
+            }
+            j += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF(idCol, "dhash")
+  }
 }

@@ -134,5 +134,70 @@ object StreamingQueries {
           when(jpeg, lit(null)).otherwise(col("sum_b")).cast("long").as("sum_b"),
           col("n_kept"), col("sum_kept"))
         .orderBy("doc_id")
+    },
+
+    // Perceptual near-duplicate images (Multimodal.dHashImages): dHash
+    // over the REAL decoded pixels (lossless containers only — the q30
+    // JPEG rule), then byte-banded LSH over the 32-bit hashes: candidate
+    // pairs share at least one hash byte at the same position (the q105
+    // banding discipline, hot buckets capped), exact Hamming ≤ 8 verified
+    // row-locally via bit_count(xor). The oracle replays the grid
+    // sampling, luminance, bit packing, bands, cap, and Hamming —
+    // a hash match proves the pipeline ran on genuinely decoded bytes.
+    Q.sql("q203_image_phash_neardup",
+      """WITH img AS (
+        |  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 6),
+        |g AS (
+        |  SELECT i.doc_id,
+        |         CAST(SUM(CASE WHEN
+        |           ((i.doc_id*31 + (((gx.range+1)*w)//9)*7 + ((gy.range*h)//4)*13) % 256
+        |            + (i.doc_id*17 + (((gx.range+1)*w)//9)*11 + ((gy.range*h)//4)*5) % 256
+        |            + (i.doc_id*7  + (((gx.range+1)*w)//9)*3  + ((gy.range*h)//4)*19) % 256) // 3
+        |           >
+        |           ((i.doc_id*31 + ((gx.range*w)//9)*7 + ((gy.range*h)//4)*13) % 256
+        |            + (i.doc_id*17 + ((gx.range*w)//9)*11 + ((gy.range*h)//4)*5) % 256
+        |            + (i.doc_id*7  + ((gx.range*w)//9)*3  + ((gy.range*h)//4)*19) % 256) // 3
+        |           THEN (CAST(1 AS BIGINT) << CAST(gy.range*8 + gx.range AS INT))
+        |           ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM img i, range(0, 8) gx, range(0, 4) gy
+        |  GROUP BY 1),
+        |band AS (
+        |  SELECT doc_id, dhash, k.range AS k,
+        |         (dhash >> CAST(k.range*8 AS INT)) & 255 AS b
+        |  FROM g, range(0, 4) k),
+        |ok AS (SELECT k, b FROM band GROUP BY 1, 2 HAVING count(*) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |         a.dhash AS ha, c.dhash AS hb
+        |  FROM band a
+        |  JOIN ok o ON o.k = a.k AND o.b = a.b
+        |  JOIN band c ON c.k = a.k AND c.b = a.b AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val losslessImgs = Tables.documents(s, d)
+        .where(col("doc_id") % 2 === 0 && col("doc_id") % 8 =!= 6)
+      val hashes = Multimodal.dHashImages(
+        Multimodal.withRealMedia(losslessImgs, "doc_id"), "doc_id")
+      val band = hashes.select(col("doc_id"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("b", expr("shiftright(dhash, cast(k * 8 as int)) & 255"))
+      val ok = band.groupBy("k", "b").agg(count(lit(1)).as("n"))
+        .where(col("n") <= 50).select("k", "b")
+      val cand = band.join(ok, Seq("k", "b"))
+        .select(col("doc_id").as("id_a"), col("dhash").as("ha"),
+          col("k"), col("b"))
+        .join(band.join(ok, Seq("k", "b"))
+          .select(col("doc_id").as("id_b"), col("dhash").as("hb"),
+            col("k"), col("b")),
+          Seq("k", "b"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ha", "hb").distinct()
+      cand.withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .where(col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     })
 }

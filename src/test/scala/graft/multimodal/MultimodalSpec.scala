@@ -114,4 +114,31 @@ class MultimodalSpec extends SparkSpec {
       .where(length($"payload") > 6).head()
     assert(r.getInt(0) == 4 && r.getInt(1) == 3)
   }
+
+  test("dHashImages: deterministic, matches the formula replay, PNG ≡ BMP") {
+    // lossless even ids only (the q203 filter); id 8 is png, id 2/4/10 bmp
+    val ids = Seq(2L, 4L, 8L, 10L).toDF("doc_id")
+    val media = Multimodal.withRealMedia(ids, "doc_id")
+    val got = Multimodal.dHashImages(media, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    // independent replay from the content formulas (what the q203 oracle
+    // does in SQL) — proves the hash came from genuinely decoded pixels
+    def expected(id: Long): Long = {
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      def gray(gx: Int, gy: Int): Int = {
+        val x = gx * w / 9; val y = gy * h / 4
+        (Multimodal.pxR(id, x, y) + Multimodal.pxG(id, x, y) +
+          Multimodal.pxB(id, x, y)) / 3
+      }
+      (for { j <- 0 until 4; i <- 0 until 8
+             if gray(i + 1, j) > gray(i, j) } yield 1L << (j * 8 + i)).sum
+    }
+    ids.as[Long].collect().foreach { id =>
+      assert(got(id) == expected(id), s"id $id")
+    }
+    // re-run: bit-identical (codec round trip is deterministic)
+    val again = Multimodal.dHashImages(media, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
 }
