@@ -1368,6 +1368,80 @@ object EventAnalyticsQueries {
         .orderBy("variant")
     },
 
+    // Kaplan–Meier survival curve over user lifetimes — the censoring-
+    // aware member of the retention family (q54's cohort matrix counts
+    // survivors; KM estimates the survival FUNCTION when the observation
+    // window right-censors active users: a user last seen on the final
+    // day hasn't churned, and treating them as churned biases retention
+    // down). Lifetime = last−first active day; death = lifetime ending
+    // before the window edge. Everything reduces to the ≤31-row duration
+    // grain: at-risk counts are a reversed cumulative sum, the product
+    // ∏(1 − dᵢ/nᵢ) becomes a decimal-summed 6dp ln-grid prefix (the
+    // q177 ln discipline) with survival re-exposed through exp (the q94
+    // exp-then-round rule). log_survival is the fully-exact column;
+    // survival is its 6dp rendering.
+    Q.sql("q204_kaplan_meier",
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS f,
+        |         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS l
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS wend FROM u),
+        |lt AS (SELECT user_id, l - f AS dur,
+        |              CASE WHEN l < (SELECT wend FROM mx) THEN 1 ELSE 0 END
+        |                AS death
+        |       FROM u),
+        |g AS (SELECT dur, CAST(count(*) AS BIGINT) AS total,
+        |             CAST(SUM(death) AS BIGINT) AS deaths
+        |      FROM lt GROUP BY 1),
+        |r AS (SELECT dur, deaths,
+        |             CAST(SUM(total) OVER (ORDER BY dur DESC
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |      FROM g),
+        |t AS (SELECT dur, deaths, n_risk,
+        |             floor(ln(1 - CAST(deaths AS DOUBLE) / n_risk)
+        |                   * 1e6 + 0.5) / 1e6 AS lnterm
+        |      FROM r WHERE deaths > 0),
+        |c AS (SELECT dur, deaths, n_risk,
+        |             CAST(SUM(CAST(lnterm AS DECIMAL(38,9)))
+        |                  OVER (ORDER BY dur ASC ROWS UNBOUNDED PRECEDING)
+        |                  AS DOUBLE) AS log_surv
+        |      FROM t)
+        |SELECT dur AS duration, n_risk AS n_at_risk, deaths AS n_deaths,
+        |       floor(log_surv * 1e6 + 0.5) / 1e6 AS log_survival,
+        |       floor(exp(log_surv) * 1e6 + 0.5) / 1e6 AS survival
+        |FROM c ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val day = (unix_micros(col("ts").cast("timestamp")) /
+        lit(86400000000L)).cast("long")
+      val u = Tables.events(s, d).groupBy("user_id")
+        .agg(min(day).as("f"), max(day).as("l"))
+      val wend = u.agg(max("l").as("wend"))
+      val lt = u.crossJoin(broadcast(wend))
+        .select((col("l") - col("f")).as("dur"),
+          when(col("l") < col("wend"), 1L).otherwise(0L).as("death"))
+      val g = lt.groupBy("dur")
+        .agg(count(lit(1)).as("total"), sum("death").as("deaths"))
+      val wDesc = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAsc = Window.orderBy(col("dur").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("n_risk", sum("total").over(wDesc))
+        .where(col("deaths") > 0)
+        .withColumn("lnterm",
+          Qutil.dround(log(lit(1.0) -
+            col("deaths").cast("double") / col("n_risk")), 6))
+        .withColumn("log_surv",
+          sum(col("lnterm").cast(DecimalType(38, 9))).over(wAsc)
+            .cast("double"))
+        .select(col("dur").as("duration"), col("n_risk").as("n_at_risk"),
+          col("deaths").as("n_deaths"),
+          Qutil.dround(col("log_surv"), 6).as("log_survival"),
+          Qutil.dround(exp(col("log_surv")), 6).as("survival"))
+        .orderBy("duration")
+    },
+
     // Two-sample Kolmogorov–Smirnov drift test per event type — q177's
     // PSI flags bucket-mass drift; KS is the classical distribution-free
     // test with a known critical value. Values land on a cent grid (the
