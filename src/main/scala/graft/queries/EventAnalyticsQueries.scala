@@ -1368,6 +1368,85 @@ object EventAnalyticsQueries {
         .orderBy("variant")
     },
 
+    // Behavioral anomaly scoring via Markov negative log-likelihood:
+    // train q133's transition matrix on the FIRST half (Laplace-smoothed
+    // over the full type×type grid so unseen transitions stay finite),
+    // score every user's SECOND-half transition sequence by mean NLL —
+    // users whose navigation contradicts the population model float to
+    // the top (bot/fraud/instrumentation triage; the event-stream
+    // sibling of q114's text perplexity). The model is a type²-cell
+    // broadcast; scoring is one windowed pair pass + a user-grain
+    // aggregate with 6dp ln-grid terms decimal-summed.
+    Q.sql("q205_markov_anomaly",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+        |           AS half
+        |  FROM events),
+        |types AS (SELECT DISTINCT event_type AS t FROM e),
+        |nt AS (SELECT count(*) AS nt FROM types),
+        |trp AS (
+        |  SELECT user_id, half, event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id, half
+        |                                ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |tr1 AS (SELECT from_type, to_type, count(*) AS n FROM trp
+        |        WHERE half = 1 AND to_type IS NOT NULL GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT a.t AS from_type, b.t AS to_type,
+        |         coalesce(tr1.n, 0) AS n
+        |  FROM types a CROSS JOIN types b
+        |  LEFT JOIN tr1 ON tr1.from_type = a.t AND tr1.to_type = b.t),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM grid GROUP BY 1),
+        |model AS (
+        |  SELECT g.from_type, g.to_type,
+        |         floor(ln(CAST(g.n + 1 AS DOUBLE)
+        |                  / (tot.tot + (SELECT nt FROM nt)))
+        |               * 1e6 + 0.5) / 1e6 AS lnp
+        |  FROM grid g JOIN tot ON tot.from_type = g.from_type),
+        |ev AS (SELECT user_id, from_type, to_type FROM trp
+        |       WHERE half = 2 AND to_type IS NOT NULL)
+        |SELECT ev.user_id, count(*) AS n_trans,
+        |       floor(-CAST(SUM(CAST(m.lnp AS DECIMAL(38,9))) AS DOUBLE)
+        |             / count(*) * 1e6 + 0.5) / 1e6 AS nll
+        |FROM ev JOIN model m
+        |  ON m.from_type = ev.from_type AND m.to_type = ev.to_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val cut = lit("2024-01-16").cast("timestamp")
+      val e = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("event_type"),
+        when(col("ts") < cut, 1).otherwise(2).as("half"))
+      val types = e.select(col("event_type").as("t")).distinct()
+      val ntv = types.agg(count(lit(1)).as("nt"))
+      val w = Window.partitionBy("user_id", "half").orderBy("us", "event_id")
+      val trp = e.withColumn("to_type", lead("event_type", 1).over(w))
+        .where(col("to_type").isNotNull)
+        .select(col("user_id"), col("half"),
+          col("event_type").as("from_type"), col("to_type"))
+      val tr1 = trp.where(col("half") === 1)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val grid = types.select(col("t").as("from_type"))
+        .crossJoin(types.select(col("t").as("to_type")))
+        .join(tr1, Seq("from_type", "to_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val tot = grid.groupBy("from_type").agg(sum("n").as("tot"))
+      val model = grid.join(tot, "from_type").crossJoin(broadcast(ntv))
+        .select(col("from_type"), col("to_type"),
+          Qutil.dround(log((col("n") + 1).cast("double") /
+            (col("tot") + col("nt"))), 6).as("lnp"))
+      trp.where(col("half") === 2)
+        .join(broadcast(model), Seq("from_type", "to_type"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_trans"),
+          Qutil.dround(-sum(col("lnp").cast(DecimalType(38, 9)))
+            .cast("double") / count(lit(1)), 6).as("nll"))
+        .orderBy("user_id")
+    },
+
     // Kaplan–Meier survival curve over user lifetimes — the censoring-
     // aware member of the retention family (q54's cohort matrix counts
     // survivors; KM estimates the survival FUNCTION when the observation

@@ -315,5 +315,80 @@ object TextQueries {
             abs(Qutil.dround(col("mp_raw"), 6) - Qutil.dround(col("or_raw"), 6)),
             6).as("gap"))
         .orderBy("bin")
+    },
+
+    // Code-switch / mislabeled-language audit: q19's lang-id applied PER
+    // 20-word chunk (q44's windowing, non-overlapping), then a doc-grain
+    // roll-up — docs whose chunks disagree (mixed) or whose dominant
+    // chunk language contradicts the declared label (mislabel) are
+    // exactly the rows a curation pipeline must re-route (monolingual
+    // filters silently pass code-switched text that poisons per-language
+    // corpora). Dominant = (count DESC, lang ASC) argmax via min-struct —
+    // sort-free. Map-only chunking + one doc-grain aggregate.
+    Q.sql("q206_codeswitch_audit", {
+      val win = 20
+      s"""$wsCte,
+         |c AS (
+         |  SELECT doc_id, lang, ws, len(ws) AS n,
+         |         CAST(ceil(len(ws) / CAST($win AS DOUBLE)) AS BIGINT)
+         |           AS n_chunks
+         |  FROM (SELECT t.doc_id, d.lang, t.ws
+         |        FROM t JOIN documents d USING (doc_id))
+         |  WHERE len(ws) > 0),
+         |ch AS (
+         |  SELECT doc_id, lang, n_chunks,
+         |         full_ws[CAST(i * $win + 1 AS BIGINT)
+         |                 : CAST(i * $win + $win AS BIGINT)] AS ws
+         |  FROM (SELECT doc_id, lang, n_chunks,
+         |               unnest(generate_series(0, n_chunks - 1)) AS i,
+         |               ws AS full_ws
+         |        FROM c)),
+         |lid AS (
+         |  SELECT doc_id, lang, n_chunks, guess, count(*) AS cnt
+         |  FROM (SELECT doc_id, lang, n_chunks,
+         |               $langCascadeSql AS guess
+         |        FROM ch)
+         |  GROUP BY 1, 2, 3, 4),
+         |nl AS (SELECT doc_id, lang, n_chunks, count(*) AS n_langs
+         |       FROM lid GROUP BY 1, 2, 3),
+         |dom AS (
+         |  SELECT doc_id, guess AS dominant FROM (
+         |    SELECT doc_id, guess,
+         |           row_number() OVER (PARTITION BY doc_id
+         |                              ORDER BY cnt DESC, guess) AS rn
+         |    FROM lid) WHERE rn = 1)
+         |SELECT nl.doc_id, nl.lang AS declared, nl.n_chunks,
+         |       CAST(nl.n_langs AS BIGINT) AS n_langs, dom.dominant,
+         |       CAST(CASE WHEN nl.n_langs > 1 THEN 1 ELSE 0 END AS INTEGER)
+         |         AS mixed,
+         |       CAST(CASE WHEN dom.dominant <> nl.lang THEN 1 ELSE 0 END
+         |            AS INTEGER) AS mislabeled
+         |FROM nl JOIN dom ON dom.doc_id = nl.doc_id
+         |WHERE nl.n_chunks >= 2
+         |  AND (nl.n_langs > 1 OR dom.dominant <> nl.lang)
+         |ORDER BY nl.doc_id""".stripMargin
+    }) { (s, d) =>
+      val win = 20
+      val docs = Tables.documents(s, d)
+      val chunks = graft.operators.Curation.chunkDocuments(docs, "doc_id",
+          "text", win, win)
+        .select(col("doc_id"), col("chunk_text"))
+      val lid = chunks
+        .select(col("doc_id"), langId(col("chunk_text")).as("guess"))
+        .groupBy("doc_id", "guess").agg(count(lit(1)).as("cnt"))
+      val agg = lid.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_langs"),
+          sum("cnt").as("n_chunks"),
+          min(struct((-col("cnt")).as("nc"), col("guess")))
+            .getField("guess").as("dominant"))
+      agg.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang").as("declared"), col("n_chunks"),
+          col("n_langs"), col("dominant"),
+          when(col("n_langs") > 1, 1).otherwise(0).as("mixed"),
+          when(col("dominant") =!= col("lang"), 1).otherwise(0)
+            .as("mislabeled"))
+        .where(col("n_chunks") >= 2 &&
+          (col("n_langs") > 1 || col("dominant") =!= col("declared")))
+        .orderBy("doc_id")
     })
 }
