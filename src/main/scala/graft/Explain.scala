@@ -63,7 +63,8 @@ object Explain {
       "q196_gains_table", "q197_calibration_bins", "q198_integrity_diff",
       "q199_quantization_recall", "q200_late_arriving_dim",
       "q201_ks_drift", "q202_lsh_dedup_eval", "q203_image_phash_neardup",
-      "q204_kaplan_meier")
+      "q204_kaplan_meier", "q205_markov_anomaly",
+      "q206_codeswitch_audit")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

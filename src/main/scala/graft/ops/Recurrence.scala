@@ -137,6 +137,69 @@ object Recurrence {
       .toDF()
   }
 
+  final case class CappedSessionReport(user_id: Long, n_sessions: Long,
+                                       n_gap_splits: Long, n_cap_splits: Long)
+
+  /** Sessionization with a MAX-DURATION cap — the variant plain window
+    * sessionization cannot express: q53's gap rule is declarative
+    * (a split depends only on the previous row), but "a session may not
+    * exceed `capUs` regardless of activity" makes each split depend on
+    * the running session START, which depends on every earlier split —
+    * a true sequential recurrence (the analytics-SQL folklore example of
+    * non-window-able logic; billing meters and security-token windows
+    * need exactly this rule). Same honest fold tier as
+    * [[clampedBalance]]: repartition by key + secondary sort + O(1)
+    * state (session start, last ts, counters). All integer arithmetic —
+    * the oracle replays it as a recursive CTE, bit-exact. A new session
+    * starts when the inactivity gap exceeds `gapUs` OR the current event
+    * would stretch the session past `capUs`; the two causes are counted
+    * separately (gap wins the tie when both hold). */
+  def cappedSessions(df: DataFrame, keyCol: String, tsCol: String,
+                     idCol: String, gapUs: Long, capUs: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("_1"), col(tsCol).cast("long").as("_2"),
+        col(idCol).cast("long").as("_3"))
+      .as[(Long, Long, Long)]
+      .repartition(col("_1"))
+      .sortWithinPartitions(col("_1"), col("_2"), col("_3"))
+      .mapPartitions { it =>
+        final case class St(key: Long, start: Long, last: Long,
+                            sessions: Long, gaps: Long, caps: Long)
+        new Iterator[CappedSessionReport] {
+          private var cur = Option.empty[St]
+          private var pending = Option.empty[CappedSessionReport]
+          private def report(s: St) =
+            CappedSessionReport(s.key, s.sessions, s.gaps, s.caps)
+          private def fold(r: (Long, Long, Long)): Unit = {
+            val (k, us, _) = r
+            cur match {
+              case Some(s) if s.key == k =>
+                if (us - s.last > gapUs)
+                  cur = Some(St(k, us, us, s.sessions + 1, s.gaps + 1, s.caps))
+                else if (us - s.start > capUs)
+                  cur = Some(St(k, us, us, s.sessions + 1, s.gaps, s.caps + 1))
+                else
+                  cur = Some(s.copy(last = us))
+              case other =>
+                pending = other.map(report)
+                cur = Some(St(k, us, us, 1L, 0L, 0L))
+            }
+          }
+          def hasNext: Boolean = pending.nonEmpty || it.hasNext || cur.nonEmpty
+          def next(): CappedSessionReport = {
+            while (pending.isEmpty && it.hasNext) fold(it.next())
+            pending match {
+              case Some(p) => pending = None; p
+              case None => val last = cur.get; cur = None; report(last)
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   final case class HoltReport(user_id: Long, n: Long, level: Double,
                               trend: Double)
 

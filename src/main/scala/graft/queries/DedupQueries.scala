@@ -638,14 +638,19 @@ object DedupQueries {
 
     // MinHash-LSH candidate-quality eval (the q199 eval discipline
     // applied to dedup): precision/recall of the q21 banded candidates
-    // against the EXACT jaccard-≥0.2 pair set. The Spark truth side runs
-    // the prefix-filtered exact join (q98's machinery at t = 1/5); the
+    // against the EXACT jaccard-≥0.5 pair set — the dedup-decision
+    // threshold (q98's): the recall that matters is "no missed
+    // near-dup at the threshold we delete at". (Evaluating at 0.2
+    // measured 10 s at sf0.1: a 1/5 threshold makes AllPairs prefixes
+    // cover ~80% of every document — the documented prefix-length/
+    // threshold trade, and exactly why the engine dedups at 0.5.)
+    // The Spark truth side runs the prefix-filtered exact join; the
     // ORACLE computes truth from the unfiltered all-co-shingled-pairs
     // join — so a prefix filter that dropped a true pair would hash-fail,
     // verifying the filter's losslessness along the way. Single report
     // row: candidate volume, truth volume, hits, precision, recall.
     Q.sql("q202_lsh_dedup_eval", {
-      val tau = "0.2"
+      val tau = "0.5"
       s"""$shingleCte,
          |$minhashCtes,
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -678,8 +683,9 @@ object DedupQueries {
       val sig = Dedup.minhashSignaturesSketch(sh, "doc_id", K)
       val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
       val truth = Dedup.jaccardForPairs(
-          Dedup.prefixFilterPairs(sh, "doc_id", 1, 5), sh, "doc_id")
-        .where(col("jaccard") >= 0.2)
+          Dedup.prefixFilterPairs(sh, "doc_id", SimTNum, SimTDen), sh,
+          "doc_id")
+        .where(col("jaccard") >= 0.5)
         .select("id_a", "id_b")
       val hits = cand.join(truth, Seq("id_a", "id_b"))
       cand.agg(count(lit(1)).as("n_cand"))

@@ -1368,6 +1368,56 @@ object EventAnalyticsQueries {
         .orderBy("variant")
     },
 
+    // Duration-capped sessionization (ops.Recurrence.cappedSessions):
+    // q53's gap rule PLUS "no session may exceed the cap" — the rule
+    // that makes sessionization a true sequential recurrence (each split
+    // depends on the running session start, which depends on every
+    // earlier split; no window formulation exists — the q160 tier).
+    // Gap 1 day, cap 2 days; gap and cap splits counted separately (gap
+    // wins ties). Integer microseconds throughout; the recursive-CTE
+    // oracle steps (start, last, counters) bit-exact.
+    Q.sql("q207_capped_sessions", {
+      val gap = 86400000000L
+      val cap = 172800000000L
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT user_id, epoch_us(ts) AS us,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events),
+         |cnt AS (SELECT user_id, count(*) AS n FROM seq GROUP BY 1),
+         |r AS (
+         |  SELECT user_id, rn, us AS start, us AS last,
+         |         CAST(1 AS BIGINT) AS sessions,
+         |         CAST(0 AS BIGINT) AS gaps, CAST(0 AS BIGINT) AS caps
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT q.user_id, q.rn,
+         |         CASE WHEN q.us - r.last > $gap OR q.us - r.start > $cap
+         |              THEN q.us ELSE r.start END,
+         |         q.us,
+         |         r.sessions + CASE WHEN q.us - r.last > $gap
+         |                             OR q.us - r.start > $cap
+         |                           THEN 1 ELSE 0 END,
+         |         r.gaps + CASE WHEN q.us - r.last > $gap
+         |                       THEN 1 ELSE 0 END,
+         |         r.caps + CASE WHEN q.us - r.last <= $gap
+         |                        AND q.us - r.start > $cap
+         |                       THEN 1 ELSE 0 END
+         |  FROM r JOIN seq q ON q.user_id = r.user_id AND q.rn = r.rn + 1)
+         |SELECT r.user_id, sessions AS n_sessions,
+         |       gaps AS n_gap_splits, caps AS n_cap_splits
+         |FROM r JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n
+         |ORDER BY r.user_id""".stripMargin
+    }) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"))
+      graft.ops.Recurrence.cappedSessions(ev, "user_id", "us", "event_id",
+          gapUs = 86400000000L, capUs = 172800000000L)
+        .orderBy("user_id")
+    },
+
     // Behavioral anomaly scoring via Markov negative log-likelihood:
     // train q133's transition matrix on the FIRST half (Laplace-smoothed
     // over the full type×type grid so unseen transitions stay finite),

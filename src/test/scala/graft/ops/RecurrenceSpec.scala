@@ -63,6 +63,35 @@ class RecurrenceSpec extends SparkSpec {
     assert(b === expected)
   }
 
+  test("cappedSessions: gap splits, cap splits, gap wins ties, invariance") {
+    // user 1 (gap 10, cap 25): events at 0, 8, 16, 24, 26, 50
+    //   t=8:  gap 8 ≤ 10, span 8 ≤ 25 → same session
+    //   t=16: gap 8, span 16 → same
+    //   t=24: gap 8, span 24 → same
+    //   t=26: gap 2, span 26 > 25 → CAP split (session 2 starts at 26)
+    //   t=50: gap 24 > 10 → GAP split (session 3)
+    // user 2: single event → 1 session, no splits
+    val xs = Seq(
+      (1L, 0L, 1L), (1L, 8L, 2L), (1L, 16L, 3L), (1L, 24L, 4L),
+      (1L, 26L, 5L), (1L, 50L, 6L), (2L, 5L, 1L)
+    ).toDF("k", "us", "id")
+    val expected = Seq((1L, 3L, 1L, 1L), (2L, 1L, 0L, 0L))
+    val a = Recurrence.cappedSessions(xs, "k", "us", "id", 10L, 25L)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a === expected)
+    val b = Recurrence.cappedSessions(xs.orderBy(rand(11)).repartition(5),
+        "k", "us", "id", 10L, 25L)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(b === expected)
+    // without the cap the whole 0..26 run is ONE session (the rule q53
+    // cannot express is exactly what changes the answer)
+    val noCap = Recurrence.cappedSessions(xs, "k", "us", "id", 10L, Long.MaxValue)
+      .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(noCap === Seq((1L, 2L, 1L, 0L), (2L, 1L, 0L, 0L)))
+  }
+
   test("holtReport: hand-computed two-state fold; partition/order invariant") {
     val xs = Seq(
       (1L, 10L, 1L, 8.0), (1L, 20L, 2L, 4.0), (1L, 30L, 3L, 12.0),
