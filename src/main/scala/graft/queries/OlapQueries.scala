@@ -595,6 +595,48 @@ object OlapQueries {
         .orderBy("pa", "pb")
     },
 
+    // SQL front door (TPC-H Q3 shape — shipping priority): the SAME ANSI
+    // text runs through spark.sql over registered temp views and through
+    // DuckDB — exercising the query surface users actually type, not the
+    // DataFrame DSL the rest of the registry verifies. Catalyst parses,
+    // optimizes and broadcast-plans it exactly like the q08 DSL twin;
+    // decimal revenue sums keep the hash engine-exact.
+    Q.sql("q208_sql_frontdoor",
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+        |       o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_orderkey,
+          |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+          |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |       CAST(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+          |         AS orderdate_epoch,
+          |       o_orderpriority
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1995-03-15'
+          |  AND l_shipdate > TIMESTAMP '1995-03-15'
+          |GROUP BY 1, 3, 4
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 20""".stripMargin)
+    },
+
     // 2-D skyline / Pareto frontier (ops.Windows.skyline2D): per brand,
     // the parts where no brand-mate is both cheaper-or-equal and
     // bigger-or-equal with one strict — "cheapest AND biggest" shortlist.
