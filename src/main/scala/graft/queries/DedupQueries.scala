@@ -696,5 +696,51 @@ object DedupQueries {
             .as("precision"),
           dround(col("n_hit").cast("double") / col("n_true"), 6)
             .as("recall"))
+    },
+
+    // Shingle-CONTAINMENT pairs: |A∩B| / |A| ≥ 0.8 with |A| ≤ |B| — the
+    // asymmetric overlap Jaccard structurally misses: a short doc quoted
+    // wholesale inside a long one has tiny Jaccard (union is the long
+    // doc) but containment ≈ 1, and it is exactly the quote-inclusion /
+    // subset-duplicate case curation must catch (the pairwise sibling of
+    // q90's substring spans). Same co-shingled equi-join shape as q22 —
+    // candidates only through a shared shingle, never all pairs.
+    Q.sql("q209_containment_pairs",
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT i.id_a AS contained, i.id_b AS container, i.inter,
+         |         sa.sz AS sz_a,
+         |         floor(CAST(i.inter AS DOUBLE) / sa.sz * 1e4 + 0.5) / 1e4
+         |           AS containment
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.id_a
+         |  JOIN sz sb ON sb.doc_id = i.id_b
+         |  WHERE sa.sz <= sb.sz
+         |    AND CAST(i.inter AS DOUBLE) / sa.sz >= 0.8)
+         |SELECT contained, container, CAST(inter AS BIGINT) AS n_shared,
+         |       containment
+         |FROM c ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text",
+        ShingleN).persist()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .where(col("sz_a") <= col("sz_b") &&
+          col("inter").cast("double") / col("sz_a") >= 0.8)
+        .select(col("id_a").as("contained"), col("id_b").as("container"),
+          col("inter").as("n_shared"),
+          dround(col("inter").cast("double") / col("sz_a"), 4)
+            .as("containment"))
+        .orderBy("contained", "container")
     })
 }

@@ -1368,6 +1368,36 @@ object EventAnalyticsQueries {
         .orderBy("variant")
     },
 
+    // Semi-structured props extraction: the events.props JSON column
+    // parsed engine-side (get_json_object — codegen'd path evaluation,
+    // no UDF) and profiled per event type — the S-family's JSON surface
+    // applied at the row grain, where a 100 TB log's properties actually
+    // live. Missing/unparseable keys are counted, not dropped; integer
+    // stats stay exact and the mean rides the decimal rule.
+    Q.sql("q210_json_props",
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_missing,
+        |       min(k) AS k_min, max(k) AS k_max,
+        |       floor(CAST(SUM(k) AS DOUBLE) / count(k) * 1e6 + 0.5) / 1e6
+        |         AS k_avg
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          Qutil.dround(sum("k").cast("double") / count(col("k")), 6)
+            .as("k_avg"))
+        .orderBy("event_type")
+    },
+
     // Duration-capped sessionization (ops.Recurrence.cappedSessions):
     // q53's gap rule PLUS "no session may exceed the cap" — the rule
     // that makes sessionization a true sequential recurrence (each split
