@@ -65,7 +65,8 @@ object Explain {
       "q201_ks_drift", "q202_lsh_dedup_eval", "q203_image_phash_neardup",
       "q204_kaplan_meier", "q205_markov_anomaly",
       "q206_codeswitch_audit", "q207_capped_sessions",
-      "q208_sql_frontdoor", "q209_containment_pairs", "q210_json_props")
+      "q208_sql_frontdoor", "q209_containment_pairs", "q210_json_props",
+      "q211_asof_nearest")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

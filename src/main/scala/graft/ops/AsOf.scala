@@ -67,6 +67,80 @@ object AsOf {
         payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * `rightTime >= leftTime` — the mirror of [[joinAsOf]] (pandas
+    * merge_asof direction='forward'): "the next reading after the
+    * order", "the first response after the alert". Same one-shuffle
+    * union-and-carry construction, reflected: right rows sort AFTER left
+    * rows at equal times (inclusive ≥) and the carry is
+    * `first(ignoreNulls)` over the FOLLOWING frame. Smallest `tieBreak`
+    * wins among equal-time right rows. */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      payloadCols: Seq[String],
+                      tieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns
+    val pType = org.apache.spark.sql.types.StructType(payloadCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isRight", lit(0))
+      .select((leftCols.map(col).toIndexedSeq :+ col("__t") :+ col("__isRight") :+
+        lit(null).cast(pType).as("__p")): _*)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__isRight", lit(1))
+      .select((leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)).toIndexedSeq :+
+        col("__t") :+ col("__isRight") :+
+        struct(payloadCols.map(c => col(c).as(c)): _*).as("__p")): _*)
+    val unioned = lTagged.unionByName(
+      rTagged.select(lTagged.columns.map(col).toIndexedSeq: _*))
+    val ordering: Seq[Column] =
+      Seq(col("__t").asc, col("__isRight").asc) ++
+        tieBreak.map(c => col("__p").getField(c).asc).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(ordering: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn("__asof", first(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__isRight") === 0)
+      .select((leftCols.map(col).toIndexedSeq ++
+        payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
+  }
+
+  /** Nearest as-of join: the CLOSER of the backward and forward matches
+    * by |Δt|, backward winning exact ties (merge_asof
+    * direction='nearest') — "the touchpoint closest to the conversion,
+    * either side". Composes the two one-shuffle passes and picks per
+    * left row; `idCol` must uniquely identify left rows (the re-join
+    * key). Time columns must be numeric (epoch micros). Adds
+    * `asof_direction` ('B'/'F', null when unmatched) next to the
+    * payload. */
+  def joinAsOfNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      payloadCols: Seq[String], idCol: String,
+                      tieBreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns
+    val pay = (payloadCols :+ rightTime).distinct
+    val back = joinAsOf(left, right, key, leftTime, rightTime, pay, tieBreak)
+    val fwd = joinAsOfForward(left, right, key, leftTime, rightTime, pay,
+      tieBreak)
+      .select(col(idCol).as("__fid") +:
+        pay.map(c => col(s"asof_$c").as(s"__f_$c")): _*)
+    val bt = col(s"asof_$rightTime")
+    val ft = col(s"__f_$rightTime")
+    val useF = bt.isNull ||
+      (ft.isNotNull && (ft - col(leftTime)) < (col(leftTime) - bt))
+    back.join(fwd, col(idCol) === col("__fid"), "left")
+      .select((leftCols.map(col).toIndexedSeq ++
+        payloadCols.map(c =>
+          when(useF, col(s"__f_$c")).otherwise(col(s"asof_$c"))
+            .as(s"asof_$c")) :+
+        when(bt.isNull && ft.isNull, lit(null).cast("string"))
+          .otherwise(when(useF, "F").otherwise("B")).as("asof_direction")): _*)
+  }
+
   /** Range (band) join: match each point row to interval rows with
     * `lo <= point < hi`, by quantising both sides into fixed-width bands —
     * an equi-join on the band id plus a residual filter, instead of the

@@ -1368,6 +1368,67 @@ object EventAnalyticsQueries {
         .orderBy("variant")
     },
 
+    // Nearest as-of join (ops.AsOf.joinAsOfNearest): the view CLOSEST to
+    // each purchase, either direction, backward winning ties — pandas
+    // merge_asof direction='nearest' (q35 is backward, this completes
+    // the direction family; the attribution question is "which touch
+    // was nearest the conversion", not "which preceded it"). Two
+    // one-shuffle union-carry passes + a per-row pick; the oracle is
+    // the INDEPENDENT correlated row_number formulation of both sides.
+    Q.sql("q211_asof_nearest",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS vid, us AS vus, value AS vval
+        |      FROM e WHERE event_type = 'view'),
+        |b AS (SELECT * FROM (
+        |        SELECT p.event_id AS pid, v.vid, v.vus, v.vval,
+        |               row_number() OVER (PARTITION BY p.event_id
+        |                                  ORDER BY v.vus DESC, v.vid DESC)
+        |                 AS rn
+        |        FROM p JOIN v ON v.user_id = p.user_id AND v.vus <= p.us)
+        |      WHERE rn = 1),
+        |f AS (SELECT * FROM (
+        |        SELECT p.event_id AS pid, v.vid, v.vus, v.vval,
+        |               row_number() OVER (PARTITION BY p.event_id
+        |                                  ORDER BY v.vus ASC, v.vid ASC)
+        |                 AS rn
+        |        FROM p JOIN v ON v.user_id = p.user_id AND v.vus >= p.us)
+        |      WHERE rn = 1)
+        |SELECT p.user_id, p.event_id, p.us,
+        |       CASE WHEN b.vus IS NULL
+        |              OR (f.vus IS NOT NULL
+        |                  AND (f.vus - p.us) < (p.us - b.vus))
+        |            THEN f.vid ELSE b.vid END AS asof_event_id,
+        |       CASE WHEN b.vus IS NULL
+        |              OR (f.vus IS NOT NULL
+        |                  AND (f.vus - p.us) < (p.us - b.vus))
+        |            THEN f.vval ELSE b.vval END AS asof_value,
+        |       CASE WHEN b.vus IS NULL AND f.vus IS NULL
+        |              THEN CAST(NULL AS VARCHAR)
+        |            WHEN b.vus IS NULL
+        |              OR (f.vus IS NOT NULL
+        |                  AND (f.vus - p.us) < (p.us - b.vus))
+        |              THEN 'F' ELSE 'B' END AS asof_direction
+        |FROM p
+        |LEFT JOIN b ON b.pid = p.event_id
+        |LEFT JOIN f ON f.pid = p.event_id
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "event_id", "us")
+      val views = e.where(col("event_type") === "view")
+        .select("user_id", "event_id", "us", "value")
+      graft.ops.AsOf.joinAsOfNearest(purchases, views, "user_id",
+          "us", "us", payloadCols = Seq("event_id", "value"),
+          idCol = "event_id", tieBreak = Some("event_id"))
+        .orderBy("event_id")
+    },
+
     // Semi-structured props extraction: the events.props JSON column
     // parsed engine-side (get_json_object — codegen'd path evaluation,
     // no UDF) and profiled per event type — the S-family's JSON surface

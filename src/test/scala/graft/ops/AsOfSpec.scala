@@ -78,4 +78,47 @@ class AsOfSpec extends SparkSpec {
       assert(got.toSet == expect, s"wrong pairs at width $w")
     }
   }
+
+  test("joinAsOfForward: earliest at-or-after match; null when none follows") {
+    val left = Seq(("k", 10L, 1L), ("k", 25L, 2L), ("k", 99L, 3L))
+      .toDF("k", "t", "lid")
+    val right = Seq(("k", 10L, 100L), ("k", 30L, 200L), ("k", 50L, 300L))
+      .toDF("k", "rt", "pay")
+    val got = AsOf.joinAsOfForward(left, right, "k", "t", "rt", Seq("pay"))
+      .select("lid", "asof_pay")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Some(100L), // inclusive: rt == t matches
+      2L -> Some(200L), // next one after 25 is 30
+      3L -> None))      // nothing follows 99
+  }
+
+  test("joinAsOfNearest: closer side wins, backward wins ties, direction labels") {
+    val left = Seq(
+      ("k", 20L, 1L),  // back at 18 (Δ2), fwd at 25 (Δ5) → B
+      ("k", 24L, 2L),  // back at 18 (Δ6), fwd at 25 (Δ1) → F
+      ("k", 21L, 3L),  // back 18 (Δ3) vs fwd 25 (Δ4) → B
+      ("k", 5L, 4L),   // nothing before → F
+      ("x", 7L, 5L))   // key with no right rows at all → null
+      .toDF("k", "t", "lid")
+    val right = Seq(("k", 18L, 180L), ("k", 25L, 250L))
+      .toDF("k", "rt", "pay")
+    val got = AsOf.joinAsOfNearest(left, right, "k", "t", "rt",
+        Seq("pay"), idCol = "lid")
+      .select("lid", "asof_pay", "asof_direction")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(180L), Some("B"))))
+    assert(got(2L) == ((Some(250L), Some("F"))))
+    assert(got(3L) == ((Some(180L), Some("B"))))
+    assert(got(4L) == ((Some(180L), Some("F")))) // forward from 5 hits 18
+    assert(got(5L) == ((None, None)))
+    // exact tie: back at 10 and fwd at 30, left at 20 → backward wins
+    val l2 = Seq(("k", 20L, 9L)).toDF("k", "t", "lid")
+    val r2 = Seq(("k", 10L, 1L), ("k", 30L, 2L)).toDF("k", "rt", "pay")
+    val tie = AsOf.joinAsOfNearest(l2, r2, "k", "t", "rt", Seq("pay"), "lid")
+      .select("asof_pay", "asof_direction")
+      .as[(Long, String)].collect().head
+    assert(tie == ((1L, "B")))
+  }
 }
