@@ -74,10 +74,20 @@ object Bench {
       else name -> math.min(t, measure(name, SparkEntry.queries(name)))
     }
     releaseAll()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3dp per-query values: the full-registry line at 9 decimals outgrew
+    // the driver's tail capture (r7's "parsed": null) — millisecond
+    // precision is all a seconds-scale benchmark can honestly claim anyway
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense)"}""")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"queries":$qs,"sf":"$sfDir","protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense)"}"""
+    println(json)
+    // also land the document in a stable file so a parser that only sees a
+    // truncated stdout tail can read the whole thing
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.functions.catalyst._
+
+/** The SQL front door for the operator library: every text/vector/sketch
+  * primitive as a session-registered SQL function, so a pure-SQL user (a
+  * `spark.sql` notebook, a Thrift-server client) can run the dedup /
+  * curation pipelines without touching the Scala API.
+  *
+  * Two activation paths, same builders:
+  *  - session build time: `graft.GraftExtensions` (spark.sql.extensions)
+  *    injects them alongside the planner strategy and optimizer rule;
+  *  - live session: `SqlSurface.register(spark)` writes the identical
+  *    builders into the running session's function registry.
+  *
+  * All scalar functions expand to the SAME Catalyst trees as the Column
+  * API (graft.functions.TextFunctions / VectorExpressions) — built-in
+  * function compositions and native codegen expressions, so SQL users get
+  * whole-stage codegen, not a UDF detour. Aggregates resolve to the
+  * TypedImperativeAggregate sketches; the analyzer wraps the returned
+  * AggregateFunction exactly as it does for built-ins.
+  */
+object SqlSurface {
+
+  /** English stopword set used by the default quality score — the same
+    * list the curation queries pass explicitly. */
+  val EnStopwords: Seq[String] = TextFunctions.langStopwords.head._2
+
+  private def intArg(es: Seq[Expression], i: Int, fn: String): Int =
+    es(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** (name, builder) for every scalar function. Arity errors surface at
+    * analysis with the function name (Seq.apply throws on short args). */
+  val scalarBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_words" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.words(toCol(es.head)))),
+    "graft_token_count" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.tokenCount(toCol(es.head)))),
+    "graft_bpe_token_count" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.bpeTokenCount(toCol(es.head)))),
+    "graft_md5int" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.md5Int(toCol(es.head)))),
+    "graft_shingles" ->
+      ((es: Seq[Expression]) => toExpr(
+        TextFunctions.shingles(toCol(es.head), intArg(es, 1, "graft_shingles")))),
+    "graft_fingerprint" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.fingerprint(toCol(es.head)))),
+    "graft_rolling_fingerprint" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.rollingFingerprint(toCol(es.head)))),
+    "graft_redact_pii" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.redactPii(toCol(es.head)))),
+    "graft_lang_id" ->
+      ((es: Seq[Expression]) => toExpr(TextFunctions.langId(toCol(es.head)))),
+    "graft_quality_score" ->
+      ((es: Seq[Expression]) => toExpr(
+        TextFunctions.qualityScore(toCol(es.head), EnStopwords))),
+    "dot_product" ->
+      ((es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    "cosine_sim" ->
+      ((es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
+    "l2_sq" ->
+      ((es: Seq[Expression]) => L2Squared(es.head, es(1))))
+
+  /** Sketch aggregates. Builders return the AggregateFunction; the
+    * analyzer wraps it in an AggregateExpression (same as built-in sum). */
+  val aggregateBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sketch" ->
+      ((es: Seq[Expression]) => {
+        val k = intArg(es, 1, "minhash_sketch")
+        MinHashAgg(es.head, k, graft.operators.Dedup.hashParams(k),
+          graft.operators.Dedup.HashM)
+      }),
+    "hll_sketch" ->
+      ((es: Seq[Expression]) => HllSketchAgg(es.head)),
+    "kmv_sketch" ->
+      ((es: Seq[Expression]) => KmvSketchAgg(es.head)),
+    "cms_sketch" ->
+      ((es: Seq[Expression]) => CountMinAgg(es.head)))
+
+  val all: Seq[(String, Seq[Expression] => Expression)] =
+    scalarBuilders ++ aggregateBuilders
+
+  /** Register every function into a LIVE session — the same registry
+    * injectFunction writes into at build time. Idempotent (replace). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "graft")
+    }
+}

@@ -192,10 +192,15 @@ object Similarity {
                      nLists: Int, iters: Int = 3,
                      quantize: Int = 6): Seq[Array[Double]] = {
     import org.apache.spark.sql.types.DecimalType
+    // persist once across the loop: every Lloyd iteration (plus the init
+    // collect) otherwise re-runs the scan + normalization subtree — at toy
+    // scale that is iters× redundant job setup, at 100 TB iters× redundant
+    // I/O (the q73 pinned-edge-table rule applied to training)
     val vecs = withUnitVec(
       corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", "u")
       .select(col("id"), col("u"))
+      .persist()
     var cents: Seq[Array[Double]] =
       vecs.orderBy("id").limit(nLists).select("u").collect()
         .map(_.getSeq[Double](0).toArray).toSeq
@@ -217,6 +222,7 @@ object Similarity {
         }
       }
     }
+    vecs.unpersist(blocking = false)
     cents
   }
 
@@ -400,10 +406,13 @@ object Similarity {
       corpus.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v")), "v", "u")
       .select(col("id"), col("u"))
+    // persisted across the loop for the same reason as trainCentroids:
+    // each iteration otherwise re-runs scan + normalize + subvector split
     val sv = vecs
       .select(col("id"), explode(sequence(lit(0), lit(nSub - 1))).as("s"), col("u"))
       .withColumn("x", expr(s"slice(u, s * $subDim + 1, $subDim)"))
       .select("id", "s", "x")
+      .persist()
     var books: Seq[Seq[Array[Double]]] = {
       val firsts = vecs.orderBy("id").limit(nCodes).select("u").collect()
         .map(_.getSeq[Double](0).toArray)
@@ -435,6 +444,7 @@ object Similarity {
         }
       }
     }
+    sv.unpersist(blocking = false)
     books
   }
 
