@@ -16,7 +16,8 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ DomainQueries.all ++
       StreamingQueries.all ++ ProfilingQueries.all ++ OlapQueries.all ++
       TemporalQueries.all ++ CurationQueries.all ++ CorpusStatsQueries.all ++
-      EventAnalyticsQueries.all ++ GraphQueries.all ++ BronzeQueries.all
+      EventAnalyticsQueries.all ++ GraphQueries.all ++ BronzeQueries.all ++
+      SqlSurfaceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

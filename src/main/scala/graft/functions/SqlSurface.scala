@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expressionEager => toExpr}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import graft.functions.catalyst._
@@ -94,6 +94,6 @@ object SqlSurface {
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "graft")
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 }

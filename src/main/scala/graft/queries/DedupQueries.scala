@@ -28,7 +28,7 @@ object DedupQueries {
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
   /** Shared shingle CTE (word 3-grams, distinct per doc). */
-  private val shingleCte: String =
+  private[queries] val shingleCte: String =
     s"""WITH w AS (
        |  SELECT doc_id,
        |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -39,7 +39,7 @@ object DedupQueries {
        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${ShingleN - 1})) AS i
        |        FROM w))""".stripMargin
 
-  private val minhashCtes: String = {
+  private[queries] val minhashCtes: String = {
     val mins = graft.operators.Dedup.hashParams(K).zipWithIndex
       .map { case ((a, b), i) =>
         s"min((h * $a + $b) % ${graft.operators.Dedup.HashM}) AS mh_$i" }

@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.functions.{SqlSurface, TextFunctions}
+import graft.io.Tables
+
+/** The SQL front door exercised end-to-end: every Spark side here is PURE
+  * `spark.sql` text over registered temp views — the surface a SQL-only
+  * user (notebook, Thrift server) actually types — reaching the operator
+  * library through [[graft.functions.SqlSurface]]'s registered functions
+  * (the same builders `graft.GraftExtensions` injects at session build).
+  *
+  * Each query mirrors an existing DSL query's semantics and REUSES its
+  * DuckDB oracle text verbatim, so the SQL path is held to the identical
+  * hash as the Scala path: q212 ≙ q21 (MinHash+LSH dedup candidates),
+  * q213 ≙ q53 (gap sessionization), q214 ≙ q18/q19/q38 (text profile).
+  */
+object SqlSurfaceQueries {
+
+  // q21's constants (DedupQueries): word 3-grams, k=16 minhashes, 4 bands.
+  private val ShingleN = 3
+  private val K = 16
+  private val Bands = 4
+  private val R = K / Bands
+
+  private val GapSeconds = 1800L // q53's inactivity gap
+
+  val all: Seq[Q] = Seq(
+
+    // MinHash+LSH candidate pairs, typed as SQL: shingle → sketch-aggregate
+    // signature (minhash_sketch resolves to the TypedImperativeAggregate) →
+    // band explode → band-signature equi-join. Catalyst plans it like the
+    // q21 DSL twin — one hash-aggregate over shingles, equi-join on
+    // (band, bsig), never all-pairs — and the q21 oracle holds it to the
+    // same hash.
+    Q.sql("q212_sql_minhash_pairs",
+      s"""${DedupQueries.shingleCte},
+         |${DedupQueries.minhashCtes}
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      SqlSurface.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      val bandCols = (1 to R).map(i => s"element_at(sig, band * $R + $i)")
+        .mkString(", ")
+      s.sql(
+        s"""WITH sh AS (
+           |  SELECT doc_id, explode(graft_shingles(text, $ShingleN)) AS sh
+           |  FROM documents),
+           |mh AS (
+           |  SELECT doc_id, minhash_sketch(graft_md5int(sh), $K) AS sig
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  SELECT doc_id, band,
+           |         md5(CAST(concat_ws(',', $bandCols) AS BINARY)) AS bsig
+           |  FROM mh LATERAL VIEW explode(sequence(0, ${Bands - 1})) AS band)
+           |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+           |FROM bands x JOIN bands y
+           |  ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+           |ORDER BY id_a, id_b""".stripMargin)
+    },
+
+    // Gap sessionization typed as SQL: lag + running sum windows, then the
+    // per-session aggregate — the q53 recurrence as user SQL. One shuffle
+    // on user_id serves both windows and the aggregate.
+    Q.sql("q213_sql_sessionize",
+      s"""WITH t AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us
+         |  FROM events),
+         |f AS (
+         |  SELECT user_id, event_id, value, us,
+         |         CASE WHEN us - lag(us) OVER w > ${GapSeconds * 1000000L}
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT user_id, value, us,
+         |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                                ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       min(us) AS start_us, max(us) AS end_us,
+         |       count(*) AS n_events,
+         |       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+         |FROM s GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        s"""WITH t AS (
+           |  SELECT user_id, event_id, value,
+           |         unix_micros(CAST(ts AS TIMESTAMP)) AS us
+           |  FROM events),
+           |f AS (
+           |  SELECT user_id, event_id, value, us,
+           |         CASE WHEN us - lag(us) OVER w > ${GapSeconds * 1000000L}
+           |              THEN 1 ELSE 0 END AS new_session
+           |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |s AS (
+           |  SELECT user_id, value, us,
+           |         sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |                                ROWS UNBOUNDED PRECEDING) AS session_idx
+           |  FROM f)
+           |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           |       min(us) AS start_us, max(us) AS end_us,
+           |       count(*) AS n_events,
+           |       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+           |FROM s GROUP BY user_id, session_idx
+           |ORDER BY user_id, session_idx""".stripMargin)
+    },
+
+    // Text-curation profile typed as SQL: token count, language ID,
+    // quality score, bag + rolling fingerprints, PII-redacted length — all
+    // through registered functions, one codegen'd map pass (the functions
+    // expand to the same built-in compositions as the Column API; no UDF).
+    Q.sql("q214_sql_text_profile", {
+      val redact = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'${TextFunctions.UrlRe}', '<URL>', 'g'), " +
+        s"'${TextFunctions.EmailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextFunctions.PhoneRe}', '<PHONE>', 'g')"
+      s"""${TextQueries.wsCte}
+         |SELECT doc_id,
+         |       len(ws) AS n_tokens,
+         |       ${TextQueries.langCascadeSql} AS lang_guess,
+         |       floor(greatest(0.0, least(1.0,
+         |         least(CAST(len(ws) AS DOUBLE) / 100, 1.0) * 0.4
+         |         + least((CASE WHEN len(ws) = 0 THEN 0.0
+         |                       ELSE CAST(len(list_filter(ws, w -> list_contains(${TextQueries.enSwList}, w))) AS DOUBLE) / len(ws) END) * 4, 1.0) * 0.4
+         |         + (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+         |                              ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / length(text) END) * 5, 1.0)) * 0.2
+         |       )) * 10000 + 0.5) / 10000 AS quality,
+         |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+         |       CASE WHEN len(ws) = 0 THEN 0
+         |            ELSE list_reduce(
+         |                   list_transform(ws, w -> ('0x' || substr(md5(w), 1, 8))::BIGINT),
+         |                   (a, h) -> (a * ${TextFunctions.RollB} + h) % ${TextFunctions.RollM})
+         |       END AS roll_fp,
+         |       CAST(length($redact) AS BIGINT) AS redacted_len
+         |FROM t ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      SqlSurface.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id,
+          |       CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+          |       graft_lang_id(text) AS lang_guess,
+          |       floor(graft_quality_score(text) * 10000 + 0.5) / 10000 AS quality,
+          |       graft_fingerprint(text) AS fp,
+          |       graft_rolling_fingerprint(text) AS roll_fp,
+          |       CAST(length(graft_redact_pii(text)) AS BIGINT) AS redacted_len
+          |FROM documents ORDER BY doc_id""".stripMargin)
+    })
+}

@@ -24,14 +24,14 @@ object TextQueries {
   private[queries] val enSwList: String = swList(enSw)
 
   /** Shared CTE: whitespace tokens with the empty-doc guard. */
-  private val wsCte =
+  private[queries] val wsCte =
     """WITH t AS (
       |  SELECT doc_id, text,
       |         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
       |              ELSE string_split_regex(trim(text), '\s+') END AS ws
       |  FROM documents)""".stripMargin
 
-  private val langCascadeSql: String = {
+  private[queries] val langCascadeSql: String = {
     val scores = TextFunctions.langStopwords.map { case (lang, sw) =>
       lang -> s"len(list_filter(ws, w -> list_contains(${swList(sw)}, w)))"
     }
