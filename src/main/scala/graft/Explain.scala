@@ -66,7 +66,8 @@ object Explain {
       "q204_kaplan_meier", "q205_markov_anomaly",
       "q206_codeswitch_audit", "q207_capped_sessions",
       "q208_sql_frontdoor", "q209_containment_pairs", "q210_json_props",
-      "q211_asof_nearest")
+      "q211_asof_nearest", "q212_sql_minhash_pairs", "q213_sql_sessionize",
+      "q214_sql_text_profile")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
