@@ -82,12 +82,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"queries":$qs,"sf":"$sfDir","protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense)"}"""
-    println(json)
-    // also land the document in a stable file so a parser that only sees a
-    // truncated stdout tail can read the whole thing
+    // Full per-query document goes to a FILE; stdout carries only a small
+    // summary object. The driver captures a bounded stdout tail, and the
+    // full-registry line (214 queries) outgrew it two rounds running
+    // ("parsed": null in BENCH_r07/r08) — a short final line always fits.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
+    val slowest5 = results.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"sf":"$sfDir","queries":$slowest5,"queriesNote":"slowest 5 only; full per-query map in perQueryFile","perQueryFile":"${outPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

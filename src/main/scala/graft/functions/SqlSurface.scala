@@ -96,4 +96,52 @@ object SqlSurface {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+
+  /** One-call SQL surface for the MinHash+LSH candidate pipeline: registers
+    * a zero-arg SQL TABLE function `graft_lsh_candidates()` so a SQL user
+    * runs the whole shingle → sketch → band → self-join pipeline as
+    *
+    *   SELECT id_a, id_b FROM graft_lsh_candidates()
+    *
+    * instead of hand-typing the 40-line CTE chain (the q212 surface).
+    *
+    * Parameters are REGISTRAR arguments, not SQL call arguments, by
+    * necessity: Spark analyzes a SQL function body at CREATE time with
+    * parameters bound as outer references, and the shingle width / sketch
+    * size must be static — `graft_shingles`' width shapes the expression
+    * tree and `minhash_sketch`'s k fixes the driver-side hash-parameter
+    * table. So the session admin bakes (table, n, k, bands) once, exactly
+    * like `register` bakes the stopword list, and every SQL caller gets
+    * the one-call form. The body text is the same SQL as q212, so the plan
+    * (one hash-aggregate over shingles, band equi-join, exchange reuse on
+    * the SMJ path) is identical.
+    */
+  def createLshCandidatesFunction(spark: SparkSession,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 16,
+      bands: Int = 4): Unit = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    register(spark) // the body resolves graft_* at every call-site inline
+    val r = k / bands
+    val bandCols = (1 to r).map(i => s"element_at(sig, band * $r + $i)")
+      .mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_lsh_candidates()
+         |RETURNS TABLE (id_a BIGINT, id_b BIGINT)
+         |RETURN
+         |WITH sh AS (
+         |  SELECT $idCol, explode(graft_shingles($textCol, $n)) AS sh
+         |  FROM $table),
+         |mh AS (
+         |  SELECT $idCol, minhash_sketch(graft_md5int(sh), $k) AS sig
+         |  FROM sh GROUP BY $idCol),
+         |bands AS (
+         |  SELECT $idCol, band,
+         |         md5(CAST(concat_ws(',', $bandCols) AS BINARY)) AS bsig
+         |  FROM mh LATERAL VIEW explode(sequence(0, ${bands - 1})) AS band)
+         |SELECT DISTINCT x.$idCol AS id_a, y.$idCol AS id_b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bsig = y.bsig AND x.$idCol < y.$idCol
+         |""".stripMargin)
+  }
 }

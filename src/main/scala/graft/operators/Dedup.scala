@@ -217,6 +217,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Deterministic pair-level sample predicate over (id_a, id_b) frames:
+    * keeps a pair iff md5("salt:id_a:id_b") ≡ 0 (mod modulus) — a 1/modulus
+    * Bernoulli sample that is a pure FUNCTION of the pair, so candidate and
+    * truth sides of an eval can be sampled consistently (a pair is in-sample
+    * on both sides or neither → sampled precision/recall are unbiased
+    * estimators of the full-set ratios), and any engine computing the same
+    * md5 selects the identical subset (the DuckDB oracles apply this exact
+    * predicate). This is the bounded-memory eval path: applied BEFORE the
+    * verify join, it divides the pair-grain state (shingle-array rows, agg
+    * hash maps) by `modulus` at any scale — the full-truth q202 eval at
+    * sf10 ran hot against a single-JVM heap; the sampled variant holds the
+    * verify stage's working set at 1/modulus of that, forever. */
+  def pairSample(modulus: Int, salt: String = "pairsample"): Column =
+    pmod(graft.functions.TextFunctions.md5Int(
+        concat_ws(":", lit(salt), col("id_a").cast("string"),
+          col("id_b").cast("string"))),
+      lit(modulus.toLong)) === 0L
+
   /** EXACT set-similarity candidate pairs via prefix filtering (AllPairs /
     * PPJoin, Bayardo et al. WWW'07) — the zero-recall-loss complement to
     * LSH banding: every pair with Jaccard ≥ tNum/tDen is guaranteed to be

@@ -23,6 +23,7 @@ object DedupQueries {
   private val BoilerDf = 3 // q109: spans in ≥ this many docs are boilerplate
   private val SimTNum = 1  // q98 similarity-join threshold t = 1/2
   private val SimTDen = 2
+  private val EvalSampleMod = 4 // q216: keep 1-in-4 pairs (deterministic)
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
@@ -696,6 +697,84 @@ object DedupQueries {
             .as("precision"),
           dround(col("n_hit").cast("double") / col("n_true"), 6)
             .as("recall"))
+    },
+
+    // Bounded-memory variant of the q202 eval (VERDICT r8 item 2): both the
+    // LSH candidate set and the exact-truth pipeline are filtered by the
+    // SAME deterministic pair-hash predicate (Dedup.pairSample — in-sample
+    // on both sides or neither, so sampled precision/recall estimate the
+    // full-set ratios without bias), and the estimate ships with its 95%
+    // binomial CI. The point is WHERE the predicate sits: before the verify
+    // join, so the pair-grain working set (shingle-array rows, agg state)
+    // is 1/mod of the full eval's at any scale — the full q202 at sf10 ran
+    // hot against the single-JVM heap; this form is the fixed-memory eval
+    // you run at 100 TB. The oracle computes truth from the UNFILTERED
+    // all-co-shingled-pairs join and applies the identical predicate, so
+    // the prefix filter's losslessness is still hash-verified in-sample.
+    Q.sql("q216_lsh_dedup_eval_sampled", {
+      val tau = "0.5"
+      val pred = (a: String, b: String) =>
+        s"${md5IntSql(s"'pairsample:' || CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)")} % $EvalSampleMod = 0"
+      s"""$shingleCte,
+         |$minhashCtes,
+         |cand_s AS (SELECT id_a, id_b FROM pairs WHERE ${pred("id_a", "id_b")}),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth_s AS (
+         |  SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.id_a
+         |  JOIN sz sb ON sb.doc_id = i.id_b
+         |  WHERE CAST(i.inter AS DOUBLE) * 1.0
+         |        / (sa.sz + sb.sz - i.inter) >= $tau
+         |    AND ${pred("i.id_a", "i.id_b")}),
+         |hits AS (SELECT p.id_a FROM cand_s p
+         |         JOIN truth_s t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+         |m AS (SELECT (SELECT count(*) FROM cand_s) AS n_cand,
+         |             (SELECT count(*) FROM truth_s) AS n_true,
+         |             (SELECT count(*) FROM hits) AS n_hit),
+         |e AS (SELECT n_cand, n_true, n_hit,
+         |             CAST(n_hit AS DOUBLE) / n_cand AS p_est,
+         |             CAST(n_hit AS DOUBLE) / n_true AS r_est,
+         |             1.96 * sqrt((CAST(n_hit AS DOUBLE) / n_true)
+         |                         * (1.0 - CAST(n_hit AS DOUBLE) / n_true)
+         |                         / n_true) AS half
+         |      FROM m)
+         |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_true AS BIGINT) AS n_true,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       floor(p_est * 1e6 + 0.5) / 1e6 AS precision,
+         |       floor(r_est * 1e6 + 0.5) / 1e6 AS recall,
+         |       floor(greatest(0.0, r_est - half) * 1e6 + 0.5) / 1e6
+         |         AS recall_lo,
+         |       floor(least(1.0, r_est + half) * 1e6 + 0.5) / 1e6
+         |         AS recall_hi
+         |FROM e""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text",
+        ShingleN).persist()
+      val sig = Dedup.minhashSignaturesSketch(sh, "doc_id", K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, Bands)
+        .where(Dedup.pairSample(EvalSampleMod))
+      val truth = Dedup.jaccardForPairs(
+          Dedup.prefixFilterPairs(sh, "doc_id", SimTNum, SimTDen)
+            .where(Dedup.pairSample(EvalSampleMod)), sh, "doc_id")
+        .where(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      val hits = cand.join(truth, Seq("id_a", "id_b"))
+      val rEst = col("n_hit").cast("double") / col("n_true")
+      val half = lit(1.96) * sqrt(rEst * (lit(1.0) - rEst) / col("n_true"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_cand"), col("n_true"), col("n_hit"),
+          dround(col("n_hit").cast("double") / col("n_cand"), 6)
+            .as("precision"),
+          dround(rEst, 6).as("recall"),
+          dround(greatest(lit(0.0), rEst - half), 6).as("recall_lo"),
+          dround(least(lit(1.0), rEst + half), 6).as("recall_hi"))
     },
 
     // Shingle-CONTAINMENT pairs: |A∩B| / |A| ≥ 0.8 with |A| ≤ |B| — the

@@ -144,5 +144,23 @@ object SqlSurfaceQueries {
           |       graft_rolling_fingerprint(text) AS roll_fp,
           |       CAST(length(graft_redact_pii(text)) AS BIGINT) AS redacted_len
           |FROM documents ORDER BY doc_id""".stripMargin)
+    },
+
+    // The ONE-CALL dedup surface: the entire q212 candidate pipeline behind
+    // a registered SQL TABLE function, so the SQL user types a single
+    // SELECT instead of the 40-line CTE chain. Registration bakes
+    // (table, n, k, bands) once per session (SqlSurface scaladoc explains
+    // why those are registrar- not call-arguments); Catalyst inlines the
+    // body at the call site, so the plan — and therefore the q21 oracle
+    // hash — is identical to q212's.
+    Q.sql("q215_sql_lsh_one_call",
+      s"""${DedupQueries.shingleCte},
+         |${DedupQueries.minhashCtes}
+         |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      SqlSurface.createLshCandidatesFunction(s,
+        table = "documents", idCol = "doc_id", textCol = "text",
+        n = ShingleN, k = K, bands = Bands)
+      s.sql("SELECT id_a, id_b FROM graft_lsh_candidates() ORDER BY id_a, id_b")
     })
 }

@@ -11,6 +11,10 @@ import graft.expr.{FeatureSpec, FeatureStore}
   * with fallback enabled. Feeds the SCALE.md wide-schema note. */
 object ProbeWide {
   def main(args: Array[String]): Unit = {
+    // sections: "width" (codegen compile limit), "wholestage" (maxFields
+    // participation), "maxfields" (timed 100-vs-600 trade); default all
+    val sections: Set[String] =
+      if (args.isEmpty) Set("width", "wholestage", "maxfields") else args.toSet
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -46,17 +50,52 @@ object ProbeWide {
     }
 
     val rows = 100000L
-    for (w <- Seq(250, 500, 1000, 2000, 3000)) {
+    if (sections("width")) for (w <- Seq(250, 500, 1000, 2000, 3000)) {
       val (okCg, tCg) = run(w, rows, enforce = true)
       val (okFb, tFb) = run(w, rows, enforce = false)
       println(f"[probewide] w=$w%4d rows=$rows codegen_only: ok=$okCg t=$tCg%6.2f s | fallback_allowed: ok=$okFb t=$tFb%6.2f s")
+    }
+
+    // the maxFields TRADE, timed (VERDICT r8 item 7): default 100 keeps
+    // >100-col plans out of WholeStageCodegen (expression codegen still
+    // compiles each expression; the stage just isn't fused). Measure the
+    // 500-col aggregate at maxFields 100 vs 600 — adopt 600 as the session
+    // default only on a ≥20% win, else record the negative result.
+    if (sections("maxfields")) {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      val w = 500
+      val rowsMf = 2000000L
+      val statCols = (0 until w).map(i =>
+        ((col("id") * (i + 3)) % 97).cast("double").as(s"s_$i"))
+      val specs = (0 until w).map { i =>
+        i % 3 match {
+          case 0 => FeatureSpec(s"f_$i", s"sum(s_$i)")
+          case 1 => FeatureSpec(s"f_$i", s"max(s_$i)")
+          case _ => FeatureSpec(s"f_$i", s"avg(s_$i)")
+        }
+      }
+      for (mf <- Seq("100", "600", "100", "600")) { // ABAB: order-robust
+        spark.conf.set("spark.sql.codegen.maxFields", mf)
+        val df = spark.range(rowsMf)
+          .select((col("id") % 10).cast("int").as("grp") +: statCols: _*)
+        val agg = FeatureStore.aggregate(df, Seq("grp"), specs)
+        val fused = agg.queryExecution.executedPlan.toString
+          .linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*("))
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          agg.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[probewide] maxFields=$mf%4s w=$w rows=$rowsMf fusedAgg=$fused min=${times.min}%6.2f s runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      }
     }
 
     // whole-stage participation: spark.sql.codegen.maxFields (default 100)
     // gates WholeStageCodegen independently of whether expression codegen
     // compiles — report where the wide aggregate actually sits
     spark.conf.set("spark.sql.adaptive.enabled", "false") // concrete plan
-    for (w <- Seq(50, 99, 150, 500)) {
+    if (sections("wholestage")) for (w <- Seq(50, 99, 150, 500)) {
       val statCols = (0 until w).map(i =>
         ((col("id") * (i + 3)) % 97).cast("double").as(s"s_$i"))
       val df = spark.range(1000)

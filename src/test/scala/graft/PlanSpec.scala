@@ -144,4 +144,32 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("q212: the banded self-join reuses the signature exchange (MinHashAgg canonicalization)") {
+    // The at-scale (SMJ) plan for the SQL MinHash pipeline must compute the
+    // shingle→sketch→band subtree ONCE and feed both join sides from the
+    // same exchange. That only happens if MinHashAgg's canonicalized form
+    // is stable across the two aliased scans — a regression there silently
+    // doubles the signature computation on every banded self-join. Pin it
+    // in the broadcast-off, AQE-off regime where Catalyst plans the SMJ
+    // (at sf0.001 defaults the planner picks broadcast, whose
+    // BroadcastExchange children are not reuse candidates).
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q212_sql_minhash_pairs")(spark, sf)
+        .queryExecution.executedPlan
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"banded self-join did not reuse the signature exchange:\n$plan")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
