@@ -91,7 +91,11 @@ object Bench {
     java.nio.file.Files.write(outPath, (json + "\n").getBytes("UTF-8"))
     val slowest5 = results.sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"sf":"$sfDir","queries":$slowest5,"queriesNote":"slowest 5 only; full per-query map in perQueryFile","perQueryFile":"${outPath.toAbsolutePath}"}""")
+    // "slowest5", NOT "queries": the file document's "queries" key is the
+    // FULL per-query map, and reusing the same key here for a 5-entry map
+    // invites a consumer to treat it as complete (ADVICE r9) — distinct
+    // key names make the two documents structurally distinguishable
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"sf":"$sfDir","slowest5":$slowest5,"perQueryFile":"${outPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

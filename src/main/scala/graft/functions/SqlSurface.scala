@@ -115,33 +115,58 @@ object SqlSurface {
     * the one-call form. The body text is the same SQL as q212, so the plan
     * (one hash-aggregate over shingles, band equi-join, exchange reuse on
     * the SMJ path) is identical.
+    *
+    * Indexing several tables in one session: pass a distinct `funcName`
+    * per registration — e.g. `graft_lsh_candidates_docs` over `documents`
+    * and `graft_lsh_candidates_events` over an events text view. Each
+    * CREATE OR REPLACE is independent temp-function state, so
+    * re-registering the same name simply rebinds it (the
+    * re-register-per-table pattern also works if one name is enough).
+    *
+    * Identifiers (funcName, table, idCol, textCol) are validated and
+    * backtick-quoted into the function body — a reserved word or an
+    * exotic-but-legal column name ("order", "doc id") resolves correctly
+    * instead of dying as an opaque parse error at registration; embedded
+    * backticks are rejected (this is an identifier surface, not an
+    * injection surface).
     */
   def createLshCandidatesFunction(spark: SparkSession,
       table: String = "documents", idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 16,
-      bands: Int = 4): Unit = {
+      bands: Int = 4, funcName: String = "graft_lsh_candidates"): Unit = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    // backtick-quote one identifier PART; multi-part table names ("db.t")
+    // quote each part so the qualifier still resolves
+    def quotePart(s: String): String = {
+      require(s.nonEmpty && !s.contains("`"),
+        s"illegal identifier part: '$s' (empty or contains a backtick)")
+      "`" + s + "`"
+    }
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qText = quotePart(textCol)
+    val qFunc = quotePart(funcName)
     register(spark) // the body resolves graft_* at every call-site inline
     val r = k / bands
     val bandCols = (1 to r).map(i => s"element_at(sig, band * $r + $i)")
       .mkString(", ")
     spark.sql(
-      s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_lsh_candidates()
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (id_a BIGINT, id_b BIGINT)
          |RETURN
          |WITH sh AS (
-         |  SELECT $idCol, explode(graft_shingles($textCol, $n)) AS sh
-         |  FROM $table),
+         |  SELECT $qId, explode(graft_shingles($qText, $n)) AS sh
+         |  FROM $qTable),
          |mh AS (
-         |  SELECT $idCol, minhash_sketch(graft_md5int(sh), $k) AS sig
-         |  FROM sh GROUP BY $idCol),
+         |  SELECT $qId, minhash_sketch(graft_md5int(sh), $k) AS sig
+         |  FROM sh GROUP BY $qId),
          |bands AS (
-         |  SELECT $idCol, band,
+         |  SELECT $qId, band,
          |         md5(CAST(concat_ws(',', $bandCols) AS BINARY)) AS bsig
          |  FROM mh LATERAL VIEW explode(sequence(0, ${bands - 1})) AS band)
-         |SELECT DISTINCT x.$idCol AS id_a, y.$idCol AS id_b
+         |SELECT DISTINCT x.$qId AS id_a, y.$qId AS id_b
          |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.bsig = y.bsig AND x.$idCol < y.$idCol
+         |  ON x.band = y.band AND x.bsig = y.bsig AND x.$qId < y.$qId
          |""".stripMargin)
   }
 }

@@ -228,11 +228,16 @@ object Dedup {
     * verify join, it divides the pair-grain state (shingle-array rows, agg
     * hash maps) by `modulus` at any scale — the full-truth q202 eval at
     * sf10 ran hot against a single-JVM heap; the sampled variant holds the
-    * verify stage's working set at 1/modulus of that, forever. */
+    * verify stage's working set at 1/modulus of that, forever.
+    *
+    * NULL semantics: `concat` (not concat_ws) so a NULL id NULL-propagates
+    * through the predicate and the pair is dropped — identical to the
+    * SQL-standard `||` the DuckDB oracle uses; concat_ws would silently
+    * skip the NULL and the two engines would sample different subsets. */
   def pairSample(modulus: Int, salt: String = "pairsample"): Column =
     pmod(graft.functions.TextFunctions.md5Int(
-        concat_ws(":", lit(salt), col("id_a").cast("string"),
-          col("id_b").cast("string"))),
+        concat(lit(salt), lit(":"), col("id_a").cast("string"),
+          lit(":"), col("id_b").cast("string"))),
       lit(modulus.toLong)) === 0L
 
   /** EXACT set-similarity candidate pairs via prefix filtering (AllPairs /

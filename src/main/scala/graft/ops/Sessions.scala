@@ -40,6 +40,72 @@ object Sessions {
         graft.queries.Qutil.msum(col(valueCol)).as("total_value"))
   }
 
+  /** [[sessionize]] over a GLOBAL timeline (no key — system incidents,
+    * machine-wide alert storms) without the single-partition window the
+    * naive `PARTITION BY lit(0)` formulation plans: at 100 TB even a
+    * filter-reduced error stream is TB-scale, and one task sorting it is
+    * the classic deadstop (the PlanSpec registry gate exists to catch
+    * exactly that). Same two-pass recipe as [[Windows.globalIndex]]:
+    *
+    *  1. range-partition on (ts, id) — disjoint intervals of the total
+    *     order — and compute each row's LOCAL new-session flag and local
+    *     prefix sum with a partition-local window (lag is null at each
+    *     partition head, so head flags are 0 locally);
+    *  2. from the partition-count-sized stats frame (first/last us, local
+    *     flag sum per partition), decide each partition HEAD's true flag
+    *     by comparing against the previous non-empty partition's last
+    *     event, and prefix-sum the per-partition session starts into a
+    *     carry-in offset — global idx = local idx + offset, exactly the
+    *     single-scan recurrence (the head row's flag is 0 in the local
+    *     sum, so adding its boundary bit to the whole partition is the
+    *     identity the spec pins against the reference formulation).
+    *
+    * The only unpartitioned window runs over the ≤ numParts-row stats
+    * frame. Returns (session_idx, start_us, end_us, n_events,
+    * total_value) at the session grain. */
+  def sessionizeGlobal(events: DataFrame, tsCol: String, eventIdCol: String,
+                       valueCol: String, gapSeconds: Long,
+                       numParts: Int = 0): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val n = if (numParts > 0) numParts
+      else events.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = events
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .repartitionByRange(n, col("__us"), col(eventIdCol))
+      .withColumn("__pid", spark_partition_id())
+    val lw = Window.partitionBy("__pid")
+      .orderBy(col("__us").asc, col(eventIdCol).asc)
+    val local = parted
+      .withColumn("__new",
+        when(col("__us") - lag("__us", 1).over(lw) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__sloc", sum("__new").over(lw))
+    // partition stats: ≤ n rows; lag over __pid skips empty partitions by
+    // construction (they have no stats row)
+    val stats = local.groupBy("__pid")
+      .agg(min(struct(col("__us"), col(eventIdCol))).getField("__us").as("__first"),
+        max(struct(col("__us"), col(eventIdCol))).getField("__us").as("__last"),
+        sum("__new").as("__starts"))
+    val sw = Window.orderBy("__pid")
+    val pw = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stats
+      .withColumn("__head",
+        when(col("__first") - lag("__last", 1).over(sw) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__off",
+        coalesce(sum(col("__starts") + col("__head")).over(pw), lit(0L))
+          + col("__head"))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("session_idx", col("__sloc") + col("__off"))
+      .groupBy("session_idx")
+      .agg(
+        min("__us").as("start_us"),
+        max("__us").as("end_us"),
+        count(lit(1)).as("n_events"),
+        graft.queries.Qutil.msum(col(valueCol)).as("total_value"))
+  }
+
   /** Ordered funnel: how many users performed step 1, then step 2 strictly
     * after their first step 1, then step 3 strictly after that, and so on.
     * Step k is one aggregate on the user key joined to step k-1's

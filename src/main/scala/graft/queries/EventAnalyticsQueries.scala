@@ -265,9 +265,13 @@ object EventAnalyticsQueries {
           "value", 1800L)
         .select(col("user_id"), col("session_idx"),
           col("start_us").as("s_lo"), (col("end_us") + 1L).as("s_hi"))
-      val inc = Sessions.sessionize(
-          ev.where(col("event_type") === "error").withColumn("g", lit(0L)),
-          "g", "ts", "event_id", "value", 600L)
+      // incidents are inherently global (no key) — sessionizeGlobal's
+      // range-partition + carry-in offsets, NOT a constant-key window
+      // whose single partition would sort the whole error stream in one
+      // task at scale (the registry-wide PlanSpec gate pins this)
+      val inc = Sessions.sessionizeGlobal(
+          ev.where(col("event_type") === "error"),
+          "ts", "event_id", "value", 600L)
         .select(col("session_idx").as("incident_idx"),
           col("start_us").as("i_lo"), (col("end_us") + 1L).as("i_hi"))
       graft.ops.AsOf.intervalOverlapJoin(sess, "s_lo", "s_hi",

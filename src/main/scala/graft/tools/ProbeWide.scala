@@ -62,6 +62,11 @@ object ProbeWide {
     // 500-col aggregate at maxFields 100 vs 600 — adopt 600 as the session
     // default only on a ≥20% win, else record the negative result.
     if (sections("maxfields")) {
+      // AQE OFF before reading the plan string: under AdaptiveSparkPlanExec
+      // the pre-execution plan carries no *(n) whole-stage markers, so the
+      // fusedAgg label would print false at BOTH maxFields settings and
+      // mislabel the measured trade (ADVICE r9)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.codegen.fallback", "true")
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
       val w = 500

@@ -145,6 +145,72 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("registry-wide gate: every unpartitioned window sits over a grain-reduced frame") {
+    // The bounded-frame discipline for global windows (band histograms,
+    // source enums, partition counts, retrieved lists) lives in scaladoc;
+    // this gate automates it so one new corpus-grain Window.orderBy cannot
+    // sail through review. For EVERY registry query: collect WindowExec
+    // nodes with an empty partitionSpec from the pre-AQE physical plan and
+    // require each one's child subtree to contain an aggregate, a limit, or
+    // a top-k operator — i.e. the frame entering the single-partition sort
+    // was already reduced off the corpus grain. Sites that reduce grain in
+    // a way the plan can't show locally go on the explicit allowlist below.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // query name -> why its global window is bounded without a local
+    // aggregate/limit in the subtree (each verified by hand; a NEW query
+    // landing here must justify itself the same way)
+    val allowlist: Map[String, String] = Map.empty
+    def grainReduced(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec => a
+      case l: GlobalLimitExec => l
+      case l: LocalLimitExec => l
+      case l: CollectLimitExec => l
+      case l: TakeOrderedAndProjectExec => l
+      case t: graft.plans.TopKPerGroupExec => t
+      case w: WindowGroupLimitExec => w
+    }.isDefined
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val globals = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        globals.collect {
+          case w if !grainReduced(w.child) && !allowlist.contains(name) =>
+            s"$name: global window over an unreduced frame:\n${w.treeString}"
+        }
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  test("q215: the one-call TVF path reuses the signature exchange like q212") {
+    // The TVF body (SqlSurface.createLshCandidatesFunction) is a SECOND
+    // copy of the banded-join SQL — the q212 assert below does not cover
+    // it, and a drift there (e.g. the bsig band expression) would silently
+    // double the signature computation on the one-call path every SQL user
+    // actually takes. Same regime: broadcast off + AQE off so the planner
+    // picks the SMJ whose shuffle exchanges are reuse candidates.
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q215_sql_lsh_one_call")(spark, sf)
+        .queryExecution.executedPlan
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"TVF banded self-join did not reuse the signature exchange:\n$plan")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("q212: the banded self-join reuses the signature exchange (MinHashAgg canonicalization)") {
     // The at-scale (SMJ) plan for the SQL MinHash pipeline must compute the
     // shingle→sketch→band subtree ONCE and feed both join sides from the

@@ -63,6 +63,40 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e.getMessage.contains("minhash_sketch"))
   }
 
+  test("named TVF multi-registration: two tables indexed side by side, quoted identifiers resolve") {
+    import spark.implicits._
+    // two near-dup corpora under different temp views; the second one uses
+    // a reserved word as the id column and a spaced column name for the
+    // text — the registrar must backtick-quote them into the body
+    // exact duplicates: identical sketches collide in every band, so the
+    // expected candidate set is deterministic (this test pins identifier
+    // quoting + multi-registration, not banding recall)
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs")
+    Seq((10L, "p q r s t"), (11L, "p q r s t"), (12L, "mm nn oo pp qq"))
+      .toDF("order", "doc text").createOrReplaceTempView("tvf_events")
+    SqlSurface.createLshCandidatesFunction(spark, table = "tvf_docs",
+      idCol = "doc_id", textCol = "text", n = 3, k = 16, bands = 4,
+      funcName = "graft_lsh_candidates_docs")
+    SqlSurface.createLshCandidatesFunction(spark, table = "tvf_events",
+      idCol = "order", textCol = "doc text", n = 3, k = 16, bands = 4,
+      funcName = "graft_lsh_candidates_events")
+    // both registrations live simultaneously; each sees only its table
+    val d = spark.sql(
+      "SELECT id_a, id_b FROM graft_lsh_candidates_docs() ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e = spark.sql(
+      "SELECT id_a, id_b FROM graft_lsh_candidates_events() ORDER BY 1, 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(d.toSeq === Seq((1L, 2L)))
+    assert(e.toSeq === Seq((10L, 11L)))
+    // identifier surface, not injection surface: embedded backticks refuse
+    val ex = intercept[IllegalArgumentException] {
+      SqlSurface.createLshCandidatesFunction(spark, table = "tvf`x")
+    }
+    assert(ex.getMessage.contains("backtick"))
+  }
+
   test("build-time injection: a withExtensions session exposes the same surface") {
     val prevActive = SparkSession.getActiveSession
     val prevDefault = SparkSession.getDefaultSession

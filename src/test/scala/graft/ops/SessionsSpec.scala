@@ -24,6 +24,45 @@ class SessionsSpec extends SparkSpec {
     assert(out((8L, 0L)) == ((1L, 8.0)))
   }
 
+  test("sessionizeGlobal equals the constant-key reference for any partition count") {
+    // 200 events over a jittered timeline with deterministic gaps: gap to
+    // the previous event exceeds 60 s on every 7th event, so sessions
+    // straddle range-partition boundaries at every tested partition count
+    val ev = (0 until 200).scanLeft((0L, 0L)) { case ((_, us), i) =>
+      val gap = if (i % 7 == 3) 120000000L else 10000000L // 120 s vs 10 s
+      (i.toLong, us + gap)
+    }.tail.map { case (id, us) =>
+      (id, new Timestamp(us / 1000L), 1.0 + (id % 5))
+    }.toDF("event_id", "ts", "value")
+    val want = Sessions.sessionize(ev.withColumn("g", lit(0L)),
+        "g", "ts", "event_id", "value", 60L)
+      .select("session_idx", "start_us", "end_us", "n_events", "total_value")
+      .orderBy("session_idx").collect().toSeq
+    assert(want.size > 20) // the fixture really splits
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Sessions.sessionizeGlobal(ev, "ts", "event_id", "value",
+          60L, numParts = parts)
+        .orderBy("session_idx").collect().toSeq
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("sessionizeGlobal plans no single-partition window over the event grain") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "ts", "value")
+    val plan = Sessions.sessionizeGlobal(ev, "ts", "event_id", "value", 60L,
+      numParts = 4).queryExecution.sparkPlan
+    val globals = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    // the only global windows sit over the partition-stats aggregate
+    assert(globals.nonEmpty)
+    globals.foreach { w =>
+      assert(w.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"global window over the event grain:\n$w")
+    }
+  }
+
   test("runs collapses consecutive equal states, splitting on change") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 7L, "a"),
