@@ -85,14 +85,20 @@ object ProbeWide {
         val df = spark.range(rowsMf)
           .select((col("id") % 10).cast("int").as("grp") +: statCols: _*)
         val agg = FeatureStore.aggregate(df, Seq("grp"), specs)
-        val fused = agg.queryExecution.executedPlan.toString
-          .linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*("))
+        val planLines = agg.queryExecution.executedPlan.toString.linesIterator.toSeq
+        val fused = planLines
+          .exists(l => l.contains("HashAggregate") && l.contains("*("))
+        // ALL whole-stage-fused operators, not just the aggregate: at
+        // maxFields=600 the wide Project/Range stage fuses too, and THAT
+        // is the code the measurement exercises (a 500-col generated
+        // method can exceed JIT limits and run interpreted)
+        val nFused = planLines.count(_.trim.matches("^[+:\\- ]*\\*\\(\\d+\\).*"))
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           agg.write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
-        println(f"[probewide] maxFields=$mf%4s w=$w rows=$rowsMf fusedAgg=$fused min=${times.min}%6.2f s runs=${times.map(t => f"$t%.2f").mkString(",")}")
+        println(f"[probewide] maxFields=$mf%4s w=$w rows=$rowsMf fusedAgg=$fused fusedOps=$nFused min=${times.min}%6.2f s runs=${times.map(t => f"$t%.2f").mkString(",")}")
       }
     }
 
