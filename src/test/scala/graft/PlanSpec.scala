@@ -185,6 +185,64 @@ class PlanSpec extends SparkSpec {
     assert(violations.isEmpty, violations.mkString("\n\n"))
   }
 
+  test("registry-wide gate: every cartesian/nested-loop join has at least one grain-reduced side") {
+    // The window gate's sibling for the other classic 100 TB deadstop: a
+    // CartesianProduct (or a BroadcastNestedLoopJoin, its broadcastable
+    // little sibling) whose BOTH sides are corpus-grain is O(n*m) work no
+    // cluster survives. Legitimate uses in this engine are tiny-frame
+    // compositions — crossJoin of three 1-row aggregates (the eval
+    // reports), a threshold constant joined under every row — and in all
+    // of them at least one side (in practice both) is already an
+    // aggregate/limit. Unlike broadcast-vs-shuffle choices, a cartesian
+    // does not disappear when statistics grow, so this is a semantic gate
+    // the planner cannot save us from.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{CartesianProductExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
+    // Audited sites. The ANN brute/eval family's unreduced side is the
+    // QUERY set (`vec_id < NQueries` — bounded by the search contract:
+    // cost is #queries × corpus, LINEAR in corpus data), which a plan
+    // walk cannot see through a Filter. Their corpus-wide scale paths
+    // are the bucketed/celled variants (q26/q41/q105/q140), measured at
+    // sf10 in SCALE.md.
+    val queryBounded = "unreduced side is the bounded query set " +
+      "(vec_id < NQueries); per-query×corpus is linear in data"
+    val allowlist: Map[String, String] = Map(
+      "q25_ann_cosine" -> queryBounded,
+      "q62_quantized_topk" -> queryBounded,
+      "q70_hard_pairs" -> queryBounded,
+      "q119_ann_pq" -> queryBounded,
+      "q176_knn_accuracy" -> queryBounded,
+      "q199_quantization_recall" -> queryBounded,
+      "q37_embedding_neardup" -> ("declared exact-quadratic ORACLE " +
+        "baseline of embeddingNearDups; q105 is the production LSH path " +
+        "(two-tier contract measured in SCALE.md: exact 67.9x at 10x, " +
+        "bucketed 33x at 100x)"))
+    def grainReduced(p: SparkPlan): Boolean = p.collectFirst {
+      case a: BaseAggregateExec => a
+      case l: GlobalLimitExec => l
+      case l: LocalLimitExec => l
+      case l: CollectLimitExec => l
+      case l: TakeOrderedAndProjectExec => l
+      case r if r.nodeName == "LocalTableScan" || r.nodeName == "RDDScanExec" => r
+    }.isDefined
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val loops = plan.collect {
+          case j: CartesianProductExec => (j: SparkPlan, j.left, j.right)
+          case j: BroadcastNestedLoopJoinExec => (j: SparkPlan, j.left, j.right)
+        }
+        loops.collect {
+          case (j, l, r) if !grainReduced(l) && !grainReduced(r) &&
+              !allowlist.contains(name) =>
+            s"$name: cartesian/NL join with two unreduced sides:\n${j.treeString}"
+        }
+    }
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
   test("q215: the one-call TVF path reuses the signature exchange like q212") {
     // The TVF body (SqlSurface.createLshCandidatesFunction) is a SECOND
     // copy of the banded-join SQL — the q212 assert below does not cover
