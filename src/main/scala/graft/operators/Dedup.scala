@@ -95,7 +95,7 @@ object Dedup {
     * consuming query completes (OperatorsSpec asserts plan construction
     * schedules no job and the cap semantics are unchanged). */
   private val capObsId = new java.util.concurrent.atomic.AtomicLong()
-  private def capHotBuckets(all: DataFrame, keys: Seq[String], cap: Int,
+  private[graft] def capHotBuckets(all: DataFrame, keys: Seq[String], cap: Int,
                             what: String): DataFrame = {
     val hot = all.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > cap)

@@ -592,4 +592,116 @@ object Similarity {
     val sep = pd.groupBy("label").agg(dround(min(col("d")), 6).as("separation"))
     coh.join(sep, Seq("label"))
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining in Low-Resource Conditions" / LASER bitext
+    * mining, ACL'19): align two embedding collections (source/target
+    * language sentences, caption/image embeddings, question/answer pools)
+    * by scoring each cross-side candidate (x, y) with
+    *
+    *   margin(x, y) = cos(x, y) / (0.5 · (avgᵏ(x) + avgᵏ(y)))
+    *
+    * where avgᵏ(s) is the mean cosine of s's k best RETRIEVED neighbours
+    * on the other side, and keeping MUTUAL best matches above `minMargin`.
+    * The normalization kills hubness — a vector close to everything has a
+    * large denominator, so only pairs close FOR EACH OTHER survive; raw
+    * cosine thresholds mine hubs, margins mine translations.
+    *
+    * Candidates: exact mode (`lsh = None`) scores the full src×tgt cross
+    * product — the oracle/rerank baseline, deliberately quadratic. LSH
+    * mode (`lsh = Some((dims, nPlanes, nTables))`) bands BOTH sides with
+    * the shared deterministic hyperplanes (one banding pass over the
+    * union, `maxBucketSize` hot-bucket cap, same construction as
+    * embeddingNearDups) and scores only co-bucketed cross-side pairs —
+    * the 100 TB path, where the margin denominator is the k-NN average
+    * over the retrieved candidate set (the standard practice: mining
+    * normalizes over what retrieval returned).
+    *
+    * Determinism discipline: cosines are the fused fold (bit-equal to the
+    * oracle's list_reduce), quantized to the 6dp grid BEFORE the k-NN
+    * averaging, whose sum runs in DECIMAL (order-independent) and divides
+    * as double — so margins are identical doubles in any engine and the
+    * mutual-best row_numbers (ties broken by id) replay exactly.
+    *
+    * Returns (src_id, tgt_id, cos, margin), margin 6dp, one row per
+    * mutual-best pair with margin ≥ minMargin. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int, minMargin: Double,
+                 lsh: Option[(Int, Int, Int)] = None,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dround = graft.queries.Qutil.dround _
+    val s = src.select(col(idCol).as("src_id"),
+      col(vecCol).cast("array<double>").as("__vs"))
+    val t = tgt.select(col(idCol).as("tgt_id"),
+      col(vecCol).cast("array<double>").as("__vt"))
+    val cand = lsh match {
+      case None => s.crossJoin(t)
+      case Some((dims, nPlanes, nTables)) =>
+        // band the UNION once (one hyperplane pass, one cap), split sides
+        // at the join — the embeddingNearDups shape with a side tag
+        val tagged = s.select(col("src_id").as("__id"), col("__vs").as("__v"),
+            lit(0).as("__side"))
+          .unionByName(t.select(col("tgt_id").as("__id"),
+            col("__vt").as("__v"), lit(1).as("__side")))
+        val tb = (0 until nTables).map { tt =>
+          struct(lit(tt).as("table"),
+            hyperplaneSig(col("__v"), dims, nPlanes, tt).as("bucket"))
+        }
+        val banded = tagged.withColumn("tb", explode(array(tb: _*)))
+          .select(col("__id"), col("__v"), col("__side"),
+            col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+          .persist()
+        val capped = maxBucketSize.fold(banded)(
+          Dedup.capHotBuckets(banded, Seq("table", "bucket"), _, "marginMine"))
+        capped.where(col("__side") === 0).as("x")
+          .join(capped.where(col("__side") === 1).as("y"),
+            col("x.table") === col("y.table") &&
+              col("x.bucket") === col("y.bucket"))
+          .select(col("x.__id").as("src_id"), col("x.__v").as("__vs"),
+            col("y.__id").as("tgt_id"), col("y.__v").as("__vt"))
+          .dropDuplicates("src_id", "tgt_id")
+    }
+    val dec = DecimalType(18, 6)
+    // pair-bounded persist: the scored candidates feed three consumers
+    // (both k-NN aggregates + the margin join) under three different
+    // partitionings — without it the cosine pass recomputes per consumer.
+    // cos > 0 keeps the margin well-defined: a NEGATIVE k-NN average flips
+    // the ratio's sign and promotes dissimilar pairs (margins only rank
+    // meaningfully over positive similarities — anti-aligned vectors are
+    // not candidate translations in the first place)
+    val scored = cand
+      .withColumn("cos", dround(graft.functions.catalyst.VectorExpressions
+        .cosineSim(col("__vs"), col("__vt")), 6))
+      .where(col("cos") > 0)
+      .select("src_id", "tgt_id", "cos")
+      .persist()
+    // k-NN averages per side over the candidate set: decimal sum of the
+    // 6dp-quantized cosines / count — order-independent, engine-exact
+    def knnAvg(keyCol: String, otherCol: String, as: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(col("cos").desc, col(otherCol).asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k)
+        .groupBy(keyCol)
+        .agg((sum(col("cos").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as(as))
+    }
+    val withAvgs = scored
+      .join(knnAvg("src_id", "tgt_id", "__av_s"), "src_id")
+      .join(knnAvg("tgt_id", "src_id", "__av_t"), "tgt_id")
+      .withColumn("margin",
+        col("cos") / (lit(0.5) * (col("__av_s") + col("__av_t"))))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id").asc)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("tgt_id").orderBy(col("margin").desc, col("src_id").asc)
+    withAvgs
+      .withColumn("__rs", row_number().over(ws))
+      .withColumn("__rt", row_number().over(wt))
+      .where(col("__rs") === 1 && col("__rt") === 1 &&
+        col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        dround(col("margin"), 6).as("margin"))
+  }
 }

@@ -773,5 +773,87 @@ object SimilarityQueries {
           dround(coalesce(col("n_overlap"), lit(0L)).cast("double") / TopK, 6)
             .as("recall"))
         .orderBy("qid")
+    },
+
+    // Margin-based parallel-pair mining (Similarity.marginMine — the
+    // Artetxe & Schwenk bitext criterion): align the even-id half of the
+    // embeddings with the odd-id half via cos normalized by both sides'
+    // retrieved-k-NN average, mutual-best matches only. Candidates come
+    // from the q105 hyperplane buckets (never all pairs); the margin
+    // denominator is a DECIMAL sum of 6dp-quantized cosines / count, so
+    // the oracle replays planes → buckets → cap → candidates → cosines →
+    // k-NN averages → margins → mutual argmax bit-for-bit.
+    Q.sql("q217_margin_mining", {
+      val nPlanes = 12; val nTables = 6; val cap = 256; val k = 4
+      def dotSql(vec: String, plane: Array[Double]): String = {
+        val lits = plane.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"list_reduce(list_transform(generate_series(1, $Dims), i -> $vec[i] * ($lits)[i]), (a, b) -> a + b)"
+      }
+      val bandSelects = (0 until nTables).map { t =>
+        val bucket = (0 until nPlanes).map { p =>
+          val d = dotSql("v", Similarity.planeVec(t, p, Dims))
+          s"(CASE WHEN $d > 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (
+         |  $bandSelects),
+         |ok AS (
+         |  SELECT t, bucket FROM b GROUP BY t, bucket HAVING count(*) <= $cap),
+         |c AS (
+         |  SELECT b.vec_id, b.t, b.bucket FROM b
+         |  JOIN ok ON ok.t = b.t AND ok.bucket = b.bucket),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS tgt_id
+         |  FROM c x JOIN c y ON x.t = y.t AND x.bucket = y.bucket
+         |  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1),
+         |s0 AS (
+         |  SELECT cand.src_id, cand.tgt_id,
+         |         floor((${foldDot("ae.v", "be.v")}
+         |                / (${normSql("ae.v")} * ${normSql("be.v")}))
+         |               * 1000000 + 0.5) / 1000000 AS cos
+         |  FROM cand
+         |  JOIN e ae ON ae.vec_id = cand.src_id
+         |  JOIN e be ON be.vec_id = cand.tgt_id),
+         |s AS (SELECT * FROM s0 WHERE cos > 0),
+         |rs AS (SELECT src_id, cos,
+         |              row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cos DESC, tgt_id) AS rn
+         |       FROM s),
+         |avs AS (SELECT src_id,
+         |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |               / CAST(count(*) AS DOUBLE) AS av_s
+         |        FROM rs WHERE rn <= $k GROUP BY src_id),
+         |rt AS (SELECT tgt_id, cos,
+         |              row_number() OVER (PARTITION BY tgt_id
+         |                                 ORDER BY cos DESC, src_id) AS rn
+         |       FROM s),
+         |avt AS (SELECT tgt_id,
+         |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |               / CAST(count(*) AS DOUBLE) AS av_t
+         |        FROM rt WHERE rn <= $k GROUP BY tgt_id),
+         |m AS (SELECT s.src_id, s.tgt_id, s.cos,
+         |             s.cos / (0.5 * (av_s + av_t)) AS margin
+         |      FROM s JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
+         |r AS (SELECT src_id, tgt_id, cos, margin,
+         |             row_number() OVER (PARTITION BY src_id
+         |                                ORDER BY margin DESC, tgt_id) AS r_s,
+         |             row_number() OVER (PARTITION BY tgt_id
+         |                                ORDER BY margin DESC, src_id) AS r_t
+         |      FROM m)
+         |SELECT src_id, tgt_id, cos,
+         |       floor(margin * 1000000 + 0.5) / 1000000 AS margin
+         |FROM r WHERE r_s = 1 AND r_t = 1 AND margin >= 1.0
+         |ORDER BY src_id, tgt_id""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginMine(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0,
+          lsh = Some((Dims, 12, 6)), maxBucketSize = Some(256))
+        .orderBy("src_id", "tgt_id")
     })
 }
