@@ -68,7 +68,8 @@ object Explain {
       "q208_sql_frontdoor", "q209_containment_pairs", "q210_json_props",
       "q211_asof_nearest", "q212_sql_minhash_pairs", "q213_sql_sessionize",
       "q214_sql_text_profile", "q215_sql_lsh_one_call",
-      "q216_lsh_dedup_eval_sampled", "q217_margin_mining")
+      "q216_lsh_dedup_eval_sampled", "q217_margin_mining",
+      "q218_sql_margin_one_call")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -135,13 +135,6 @@ object SqlSurface {
       textCol: String = "text", n: Int = 3, k: Int = 16,
       bands: Int = 4, funcName: String = "graft_lsh_candidates"): Unit = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    // backtick-quote one identifier PART; multi-part table names ("db.t")
-    // quote each part so the qualifier still resolves
-    def quotePart(s: String): String = {
-      require(s.nonEmpty && !s.contains("`"),
-        s"illegal identifier part: '$s' (empty or contains a backtick)")
-      "`" + s + "`"
-    }
     val qTable = table.split('.').map(quotePart).mkString(".")
     val qId = quotePart(idCol)
     val qText = quotePart(textCol)
@@ -167,6 +160,113 @@ object SqlSurface {
          |SELECT DISTINCT x.$qId AS id_a, y.$qId AS id_b
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.bsig = y.bsig AND x.$qId < y.$qId
+         |""".stripMargin)
+  }
+
+  // backtick-quote one identifier PART; multi-part table names ("db.t")
+  // quote each part so the qualifier still resolves
+  private def quotePart(s: String): String = {
+    require(s.nonEmpty && !s.contains("`"),
+      s"illegal identifier part: '$s' (empty or contains a backtick)")
+    "`" + s + "`"
+  }
+
+  /** One-call SQL surface for margin-based parallel-pair mining (the
+    * [[createLshCandidatesFunction]] pattern applied to
+    * `Similarity.marginMine`): registers `graft_margin_pairs()` so a SQL
+    * user runs the whole hyperplane-bucket → cap → cosine → k-NN-average
+    * → mutual-argmax pipeline as `SELECT * FROM graft_margin_pairs()`.
+    *
+    * `srcPred`/`tgtPred` are registrar-supplied SQL predicates over the
+    * base table's columns that split it into the two sides to align
+    * (e.g. `"lang = 'en'"` / `"lang = 'de'"`). Like the function body
+    * itself they are trusted registration-time SQL from the session
+    * admin — identifiers are quoted, predicates are not quotable.
+    *
+    * The hyperplane literals are the same deterministic ±1 planes as the
+    * Column API (`Similarity.planeVec` — one source of constants), the
+    * cosine is the registered `cosine_sim` (identical fused fold), and
+    * the k-NN averages run as DECIMAL sums of 6dp-quantized cosines — so
+    * the TVF's results hash-match the Column API's (q218 ≙ q217). */
+  def createMarginMiningFunction(spark: SparkSession,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      srcPred: String = "vec_id % 2 = 0",
+      tgtPred: String = "vec_id % 2 = 1",
+      dims: Int = 64, nPlanes: Int = 12, nTables: Int = 6, cap: Int = 256,
+      k: Int = 4, minMargin: Double = 1.0,
+      funcName: String = "graft_margin_pairs"): Unit = {
+    require(nPlanes <= 62, s"nPlanes=$nPlanes must fit a long bucket id")
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qVec = quotePart(vecCol)
+    val qFunc = quotePart(funcName)
+    register(spark)
+    def planeLit(t: Int, p: Int): String =
+      graft.operators.Similarity.planeVec(t, p, dims)
+        .map(x => if (x > 0) "1.0D" else "-1.0D")
+        .mkString("array(", ",", ")")
+    val bandSelects = (0 until nTables).map { t =>
+      val bucket = (0 until nPlanes).map { p =>
+        s"(CASE WHEN dot_product(v, ${planeLit(t, p)}) > 0 THEN ${1L << p}L ELSE 0L END)"
+      }.mkString(" + ")
+      s"SELECT vid, side, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
+         |RETURNS TABLE (src_id BIGINT, tgt_id BIGINT, cos DOUBLE, margin DOUBLE)
+         |RETURN
+         |WITH es AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+         |            FROM $qTable WHERE $srcPred),
+         |et AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+         |       FROM $qTable WHERE $tgtPred),
+         |e AS (SELECT vid, v, 0 AS side FROM es
+         |      UNION ALL SELECT vid, v, 1 AS side FROM et),
+         |b AS (
+         |  $bandSelects),
+         |ok AS (SELECT t, bucket FROM b GROUP BY t, bucket
+         |       HAVING count(*) <= $cap),
+         |c AS (SELECT b.vid, b.side, b.t, b.bucket FROM b
+         |      JOIN ok ON ok.t = b.t AND ok.bucket = b.bucket),
+         |cand AS (
+         |  SELECT DISTINCT x.vid AS src_id, y.vid AS tgt_id
+         |  FROM c x JOIN c y ON x.t = y.t AND x.bucket = y.bucket
+         |  WHERE x.side = 0 AND y.side = 1),
+         |s0 AS (
+         |  SELECT cand.src_id, cand.tgt_id,
+         |         floor(cosine_sim(ae.v, be.v) * 1000000 + 0.5) / 1000000 AS cos
+         |  FROM cand
+         |  JOIN es ae ON ae.vid = cand.src_id
+         |  JOIN et be ON be.vid = cand.tgt_id),
+         |s AS (SELECT * FROM s0 WHERE cos > 0),
+         |rs AS (SELECT src_id, cos,
+         |              row_number() OVER (PARTITION BY src_id
+         |                                 ORDER BY cos DESC, tgt_id) AS rn
+         |       FROM s),
+         |avs AS (SELECT src_id,
+         |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |               / CAST(count(*) AS DOUBLE) AS av_s
+         |        FROM rs WHERE rn <= $k GROUP BY src_id),
+         |rt AS (SELECT tgt_id, cos,
+         |              row_number() OVER (PARTITION BY tgt_id
+         |                                 ORDER BY cos DESC, src_id) AS rn
+         |       FROM s),
+         |avt AS (SELECT tgt_id,
+         |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+         |               / CAST(count(*) AS DOUBLE) AS av_t
+         |        FROM rt WHERE rn <= $k GROUP BY tgt_id),
+         |m AS (SELECT s.src_id, s.tgt_id, s.cos,
+         |             s.cos / (0.5D * (av_s + av_t)) AS margin
+         |      FROM s JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
+         |r AS (SELECT src_id, tgt_id, cos, margin,
+         |             row_number() OVER (PARTITION BY src_id
+         |                                ORDER BY margin DESC, tgt_id) AS r_s,
+         |             row_number() OVER (PARTITION BY tgt_id
+         |                                ORDER BY margin DESC, src_id) AS r_t
+         |      FROM m)
+         |SELECT src_id, tgt_id, cos,
+         |       floor(margin * 1000000 + 0.5) / 1000000 AS margin
+         |FROM r WHERE r_s = 1 AND r_t = 1 AND margin >= ${minMargin}D
          |""".stripMargin)
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.operators.Similarity
+import graft.functions.SqlSurface
 import graft.queries.Qutil.dround
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
@@ -783,7 +784,35 @@ object SimilarityQueries {
     // denominator is a DECIMAL sum of 6dp-quantized cosines / count, so
     // the oracle replays planes → buckets → cap → candidates → cosines →
     // k-NN averages → margins → mutual argmax bit-for-bit.
-    Q.sql("q217_margin_mining", {
+    Q.sql("q217_margin_mining", marginOracleSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.marginMine(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0,
+          lsh = Some((Dims, 12, 6)), maxBucketSize = Some(256))
+        .orderBy("src_id", "tgt_id")
+    },
+
+    // The margin miner behind the one-call SQL surface (the q215 pattern
+    // applied beyond dedup): `SELECT * FROM graft_margin_pairs()` runs the
+    // whole plane→bucket→cap→cosine→k-NN-average→mutual-argmax pipeline.
+    // Held to the SAME DuckDB oracle text as q217 — the TVF body must
+    // reproduce the Column-API results hash-for-hash, exactly as q215 is
+    // held to q212's family.
+    Q.sql("q218_sql_margin_one_call", marginOracleSql) { (s, d) =>
+      Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      SqlSurface.createMarginMiningFunction(s, table = "embeddings",
+        idCol = "vec_id", vecCol = "embedding",
+        srcPred = "vec_id % 2 = 0", tgtPred = "vec_id % 2 = 1",
+        dims = Dims, nPlanes = 12, nTables = 6, cap = 256, k = 4,
+        minMargin = 1.0)
+      s.sql("SELECT src_id, tgt_id, cos, margin FROM graft_margin_pairs() " +
+        "ORDER BY src_id, tgt_id")
+    })
+
+  // --- q217/q218 shared oracle: margin mining replayed in DuckDB ---
+  private lazy val marginOracleSql: String = {
       val nPlanes = 12; val nTables = 6; val cap = 256; val k = 4
       def dotSql(vec: String, plane: Array[Double]): String = {
         val lits = plane.map(x => if (x > 0) "1.0" else "-1.0")
@@ -847,13 +876,5 @@ object SimilarityQueries {
          |       floor(margin * 1000000 + 0.5) / 1000000 AS margin
          |FROM r WHERE r_s = 1 AND r_t = 1 AND margin >= 1.0
          |ORDER BY src_id, tgt_id""".stripMargin
-    }) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      Similarity.marginMine(
-          emb.where(col("vec_id") % 2 === 0),
-          emb.where(col("vec_id") % 2 === 1),
-          "vec_id", "embedding", k = 4, minMargin = 1.0,
-          lsh = Some((Dims, 12, 6)), maxBucketSize = Some(256))
-        .orderBy("src_id", "tgt_id")
-    })
+  }
 }
