@@ -239,25 +239,32 @@ object SqlSurface {
          |  JOIN es ae ON ae.vid = cand.src_id
          |  JOIN et be ON be.vid = cand.tgt_id),
          |s AS (SELECT * FROM s0 WHERE cos > 0),
-         |rs AS (SELECT src_id, cos,
-         |              row_number() OVER (PARTITION BY src_id
-         |                                 ORDER BY cos DESC, tgt_id) AS rn
-         |       FROM s),
-         |avs AS (SELECT src_id,
-         |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-         |               / CAST(count(*) AS DOUBLE) AS av_s
-         |        FROM rs WHERE rn <= $k GROUP BY src_id),
-         |rt AS (SELECT tgt_id, cos,
-         |              row_number() OVER (PARTITION BY tgt_id
-         |                                 ORDER BY cos DESC, src_id) AS rn
-         |       FROM s),
-         |avt AS (SELECT tgt_id,
-         |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
-         |               / CAST(count(*) AS DOUBLE) AS av_t
-         |        FROM rt WHERE rn <= $k GROUP BY tgt_id),
-         |m AS (SELECT s.src_id, s.tgt_id, s.cos,
-         |             s.cos / (0.5D * (av_s + av_t)) AS margin
-         |      FROM s JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
+         |w AS (
+         |  -- one pass over the pair frame: a SQL body has no persist
+         |  -- point, so the aggregate-join formulation would recompute
+         |  -- the whole candidate pipeline per reference (measured 2x);
+         |  -- window aggregates keep it a single scan + per-side sorts
+         |  SELECT src_id, tgt_id, cos,
+         |         row_number() OVER (PARTITION BY src_id
+         |                            ORDER BY cos DESC, tgt_id) AS rn_s,
+         |         row_number() OVER (PARTITION BY tgt_id
+         |                            ORDER BY cos DESC, src_id) AS rn_t
+         |  FROM s),
+         |m AS (
+         |  SELECT src_id, tgt_id, cos,
+         |         cos / (0.5D * (
+         |           CAST(sum(CASE WHEN rn_s <= $k
+         |                         THEN CAST(cos AS DECIMAL(18,6)) END)
+         |                OVER (PARTITION BY src_id) AS DOUBLE)
+         |           / CAST(sum(CASE WHEN rn_s <= $k THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY src_id) AS DOUBLE)
+         |           +
+         |           CAST(sum(CASE WHEN rn_t <= $k
+         |                         THEN CAST(cos AS DECIMAL(18,6)) END)
+         |                OVER (PARTITION BY tgt_id) AS DOUBLE)
+         |           / CAST(sum(CASE WHEN rn_t <= $k THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY tgt_id) AS DOUBLE))) AS margin
+         |  FROM w),
          |r AS (SELECT src_id, tgt_id, cos, margin,
          |             row_number() OVER (PARTITION BY src_id
          |                                ORDER BY margin DESC, tgt_id) AS r_s,
