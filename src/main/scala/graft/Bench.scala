@@ -11,14 +11,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // process-unique warehouse: queries that stage MANAGED tables
-    // (q120/q127/q150/q165... incremental/MV/time-travel paths) use fixed
-    // table names, so two concurrent runner JVMs sharing ./spark-warehouse
-    // would race on the same table directories (observed: a concurrent
-    // sf0.001 Verify corrupting a sf0.1 Verify's q127 history)
     val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", Runners.tempWarehouse())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -50,6 +44,7 @@ object Bench {
     def releaseAll(): Unit = {
       graft.operators.Dedup.releaseSpanCaches()
       graft.operators.Graph.releaseGraphCaches()
+      graft.PinnedFrames.release()
       spark.catalog.clearCache()
     }
     // dev-only filter (the driver sets no filter): comma-separated names

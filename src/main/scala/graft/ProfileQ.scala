@@ -8,14 +8,8 @@ object ProfileQ {
     // whether a query's scaling is partition-volume-bound (a real cluster
     // scales partitions with input splits; local[32] holds them fixed)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    // process-unique warehouse: queries that stage MANAGED tables
-    // (q120/q127/q150/q165... incremental/MV/time-travel paths) use fixed
-    // table names, so two concurrent runner JVMs sharing ./spark-warehouse
-    // would race on the same table directories (observed: a concurrent
-    // sf0.001 Verify corrupting a sf0.1 Verify's q127 history)
     val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString).master("local[32]")
+      .config("spark.sql.warehouse.dir", Runners.tempWarehouse()).master("local[32]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -28,6 +22,7 @@ object ProfileQ {
         fn(spark, sf).write.format("noop").mode("overwrite").save()
         println(f"[profile] $n run $i: ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
+      graft.PinnedFrames.release()
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -11,14 +11,8 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // process-unique warehouse: queries that stage MANAGED tables
-    // (q120/q127/q150/q165... incremental/MV/time-travel paths) use fixed
-    // table names, so two concurrent runner JVMs sharing ./spark-warehouse
-    // would race on the same table directories (observed: a concurrent
-    // sf0.001 Verify corrupting a sf0.1 Verify's q127 history)
     val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", Runners.tempWarehouse())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,6 +31,7 @@ object Verify {
       // Release per-query persist() frames (Dedup band tables, Silver match
       // frame, Scoring metric level): their consuming action was the write
       // above, and 36 queries in one JVM would otherwise accumulate caches.
+      graft.PinnedFrames.release()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

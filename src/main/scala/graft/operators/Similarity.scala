@@ -655,10 +655,11 @@ object Similarity {
           struct(lit(tt).as("table"),
             hyperplaneSig(col("__v"), dims, nPlanes, tt).as("bucket"))
         }
-        val banded = tagged.withColumn("tb", explode(array(tb: _*)))
-          .select(col("__id"), col("__side"),
-            col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-          .persist()
+        val banded = graft.PinnedFrames.pin(
+          tagged.withColumn("tb", explode(array(tb: _*)))
+            .select(col("__id"), col("__side"),
+              col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+            .persist())
         val capped = maxBucketSize.fold(banded)(
           Dedup.capHotBuckets(banded, Seq("table", "bucket"), _, "marginMine"))
         val pairIds = capped.where(col("__side") === 0).as("x")

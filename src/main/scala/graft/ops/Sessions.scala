@@ -69,10 +69,17 @@ object Sessions {
     val gapUs = gapSeconds * 1000000L
     val n = if (numParts > 0) numParts
       else events.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = events
+    // persisted: the range-parted frame feeds BOTH the stats/offsets
+    // subtree and the final join, and the __pid alignment between them is
+    // only guaranteed when repartitionByRange evaluates once — exchange
+    // reuse usually delivers that, but it is a planner optimization
+    // (spark.sql.exchange.reuse, canonicalization) not a contract; the
+    // cache makes it unconditional. Caller-released (PinnedFrames).
+    val parted = graft.PinnedFrames.pin(events
       .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
       .repartitionByRange(n, col("__us"), col(eventIdCol))
       .withColumn("__pid", spark_partition_id())
+      .persist())
     val lw = Window.partitionBy("__pid")
       .orderBy(col("__us").asc, col(eventIdCol).asc)
     val local = parted

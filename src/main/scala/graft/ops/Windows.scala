@@ -62,8 +62,13 @@ object Windows {
                   numParts: Int = 0): DataFrame = {
     val n = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df.repartitionByRange(n, sortCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
+    // persisted: __pid alignment between the offsets subtree and the final
+    // join must not depend on exchange reuse (see sessionizeGlobal — same
+    // dual-reference pattern). Caller-released (PinnedFrames).
+    val parted = graft.PinnedFrames.pin(
+      df.repartitionByRange(n, sortCols.map(col): _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist())
     val pw = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     // partition-count-sized frame: the unpartitioned window is over ≤ n rows

@@ -10,14 +10,8 @@ object ShowQ {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
-    // process-unique warehouse: queries that stage MANAGED tables
-    // (q120/q127/q150/q165... incremental/MV/time-travel paths) use fixed
-    // table names, so two concurrent runner JVMs sharing ./spark-warehouse
-    // would race on the same table directories (observed: a concurrent
-    // sf0.001 Verify corrupting a sf0.1 Verify's q127 history)
     val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString).master("local[32]")
+      .config("spark.sql.warehouse.dir", graft.Runners.tempWarehouse()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -25,6 +19,7 @@ object ShowQ {
     for (name <- args; round <- 1 to rounds) {
       graft.operators.Dedup.releaseSpanCaches()
       graft.operators.Graph.releaseGraphCaches()
+      graft.PinnedFrames.release()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(name)(spark, sf).collect()

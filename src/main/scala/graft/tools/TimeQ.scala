@@ -3,14 +3,8 @@ import org.apache.spark.sql.SparkSession
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // process-unique warehouse: queries that stage MANAGED tables
-    // (q120/q127/q150/q165... incremental/MV/time-travel paths) use fixed
-    // table names, so two concurrent runner JVMs sharing ./spark-warehouse
-    // would race on the same table directories (observed: a concurrent
-    // sf0.001 Verify corrupting a sf0.1 Verify's q127 history)
     val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString).master("local[32]")
+      .config("spark.sql.warehouse.dir", graft.Runners.tempWarehouse()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -18,6 +12,7 @@ object TimeQ {
     for (name <- args; round <- 1 to 2) {
       graft.operators.Dedup.releaseSpanCaches()
       graft.operators.Graph.releaseGraphCaches()
+      graft.PinnedFrames.release()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sf).write.format("noop").mode("overwrite").save()
