@@ -181,7 +181,11 @@ object SqlSurface {
     * base table's columns that split it into the two sides to align
     * (e.g. `"lang = 'en'"` / `"lang = 'de'"`). Like the function body
     * itself they are trusted registration-time SQL from the session
-    * admin — identifiers are quoted, predicates are not quotable.
+    * admin — identifiers are quoted, predicates are not quotable. They
+    * ARE parse-checked at registration (a malformed predicate fails with
+    * its own text, not an opaque parse error of the generated body) and
+    * interpolated parenthesized, so an `OR` in one cannot rebind against
+    * the surrounding WHERE.
     *
     * The hyperplane literals are the same deterministic ±1 planes as the
     * Column API (`Similarity.planeVec` — one source of constants), the
@@ -197,6 +201,13 @@ object SqlSurface {
       k: Int = 4, minMargin: Double = 1.0,
       funcName: String = "graft_margin_pairs"): Unit = {
     require(nPlanes <= 62, s"nPlanes=$nPlanes must fit a long bucket id")
+    Seq("srcPred" -> srcPred, "tgtPred" -> tgtPred).foreach { case (what, p) =>
+      try spark.sessionState.sqlParser.parseExpression(p)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$funcName: $what is not a parseable SQL expression: '$p'", e)
+      }
+    }
     val qTable = table.split('.').map(quotePart).mkString(".")
     val qId = quotePart(idCol)
     val qVec = quotePart(vecCol)
@@ -217,9 +228,9 @@ object SqlSurface {
          |RETURNS TABLE (src_id BIGINT, tgt_id BIGINT, cos DOUBLE, margin DOUBLE)
          |RETURN
          |WITH es AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
-         |            FROM $qTable WHERE $srcPred),
+         |            FROM $qTable WHERE ($srcPred)),
          |et AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
-         |       FROM $qTable WHERE $tgtPred),
+         |       FROM $qTable WHERE ($tgtPred)),
          |e AS (SELECT vid, v, 0 AS side FROM es
          |      UNION ALL SELECT vid, v, 1 AS side FROM et),
          |b AS (
@@ -276,4 +287,147 @@ object SqlSurface {
          |FROM r WHERE r_s = 1 AND r_t = 1 AND margin >= ${minMargin}D
          |""".stripMargin)
   }
+
+  /** One-call SQL surface for the BOUNDED-MEMORY LSH dedup eval (the q216
+    * construction behind a TVF, completing the one-call family): registers
+    * `graft_lsh_eval_sampled()` returning the single report row
+    * (n_cand, n_true, n_hit, precision, recall, recall_lo, recall_hi).
+    *
+    * The body replays the Column pipeline end to end: LSH candidates (the
+    * [[createLshCandidatesFunction]] CTE chain), EXACT truth via AllPairs
+    * prefix filtering (Bayardo et al. WWW'07 — rarity-first prefixes, size
+    * + positional prunes, all integer-exact) verified by co-shingle-count
+    * Jaccard at `tau`, and — the bounded-memory point — the SAME
+    * deterministic pair-hash Bernoulli predicate (Dedup.pairSample's
+    * md5("salt:id_a:id_b") ≡ 0 mod `sampleMod`) applied to BOTH sides
+    * BEFORE the verify join, so the pair-grain working set is 1/sampleMod
+    * of the full eval's at any scale. A pair is in-sample on both sides or
+    * neither, so sampled precision/recall estimate the full-set ratios
+    * without bias; the recall ships with its 95% binomial CI.
+    *
+    * Threshold is the rational tauNum/tauDen (prefix lengths must be
+    * integer-exact); the Jaccard compare runs as the same IEEE double
+    * division every engine computes identically. */
+  def createLshEvalSampledFunction(spark: SparkSession,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, k: Int = 16, bands: Int = 4,
+      tauNum: Int = 1, tauDen: Int = 2, sampleMod: Int = 4,
+      salt: String = "pairsample",
+      funcName: String = "graft_lsh_eval_sampled"): Unit = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      "tau must be a rational in (0, 1]")
+    require(sampleMod >= 1, "sampleMod must be ≥ 1")
+    require(!salt.contains("'"), "salt must not contain a quote")
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qText = quotePart(textCol)
+    val qFunc = quotePart(funcName)
+    register(spark)
+    val r = k / bands
+    val bandCols = (1 to r).map(i => s"element_at(sig, band * $r + $i)")
+      .mkString(", ")
+    def samplePred(a: String, b: String): String =
+      s"pmod(graft_md5int(concat('$salt:', CAST($a AS STRING), ':', " +
+        s"CAST($b AS STRING))), ${sampleMod}L) = 0"
+    // prefix length = sz − ⌈tau·sz⌉ + 1 and the PPJoin positional bound vs
+    // α = ⌈tau·(a+b)/(1+tau)⌉, all integer arithmetic (Dedup
+    // .prefixFilterPairs's formulas verbatim)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
+         |RETURNS TABLE (n_cand BIGINT, n_true BIGINT, n_hit BIGINT,
+         |               precision DOUBLE, recall DOUBLE,
+         |               recall_lo DOUBLE, recall_hi DOUBLE)
+         |RETURN
+         |WITH sh AS (
+         |  SELECT $qId, explode(graft_shingles($qText, $n)) AS sh
+         |  FROM $qTable),
+         |mh AS (
+         |  SELECT $qId, minhash_sketch(graft_md5int(sh), $k) AS sig
+         |  FROM sh GROUP BY $qId),
+         |bands AS (
+         |  SELECT $qId, band,
+         |         md5(CAST(concat_ws(',', $bandCols) AS BINARY)) AS bsig
+         |  FROM mh LATERAL VIEW explode(sequence(0, ${bands - 1})) AS band),
+         |pairs AS (
+         |  SELECT DISTINCT x.$qId AS id_a, y.$qId AS id_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bsig = y.bsig AND x.$qId < y.$qId),
+         |cand AS (SELECT id_a, id_b FROM pairs
+         |         WHERE ${samplePred("id_a", "id_b")}),
+         |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+         |sz AS (SELECT $qId, count(*) AS sz FROM sh GROUP BY $qId),
+         |rk AS (
+         |  SELECT s.$qId, s.sh, z.sz,
+         |         row_number() OVER (PARTITION BY s.$qId
+         |                            ORDER BY d.df ASC, s.sh ASC) AS rn
+         |  FROM sh s JOIN dfreq d ON d.sh = s.sh JOIN sz z ON z.$qId = s.$qId),
+         |pf AS (
+         |  SELECT $qId, sh, sz, rn FROM rk
+         |  WHERE rn <= sz - ((sz * $tauNum + ${tauDen - 1}) div $tauDen) + 1),
+         |tc AS (
+         |  SELECT DISTINCT x.$qId AS id_a, y.$qId AS id_b
+         |  FROM pf x JOIN pf y
+         |    ON x.sh = y.sh AND x.$qId < y.$qId
+         |   AND y.sz * $tauDen >= x.sz * $tauNum
+         |   AND x.sz * $tauDen >= y.sz * $tauNum
+         |   AND 1 + least(x.sz - x.rn, y.sz - y.rn) >=
+         |       ((x.sz + y.sz) * $tauNum + ${tauNum + tauDen - 1})
+         |         div ${tauNum + tauDen}),
+         |tcs AS (SELECT id_a, id_b FROM tc
+         |        WHERE ${samplePred("id_a", "id_b")}),
+         |ti AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS inter
+         |  FROM tcs p
+         |  JOIN sh a ON a.$qId = p.id_a
+         |  JOIN sh b ON b.$qId = p.id_b AND b.sh = a.sh
+         |  GROUP BY p.id_a, p.id_b),
+         |truth AS (
+         |  SELECT t.id_a, t.id_b FROM ti t
+         |  JOIN sz sa ON sa.$qId = t.id_a
+         |  JOIN sz sb ON sb.$qId = t.id_b
+         |  WHERE CAST(t.inter AS DOUBLE)
+         |        / (sa.sz + sb.sz - t.inter) >= CAST($tauNum AS DOUBLE) / $tauDen),
+         |hits AS (SELECT c.id_a FROM cand c
+         |         JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         |m AS (SELECT (SELECT count(*) FROM cand) AS n_cand,
+         |             (SELECT count(*) FROM truth) AS n_true,
+         |             (SELECT count(*) FROM hits) AS n_hit),
+         |e AS (SELECT n_cand, n_true, n_hit,
+         |             CAST(n_hit AS DOUBLE) / n_cand AS p_est,
+         |             CAST(n_hit AS DOUBLE) / n_true AS r_est,
+         |             1.96D * sqrt((CAST(n_hit AS DOUBLE) / n_true)
+         |                          * (1.0D - CAST(n_hit AS DOUBLE) / n_true)
+         |                          / n_true) AS half
+         |      FROM m)
+         |SELECT n_cand, n_true, n_hit,
+         |       floor(p_est * 1000000 + 0.5) / 1000000 AS precision,
+         |       floor(r_est * 1000000 + 0.5) / 1000000 AS recall,
+         |       floor(greatest(0.0D, r_est - half) * 1000000 + 0.5) / 1000000
+         |         AS recall_lo,
+         |       floor(least(1.0D, r_est + half) * 1000000 + 0.5) / 1000000
+         |         AS recall_hi
+         |FROM e
+         |""".stripMargin)
+  }
+
+  /** Twin-surface registry, THE data the CI equality pin iterates
+    * (SurfaceEquivalenceSpec): each entry maps a TVF registrar method in
+    * this object to the registry queries that must be result-equal — the
+    * TVF's own one-call query first, then the surfaces it twins. The spec
+    * also asserts by reflection that EVERY `create*Function` registrar
+    * appears here, so a new TVF cannot land without an equality pin. */
+  val tvfTwins: Seq[(String, Seq[String])] = Seq(
+    "createLshCandidatesFunction" -> Seq(
+      "q215_sql_lsh_one_call", "q212_sql_minhash_pairs",
+      "q21_minhash_lsh_pairs"),
+    "createMarginMiningFunction" -> Seq(
+      "q218_sql_margin_one_call", "q217_margin_mining"),
+    "createLshEvalSampledFunction" -> Seq(
+      "q219_sql_lsh_eval_one_call", "q216_lsh_dedup_eval_sampled"))
+
+  /** Non-TVF twin surfaces (hand-typed SQL text vs Column API) pinned by
+    * the same spec. */
+  val sqlTwins: Seq[Seq[String]] = Seq(
+    Seq("q213_sql_sessionize", "q53_sessionization"))
 }

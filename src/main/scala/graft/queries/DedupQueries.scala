@@ -21,12 +21,62 @@ object DedupQueries {
   private val MaxHamming = 2
   private val SubstrK = 8  // min duplicated-run length, in tokens (q90)
   private val BoilerDf = 3 // q109: spans in ≥ this many docs are boilerplate
-  private val SimTNum = 1  // q98 similarity-join threshold t = 1/2
-  private val SimTDen = 2
-  private val EvalSampleMod = 4 // q216: keep 1-in-4 pairs (deterministic)
+  private[queries] val SimTNum = 1  // q98 similarity-join threshold t = 1/2
+  private[queries] val SimTDen = 2
+  private[queries] val EvalSampleMod = 4 // q216/q219: keep 1-in-4 pairs (deterministic)
 
   private def md5IntSql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** q216's DuckDB oracle — shared verbatim with q219 (the one-call TVF
+    * surface for the sampled eval), exactly as q21's oracle is shared with
+    * q212/q215 and the margin oracle with q217/q218: the TVF body must
+    * reproduce the Column API's report hash-for-hash. Truth here comes from
+    * the UNFILTERED all-co-shingled-pairs join with the same sample
+    * predicate applied, so the Spark sides' prefix filter is hash-verified
+    * lossless in-sample on both surfaces. */
+  private[queries] lazy val lshEvalSampledOracle: String = {
+    val tau = "0.5"
+    val pred = (a: String, b: String) =>
+      s"${md5IntSql(s"'pairsample:' || CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)")} % $EvalSampleMod = 0"
+    s"""$shingleCte,
+       |$minhashCtes,
+       |cand_s AS (SELECT id_a, id_b FROM pairs WHERE ${pred("id_a", "id_b")}),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth_s AS (
+       |  SELECT i.id_a, i.id_b FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.id_a
+       |  JOIN sz sb ON sb.doc_id = i.id_b
+       |  WHERE CAST(i.inter AS DOUBLE) * 1.0
+       |        / (sa.sz + sb.sz - i.inter) >= $tau
+       |    AND ${pred("i.id_a", "i.id_b")}),
+       |hits AS (SELECT p.id_a FROM cand_s p
+       |         JOIN truth_s t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+       |m AS (SELECT (SELECT count(*) FROM cand_s) AS n_cand,
+       |             (SELECT count(*) FROM truth_s) AS n_true,
+       |             (SELECT count(*) FROM hits) AS n_hit),
+       |e AS (SELECT n_cand, n_true, n_hit,
+       |             CAST(n_hit AS DOUBLE) / n_cand AS p_est,
+       |             CAST(n_hit AS DOUBLE) / n_true AS r_est,
+       |             1.96 * sqrt((CAST(n_hit AS DOUBLE) / n_true)
+       |                         * (1.0 - CAST(n_hit AS DOUBLE) / n_true)
+       |                         / n_true) AS half
+       |      FROM m)
+       |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_true AS BIGINT) AS n_true,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       floor(p_est * 1e6 + 0.5) / 1e6 AS precision,
+       |       floor(r_est * 1e6 + 0.5) / 1e6 AS recall,
+       |       floor(greatest(0.0, r_est - half) * 1e6 + 0.5) / 1e6
+       |         AS recall_lo,
+       |       floor(least(1.0, r_est + half) * 1e6 + 0.5) / 1e6
+       |         AS recall_hi
+       |FROM e""".stripMargin
+  }
 
   /** Shared shingle CTE (word 3-grams, distinct per doc). */
   private[queries] val shingleCte: String =
@@ -711,48 +761,7 @@ object DedupQueries {
     // you run at 100 TB. The oracle computes truth from the UNFILTERED
     // all-co-shingled-pairs join and applies the identical predicate, so
     // the prefix filter's losslessness is still hash-verified in-sample.
-    Q.sql("q216_lsh_dedup_eval_sampled", {
-      val tau = "0.5"
-      val pred = (a: String, b: String) =>
-        s"${md5IntSql(s"'pairsample:' || CAST($a AS VARCHAR) || ':' || CAST($b AS VARCHAR)")} % $EvalSampleMod = 0"
-      s"""$shingleCte,
-         |$minhashCtes,
-         |cand_s AS (SELECT id_a, id_b FROM pairs WHERE ${pred("id_a", "id_b")}),
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON b.sh = a.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |truth_s AS (
-         |  SELECT i.id_a, i.id_b FROM inter i
-         |  JOIN sz sa ON sa.doc_id = i.id_a
-         |  JOIN sz sb ON sb.doc_id = i.id_b
-         |  WHERE CAST(i.inter AS DOUBLE) * 1.0
-         |        / (sa.sz + sb.sz - i.inter) >= $tau
-         |    AND ${pred("i.id_a", "i.id_b")}),
-         |hits AS (SELECT p.id_a FROM cand_s p
-         |         JOIN truth_s t ON t.id_a = p.id_a AND t.id_b = p.id_b),
-         |m AS (SELECT (SELECT count(*) FROM cand_s) AS n_cand,
-         |             (SELECT count(*) FROM truth_s) AS n_true,
-         |             (SELECT count(*) FROM hits) AS n_hit),
-         |e AS (SELECT n_cand, n_true, n_hit,
-         |             CAST(n_hit AS DOUBLE) / n_cand AS p_est,
-         |             CAST(n_hit AS DOUBLE) / n_true AS r_est,
-         |             1.96 * sqrt((CAST(n_hit AS DOUBLE) / n_true)
-         |                         * (1.0 - CAST(n_hit AS DOUBLE) / n_true)
-         |                         / n_true) AS half
-         |      FROM m)
-         |SELECT CAST(n_cand AS BIGINT) AS n_cand,
-         |       CAST(n_true AS BIGINT) AS n_true,
-         |       CAST(n_hit AS BIGINT) AS n_hit,
-         |       floor(p_est * 1e6 + 0.5) / 1e6 AS precision,
-         |       floor(r_est * 1e6 + 0.5) / 1e6 AS recall,
-         |       floor(greatest(0.0, r_est - half) * 1e6 + 0.5) / 1e6
-         |         AS recall_lo,
-         |       floor(least(1.0, r_est + half) * 1e6 + 0.5) / 1e6
-         |         AS recall_hi
-         |FROM e""".stripMargin
-    }) { (s, d) =>
+    Q.sql("q216_lsh_dedup_eval_sampled", lshEvalSampledOracle) { (s, d) =>
       val sh = Dedup.shingleTable(Tables.documents(s, d), "doc_id", "text",
         ShingleN).persist()
       val sig = Dedup.minhashSignaturesSketch(sh, "doc_id", K)

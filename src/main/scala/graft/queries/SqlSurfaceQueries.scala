@@ -162,5 +162,24 @@ object SqlSurfaceQueries {
         table = "documents", idCol = "doc_id", textCol = "text",
         n = ShingleN, k = K, bands = Bands)
       s.sql("SELECT id_a, id_b FROM graft_lsh_candidates() ORDER BY id_a, id_b")
+    },
+
+    // The ONE-CALL surface for the BOUNDED-MEMORY dedup eval: q216's whole
+    // construction — LSH candidates, AllPairs-prefix exact truth, the
+    // deterministic pair-hash sample on BOTH sides before the verify join,
+    // binomial CI — behind `SELECT * FROM graft_lsh_eval_sampled()`. Held
+    // to q216's DuckDB oracle verbatim (the q215/q218 discipline), so the
+    // TVF body's replay of the sample predicate, prefix filter, and CI
+    // arithmetic is hash-verified against the Column API's.
+    Q.sql("q219_sql_lsh_eval_one_call", DedupQueries.lshEvalSampledOracle) {
+      (s, d) =>
+        Tables.documents(s, d).createOrReplaceTempView("documents")
+        SqlSurface.createLshEvalSampledFunction(s,
+          table = "documents", idCol = "doc_id", textCol = "text",
+          n = ShingleN, k = K, bands = Bands,
+          tauNum = DedupQueries.SimTNum, tauDen = DedupQueries.SimTDen,
+          sampleMod = DedupQueries.EvalSampleMod)
+        s.sql("SELECT n_cand, n_true, n_hit, precision, recall, " +
+          "recall_lo, recall_hi FROM graft_lsh_eval_sampled()")
     })
 }

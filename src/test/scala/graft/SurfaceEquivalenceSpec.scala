@@ -1,12 +1,20 @@
 package graft
 
+import graft.functions.SqlSurface
+
 /** Twin-surface equality pins: several registry queries deliberately expose
   * the SAME computation through two fronts — the Column API and a SQL text
   * (or a registered TVF whose body is a second copy of that text). The
   * DuckDB oracle holds each front to the same hash at verify time; this
   * spec pins the equality IN CI, so a drift between the two copies (the
-  * q215-vs-q212 concern from the r9 verdict, equally applicable to the
-  * margin TVF) fails the build rather than the next verify run.
+  * q215-vs-q212 concern from the r9 verdict, equally applicable to every
+  * TVF) fails the build rather than the next verify run.
+  *
+  * The twin list is DATA, declared next to the TVF registrations
+  * ([[SqlSurface.tvfTwins]] / [[SqlSurface.sqlTwins]]): the tests iterate
+  * it, and a reflection check asserts every `create*Function` registrar in
+  * SqlSurface has an entry — a new TVF without a twin pin fails the build
+  * instead of landing unpinned.
   */
 class SurfaceEquivalenceSpec extends SparkSpec {
 
@@ -15,22 +23,37 @@ class SurfaceEquivalenceSpec extends SparkSpec {
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
 
-  test("q215 one-call dedup TVF ≙ q212 hand-typed SQL ≙ q21 Column API") {
-    val sql = rows("q212_sql_minhash_pairs")
-    assert(sql.nonEmpty)
-    assert(rows("q215_sql_lsh_one_call") == sql)
-    assert(rows("q21_minhash_lsh_pairs") == sql)
+  test("every create*Function registrar has a tvfTwins entry") {
+    val registrars = SqlSurface.getClass.getMethods.map(_.getName)
+      .filter(n => n.startsWith("create") && n.endsWith("Function"))
+      .toSet
+    assert(registrars == SqlSurface.tvfTwins.map(_._1).toSet,
+      s"registrars $registrars vs twin entries " +
+        s"${SqlSurface.tvfTwins.map(_._1).toSet} — add the missing TVF to " +
+        "SqlSurface.tvfTwins (with its one-call query) or remove the stale entry")
   }
 
-  test("q218 one-call margin TVF ≙ q217 Column API") {
-    val col = rows("q217_margin_mining")
-    assert(col.nonEmpty)
-    assert(rows("q218_sql_margin_one_call") == col)
+  test("every twin entry's queries exist in the registry") {
+    val known = SparkEntry.queries.keySet
+    val referenced =
+      (SqlSurface.tvfTwins.flatMap(_._2) ++ SqlSurface.sqlTwins.flatten).toSet
+    val missing = referenced -- known
+    assert(missing.isEmpty, s"twin queries not in the registry: $missing")
   }
 
-  test("q213 SQL sessionization ≙ q53 Column API") {
-    val col = rows("q53_sessionization")
-    assert(col.nonEmpty)
-    assert(rows("q213_sql_sessionize") == col)
-  }
+  for ((registrar, names) <- SqlSurface.tvfTwins)
+    test(s"$registrar: ${names.mkString(" ≙ ")}") {
+      val first = rows(names.head)
+      assert(first.nonEmpty, s"${names.head} returned no rows")
+      for (other <- names.tail)
+        assert(rows(other) == first, s"${names.head} != $other")
+    }
+
+  for (names <- SqlSurface.sqlTwins)
+    test(s"SQL twin: ${names.mkString(" ≙ ")}") {
+      val first = rows(names.head)
+      assert(first.nonEmpty, s"${names.head} returned no rows")
+      for (other <- names.tail)
+        assert(rows(other) == first, s"${names.head} != $other")
+    }
 }
