@@ -4,26 +4,23 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary` payloads
-  * with typed metadata, plus feature-extraction plumbing.
+  * with typed metadata, plus feature extraction through REAL codecs.
   *
-  * Two codec tiers:
-  *  - REAL: PNG and BMP via `javax.imageio`, WAV via `javax.sound.sampled`
-  *    — all ship inside the JDK, so `withRealMedia`/`decodeMedia` is a
-  *    genuine encode→parse→decode round trip through production codecs
-  *    across two distinct image containers, oracle-checked end to end
-  *    (q30, which also pins the magic-byte-sniffed container per row).
-  *  - STUB: `stubDecode` keeps the generic bytes→feature-vector signature
-  *    for formats the JDK cannot parse (JPEG-XL, video, proprietary
-  *    audio): a deterministic byte-statistics fake documenting the seam
-  *    where a JNI/library call would slot in; the Spark-side mechanics
-  *    around it (schema, batching, partitioning) are the same real path
-  *    `decodeMedia` uses.
+  * Codecs are the JDK's production implementations — PNG/BMP/JPEG via
+  * `javax.imageio`, WAV via `javax.sound.sampled` — so every consumer here
+  * (`decodeMedia` statistics, `transformMedia` resize/frame-sample,
+  * `dHashImages` perceptual hashes, `mediaFeatures` pooled embedding
+  * vectors) is a genuine encode→parse→decode round trip, oracle-checked
+  * end to end (q30/q88/q203/q220; q30 also pins the magic-byte-sniffed
+  * container per row). Formats outside the JDK (video, JPEG-XL) would slot
+  * in as additional `readImage`-style thread-local codec entries — there
+  * is no stub tier.
   *
-  * Batch shape: `decodeFeatures` runs via mapPartitions on the typed
-  * Dataset — one JVM call per partition iterating its rows, the Scala
-  * equivalent of the Python engine's mapInPandas Arrow batches. Executors
-  * never hold more than one payload per row in flight; payload bytes stay
-  * off the driver.
+  * Batch shape: decode stages run via mapPartitions on the typed Dataset —
+  * one JVM call per partition iterating its rows, the Scala equivalent of
+  * the Python engine's mapInPandas Arrow batches. Executors never hold
+  * more than one payload per row in flight; payload bytes stay off the
+  * driver.
   */
 object Multimodal {
 
@@ -46,42 +43,68 @@ object Multimodal {
         lit(16000).as("sampleRate"),
         (length(col(textCol)) * 10).cast("bigint").as("durationMs")).as("meta"))
 
-  /** STUB decoder: deterministic byte statistics standing in for a real
-    * image/audio decode. Real implementation would decode `bytes` with a
-    * codec and pool features; `???`-equivalent marked by this comment. */
-  def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    if (bytes == null || bytes.isEmpty) return out
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      out(i % dim) += b / 255.0f
-      i += 1
-    }
-    val n = math.max(1, bytes.length / dim)
-    var j = 0
-    while (j < dim) { out(j) /= n; j += 1 }
-    out
-  }
-
-  /** Batched feature extraction over (id, payload) — mapPartitions keeps the
-    * per-partition iteration in one call (mapInPandas-equivalent shape). */
-  def decodeFeatures(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
+  /** REAL pooled feature vectors from decoded media — the bytes→embedding
+    * stage of a multimodal pipeline, on the genuine JDK decode (the
+    * [[decodeMedia]]/[[dHashImages]] codec path, not byte statistics):
+    *
+    *  - image: decode, walk pixels in row-major order, pool the integer
+    *    luminance gray = (r+g+b)/3 (integer division) into `dim` buckets
+    *    by pixel index mod dim;
+    *  - audio: parse the WAV container, pool the unsigned 8-bit PCM
+    *    samples into `dim` buckets by sample index mod dim.
+    *
+    * feature(j) = bucket mean − 128.0 (centering spreads cosines across
+    * [-1, 1]; raw all-positive means cluster near cos ≈ 1 and rank
+    * nothing), 0.0 for an empty bucket. Every arithmetic step — integer
+    * sums, one double division, one subtraction — is IEEE-identical in any
+    * engine, so downstream vector ops (hyperplane buckets, cosines)
+    * replay bit-exactly in the q220 oracle.
+    *
+    * Map-only over the payload scan (mapPartitions, thread-local codecs —
+    * the q30 discipline); the output (id, kind, features) feeds the
+    * embedding operators (Dedup.embeddingNearDups, Similarity.*TopK)
+    * unchanged. */
+  def mediaFeatures(df: DataFrame, idCol: String, dim: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed: Dataset[(Long, Array[Byte])] =
-      df.select(col(idCol).cast("long"), col("payload")).as[(Long, Array[Byte])]
-    typed.mapPartitions { it =>
-      it.map { case (id, bytes) => (id, stubDecode(bytes, dim)) }
-    }.toDF(idCol, "features")
+    df.select(col(idCol).cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val sums = new Array[Long](dim)
+          val cnts = new Array[Long](dim)
+          if (kind == "image") {
+            val img = readImage(bytes)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val gray =
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                val j = (y * w + x) % dim
+                sums(j) += gray; cnts(j) += 1
+                x += 1
+              }
+              y += 1
+            }
+          } else {
+            val data = readWav(bytes).readAllBytes()
+            var i = 0
+            while (i < data.length) {
+              val j = i % dim
+              sums(j) += data(i) & 0xff; cnts(j) += 1
+              i += 1
+            }
+          }
+          val f = Array.tabulate(dim)(j =>
+            if (cnts(j) == 0) 0.0 else sums(j).toDouble / cnts(j) - 128.0)
+          (id, kind, f)
+        }
+      }
+      .toDF(idCol, "kind", "features")
   }
-
-  /** STUB media transforms: signature-compatible byte-level fakes for
-    * resize / frame-sample (a real codec call replaces the byte slicing). */
-  def resizeStub(payload: org.apache.spark.sql.Column, maxBytes: Int) =
-    substring(payload, 1, maxBytes)
-  def frameSampleStub(payload: org.apache.spark.sql.Column, stride: Int, frame: Int) =
-    substring(payload, 1 + (frame - 1) * stride, stride)
 
   // ---------------------------------------------------------------------
   // Real codec path: JDK-built-in PNG (javax.imageio) and WAV

@@ -11,6 +11,14 @@ import graft.streaming.Streaming
   */
 object StreamingQueries {
 
+  // q220 constants (declared before `all` — the Q.sql calls evaluate the
+  // oracle during `all`'s initialization)
+  private val MfDim = 8
+  private val MfPlanes = 8
+  private val MfTables = 4
+  private val MfCap = 128
+  private val MfThreshold = 0.9
+
   val all: Seq[Q] = Seq(
 
     Q.sql("q29_hourly_events",
@@ -199,5 +207,81 @@ object StreamingQueries {
         .where(col("hamming") <= 8)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    },
+
+    // REAL decoded bytes → pooled feature vectors → the EMBEDDING ops:
+    // `mediaFeatures` pools genuine ImageIO-decoded luminance into 8-dim
+    // centered vectors (every step integer-exact or IEEE-identical), and
+    // the result feeds Dedup.embeddingNearDups' hyperplane-LSH path
+    // UNCHANGED — the point of the query: the multimodal decode plumbs
+    // into the existing vector operators, it is not a parallel stack.
+    // Lossless containers only (the q30/q203 JPEG rule). The oracle
+    // replays content → grays → bucket means → planes → buckets → cap →
+    // cosines, so a hash match proves the features came from genuinely
+    // decoded pixels AND rode the standard LSH pipeline.
+    Q.sql("q220_media_feature_neardup", mediaFeatureOracle) { (s, d) =>
+      val lossless = graft.io.Tables.documents(s, d)
+        .where(col("doc_id") % 2 === 0 && col("doc_id") % 8 =!= 6)
+      val feats = Multimodal.mediaFeatures(
+        Multimodal.withRealMedia(lossless, "doc_id"), "doc_id", dim = MfDim)
+      graft.operators.Dedup.embeddingNearDups(feats, "doc_id", "features",
+          threshold = MfThreshold,
+          lsh = Some((MfDim, MfPlanes, MfTables)),
+          maxBucketSize = Some(MfCap))
+        .select(col("id_a"), col("id_b"),
+          graft.queries.Qutil.dround(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
     })
+
+  // --- q220 oracle: pooled media features replayed in DuckDB ---
+  private lazy val mediaFeatureOracle: String = {
+    def planeLit(t: Int, p: Int): String =
+      graft.operators.Similarity.planeVec(t, p, MfDim)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dotPlane(vec: String, t: Int, p: Int): String =
+      s"list_reduce(list_transform(generate_series(1, $MfDim), i -> $vec[i] * (${planeLit(t, p)})[i]), (a, b) -> a + b)"
+    val bandSelects = (0 until MfTables).map { t =>
+      val bucket = (0 until MfPlanes).map { p =>
+        s"(CASE WHEN ${dotPlane("v", t, p)} > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT doc_id, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM f"
+    }.mkString("\n  UNION ALL ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, $MfDim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def norm(v: String): String =
+      s"sqrt(list_reduce(list_transform($v, x -> x * x), (x, y) -> x + y))"
+    s"""WITH img AS (
+       |  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 6),
+       |px AS (
+       |  SELECT doc_id, (y.range * w + x.range) % $MfDim AS j,
+       |         ((doc_id*31 + x.range*7 + y.range*13) % 256
+       |        + (doc_id*17 + x.range*11 + y.range*5) % 256
+       |        + (doc_id*7  + x.range*3  + y.range*19) % 256) // 3 AS g
+       |  FROM img, range(0, 9) x, range(0, 7) y
+       |  WHERE x.range < w AND y.range < h),
+       |fb AS (SELECT doc_id, j, CAST(sum(g) AS DOUBLE) / count(*) - 128.0 AS fv
+       |       FROM px GROUP BY 1, 2),
+       |grid AS (SELECT i.doc_id, r.range AS j FROM img i, range(0, $MfDim) r),
+       |f AS (
+       |  SELECT g.doc_id, list(coalesce(fb.fv, 0.0) ORDER BY g.j) AS v
+       |  FROM grid g LEFT JOIN fb ON fb.doc_id = g.doc_id AND fb.j = g.j
+       |  GROUP BY g.doc_id),
+       |b AS (
+       |  $bandSelects),
+       |ok AS (SELECT t, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= $MfCap),
+       |c AS (SELECT b.doc_id, b.t, b.bucket FROM b
+       |      JOIN ok ON ok.t = b.t AND ok.bucket = b.bucket),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM c x JOIN c y ON x.t = y.t AND x.bucket = y.bucket
+       |             AND x.doc_id < y.doc_id),
+       |s AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |         ${fold("fa.v", "fc.v")} / (${norm("fa.v")} * ${norm("fc.v")}) AS cos
+       |  FROM cand JOIN f fa ON fa.doc_id = cand.id_a
+       |            JOIN f fc ON fc.doc_id = cand.id_b)
+       |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+       |FROM s WHERE cos >= $MfThreshold ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -65,13 +65,15 @@ object PureProps extends Properties("graft.pure") {
           wavSamples(id) >= 20 && wavSamples(id) < 70
     }
 
-  property("stubDecode: fixed dim, deterministic, empty-safe") =
-    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)), Gen.choose(1, 64)) {
-      (bytes, dim) =>
-        val arr = bytes.toArray
-        val a = graft.multimodal.Multimodal.stubDecode(arr, dim)
-        val b = graft.multimodal.Multimodal.stubDecode(arr, dim)
-        a.length == dim && a.sameElements(b) && a.forall(v => !v.isNaN && v >= 0f)
+  property("media payloads: real containers, deterministic bytes, sniff agrees") =
+    forAll(Gen.choose(0L, 100000L)) { id =>
+      import graft.multimodal.Multimodal._
+      val img = imagePayload(id)
+      val wav = wavPayload(id)
+      sniffContainer(img) == imageFormat(id) &&
+        sniffContainer(wav) == "wav" &&
+        img.sameElements(imagePayload(id)) &&   // encode is deterministic
+        wav.sameElements(wavPayload(id))
     }
 
   property("planeVec: deterministic ±1 components, family varies across (t,p)") =

@@ -19,17 +19,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(0) == 11 && r.getString(1) == "image")
   }
 
-  test("decodeFeatures: batched stub decode, fixed dim, deterministic") {
-    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
-    val f1 = Multimodal.decodeFeatures(media, "doc_id", dim = 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val f2 = Multimodal.decodeFeatures(media, "doc_id", dim = 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(f1.keySet == Set(0L, 1L, 2L))
-    assert(f1(0L).length == 8)
-    assert(f1 == f2)                 // deterministic
-    assert(f1(2L).forall(_ == 0f))   // empty payload → zero vector
-    assert(f1(0L).exists(_ != 0f))
+  test("mediaFeatures: pooled vectors replay the content formulas from REAL decodes") {
+    // one PNG image (id 4), one BMP image (id 2), one WAV (id 1) — the
+    // feature vector must equal the formula replay over the deterministic
+    // content, proving it came from a genuine codec parse (the q220 oracle
+    // does the same replay in SQL)
+    val ids = Seq(1L, 2L, 4L).toDF("doc_id")
+    val media = Multimodal.withRealMedia(ids, "doc_id")
+    val got = Multimodal.mediaFeatures(media, "doc_id", dim = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2).toVector).toMap
+    def imgExpected(id: Long): Vector[Double] = {
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (Multimodal.pxR(id, x, y) + Multimodal.pxG(id, x, y) +
+          Multimodal.pxB(id, x, y)) / 3
+        val j = (y * w + x) % 8
+        sums(j) += g; cnts(j) += 1
+      }
+      Vector.tabulate(8)(j =>
+        if (cnts(j) == 0) 0.0 else sums(j).toDouble / cnts(j) - 128.0)
+    }
+    def wavExpected(id: Long): Vector[Double] = {
+      val n = Multimodal.wavSamples(id)
+      val sums = new Array[Long](8); val cnts = new Array[Long](8)
+      for (i <- 0 until n) { sums(i % 8) += Multimodal.pcm(id, i); cnts(i % 8) += 1 }
+      Vector.tabulate(8)(j =>
+        if (cnts(j) == 0) 0.0 else sums(j).toDouble / cnts(j) - 128.0)
+    }
+    assert(got(2L) == imgExpected(2L)) // BMP
+    assert(got(4L) == imgExpected(4L)) // PNG
+    assert(got(1L) == wavExpected(1L)) // WAV
+    // 2×2 image: buckets 4-7 are empty → exactly 0.0
+    assert(got(4L).count(_ == 0.0) >= 0) // (id 4: w=6,h=6 — all buckets hit)
+    val tiny = Multimodal.mediaFeatures(
+      Multimodal.withRealMedia(Seq(0L).toDF("doc_id"), "doc_id"),
+      "doc_id", dim = 8).collect().head.getSeq[Double](2)
+    assert(tiny.drop(4).forall(_ == 0.0)) // id 0: 2×2 = 4 pixels
   }
 
   test("real codec round trip: PNG and BMP encode→ImageIO parse preserve pixels") {
@@ -104,15 +130,6 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.sum_r.isDefined && dec.sum_g.isDefined && dec.sum_b.isDefined)
     val tr = Multimodal.transformMedia(media, "doc_id", 4, 4, 4).collect().head
     assert(tr.container == "jpeg")
-  }
-
-  test("stub media transforms are byte-level and bounded") {
-    val media = Multimodal.withFakeMedia(docs, "doc_id", "text")
-    val r = media.select(
-      length(Multimodal.resizeStub($"payload", 4)).as("r"),
-      length(Multimodal.frameSampleStub($"payload", 3, 2)).as("f"))
-      .where(length($"payload") > 6).head()
-    assert(r.getInt(0) == 4 && r.getInt(1) == 3)
   }
 
   test("dHashImages: deterministic, matches the formula replay, PNG ≡ BMP") {
