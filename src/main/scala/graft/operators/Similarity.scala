@@ -546,6 +546,61 @@ object Similarity {
       Seq("adc" -> true, "nid" -> false), k)
   }
 
+  /** Centroid-drift report — the rebuild gate for APPEND-ONLY IVF index
+    * maintenance. A 100 TB corpus takes daily appends, and re-running
+    * Lloyd over the full corpus per append is the real-world cost cliff;
+    * the cheap alternative is assigning appended vectors to the EXISTING
+    * centroids ([[assignCells]] — map-only, argmax against broadcast
+    * literals, no training scan) and REBUILDING only when the data has
+    * actually moved. This report is the "has it moved" measurement: per
+    * occupied cell, the base/appended member counts and the L2 distance
+    * between the cell's CURRENT member mean (unit vectors, base+appended)
+    * and the trained centroid. Fresh training leaves shift ≈ the Lloyd
+    * convergence residual; an appended distribution the quantizer has
+    * never seen inflates its nearest cell's count and drags that cell's
+    * mean away from the centroid — the caller gates rebuild on
+    * max(shift) or on per-cell (n_new, shift) policy.
+    *
+    * Determinism (the classSeparationReport discipline): unit coordinates
+    * are 6dp-quantized before the DECIMAL mean; squared component
+    * deltas are 12dp-rounded before the DECIMAL sum — order-independent,
+    * so the q221 oracle replays training + assignment + the report
+    * bit-for-bit. Scale shape: one map pass to assign (no shuffle of the
+    * corpus), one (cell, pos) aggregate (nLists×dims grain — config-
+    * sized), one cell-grain aggregate; the centroid lookup is a literal
+    * array. Returns (cell, n_base, n_new, shift). */
+  def centroidDriftReport(base: DataFrame, appended: DataFrame,
+                          idCol: String, vecCol: String,
+                          cents: Seq[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.queries.Qutil.dround
+    val tagged = base.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"), lit(0).as("__new"))
+      .unionByName(appended.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"), lit(1).as("__new")))
+    val assigned = withUnitVec(tagged, "__v", "__u")
+      .withColumn("cell", nearestCentroid(col("__u"), cents))
+    val counts = assigned.groupBy("cell").agg(
+      sum(when(col("__new") === 0, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("__new") === 1, 1L).otherwise(0L)).as("n_new"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("__u")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(dround(col("x"), 6).cast(DecimalType(38, 8))).cast("double") /
+        count(lit(1))).as("m"))
+    val centArr = typedlit(cents.map(_.toSeq))
+    val shift = means
+      .withColumn("c", element_at(element_at(centArr, col("cell") + 1),
+        col("pos") + 1))
+      .withColumn("sq", dround((col("m") - col("c")) * (col("m") - col("c")), 12))
+      .groupBy("cell")
+      .agg(sqrt(sum(col("sq").cast(DecimalType(38, 14))).cast("double"))
+        .as("__sh"))
+    counts.join(shift, Seq("cell"))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        dround(col("__sh"), 6).as("shift"))
+  }
+
   /** Embedding-space QA report: per label, member count, COHESION (mean L2
     * distance of members to their label centroid) and SEPARATION (min L2
     * distance from this centroid to any other label's centroid). The

@@ -20,6 +20,10 @@ object SimilarityQueries {
                                 // 0.35 yields a few hundred pairs at sf0.01
   private val PcaIters = 4      // q182 power-iteration rounds (CTE-replayed)
 
+  /** q221/q222 base/append split: the first 80% of ids are "yesterday's
+    * index", the rest the appended shard. */
+  private val AppendBaseWhere = "vec_id % 10 < 8"
+
   // --- shared oracle SQL fragments (q41 IVF + q60 SemDeDup) ---
   // sequential ascending fold; DuckDB's seedless list_reduce starts at
   // the first element, which equals Scala's fold from 0.0 (0.0+x = x)
@@ -42,11 +46,18 @@ object SimilarityQueries {
     * exact decimal cell sums, sequential-fold normalization) → the final
     * per-vector cell assignment in `asgf` (and centroids in
     * `centlist<iters>`). Callers append their own CTEs after it. */
-  private def lloydPrelude(nLists: Int, iters: Int, q: Int): String = {
+  private def lloydPrelude(nLists: Int, iters: Int, q: Int,
+                           trainWhere: String = ""): String = {
+    // trainWhere restricts TRAINING (init pick + the per-iteration
+    // assignment/sums) to a subset — the q221/q222 incremental-maintenance
+    // replay, where centroids are trained on the base corpus only. The
+    // final `asgf` assignment always covers every vector.
+    val trainW = if (trainWhere.isEmpty) "" else s" WHERE s.$trainWhere"
+    val initW = if (trainWhere.isEmpty) "" else s"WHERE $trainWhere "
     val iterCtes = (1 to iters).map { k =>
       s"""centlist${k - 1} AS (
          |  SELECT cell, list(val ORDER BY pos) AS cv FROM cents${k - 1} GROUP BY cell),
-         |${assignCte(s"asg$k", s"centlist${k - 1}", "")},
+         |${assignCte(s"asg$k", s"centlist${k - 1}", trainW)},
          |sums$k AS (
          |  SELECT cell, pos,
          |         CAST(sum(CAST(floor(x * 1000000 + 0.5) / 1000000 AS DECIMAL(38, ${q + 2}))) AS DOUBLE) AS sx
@@ -73,7 +84,7 @@ object SimilarityQueries {
        |  FROM e),
        |init AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, u
-       |  FROM (SELECT vec_id, u FROM u ORDER BY vec_id LIMIT $nLists)),
+       |  FROM (SELECT vec_id, u FROM u ${initW}ORDER BY vec_id LIMIT $nLists)),
        |cents0 AS (
        |  SELECT cell, pos, u[pos] AS val
        |  FROM (SELECT cell, u, unnest(generate_series(1, $Dims)) AS pos FROM init)),
@@ -809,6 +820,106 @@ object SimilarityQueries {
         minMargin = 1.0)
       s.sql("SELECT src_id, tgt_id, cos, margin FROM graft_margin_pairs() " +
         "ORDER BY src_id, tgt_id")
+    },
+
+    // INCREMENTAL index maintenance, search half: centroids are trained on
+    // the BASE corpus only (vec_id % 10 < 8 — the "yesterday's index"
+    // model), the appended shard (% 10 >= 8) is assigned to those EXISTING
+    // centroids in the same map-only pass as the base, and the search runs
+    // over the combined index — no Lloyd scan over the full corpus, which
+    // is the whole point: append cost is assignment, not retraining. The
+    // oracle replays the base-only training (lloydPrelude's trainWhere),
+    // the full-corpus assignment, and the probed search bit-for-bit.
+    Q.sql("q222_ann_ivf_append", {
+      val nLists = 16; val iters = 3; val nProbe = 4
+      s"""WITH ${lloydPrelude(nLists, iters, 6, trainWhere = AppendBaseWhere)},
+         |probes AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM u s CROSS JOIN centlist$iters c
+         |    WHERE s.vec_id < $NQueries)
+         |  WHERE rn <= $nProbe),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid FROM probes p
+         |  JOIN asgf a ON a.cell = p.cell
+         |  WHERE a.vec_id != p.qid),
+         |sc AS (
+         |  SELECT cand.qid, cand.nid,
+         |         ${foldDot("qe.v", "ne.v")} / (${normSql("qe.v")} * ${normSql("ne.v")}) AS cos
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.qid
+         |  JOIN e ne ON ne.vec_id = cand.nid),
+         |r AS (SELECT qid, nid, cos,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(expr(AppendBaseWhere))
+      val queries = emb.where(col("vec_id") < NQueries)
+      val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", cents,
+          nProbe = 4, k = TopK)
+        .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
+    },
+
+    // INCREMENTAL index maintenance, gate half: the centroid-drift report
+    // (Similarity.centroidDriftReport) over the same base/append split —
+    // per occupied cell, base/appended member counts and the L2 distance
+    // between the cell's current member mean and the base-trained
+    // centroid. The rebuild decision reads this report instead of
+    // re-running Lloyd to find out whether it needed to. Oracle replays
+    // training, full assignment, quantized decimal means, and the rounded
+    // distance arithmetic.
+    Q.sql("q221_ann_centroid_drift", {
+      val nLists = 16; val iters = 3
+      s"""WITH ${lloydPrelude(nLists, iters, 6, trainWhere = AppendBaseWhere)},
+         |mq AS (
+         |  SELECT cell, pos, floor(u[pos] * 1000000 + 0.5) / 1000000 AS xq,
+         |         CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
+         |              THEN 0 ELSE 1 END AS nw
+         |  FROM (SELECT a.vec_id, a.cell, a.u,
+         |               unnest(generate_series(1, $Dims)) AS pos
+         |        FROM asgf a) a),
+         |ms AS (
+         |  SELECT cell, pos,
+         |         CAST(sum(CAST(xq AS DECIMAL(38, 8))) AS DOUBLE) / count(*) AS m
+         |  FROM mq GROUP BY cell, pos),
+         |cnt AS (
+         |  SELECT a.cell,
+         |         sum(CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
+         |                  THEN 1 ELSE 0 END) AS n_base,
+         |         sum(CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
+         |                  THEN 0 ELSE 1 END) AS n_new
+         |  FROM asgf a GROUP BY a.cell),
+         |sq AS (
+         |  SELECT ms.cell,
+         |         floor((ms.m - c.val) * (ms.m - c.val) * 1e12 + 0.5) / 1e12 AS sq
+         |  FROM ms JOIN cents$iters c ON c.cell = ms.cell AND c.pos = ms.pos),
+         |sh AS (
+         |  SELECT cell,
+         |         sqrt(CAST(sum(CAST(sq AS DECIMAL(38, 14))) AS DOUBLE)) AS shift
+         |  FROM sq GROUP BY cell)
+         |SELECT CAST(cnt.cell AS INT) AS cell,
+         |       CAST(n_base AS BIGINT) AS n_base,
+         |       CAST(n_new AS BIGINT) AS n_new,
+         |       floor(shift * 1000000 + 0.5) / 1000000 AS shift
+         |FROM cnt JOIN sh ON sh.cell = cnt.cell
+         |ORDER BY cell""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(expr(AppendBaseWhere))
+      val appended = emb.where(!expr(AppendBaseWhere))
+      val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      Similarity.centroidDriftReport(base, appended, "vec_id", "embedding",
+          cents)
+        .orderBy("cell")
     })
 
   // --- q217/q218 shared oracle: margin mining replayed in DuckDB ---
