@@ -360,6 +360,91 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                                event_id: Long, value: Double)
+  final case class ClosedSession(user_id: Long, session_idx: Long,
+                                 start_us: Long, end_us: Long,
+                                 n_events: Long, total_value: Double)
+
+  /** Streaming twin of `ops.Sessions.sessionize` — GAP sessionization with
+    * q53's exact semantics (a new session when the gap to the key's
+    * previous event exceeds `gapSeconds`; 0-based running session index;
+    * micros-exact timestamps; total_value through the DECIMAL(18,4) msum
+    * rule) on transformWithState ValueState: per-key state is ONE open
+    * session (idx, start_us, last_us, n_events, unscaled 4dp value sum) —
+    * bounded regardless of stream length, unlike the built-in
+    * `session_window` whose merge state the store manages; this is the
+    * operator shape for emitting CLOSED sessions downstream (each gap
+    * crossing emits the finished session exactly once; the open tail stays
+    * in state until a later event — or a caller-injected horizon tick —
+    * closes it).
+    *
+    * Value sums are carried as the DECIMAL(18,4) unscaled long (exact
+    * integer arithmetic), so the emitted total_value is bit-identical to
+    * the batch msum on in-order delivery — StreamingSpec pins drained
+    * stream ≡ `Sessions.sessionize` on the same events. Rows fold in
+    * (ts, event_id) order within each micro-batch; cross-batch order is
+    * the source's delivery contract (the ewma/holt convention). */
+  class GapSessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, Long)]("session",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    private def v4(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[ClosedSession] = {
+      val gapUs = gapSeconds * 1000000L
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var open: Option[(Long, Long, Long, Long, Long)] =
+        if (st.exists()) Some(st.get()) else None
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        open match {
+          case Some((idx, start, last, n, sum)) if us - last > gapUs =>
+            out += ClosedSession(key, idx, start, last, n,
+              new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 4)
+                .doubleValue())
+            open = Some((idx + 1, us, us, 1L, v4(e.value)))
+          case Some((idx, start, _, n, sum)) =>
+            open = Some((idx, start, us, n + 1, sum + v4(e.value)))
+          case None =>
+            open = Some((0L, us, us, 1L, v4(e.value)))
+        }
+      }
+      open.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Closed gap-sessions per user (Update mode; the open tail emits when a
+    * later event crosses the gap). */
+  def gapSessionStream(events: Dataset[SessionEvent],
+                       gapSeconds: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapSeconds),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class EwmaSnapshot(user_id: Long, n: Long, ewma: Double)
 
   /** Streaming twin of `ops.Recurrence.ewmaReport`, on transformWithState

@@ -721,4 +721,54 @@ class StreamingSpec extends SparkSpec {
       prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
     }
   }
+
+  test("gapSessionStream: drained closed sessions ≡ batch Sessions.sessionize") {
+    implicit val sql = spark.sqlContext
+    import Streaming.{ClosedSession, SessionEvent}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // two users, three sessions each, split mid-session across micro-batches
+    // (state must carry the open session over the batch boundary)
+    val b1 = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:00:00"), 1L, 2.5),
+      SessionEvent(1L, ts("2024-01-01 10:00:30"), 2L, 1.25),
+      SessionEvent(2L, ts("2024-01-01 10:00:10"), 3L, 4.0))
+    val b2 = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:00:55"), 4L, 0.5),   // same session
+      SessionEvent(1L, ts("2024-01-01 10:05:00"), 5L, 3.0),   // gap → session 1
+      SessionEvent(2L, ts("2024-01-01 10:00:50"), 6L, 1.0),
+      SessionEvent(2L, ts("2024-01-01 10:09:00"), 7L, 2.0))   // gap → session 1
+    val b3 = Seq(
+      SessionEvent(1L, ts("2024-01-01 10:20:00"), 8L, 7.0),   // gap → session 2
+      SessionEvent(2L, ts("2024-01-01 10:30:00"), 9L, 8.0))   // gap → session 2
+    // horizon ticks: far-future events that close each user's open tail
+    // (their own sessions stay open in state and never emit)
+    val sentinels = Seq(
+      SessionEvent(1L, ts("2024-01-02 00:00:00"), 100L, 0.0),
+      SessionEvent(2L, ts("2024-01-02 00:00:00"), 101L, 0.0))
+    val in = MemoryStream[SessionEvent]
+    val q = Streaming.gapSessionStream(in.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+      in.addData(sentinels); q.processAllAvailable()
+      val streamed = spark.table("gap_sessions").as[ClosedSession].collect()
+        .map(c => (c.user_id, c.session_idx, c.start_us, c.end_us,
+          c.n_events, c.total_value)).toSet
+      val batch = graft.ops.Sessions.sessionize(
+          (b1 ++ b2 ++ b3).toDF(), "user_id", "ts", "event_id", "value",
+          gapSeconds = 60)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(streamed == batch) // every real session closed and emitted once
+      assert(streamed.size == 6)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
 }
