@@ -153,9 +153,10 @@ object Dedup {
     // hash)) but its lineage is the whole shingle+signature pipeline, which
     // would otherwise run once per join side (the broadcast side defeats
     // ReuseExchange).
-    val banded = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      .persist()
+    val banded = graft.PinnedFrames.pin(
+      sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+        .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+        .persist())
     val all = maxBucketSize.fold(banded)(
       capHotBuckets(banded, Seq("band", "bsig"), _, "lshCandidatePairs"))
     val x = all.as("x"); val y = all.as("y")
@@ -327,16 +328,22 @@ object Dedup {
         // Band ONCE and self-join (the lshCandidatePairs shape): banding
         // per join side would compute nTables hyperplane signatures over
         // the corpus twice. The banded table is persisted for the two
-        // consumptions (cap grouping + both join sides).
+        // consumptions (cap grouping + both join sides). The vector
+        // payload is DROPPED after the bucket computation (the marginMine
+        // id-only shape, adopted from its sf10 measurement: carrying
+        // 0.5 KB embeddings through the bucket join + pair-distinct cost
+        // 1.8× at 100× data vs shuffling 24-byte id rows and re-attaching
+        // vectors with two joins against the side tables).
         val tb = (0 until nTables).map { t =>
           struct(lit(t).as("table"),
             graft.operators.Similarity
               .hyperplaneSig(col("__v"), dims, nPlanes, t).as("bucket"))
         }
-        val banded = base.withColumn("tb", explode(array(tb: _*)))
-          .select(col(idCol), col("__v"), col("tb.table").as("table"),
-            col("tb.bucket").as("bucket"))
-          .persist()
+        val banded = graft.PinnedFrames.pin(
+          base.withColumn("tb", explode(array(tb: _*)))
+            .select(col(idCol), col("tb.table").as("table"),
+              col("tb.bucket").as("bucket"))
+            .persist())
         // Same skew guard as the token-LSH pair join: one hot bucket (a
         // boilerplate embedding, a zero vector, a dense cluster) emits b²
         // candidates. Capped docs can still pair through their other
@@ -347,9 +354,9 @@ object Dedup {
             col("x.table") === col("y.table") &&
               col("x.bucket") === col("y.bucket") &&
               col(s"x.$idCol") < col(s"y.$idCol"))
-          .select(col(s"x.$idCol").as("id_a"), col("x.__v").as("__va"),
-            col(s"y.$idCol").as("id_b"), col("y.__v").as("__vb"))
-          .dropDuplicates("id_a", "id_b")
+          .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+          .distinct()
+          .join(a, "id_a").join(b, "id_b")
     }
     cand
       .withColumn("cos", graft.functions.catalyst.VectorExpressions
@@ -849,11 +856,12 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * r).bitwiseAND(lit(mask)).as("bsig"))
     }
-    val banded = sig.select(col(idCol), col("simhash"),
-        explode(array(bandStructs: _*)).as("bs"))
-      .select(col(idCol), col("simhash"),
-        col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      .persist() // see lshCandidatePairs — avoids a per-join-side recompute
+    val banded = graft.PinnedFrames.pin(
+      sig.select(col(idCol), col("simhash"),
+          explode(array(bandStructs: _*)).as("bs"))
+        .select(col(idCol), col("simhash"),
+          col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+        .persist()) // see lshCandidatePairs — avoids a per-join-side recompute
     val all = maxBucketSize.fold(banded)(
       capHotBuckets(banded, Seq("band", "bsig"), _, "simhashPairs"))
     val x = all.as("x"); val y = all.as("y")

@@ -116,23 +116,31 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dims: Int, nPlanes: Int, k: Int,
               nTables: Int = 8): DataFrame = {
+    // id-only band rows (the marginMine shape, from its sf10 measurement):
+    // the bucket join and the pair-distinct shuffle 24-byte id rows, never
+    // the embeddings — vectors re-attach onto the (much smaller)
+    // deduplicated candidate frame afterwards
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
-      val base = df.select(col(idCol).as(id),
-        col(vecCol).cast("array<double>").as(vec))
       val buckets = (0 until nTables).map { t =>
         struct(lit(t).as("table"),
           hyperplaneSig(col(vec), dims, nPlanes, t).as("bucket"))
       }
-      base.withColumn("tb", explode(array(buckets: _*)))
-        .select(col(id), col(vec), col("tb.table").as("table"),
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+        .withColumn("tb", explode(array(buckets: _*)))
+        .select(col(id), col("tb.table").as("table"),
           col("tb.bucket").as("bucket"))
     }
-    val c = bucketed(corpus, "nid", "nvec")
-    val q = bucketed(queries, "qid", "qvec")
-    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+    val cBase = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val qBase = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val cand = bucketed(corpus, "nid", "nvec")
+      .join(broadcast(bucketed(queries, "qid", "qvec")), Seq("table", "bucket"))
       .where(col("qid") =!= col("nid"))
-      .select("qid", "qvec", "nid", "nvec")
-      .dropDuplicates("qid", "nid")
+      .select("qid", "nid")
+      .distinct()
+      .join(broadcast(qBase), "qid")
+      .join(cBase, "nid")
     val scored = cand.withColumn("cos", cosine(col("qvec"), col("nvec")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
