@@ -24,6 +24,29 @@ object SimilarityQueries {
     * index", the rest the appended shard. */
   private val AppendBaseWhere = "vec_id % 10 < 8"
 
+  /** MEASURED contract bounds for the PlanSpec cartesian-gate allowlist:
+    * each allowlisted ANN/eval query's unreduced join side is the bounded
+    * QUERY SET, and that claim used to be prose a plan walk cannot check —
+    * a fixture edit could silently unbound it. Each site now tags the
+    * query-set frame with a `queryBound:<name>` row-count observation
+    * ([[observedQueries]]) and the gate test RUNS the query and asserts
+    * the observed count stays within this declared bound. q37 is absent
+    * deliberately: its justification is "declared exact-quadratic oracle
+    * baseline", not a bounded side. */
+  private[graft] val queryBounds: Map[String, Long] = Map(
+    "q25_ann_cosine" -> NQueries.toLong,
+    "q62_quantized_topk" -> NQueries.toLong,
+    "q70_hard_pairs" -> NQueries.toLong,
+    "q119_ann_pq" -> NQueries.toLong,
+    // leave-one-out eval: the whole (eval-set-sized) table is the query
+    // batch; the contract bound is the broadcast-batch ceiling
+    "q176_knn_accuracy" -> Similarity.maxQueryBatch.toLong,
+    "q199_quantization_recall" -> NQueries.toLong)
+
+  private def observedQueries(df: org.apache.spark.sql.DataFrame,
+                              qname: String): org.apache.spark.sql.DataFrame =
+    df.observe(s"queryBound:$qname", count(lit(1)).as("n"))
+
   // --- shared oracle SQL fragments (q41 IVF + q60 SemDeDup) ---
   // sequential ascending fold; DuckDB's seedless list_reduce starts at
   // the first element, which equals Scala's fold from 0.0 (0.0+x = x)
@@ -180,7 +203,8 @@ object SimilarityQueries {
          |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
          |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val queries = emb.where(col("vec_id") < NQueries)
+      val queries = observedQueries(emb.where(col("vec_id") < NQueries),
+        "q25_ann_cosine")
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", TopK)
         .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "nid")
@@ -339,7 +363,8 @@ object SimilarityQueries {
          |SELECT qid, nid, floor(qcos * 1000000 + 0.5) / 1000000 AS qcos
          |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val queries = emb.where(col("vec_id") < NQueries)
+      val queries = observedQueries(emb.where(col("vec_id") < NQueries),
+        "q62_quantized_topk")
       Similarity.quantizedTopK(emb, queries, "vec_id", "embedding", TopK)
         .select(col("qid"), col("nid"), dround(col("qcos"), 6).as("qcos"))
         .orderBy("qid", "nid")
@@ -458,7 +483,8 @@ object SimilarityQueries {
          |SELECT qid, nid, adc FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
     }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val queries = emb.where(col("vec_id") < NQueries)
+      val queries = observedQueries(emb.where(col("vec_id") < NQueries),
+        "q119_ann_pq")
       Similarity.pqTopK(emb, queries, "vec_id", "embedding", Dims,
           nSub = 8, nCodes = 16, iters = 2, k = TopK)
         .orderBy("qid", "nid")
@@ -543,7 +569,8 @@ object SimilarityQueries {
          |SELECT qid, kind, nid, label, floor(cos * 1000000 + 0.5) / 1000000 AS cos
          |FROM r WHERE rn = 1 ORDER BY qid, kind""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      Similarity.hardPairs(emb, emb.where(col("vec_id") < NQueries),
+      Similarity.hardPairs(emb,
+          observedQueries(emb.where(col("vec_id") < NQueries), "q70_hard_pairs"),
           "vec_id", "embedding", "label")
         .select(col("qid"), col("kind"), col("nid"), col("label"),
           dround(col("cos"), 6).as("cos"))
@@ -632,7 +659,9 @@ object SimilarityQueries {
     }) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val labels = emb.select(col("vec_id"), col("label"))
-      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 1)
+      Similarity.bruteForceTopK(emb,
+          observedQueries(emb, "q176_knn_accuracy"), "vec_id", "embedding",
+          k = 1)
         .join(labels.select(col("vec_id").as("qid"), col("label").as("qlabel")), "qid")
         .join(labels.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
         .groupBy(col("qlabel").as("label"))
@@ -771,7 +800,8 @@ object SimilarityQueries {
          |LEFT JOIN ov ON ov.qid = s.qid
          |ORDER BY s.qid""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val queries = emb.where(col("vec_id") < NQueries)
+      val queries = observedQueries(emb.where(col("vec_id") < NQueries),
+        "q199_quantization_recall")
       val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
           "embedding", TopK).select(col("qid"), col("nid"))
       val quant = Similarity.quantizedTopK(emb, queries, "vec_id",

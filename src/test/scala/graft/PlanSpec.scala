@@ -207,7 +207,9 @@ class PlanSpec extends SparkSpec {
     // are the bucketed/celled variants (q26/q41/q105/q140), measured at
     // sf10 in SCALE.md.
     val queryBounded = "unreduced side is the bounded query set " +
-      "(vec_id < NQueries); per-query×corpus is linear in data"
+      "(vec_id < NQueries); per-query×corpus is linear in data — and the " +
+      "bound is MEASURED, not prose: see the queryBound observation test " +
+      "above (SimilarityQueries.queryBounds)"
     val allowlist: Map[String, String] = Map(
       "q25_ann_cosine" -> queryBounded,
       "q62_quantized_topk" -> queryBounded,
@@ -241,6 +243,34 @@ class PlanSpec extends SparkSpec {
         }
     }
     assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  test("cartesian allowlist: every query-bounded side is MEASURED within its contract bound") {
+    // The cartesian-gate allowlist below justifies the ANN family with
+    // "the unreduced side is the bounded query set" — a prose claim the
+    // plan walk cannot check, and a fixture edit could silently unbound
+    // it. Each allowlisted site tags its query-set frame with a
+    // queryBound:<name> observation (SimilarityQueries.observedQueries);
+    // this test RUNS each query and asserts the observed row count stays
+    // within the declared contract bound, so an unbounded edit fails CI
+    // with a number, not a review miss.
+    val bounds = graft.queries.SimilarityQueries.queryBounds
+    assert(bounds.nonEmpty)
+    val failures = bounds.toSeq.sortBy(_._1).flatMap { case (name, bound) =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val metrics = df.queryExecution.observedMetrics
+      metrics.get(s"queryBound:$name") match {
+        case None =>
+          Some(s"$name: no queryBound observation in the executed plan " +
+            s"(observed: ${metrics.keys.mkString(", ")})")
+        case Some(row) if row.getLong(0) > bound =>
+          Some(s"$name: query side measured ${row.getLong(0)} rows, " +
+            s"contract bound $bound")
+        case _ => None
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("q215: the one-call TVF path reuses the signature exchange like q212") {
