@@ -71,10 +71,41 @@ object Bench {
     // Re-measure the outliers at the END of the suite, minutes away from
     // their original window; a stall would have to hit the same query in
     // both windows to survive into the report.
-    val results = firstPass.map { case (name, t) =>
+    val secondPass = firstPass.map { case (name, t) =>
       if (t <= 5.0) name -> t
       else name -> math.min(t, measure(name, SparkEntry.queries(name)))
     }
+    // Self-consistency gate (the r10 q78/q79 hole): the >5 s rule only
+    // catches BIG-query stalls — a sub-second query that a stall inflates
+    // 5× sails into the committed artifact looking plausible. When
+    // SPARK_GRAFT_BENCH_BASELINE names reference per-query files (the
+    // previous canonical suite and/or the same-day driver run,
+    // comma-separated), any query whose time exceeds 1.5× its best
+    // reference is re-measured once at suite end REGARDLESS of absolute
+    // time, and the report records which queries that gate touched.
+    val noiseBand = 1.5
+    val qTime = """\"(q[0-9]+[A-Za-z0-9_]*)\":([0-9]+(?:\.[0-9]+)?)""".r
+    val baseline: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(_.split(',').toSeq
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .flatMap { p =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          qTime.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
+        })
+      .getOrElse(Seq.empty)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    val gated = secondPass.map { case (name, t) =>
+      baseline.get(name) match {
+        case Some(b) if b > 0 && t > b * noiseBand =>
+          (name, math.min(t, measure(name, SparkEntry.queries(name))), true)
+        case _ => (name, t, false)
+      }
+    }
+    val results = gated.map { case (n, t, _) => n -> t }
+    val remeasured = gated.collect { case (n, _, true) => n }
+    if (remeasured.nonEmpty)
+      System.err.println(s"[bench] consistency gate re-measured: ${remeasured.mkString(",")}")
     releaseAll()
     // 3dp per-query values: the full-registry line at 9 decimals outgrew
     // the driver's tail capture (r7's "parsed": null) — millisecond
@@ -83,7 +114,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"queries":$qs,"sf":"$sfDir","protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense)"}"""
+    val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"queries":$qs,"sf":"$sfDir","remeasured":$remeasuredJson,"protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense); >1.5x-vs-baseline outliers re-measured when SPARK_GRAFT_BENCH_BASELINE is set (self-consistency gate)"}"""
     // Full per-query document goes to a FILE; stdout carries only a small
     // summary object. The driver captures a bounded stdout tail, and the
     // full-registry line (214 queries) outgrew it two rounds running
