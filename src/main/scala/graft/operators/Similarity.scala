@@ -306,6 +306,22 @@ object Similarity {
       .select("nid", "nvec", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Append a shard to a WRITTEN IVF index without touching resident data
+    * or retraining: assign the appended vectors to the EXISTING centroids
+    * (one map pass — no training scan, the whole point of incremental
+    * maintenance) and write them into their cell partitions with dynamic
+    * append. Searches keep scan-time partition pruning over the grown
+    * index; [[centroidDriftReport]] decides when the appends have moved
+    * the distribution enough to earn a full [[writeIvfIndex]] rebuild. */
+  def appendToIvfIndex(appended: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[Array[Double]], path: String): Unit =
+    withUnitVec(
+      appended.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
+      .withColumn("cell", nearestCentroid(col("nu"), cents))
+      .select("nid", "nvec", "cell")
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Search a written IVF index for one QUERY BATCH: the probed cell set
     * (≤ nQueries × nProbe ids, deduplicated — config-sized for a batch)
     * becomes a static partition filter, so the scan never lists or reads

@@ -54,6 +54,28 @@ class IvfAppendSpec extends SparkSpec {
     assert(topk(centsBase) == topk(centsFull))
   }
 
+  test("appendToIvfIndex: on-disk append keeps pruning and matches the in-memory search") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      nLists = 2, iters = 2)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", cents, dir)
+    Similarity.appendToIvfIndex(appendIn, "vec_id", "embedding", cents, dir)
+    val full = base.unionByName(appendIn)
+    val queries = full.where($"vec_id" isin (0L, 6L))
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      "vec_id", "embedding", cents, nProbe = 1, k = 3)
+    // pruning survives the append — the probed scan still carries a cell
+    // partition filter
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    val direct = Similarity.ivfTopK(full, queries, "vec_id", "embedding",
+        cents, nProbe = 1, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex.as[(Long, Long, Double)].collect().toSet == direct)
+    // appended ids are actually searchable from disk
+    assert(direct.map(_._2).exists(_ >= 6L))
+  }
+
   test("drift report: exact counts, residual shift in-distribution, loud shift out") {
     val centsBase = Similarity.trainCentroids(base, "vec_id", "embedding",
       nLists = 2, iters = 2)
