@@ -69,7 +69,9 @@ object Explain {
       "q211_asof_nearest", "q212_sql_minhash_pairs", "q213_sql_sessionize",
       "q214_sql_text_profile", "q215_sql_lsh_one_call",
       "q216_lsh_dedup_eval_sampled", "q217_margin_mining",
-      "q218_sql_margin_one_call")
+      "q218_sql_margin_one_call", "q219_sql_lsh_eval_one_call",
+      "q220_media_feature_neardup", "q221_ann_centroid_drift",
+      "q222_ann_ivf_append")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
