@@ -411,6 +411,86 @@ object SqlSurface {
          |""".stripMargin)
   }
 
+  /** One-call SQL surface for the INCREMENTAL-ANN rebuild gate (the
+    * centroid-drift report behind a TVF): registers
+    * `graft_centroid_drift()` so a SQL-only operator runs the
+    * append-maintenance decision — per occupied cell, base/appended
+    * member counts and the L2 shift of the current member mean off the
+    * trained centroid — as `SELECT * FROM graft_centroid_drift()`.
+    *
+    * The registrar bakes the TRAINED CENTROIDS as literals (the "config
+    * baked at registration" rule the other TVFs follow — a drift gate is
+    * always evaluated against a specific trained model), together with
+    * the base/append split predicate. Assignment is the same argmax
+    * cascade over `dot_product` calls as `Similarity.nearestCentroid`
+    * (identical fused fold, identical (score, -index) tie-break), means
+    * and squared deltas follow the identical quantize→DECIMAL discipline,
+    * so the TVF is held hash-for-hash to q221's oracle (q223 ≙ q221). */
+  def createCentroidDriftFunction(spark: SparkSession,
+      cents: Seq[Array[Double]],
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      basePred: String = "vec_id % 10 < 8",
+      funcName: String = "graft_centroid_drift"): Unit = {
+    require(cents.nonEmpty, "need trained centroids")
+    try spark.sessionState.sqlParser.parseExpression(basePred)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$funcName: basePred is not a parseable SQL expression: '$basePred'", e)
+    }
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qVec = quotePart(vecCol)
+    val qFunc = quotePart(funcName)
+    register(spark)
+    def arr(a: Array[Double]): String =
+      a.map(x => s"${x}D").mkString("array(", ",", ")")
+    val argmax = cents.zipWithIndex.map { case (c, i) =>
+      s"named_struct('s', dot_product(u, ${arr(c)}), 'ni', ${-i})"
+    }.mkString("array_max(array(", ",\n         ", ")).ni * -1")
+    val centsLit = cents.map(arr).mkString("array(", ",", ")")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
+         |RETURNS TABLE (cell INT, n_base BIGINT, n_new BIGINT, shift DOUBLE)
+         |RETURN
+         |WITH e AS (
+         |  SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v,
+         |         CASE WHEN ($basePred) THEN 0 ELSE 1 END AS nw
+         |  FROM $qTable),
+         |n AS (SELECT vid, nw, v, sqrt(dot_product(v, v)) AS nrm FROM e),
+         |u AS (SELECT vid, nw,
+         |             CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm)
+         |                  ELSE v END AS u
+         |      FROM n),
+         |a AS (SELECT vid, nw, u,
+         |             $argmax AS cell
+         |      FROM u),
+         |cnt AS (SELECT cell,
+         |               sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS n_base,
+         |               sum(CASE WHEN nw = 1 THEN 1 ELSE 0 END) AS n_new
+         |        FROM a GROUP BY cell),
+         |mq AS (SELECT cell, pos,
+         |              CAST(floor(x * 1000000 + 0.5) / 1000000
+         |                   AS DECIMAL(38, 8)) AS xq
+         |       FROM a LATERAL VIEW posexplode(u) AS pos, x),
+         |ms AS (SELECT cell, pos,
+         |              CAST(sum(xq) AS DOUBLE) / count(*) AS m
+         |       FROM mq GROUP BY cell, pos),
+         |sq AS (SELECT cell,
+         |              CAST(floor((m - c) * (m - c) * 1000000000000 + 0.5)
+         |                   / 1000000000000 AS DECIMAL(38, 14)) AS sq
+         |       FROM (SELECT cell, pos, m,
+         |                    element_at(element_at($centsLit, cell + 1),
+         |                               pos + 1) AS c
+         |             FROM ms)),
+         |sh AS (SELECT cell, sqrt(CAST(sum(sq) AS DOUBLE)) AS s
+         |       FROM sq GROUP BY cell)
+         |SELECT cnt.cell, cnt.n_base, cnt.n_new,
+         |       floor(sh.s * 1000000 + 0.5) / 1000000 AS shift
+         |FROM cnt JOIN sh ON sh.cell = cnt.cell
+         |""".stripMargin)
+  }
+
   /** Twin-surface registry, THE data the CI equality pin iterates
     * (SurfaceEquivalenceSpec): each entry maps a TVF registrar method in
     * this object to the registry queries that must be result-equal — the
@@ -424,7 +504,9 @@ object SqlSurface {
     "createMarginMiningFunction" -> Seq(
       "q218_sql_margin_one_call", "q217_margin_mining"),
     "createLshEvalSampledFunction" -> Seq(
-      "q219_sql_lsh_eval_one_call", "q216_lsh_dedup_eval_sampled"))
+      "q219_sql_lsh_eval_one_call", "q216_lsh_dedup_eval_sampled"),
+    "createCentroidDriftFunction" -> Seq(
+      "q223_sql_drift_one_call", "q221_ann_centroid_drift"))
 
   /** Non-TVF twin surfaces (hand-typed SQL text vs Column API) pinned by
     * the same spec. */

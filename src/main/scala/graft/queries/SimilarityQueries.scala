@@ -906,42 +906,27 @@ object SimilarityQueries {
     // re-running Lloyd to find out whether it needed to. Oracle replays
     // training, full assignment, quantized decimal means, and the rounded
     // distance arithmetic.
-    Q.sql("q221_ann_centroid_drift", {
-      val nLists = 16; val iters = 3
-      s"""WITH ${lloydPrelude(nLists, iters, 6, trainWhere = AppendBaseWhere)},
-         |mq AS (
-         |  SELECT cell, pos, floor(u[pos] * 1000000 + 0.5) / 1000000 AS xq,
-         |         CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
-         |              THEN 0 ELSE 1 END AS nw
-         |  FROM (SELECT a.vec_id, a.cell, a.u,
-         |               unnest(generate_series(1, $Dims)) AS pos
-         |        FROM asgf a) a),
-         |ms AS (
-         |  SELECT cell, pos,
-         |         CAST(sum(CAST(xq AS DECIMAL(38, 8))) AS DOUBLE) / count(*) AS m
-         |  FROM mq GROUP BY cell, pos),
-         |cnt AS (
-         |  SELECT a.cell,
-         |         sum(CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
-         |                  THEN 1 ELSE 0 END) AS n_base,
-         |         sum(CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
-         |                  THEN 0 ELSE 1 END) AS n_new
-         |  FROM asgf a GROUP BY a.cell),
-         |sq AS (
-         |  SELECT ms.cell,
-         |         floor((ms.m - c.val) * (ms.m - c.val) * 1e12 + 0.5) / 1e12 AS sq
-         |  FROM ms JOIN cents$iters c ON c.cell = ms.cell AND c.pos = ms.pos),
-         |sh AS (
-         |  SELECT cell,
-         |         sqrt(CAST(sum(CAST(sq AS DECIMAL(38, 14))) AS DOUBLE)) AS shift
-         |  FROM sq GROUP BY cell)
-         |SELECT CAST(cnt.cell AS INT) AS cell,
-         |       CAST(n_base AS BIGINT) AS n_base,
-         |       CAST(n_new AS BIGINT) AS n_new,
-         |       floor(shift * 1000000 + 0.5) / 1000000 AS shift
-         |FROM cnt JOIN sh ON sh.cell = cnt.cell
-         |ORDER BY cell""".stripMargin
-    }) { (s, d) =>
+    // The drift gate behind the one-call SQL surface: registration trains
+    // on the base and bakes the centroids as literals (a drift gate is
+    // always evaluated against a specific trained model), then the SQL
+    // user types `SELECT * FROM graft_centroid_drift()`. Held to q221's
+    // oracle verbatim — assignment argmax, quantized decimal means, and
+    // the shift arithmetic replay hash-for-hash (the q215/q218/q219
+    // discipline; SurfaceEquivalenceSpec pins q223 ≙ q221 in CI).
+    Q.sql("q223_sql_drift_one_call", driftOracleSql) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.where(expr(AppendBaseWhere))
+      val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      emb.createOrReplaceTempView("embeddings")
+      SqlSurface.createCentroidDriftFunction(s, cents,
+        table = "embeddings", idCol = "vec_id", vecCol = "embedding",
+        basePred = AppendBaseWhere)
+      s.sql("SELECT cell, n_base, n_new, shift FROM graft_centroid_drift() " +
+        "ORDER BY cell")
+    },
+
+    Q.sql("q221_ann_centroid_drift", driftOracleSql) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val base = emb.where(expr(AppendBaseWhere))
       val appended = emb.where(!expr(AppendBaseWhere))
@@ -951,6 +936,48 @@ object SimilarityQueries {
           cents)
         .orderBy("cell")
     })
+
+  // --- q221/q223 shared oracle: the centroid-drift report replayed in
+  // DuckDB (base-only Lloyd training via lloydPrelude's trainWhere, full
+  // assignment, quantized decimal means, rounded shift arithmetic). One
+  // text, two surfaces — the TVF must reproduce the Column API's report
+  // hash-for-hash. ---
+  private lazy val driftOracleSql: String = {
+    val nLists = 16; val iters = 3
+    s"""WITH ${lloydPrelude(nLists, iters, 6, trainWhere = AppendBaseWhere)},
+       |mq AS (
+       |  SELECT cell, pos, floor(u[pos] * 1000000 + 0.5) / 1000000 AS xq,
+       |         CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
+       |              THEN 0 ELSE 1 END AS nw
+       |  FROM (SELECT a.vec_id, a.cell, a.u,
+       |               unnest(generate_series(1, $Dims)) AS pos
+       |        FROM asgf a) a),
+       |ms AS (
+       |  SELECT cell, pos,
+       |         CAST(sum(CAST(xq AS DECIMAL(38, 8))) AS DOUBLE) / count(*) AS m
+       |  FROM mq GROUP BY cell, pos),
+       |cnt AS (
+       |  SELECT a.cell,
+       |         sum(CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
+       |                  THEN 1 ELSE 0 END) AS n_base,
+       |         sum(CASE WHEN ${AppendBaseWhere.replace("vec_id", "a.vec_id")}
+       |                  THEN 0 ELSE 1 END) AS n_new
+       |  FROM asgf a GROUP BY a.cell),
+       |sq AS (
+       |  SELECT ms.cell,
+       |         floor((ms.m - c.val) * (ms.m - c.val) * 1e12 + 0.5) / 1e12 AS sq
+       |  FROM ms JOIN cents$iters c ON c.cell = ms.cell AND c.pos = ms.pos),
+       |sh AS (
+       |  SELECT cell,
+       |         sqrt(CAST(sum(CAST(sq AS DECIMAL(38, 14))) AS DOUBLE)) AS shift
+       |  FROM sq GROUP BY cell)
+       |SELECT CAST(cnt.cell AS INT) AS cell,
+       |       CAST(n_base AS BIGINT) AS n_base,
+       |       CAST(n_new AS BIGINT) AS n_new,
+       |       floor(shift * 1000000 + 0.5) / 1000000 AS shift
+       |FROM cnt JOIN sh ON sh.cell = cnt.cell
+       |ORDER BY cell""".stripMargin
+  }
 
   // --- q217/q218 shared oracle: margin mining replayed in DuckDB ---
   private lazy val marginOracleSql: String = {
