@@ -401,6 +401,44 @@ object Multimodal {
       }
   }
 
+  /** Perceptual audio fingerprint over the REAL decoded PCM — the audio
+    * sibling of [[dHashImages]] (the energy-delta-sign construction
+    * acoustic fingerprinting uses at the frame grain, minus the spectral
+    * transform — deterministic integer arithmetic so any engine replays
+    * it): parse the WAV container, split the sample stream into `frames`
+    * equal spans (sample i → frame ⌊i·frames/n⌋ — integer mapping, empty
+    * frames carry energy 0), sum the unsigned 8-bit samples per frame,
+    * and emit one bit per adjacent frame pair (energy rises → 1), packed
+    * little-endian: frames−1 bits. Trims/re-encodes shift few frame
+    * energies, so near-copies keep most bits; unrelated audio differs in
+    * ~half. Map-only over the payload scan (thread-local WAV reader).
+    * Returns (doc_id, ahash). */
+  def aHashAudio(df: DataFrame, idCol: String, frames: Int = 33): DataFrame = {
+    require(frames >= 2 && frames <= 64, "frames-1 bits must fit a long")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .filter(_._2 == "audio")
+      .mapPartitions { it =>
+        it.map { case (id, _, bytes) =>
+          val data = readWav(bytes).readAllBytes()
+          val n = data.length
+          val e = new Array[Long](frames)
+          var i = 0
+          while (i < n) { e(i * frames / n) += data(i) & 0xff; i += 1 }
+          var hash = 0L
+          var j = 0
+          while (j < frames - 1) {
+            if (e(j + 1) > e(j)) hash |= 1L << j
+            j += 1
+          }
+          (id, hash)
+        }
+      }
+      .toDF(idCol, "ahash")
+  }
+
   /** Perceptual difference hash (dHash) over the REAL decoded pixels:
     * nearest-neighbour-sample a (gw+1)×gh luminance grid (integer source
     * mapping ⌊g·dim/grid⌋ — the q88 resize rule, bit-reproducible) and

@@ -219,6 +219,76 @@ object StreamingQueries {
     // replays content → grays → bucket means → planes → buckets → cap →
     // cosines, so a hash match proves the features came from genuinely
     // decoded pixels AND rode the standard LSH pipeline.
+    // Perceptual near-duplicate AUDIO (Multimodal.aHashAudio — the q203
+    // construction at the PCM frame grain): 32 energy-delta-sign bits
+    // over 33 equal frame spans of the REAL decoded samples, then the
+    // same byte-banded LSH + exact-Hamming verify as the image path. The
+    // oracle replays samples → frame mapping → energies → bits → bands →
+    // cap → Hamming, so a hash match proves the fingerprints came from a
+    // genuine WAV container parse.
+    Q.sql("q224_audio_fingerprint_neardup",
+      """WITH aud AS (
+        |  SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |smp AS (
+        |  SELECT a.doc_id, a.n, i.range AS i,
+        |         (a.doc_id*13 + i.range*7) % 256 AS s
+        |  FROM aud a, range(0, 70) i WHERE i.range < a.n),
+        |en AS (
+        |  SELECT doc_id, (i * 33) // n AS j, CAST(sum(s) AS BIGINT) AS e
+        |  FROM smp GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.doc_id, g.j, coalesce(en.e, 0) AS e
+        |  FROM (SELECT a.doc_id, r.range AS j
+        |        FROM aud a, range(0, 33) r) g
+        |  LEFT JOIN en ON en.doc_id = g.doc_id AND en.j = g.j),
+        |h AS (
+        |  SELECT g1.doc_id,
+        |         CAST(SUM(CASE WHEN g2.e > g1.e
+        |                       THEN (CAST(1 AS BIGINT) << CAST(g1.j AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM grid g1 JOIN grid g2
+        |    ON g2.doc_id = g1.doc_id AND g2.j = g1.j + 1
+        |  WHERE g1.j < 32 GROUP BY 1),
+        |band AS (
+        |  SELECT doc_id, ahash, k.range AS k,
+        |         (ahash >> CAST(k.range*8 AS INT)) & 255 AS b
+        |  FROM h, range(0, 4) k),
+        |ok AS (SELECT k, b FROM band GROUP BY 1, 2 HAVING count(*) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |         a.ahash AS ha, c.ahash AS hb
+        |  FROM band a
+        |  JOIN ok o ON o.k = a.k AND o.b = a.b
+        |  JOIN band c ON c.k = a.k AND c.b = a.b AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val audio = graft.io.Tables.documents(s, d)
+        .where(col("doc_id") % 2 === 1)
+      val hashes = Multimodal.aHashAudio(
+        Multimodal.withRealMedia(audio, "doc_id"), "doc_id", frames = 33)
+      val band = hashes.select(col("doc_id"), col("ahash"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("b", expr("shiftright(ahash, cast(k * 8 as int)) & 255"))
+      val ok = band.groupBy("k", "b").agg(count(lit(1)).as("n"))
+        .where(col("n") <= 50).select("k", "b")
+      val cand = band.join(ok, Seq("k", "b"))
+        .select(col("doc_id").as("id_a"), col("ahash").as("ha"),
+          col("k"), col("b"))
+        .join(band.join(ok, Seq("k", "b"))
+          .select(col("doc_id").as("id_b"), col("ahash").as("hb"),
+            col("k"), col("b")),
+          Seq("k", "b"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ha", "hb").distinct()
+      cand.withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .where(col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
     Q.sql("q220_media_feature_neardup", mediaFeatureOracle) { (s, d) =>
       val lossless = graft.io.Tables.documents(s, d)
         .where(col("doc_id") % 2 === 0 && col("doc_id") % 8 =!= 6)

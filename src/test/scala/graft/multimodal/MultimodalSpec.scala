@@ -132,6 +132,23 @@ class MultimodalSpec extends SparkSpec {
     assert(tr.container == "jpeg")
   }
 
+  test("aHashAudio: fingerprint matches the formula replay over REAL WAV decodes") {
+    val ids = Seq(1L, 3L, 7L, 9L).toDF("doc_id")
+    val media = Multimodal.withRealMedia(ids, "doc_id")
+    val got = Multimodal.aHashAudio(media, "doc_id", frames = 33)
+      .as[(Long, Long)].collect().toMap
+    def expected(id: Long): Long = {
+      val n = Multimodal.wavSamples(id)
+      val e = new Array[Long](33)
+      for (i <- 0 until n) e(i * 33 / n) += Multimodal.pcm(id, i)
+      (0 until 32).filter(j => e(j + 1) > e(j)).map(1L << _).sum
+    }
+    ids.as[Long].collect().foreach(id => assert(got(id) == expected(id), s"id $id"))
+    // deterministic across decodes
+    assert(Multimodal.aHashAudio(media, "doc_id", frames = 33)
+      .as[(Long, Long)].collect().toMap == got)
+  }
+
   test("dHashImages: deterministic, matches the formula replay, PNG ≡ BMP") {
     // lossless even ids only (the q203 filter); id 8 is png, id 2/4/10 bmp
     val ids = Seq(2L, 4L, 8L, 10L).toDF("doc_id")
