@@ -218,6 +218,8 @@ object Multimodal {
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
     else if (bytes.length >= 4 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
       bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte) "wav"
+    else if (bytes.length >= 4 && bytes(0) == 'G'.toByte && bytes(1) == 'V'.toByte &&
+      bytes(2) == 'I'.toByte && bytes(3) == 'D'.toByte) "gvid"
     else "unknown"
 
   // javax.sound has the same front-door disease as ImageIO: AudioSystem
@@ -278,6 +280,97 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     wavWriterTL.get.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Video: a length-prefixed multi-frame container of REAL PNG frames
+  // ("GVID" magic + frame count + per-frame length-prefixed PNG bytes).
+  // The JDK ships no video codec, so the container is this module's own —
+  // which is exactly the right model anyway: video reaches a data
+  // pipeline as an opaque binary whose FRAME EXTRACTION is the pipeline's
+  // job, and each extracted frame here is a genuine ImageIO PNG parse
+  // (the q30 thread-local codec discipline), not a byte fake. Frame f of
+  // video id carries the deterministic image content of id·1000+f, so
+  // the decoded statistics replay in SQL.
+  // ---------------------------------------------------------------------
+
+  def videoFrames(id: Long): Int = (id % 6 + 2).toInt
+  def videoFrameId(id: Long, f: Int): Long = id * 1000 + f
+
+  /** Encode the deterministic multi-frame video container (PNG frames). */
+  def videoPayload(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GVID")
+    val n = videoFrames(id)
+    out.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val frame = encodeImage(videoFrameId(id, f), "png")
+      out.writeInt(frame.length)
+      out.write(frame)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Attach REAL video payloads (one per row of `df`). */
+  def withVideoMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map(id => (id, "video", videoPayload(id)))
+    }.toDF(idCol, "kind", "payload")
+  }
+
+  final case class SampledFrame(doc_id: Long, n_frames: Int, frame_idx: Int,
+                                width: Int, height: Int,
+                                sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Frame-sample a video column: parse the container, DECODE every
+    * `stride`-th frame through the real PNG codec, and emit per-frame
+    * geometry + channel sums. Unsampled frames are never decoded — their
+    * bytes are skipped by length prefix, which is the point of frame
+    * sampling at 100 TB (decode cost scales with KEPT frames, I/O with
+    * payload size). Map-only; one output row per sampled frame. */
+  def sampleVideoFrames(df: DataFrame, idCol: String,
+                        stride: Int): org.apache.spark.sql.Dataset[SampledFrame] = {
+    require(stride >= 1, "stride must be ≥ 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(new String(magic, "US-ASCII") == "GVID",
+          s"not a GVID container (doc $id)")
+        val n = in.readInt()
+        (0 until n).flatMap { f =>
+          val len = in.readInt()
+          if (f % stride != 0) { in.skipBytes(len); None }
+          else {
+            val frame = new Array[Byte](len)
+            in.readFully(frame)
+            val img = readImage(frame)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(SampledFrame(id, n, f, w, h, sr, sg, sb))
+          }
+        }
+      }
   }
 
   /** Decoded, engine-verifiable media statistics. Nullable halves: image

@@ -219,6 +219,40 @@ object StreamingQueries {
     // replays content → grays → bucket means → planes → buckets → cap →
     // cosines, so a hash match proves the features came from genuinely
     // decoded pixels AND rode the standard LSH pipeline.
+    // VIDEO frame sampling over a REAL multi-frame container: each doc
+    // carries a GVID payload (length-prefixed genuine PNG frames — the
+    // JDK ships no video codec, and an opaque container whose FRAME
+    // EXTRACTION is the pipeline's job is the honest model anyway); every
+    // 2nd frame is length-skipped or DECODED through ImageIO, emitting
+    // geometry + channel sums. Unsampled frames are never decoded — the
+    // frame-sampling cost contract at 100 TB. The oracle replays frame
+    // ids → sampled indices → pixel sums, so a hash match proves the
+    // sampled frames were genuinely parsed out of the container.
+    Q.sql("q225_video_frame_sample",
+      """WITH v AS (
+        |  SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, n, f.range AS f, doc_id*1000 + f.range AS fid
+        |  FROM v, range(0, 7) f WHERE f.range < n AND f.range % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, n, f,
+        |         CAST(fid % 8 + 2 AS INT) AS width,
+        |         CAST(fid % 6 + 2 AS INT) AS height,
+        |         CAST(sum((fid*31 + x.range*7 + y.range*13) % 256) AS BIGINT) AS sum_r,
+        |         CAST(sum((fid*17 + x.range*11 + y.range*5) % 256) AS BIGINT) AS sum_g,
+        |         CAST(sum((fid*7  + x.range*3 + y.range*19) % 256) AS BIGINT) AS sum_b
+        |  FROM fr, range(0, 10) x, range(0, 8) y
+        |  WHERE x.range < fid % 8 + 2 AND y.range < fid % 6 + 2
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(n AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
+        |       width, height, sum_r, sum_g, sum_b
+        |FROM px ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val media = Multimodal.withVideoMedia(
+        graft.io.Tables.documents(s, d), "doc_id")
+      Multimodal.sampleVideoFrames(media, "doc_id", stride = 2).toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Perceptual near-duplicate AUDIO (Multimodal.aHashAudio — the q203
     // construction at the PCM frame grain): 32 energy-delta-sign bits
     // over 33 equal frame spans of the REAL decoded samples, then the

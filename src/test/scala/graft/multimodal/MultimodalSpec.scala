@@ -132,6 +132,28 @@ class MultimodalSpec extends SparkSpec {
     assert(tr.container == "jpeg")
   }
 
+  test("video container: magic, frame sampling skips by length and decodes real PNGs") {
+    val vid = Multimodal.videoPayload(5L)
+    assert(new String(vid.take(4), "US-ASCII") == "GVID")
+    assert(Multimodal.sniffContainer(vid) == "gvid")
+    val media = Multimodal.withVideoMedia(Seq(5L, 6L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.sampleVideoFrames(media, "doc_id", stride = 2)
+      .collect().groupBy(_.doc_id)
+    // id 5: 7 frames → sampled 0, 2, 4, 6; id 6: 2 frames → sampled 0
+    assert(out(5L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4, 6))
+    assert(out(5L).forall(_.n_frames == 7))
+    assert(out(6L).map(_.frame_idx).toSeq == Seq(0))
+    // frame 4 of id 5 decodes to the content formulas of fid = 5004 —
+    // correct only if the 3 preceding frames' bytes were skipped exactly
+    val f4 = out(5L).find(_.frame_idx == 4).get
+    val fid = Multimodal.videoFrameId(5L, 4)
+    val (w, h) = (Multimodal.imgWidth(fid), Multimodal.imgHeight(fid))
+    assert(f4.width == w && f4.height == h)
+    val expG = (for (x <- 0 until w; y <- 0 until h)
+      yield Multimodal.pxG(fid, x, y).toLong).sum
+    assert(f4.sum_g == expG)
+  }
+
   test("aHashAudio: fingerprint matches the formula replay over REAL WAV decodes") {
     val ids = Seq(1L, 3L, 7L, 9L).toDF("doc_id")
     val media = Multimodal.withRealMedia(ids, "doc_id")
