@@ -71,7 +71,8 @@ object Explain {
       "q216_lsh_dedup_eval_sampled", "q217_margin_mining",
       "q218_sql_margin_one_call", "q219_sql_lsh_eval_one_call",
       "q220_media_feature_neardup", "q221_ann_centroid_drift",
-      "q222_ann_ivf_append", "q223_sql_drift_one_call")
+      "q222_ann_ivf_append", "q223_sql_drift_one_call",
+      "q224_audio_fingerprint_neardup", "q225_video_frame_sample")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
