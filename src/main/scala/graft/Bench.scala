@@ -84,17 +84,9 @@ object Bench {
     // reference is re-measured once at suite end REGARDLESS of absolute
     // time, and the report records which queries that gate touched.
     val noiseBand = 1.5
-    val qTime = """\"(q[0-9]+[A-Za-z0-9_]*)\":([0-9]+(?:\.[0-9]+)?)""".r
-    val baseline: Map[String, Double] = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
-      .map(_.split(',').toSeq
-        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-        .flatMap { p =>
-          val text = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(p)), "UTF-8")
-          qTime.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble)
-        })
-      .getOrElse(Seq.empty)
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    // missing files / an empty parse warn on stderr (Runners) — a typo'd
+    // baseline path must not silently disable the gate
+    val baseline: Map[String, Double] = Runners.parseBenchBaseline()
     val gated = secondPass.map { case (name, t) =>
       baseline.get(name) match {
         case Some(b) if b > 0 && t > b * noiseBand =>

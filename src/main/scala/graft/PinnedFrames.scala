@@ -19,15 +19,29 @@ import org.apache.spark.sql.DataFrame
   * globalIndex's range-parted frames).
   */
 object PinnedFrames {
-  private val pinned =
-    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private val pinned = new java.util.ArrayList[DataFrame]()
 
-  /** Persist `df` (if not already) and register it for [[release]]. */
-  def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+  /** Register an ALREADY-PERSISTED frame for [[release]]. Callers persist
+    * at the exact storage level they need and pass the result here — this
+    * registry only tracks lifetime, it never changes caching itself. */
+  def pin(df: DataFrame): DataFrame = {
+    pinned.synchronized { pinned.add(df) }
+    df
+  }
 
-  /** Unpersist and forget every pinned frame. */
+  /** Number of currently pinned frames (lifecycle specs). */
+  def pinnedCount: Int = pinned.synchronized { pinned.size }
+
+  /** Unpersist and forget every pinned frame. The swap-then-unpersist
+    * keeps the critical section to the list swap: a concurrent pin() from
+    * another thread (parallel tests, a multi-threaded runner) lands in the
+    * fresh list instead of racing the iteration. */
   def release(): Unit = {
-    val it = pinned.iterator()
-    while (it.hasNext) { it.next().unpersist(); it.remove() }
+    val toDrop = pinned.synchronized {
+      val copy = new java.util.ArrayList[DataFrame](pinned)
+      pinned.clear()
+      copy
+    }
+    toDrop.forEach(_.unpersist())
   }
 }

@@ -16,6 +16,35 @@ object Runners {
     dir.toString
   }
 
+  /** Parse `SPARK_GRAFT_BENCH_BASELINE` (comma-separated per-query JSON
+    * files — previous canonical suites / same-day runs) into the best
+    * reference time per query. Shared by Bench's sf0.1 self-consistency
+    * gate and TimeQ's sf10 gate. A silently-disabled gate is invisible in
+    * the artifact, so every missing file — and an empty parse despite the
+    * env var being set — warns on stderr. */
+  def parseBenchBaseline(): Map[String, Double] = {
+    val qTime = """\"(q[0-9]+[A-Za-z0-9_]*)\":([0-9]+(?:\.[0-9]+)?)""".r
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map { spec =>
+      val parsed = spec.split(',').toSeq.flatMap { p =>
+        val path = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(path)) {
+          System.err.println(
+            s"[bench] WARNING: baseline file '$p' does not exist — " +
+              "the self-consistency gate is NOT using it")
+          Seq.empty
+        } else {
+          val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+          qTime.findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        }
+      }
+      if (parsed.isEmpty)
+        System.err.println(
+          "[bench] WARNING: SPARK_GRAFT_BENCH_BASELINE is set but no " +
+            "per-query times parsed — the self-consistency gate is DISABLED")
+      parsed.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }.getOrElse(Map.empty)
+  }
+
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     import java.nio.file.attribute.BasicFileAttributes

@@ -71,6 +71,10 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
+          require(kind == "image" || kind == "audio",
+            s"mediaFeatures supports image|audio payloads, got kind='$kind' " +
+              s"for doc $id (video rows go through sampleVideoFrames/" +
+              "dHashVideoFrames first)")
           val sums = new Array[Long](dim)
           val cnts = new Array[Long](dim)
           if (kind == "image") {

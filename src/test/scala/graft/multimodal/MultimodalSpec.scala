@@ -50,12 +50,22 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == imgExpected(2L)) // BMP
     assert(got(4L) == imgExpected(4L)) // PNG
     assert(got(1L) == wavExpected(1L)) // WAV
-    // 2×2 image: buckets 4-7 are empty → exactly 0.0
-    assert(got(4L).count(_ == 0.0) >= 0) // (id 4: w=6,h=6 — all buckets hit)
+    // multi-bucket empty case: id 2 is 4×4 = 16 pixels, so every bucket is
+    // hit; the genuinely-empty-bucket claim is pinned on id 0 below (2×2 =
+    // 4 pixels → buckets 4-7 MUST be exactly 0.0, not just near zero)
     val tiny = Multimodal.mediaFeatures(
       Multimodal.withRealMedia(Seq(0L).toDF("doc_id"), "doc_id"),
       "doc_id", dim = 8).collect().head.getSeq[Double](2)
     assert(tiny.drop(4).forall(_ == 0.0)) // id 0: 2×2 = 4 pixels
+  }
+
+  test("mediaFeatures: unsupported kind fails with the kind and doc id, not a codec error") {
+    val vid = Multimodal.withVideoMedia(Seq(3L).toDF("doc_id"), "doc_id")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.mediaFeatures(vid, "doc_id", dim = 8).collect()
+    }
+    val msg = e.getCause match { case c if c != null => c.getMessage; case _ => e.getMessage }
+    assert(msg.contains("video") && msg.contains("doc 3"), msg)
   }
 
   test("real codec round trip: PNG and BMP encode→ImageIO parse preserve pixels") {
