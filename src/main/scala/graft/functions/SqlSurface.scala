@@ -68,7 +68,15 @@ object SqlSurface {
     "cosine_sim" ->
       ((es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
     "l2_sq" ->
-      ((es: Seq[Expression]) => L2Squared(es.head, es(1))))
+      ((es: Seq[Expression]) => L2Squared(es.head, es(1))),
+    // size-independent centroid assignment: the centroid matrix is ONE
+    // array<array<double>> argument, the argmax a generated loop — flat
+    // plan size / compile time at any nLists (CentroidExpressions scaladoc)
+    "nearest_cell" ->
+      ((es: Seq[Expression]) => NearestCell(es.head, es(1))),
+    "nearest_cells" ->
+      ((es: Seq[Expression]) =>
+        NearestCells(es.head, es(1), intArg(es, 2, "nearest_cells"))))
 
   /** Sketch aggregates. Builders return the AggregateFunction; the
     * analyzer wraps it in an AggregateExpression (same as built-in sum). */
@@ -307,13 +315,27 @@ object SqlSurface {
     *
     * Threshold is the rational tauNum/tauDen (prefix lengths must be
     * integer-exact); the Jaccard compare runs as the same IEEE double
-    * division every engine computes identically. */
+    * division every engine computes identically.
+    *
+    * `shingleTable`: a SQL function body has no persist point, so the
+    * default body re-derives the shingle CTE for each of its FOUR
+    * consumers (signatures, doc frequencies, rarity ranks, intersection
+    * counts) — a measured 3× constant-factor tax over the Column twin at
+    * sf0.1 (SCALE.md). Passing the name of a pre-materialized (id, sh)
+    * view/table (the session admin computes
+    * `SELECT id, explode(graft_shingles(text, n)) AS sh FROM t`, persists
+    * it, and registers the view — the "bake config at registration"
+    * pattern this family already follows) makes every consumer a cache
+    * read instead of a re-explode. Contents must equal the default
+    * derivation; the q216 oracle then holds the TVF to the identical
+    * hash either way. */
   def createLshEvalSampledFunction(spark: SparkSession,
       table: String = "documents", idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, k: Int = 16, bands: Int = 4,
       tauNum: Int = 1, tauDen: Int = 2, sampleMod: Int = 4,
       salt: String = "pairsample",
-      funcName: String = "graft_lsh_eval_sampled"): Unit = {
+      funcName: String = "graft_lsh_eval_sampled",
+      shingleTable: Option[String] = None): Unit = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       "tau must be a rational in (0, 1]")
@@ -333,6 +355,14 @@ object SqlSurface {
     // prefix length = sz − ⌈tau·sz⌉ + 1 and the PPJoin positional bound vs
     // α = ⌈tau·(a+b)/(1+tau)⌉, all integer arithmetic (Dedup
     // .prefixFilterPairs's formulas verbatim)
+    val shCte = shingleTable match {
+      case Some(st) =>
+        val qSt = st.split('.').map(quotePart).mkString(".")
+        s"SELECT $qId, sh FROM $qSt"
+      case None =>
+        s"""SELECT $qId, explode(graft_shingles($qText, $n)) AS sh
+           |  FROM $qTable""".stripMargin
+    }
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (n_cand BIGINT, n_true BIGINT, n_hit BIGINT,
@@ -340,8 +370,7 @@ object SqlSurface {
          |               recall_lo DOUBLE, recall_hi DOUBLE)
          |RETURN
          |WITH sh AS (
-         |  SELECT $qId, explode(graft_shingles($qText, $n)) AS sh
-         |  FROM $qTable),
+         |  $shCte),
          |mh AS (
          |  SELECT $qId, minhash_sketch(graft_md5int(sh), $k) AS sig
          |  FROM sh GROUP BY $qId),
@@ -421,11 +450,12 @@ object SqlSurface {
     * The registrar bakes the TRAINED CENTROIDS as literals (the "config
     * baked at registration" rule the other TVFs follow — a drift gate is
     * always evaluated against a specific trained model), together with
-    * the base/append split predicate. Assignment is the same argmax
-    * cascade over `dot_product` calls as `Similarity.nearestCentroid`
-    * (identical fused fold, identical (score, -index) tie-break), means
-    * and squared deltas follow the identical quantize→DECIMAL discipline,
-    * so the TVF is held hash-for-hash to q221's oracle (q223 ≙ q221). */
+    * the base/append split predicate. Assignment is the registered
+    * `nearest_cell` loop — the SAME expression `Similarity.nearestCentroid`
+    * builds (identical fold order and lowest-index tie-break, one matrix
+    * literal, flat compile time at any nLists) — and means/squared deltas
+    * follow the identical quantize→DECIMAL discipline, so the TVF is held
+    * hash-for-hash to q221's oracle (q223 ≙ q221). */
   def createCentroidDriftFunction(spark: SparkSession,
       cents: Seq[Array[Double]],
       table: String = "embeddings", idCol: String = "vec_id",
@@ -445,9 +475,9 @@ object SqlSurface {
     register(spark)
     def arr(a: Array[Double]): String =
       a.map(x => s"${x}D").mkString("array(", ",", ")")
-    val argmax = cents.zipWithIndex.map { case (c, i) =>
-      s"named_struct('s', dot_product(u, ${arr(c)}), 'ni', ${-i})"
-    }.mkString("array_max(array(", ",\n         ", ")).ni * -1")
+    // ONE matrix literal + the generated-loop argmax — plan size and
+    // compile time flat in nLists (the per-centroid named_struct cascade
+    // this replaces cost ~2 min of cold Janino at just 16 cells; SCALE.md)
     val centsLit = cents.map(arr).mkString("array(", ",", ")")
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
@@ -463,7 +493,7 @@ object SqlSurface {
          |                  ELSE v END AS u
          |      FROM n),
          |a AS (SELECT vid, nw, u,
-         |             $argmax AS cell
+         |             nearest_cell(u, $centsLit) AS cell
          |      FROM u),
          |cnt AS (SELECT cell,
          |               sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS n_base,

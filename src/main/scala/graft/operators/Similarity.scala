@@ -147,24 +147,27 @@ object Similarity {
       .select("qid", "nid", "cos")
   }
 
-  /** Index of the centroid with the highest dot product against `vec` —
-    * an argmax cascade over native DotProduct expressions against literal
-    * centroid arrays (compact codegen loops, like hyperplaneSig). Struct
-    * ordering gives the argmax: max by (score, -index) so ties take the
-    * lowest index deterministically. For unit vectors max-dot = nearest
-    * centroid in angular distance. */
+  /** Index of the centroid with the highest dot product against `vec`.
+    * For unit vectors max-dot = nearest centroid in angular distance.
+    * Ties take the lowest index deterministically.
+    *
+    * SIZE-INDEPENDENT: the centroids travel as ONE array-of-arrays
+    * literal and the argmax is a single generated loop
+    * ([[graft.functions.catalyst.NearestCell]]), so plan size and Janino
+    * compile time are flat in nLists. The previous struct-argmax cascade
+    * unrolled one dot-product expression per centroid — linear plan
+    * growth, with a measured ~2-minute cold compile at just 16 cells on
+    * the SQL-TVF twin (SCALE.md); production IVF wants nLists in the
+    * thousands. Scoring order, fold order, and tie-breaks are identical,
+    * so every oracle replay (q41/q140/q221–q223) hashes unchanged. */
   def nearestCentroid(vec: Column, cents: Seq[Array[Double]]): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dot(vec, typedlit(c)).as("s"), lit(-i).as("ni"))
-    }: _*)).getField("ni") * -1
+    graft.functions.catalyst.CentroidExpressions.nearestCell(vec, cents)
 
-  /** The `nProbe` centroid indices nearest to `vec`, best first. */
-  def nearestCentroids(vec: Column, cents: Seq[Array[Double]], nProbe: Int): Column = {
-    val scored = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(dot(vec, typedlit(c)).as("s"), lit(-i).as("ni"))
-    }: _*)
-    transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("ni") * -1)
-  }
+  /** The `nProbe` centroid indices nearest to `vec`, best first — same
+    * single-literal loop shape as [[nearestCentroid]] (bounded nProbe-slot
+    * insertion instead of sorting all cells). */
+  def nearestCentroids(vec: Column, cents: Seq[Array[Double]], nProbe: Int): Column =
+    graft.functions.catalyst.CentroidExpressions.nearestCells(vec, cents, nProbe)
 
   /** L2-normalized copy of an array column. The norm binds to a column
     * BEFORE the per-element divide — an inline norm inside the `transform`
@@ -321,6 +324,51 @@ object Similarity {
       .withColumn("cell", nearestCentroid(col("nu"), cents))
       .select("nid", "nvec", "cell")
       .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** Compact the small files [[appendToIvfIndex]] accumulates: every
+    * dynamic append writes ≥1 new parquet file per touched cell, so daily
+    * appends at 100 TB leave thousands of files per cell — scan cost
+    * (open/footer per file) grows with APPEND COUNT instead of data size.
+    * Cells whose file count exceeds `maxFilesPerCell` are rewritten to one
+    * file each: read ONLY the hot cells (partition pruning — cold cells
+    * are never touched), repartition by cell so each cell's rows land in
+    * one task, write to a sibling temp dir, then swap each compacted cell
+    * directory atomically via FS rename. Row content is untouched, so
+    * searches return identical results pre/post (IvfAppendSpec pins it)
+    * and the probed scan keeps its `PartitionFilters`. Returns the
+    * compacted cell ids. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxFilesPerCell: Int): Seq[Int] = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be ≥ 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val hot = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerCell
+      }
+      .map(_.getPath.getName.stripPrefix("cell=").toInt)
+      .sorted
+    if (hot.nonEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+      fs.delete(tmp, true)
+      // pruned read (only hot cells listed/read) — cold cells cost nothing
+      spark.read.parquet(path)
+        .where(col("cell").isin(hot: _*))
+        .repartition(hot.size, col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+      hot.foreach { c =>
+        val src = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
+        val dst = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+        require(fs.delete(dst, true) && fs.rename(src, dst),
+          s"compaction swap failed for cell $c")
+      }
+      fs.delete(tmp, true)
+    }
+    hot
+  }
 
   /** Search a written IVF index for one QUERY BATCH: the probed cell set
     * (≤ nQueries × nProbe ids, deduplicated — config-sized for a batch)
@@ -617,7 +665,7 @@ object Similarity {
       .groupBy("cell", "pos")
       .agg((sum(dround(col("x"), 6).cast(DecimalType(38, 8))).cast("double") /
         count(lit(1))).as("m"))
-    val centArr = typedlit(cents.map(_.toSeq))
+    val centArr = graft.functions.catalyst.CentroidExpressions.matrixLit(cents)
     val shift = means
       .withColumn("c", element_at(element_at(centArr, col("cell") + 1),
         col("pos") + 1))

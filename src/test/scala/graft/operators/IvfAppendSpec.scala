@@ -76,6 +76,46 @@ class IvfAppendSpec extends SparkSpec {
     assert(direct.map(_._2).exists(_ >= 6L))
   }
 
+  test("compactIvfIndex: file count drops, search results identical, pruning kept") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      nLists = 2, iters = 2)
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", cents, dir)
+    // three append batches → several small files per cell (the daily-append
+    // accumulation this compaction exists for)
+    Seq(appendIn,
+      appendIn.withColumn("vec_id", $"vec_id" + 10),
+      appendIn.withColumn("vec_id", $"vec_id" + 20))
+      .foreach(Similarity.appendToIvfIndex(_, "vec_id", "embedding", cents, dir))
+    def filesPerCell: Map[Int, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName.stripPrefix("cell=").toInt ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerCell
+    assert(before.values.exists(_ > 1), s"fixture built no small files: $before")
+    val full = base.unionByName(appendIn)
+      .unionByName(appendIn.withColumn("vec_id", $"vec_id" + 10))
+      .unionByName(appendIn.withColumn("vec_id", $"vec_id" + 20))
+    val queries = full.where($"vec_id" isin (0L, 6L, 17L))
+    def search() = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      "vec_id", "embedding", cents, nProbe = 1, k = 3)
+    val pre = search().as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache(); graft.PinnedFrames.release()
+    val compacted = Similarity.compactIvfIndex(spark, dir, maxFilesPerCell = 1)
+    assert(compacted == before.filter(_._2 > 1).keys.toSeq.sorted)
+    val after = filesPerCell
+    compacted.foreach(c => assert(after(c) == 1, s"cell $c: ${after(c)} files"))
+    // untouched cells keep their files (compaction never rewrites cold cells)
+    before.filter(_._2 <= 1).foreach { case (c, n) => assert(after(c) == n) }
+    val post = search()
+    assert(post.as[(Long, Long, Double)].collect().toSet == pre)
+    val plan = post.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+    spark.catalog.clearCache(); graft.PinnedFrames.release()
+  }
+
   test("drift report: exact counts, residual shift in-distribution, loud shift out") {
     val centsBase = Similarity.trainCentroids(base, "vec_id", "embedding",
       nLists = 2, iters = 2)
