@@ -555,28 +555,70 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .filter(_._2 == "image")
       .mapPartitions { it =>
-        it.map { case (id, _, bytes) =>
-          val img = readImage(bytes)
-          val (w, h) = (img.getWidth, img.getHeight)
-          def gray(gx: Int, gy: Int): Int = {
-            val x = gx * w / (gw + 1)
-            val y = gy * h / gh
-            val rgb = img.getRGB(x, y)
-            (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
-          }
-          var hash = 0L
-          var j = 0
-          while (j < gh) {
-            var i = 0
-            while (i < gw) {
-              if (gray(i + 1, j) > gray(i, j)) hash |= 1L << (j * gw + i)
-              i += 1
-            }
-            j += 1
-          }
-          (id, hash)
-        }
+        it.map { case (id, _, bytes) => (id, dHashOf(readImage(bytes), gw, gh)) }
       }
       .toDF(idCol, "dhash")
+  }
+
+  /** dHash of one decoded image: (gw+1)×gh NN-sampled luminance grid, one
+    * bit per horizontally-adjacent pair (left < right), little-endian —
+    * the [[dHashImages]] construction, shared with the per-frame video
+    * path. */
+  private def dHashOf(img: java.awt.image.BufferedImage, gw: Int,
+                      gh: Int): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def gray(gx: Int, gy: Int): Int = {
+      val x = gx * w / (gw + 1)
+      val y = gy * h / gh
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    var hash = 0L
+    var j = 0
+    while (j < gh) {
+      var i = 0
+      while (i < gw) {
+        if (gray(i + 1, j) > gray(i, j)) hash |= 1L << (j * gw + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  final case class VideoFrameHash(doc_id: Long, n_frames: Int,
+                                  frame_idx: Int, dhash: Long)
+
+  /** Per-frame perceptual hashes of a video column — the fingerprint
+    * SEQUENCE that video near-duplicate detection bands over: parse the
+    * GVID container, decode every `stride`-th frame through the real PNG
+    * codec ([[sampleVideoFrames]]' skip-by-length contract — unsampled
+    * frames are never parsed, so hash cost scales with KEPT frames), and
+    * dHash each decoded frame exactly as [[dHashImages]] does a still.
+    * Map-only; one output row per sampled frame. */
+  def dHashVideoFrames(df: DataFrame, idCol: String, stride: Int,
+                       gw: Int = 8, gh: Int = 4): Dataset[VideoFrameHash] = {
+    require(stride >= 1, "stride must be ≥ 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(new String(magic, "US-ASCII") == "GVID",
+          s"not a GVID container (doc $id)")
+        val n = in.readInt()
+        (0 until n).flatMap { f =>
+          val len = in.readInt()
+          if (f % stride != 0) { in.skipBytes(len); None }
+          else {
+            val frame = new Array[Byte](len)
+            in.readFully(frame)
+            Some(VideoFrameHash(id, n, f, dHashOf(readImage(frame), gw, gh)))
+          }
+        }
+      }
   }
 }

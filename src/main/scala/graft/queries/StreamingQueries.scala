@@ -19,6 +19,13 @@ object StreamingQueries {
   private val MfCap = 128
   private val MfThreshold = 0.9
 
+  // q227 (cross-modal margin alignment) constants
+  private val MmPlanes = 8
+  private val MmTables = 4
+  private val MmCap = 256
+  private val MmK = 4
+  private val MmMargin = 1.0
+
   val all: Seq[Q] = Seq(
 
     Q.sql("q29_hourly_events",
@@ -335,6 +342,139 @@ object StreamingQueries {
         .select(col("id_a"), col("id_b"),
           graft.queries.Qutil.dround(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
+    },
+
+    // VIDEO near-duplicate detection — the modality×dedup matrix's last
+    // cell, composed from the verified parts: sampled-frame REAL PNG
+    // decode (q225's skip-by-length contract — unsampled frames are never
+    // parsed) → per-frame dHash (q203's construction) → per-video
+    // fingerprint SEQUENCE → byte-banded LSH keyed by (frame_idx, band,
+    // byte) → exact per-frame Hamming verify with a matched-frame-fraction
+    // threshold (never all-pairs; hot buckets capped). The decoded hash
+    // frame is pinned once and feeds banding AND verification — decode
+    // cost is one pass over kept frames at any scale. The oracle replays
+    // frame ids → pixels → grid grays → hash bits → bands → cap →
+    // Hamming → fraction, so a hash match proves the pipeline ran on
+    // genuinely parsed containers end to end.
+    Q.sql("q226_video_neardup",
+      """WITH v AS (
+        |  SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS n FROM documents),
+        |fr AS (
+        |  SELECT doc_id, f.range AS f, doc_id*1000 + f.range AS fid,
+        |         (doc_id*1000 + f.range) % 8 + 2 AS w,
+        |         (doc_id*1000 + f.range) % 6 + 2 AS h
+        |  FROM v, range(0, 7) f WHERE f.range < n AND f.range % 2 = 0),
+        |g AS (
+        |  SELECT fr.doc_id, fr.f,
+        |         CAST(SUM(CASE WHEN
+        |           ((fid*31 + (((gx.range+1)*w)//9)*7 + ((gy.range*h)//4)*13) % 256
+        |            + (fid*17 + (((gx.range+1)*w)//9)*11 + ((gy.range*h)//4)*5) % 256
+        |            + (fid*7  + (((gx.range+1)*w)//9)*3  + ((gy.range*h)//4)*19) % 256) // 3
+        |           >
+        |           ((fid*31 + ((gx.range*w)//9)*7 + ((gy.range*h)//4)*13) % 256
+        |            + (fid*17 + ((gx.range*w)//9)*11 + ((gy.range*h)//4)*5) % 256
+        |            + (fid*7  + ((gx.range*w)//9)*3  + ((gy.range*h)//4)*19) % 256) // 3
+        |           THEN (CAST(1 AS BIGINT) << CAST(gy.range*8 + gx.range AS INT))
+        |           ELSE 0 END) AS BIGINT) AS dhash
+        |  FROM fr, range(0, 8) gx, range(0, 4) gy
+        |  GROUP BY 1, 2),
+        |band AS (
+        |  SELECT doc_id, f, dhash, k.range AS k,
+        |         (dhash >> CAST(k.range*8 AS INT)) & 255 AS b
+        |  FROM g, range(0, 4) k),
+        |ok AS (SELECT f, k, b FROM band GROUP BY 1, 2, 3
+        |       HAVING count(*) <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM band a
+        |  JOIN ok o ON o.f = a.f AND o.k = a.k AND o.b = a.b
+        |  JOIN band c ON c.f = a.f AND c.k = a.k AND c.b = a.b
+        |              AND a.doc_id < c.doc_id),
+        |pf AS (
+        |  SELECT cand.id_a, cand.id_b, ga.f,
+        |         bit_count(xor(ga.dhash, gb.dhash)) AS ham
+        |  FROM cand
+        |  JOIN g ga ON ga.doc_id = cand.id_a
+        |  JOIN g gb ON gb.doc_id = cand.id_b AND gb.f = ga.f),
+        |agg AS (
+        |  SELECT id_a, id_b, count(*) AS n_common,
+        |         CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_matched
+        |  FROM pf GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, n_matched,
+        |       floor(CAST(n_matched AS DOUBLE) / n_common * 1000000 + 0.5)
+        |         / 1000000 AS match_frac
+        |FROM agg WHERE n_matched * 2 >= n_common
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val media = Multimodal.withVideoMedia(
+        graft.io.Tables.documents(s, d), "doc_id")
+      // decoded ONCE: the frame-hash table feeds banding (twice via the
+      // self-join) and the per-frame verify (twice) — uncached, each
+      // consumer would re-decode every sampled frame (caller-released pin)
+      val fh = graft.PinnedFrames.pin(
+        Multimodal.dHashVideoFrames(media, "doc_id", stride = 2).toDF()
+          .select("doc_id", "frame_idx", "dhash").persist())
+      val band = fh.select(col("doc_id"), col("frame_idx"), col("dhash"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("b", expr("shiftright(dhash, cast(k * 8 as int)) & 255"))
+        .select("doc_id", "frame_idx", "k", "b")
+      val ok = band.groupBy("frame_idx", "k", "b").agg(count(lit(1)).as("n"))
+        .where(col("n") <= 50).select("frame_idx", "k", "b")
+      val bandOk = band.join(ok, Seq("frame_idx", "k", "b"))
+      // id-only candidates (the q217 discipline): the bucket self-join and
+      // the distinct shuffle ids only; hashes re-attach from the pinned
+      // frame afterwards
+      val cand = bandOk.select(col("doc_id").as("id_a"),
+          col("frame_idx"), col("k"), col("b"))
+        .join(bandOk.select(col("doc_id").as("id_b"),
+          col("frame_idx"), col("k"), col("b")),
+          Seq("frame_idx", "k", "b"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val pf = cand
+        .join(fh.select(col("doc_id").as("id_a"), col("frame_idx"),
+          col("dhash").as("ha")), Seq("id_a"))
+        .join(fh.select(col("doc_id").as("id_b"), col("frame_idx"),
+          col("dhash").as("hb")), Seq("id_b", "frame_idx"))
+        .withColumn("ham", expr("bit_count(ha ^ hb)"))
+      pf.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"),
+          sum(when(col("ham") <= 8, 1L).otherwise(0L)).as("n_matched"))
+        .where(col("n_matched") * 2 >= col("n_common"))
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_matched"),
+          graft.queries.Qutil.dround(
+            col("n_matched").cast("double") / col("n_common"), 6)
+            .as("match_frac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // CROSS-MODAL alignment end to end: REAL decoded image pixels →
+    // pooled 8-dim feature vectors (Multimodal.mediaFeatures — the q220
+    // stage) aligned against TEXT-side embedding vectors (the embeddings
+    // table, sliced to the shared 8-dim space) through
+    // Similarity.marginMine UNCHANGED — the caption↔image mining shape the
+    // operator was built for, previously only exercised on same-space
+    // synthetic halves (q217's vec_id parity split). Candidates come from
+    // the shared hyperplane bands over the UNION of both modalities (one
+    // banding pass, capped hot buckets), margins normalize by both sides'
+    // retrieved-k-NN averages, mutual best only. The oracle replays
+    // pixels → grays → bucket means → planes → buckets → cap → cosines →
+    // k-NN averages → margins → mutual argmax, so a hash match proves the
+    // decode output composes with the alignment operator bit-for-bit.
+    Q.sql("q227_crossmodal_margin_align", crossModalOracle) { (s, d) =>
+      val lossless = graft.io.Tables.documents(s, d)
+        .where(col("doc_id") % 2 === 0 && col("doc_id") % 8 =!= 6)
+      val imgFeats = Multimodal.mediaFeatures(
+          Multimodal.withRealMedia(lossless, "doc_id"), "doc_id", dim = MfDim)
+        .select(col("doc_id").as("mid"), col("features").as("mvec"))
+      val txt = Tables.embeddings(s, d)
+        .select(col("vec_id").as("mid"),
+          expr(s"slice(cast(embedding as array<double>), 1, $MfDim)")
+            .as("mvec"))
+      graft.operators.Similarity.marginMine(imgFeats, txt, "mid", "mvec",
+          k = MmK, minMargin = MmMargin,
+          lsh = Some((MfDim, MmPlanes, MmTables)),
+          maxBucketSize = Some(MmCap))
+        .orderBy("src_id", "tgt_id")
     })
 
   // --- q220 oracle: pooled media features replayed in DuckDB ---
@@ -387,5 +527,95 @@ object StreamingQueries {
        |            JOIN f fc ON fc.doc_id = cand.id_b)
        |SELECT id_a, id_b, floor(cos * 1000000 + 0.5) / 1000000 AS cos
        |FROM s WHERE cos >= $MfThreshold ORDER BY 1, 2""".stripMargin
+  }
+
+  // --- q227 oracle: image pooled features (the q220 replay) aligned with
+  // sliced text embeddings through the FULL margin-mining machinery (the
+  // q217 replay) — pixels to mutual-best pairs in one DuckDB text. ---
+  private lazy val crossModalOracle: String = {
+    def planeLit(t: Int, p: Int): String =
+      graft.operators.Similarity.planeVec(t, p, MfDim)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def dotPlane(vec: String, t: Int, p: Int): String =
+      s"list_reduce(list_transform(generate_series(1, $MfDim), i -> $vec[i] * (${planeLit(t, p)})[i]), (a, b) -> a + b)"
+    val bandSelects = (0 until MmTables).map { t =>
+      val bucket = (0 until MmPlanes).map { p =>
+        s"(CASE WHEN ${dotPlane("v", t, p)} > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vid, side, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    def fold(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, $MfDim), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    def norm(v: String): String =
+      s"sqrt(list_reduce(list_transform($v, x -> x * x), (x, y) -> x + y))"
+    s"""WITH img AS (
+       |  SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 8 <> 6),
+       |px AS (
+       |  SELECT doc_id, (y.range * w + x.range) % $MfDim AS j,
+       |         ((doc_id*31 + x.range*7 + y.range*13) % 256
+       |        + (doc_id*17 + x.range*11 + y.range*5) % 256
+       |        + (doc_id*7  + x.range*3  + y.range*19) % 256) // 3 AS g
+       |  FROM img, range(0, 9) x, range(0, 7) y
+       |  WHERE x.range < w AND y.range < h),
+       |fb AS (SELECT doc_id, j, CAST(sum(g) AS DOUBLE) / count(*) - 128.0 AS fv
+       |       FROM px GROUP BY 1, 2),
+       |grid AS (SELECT i.doc_id, r.range AS j FROM img i, range(0, $MfDim) r),
+       |f AS (
+       |  SELECT g.doc_id, list(coalesce(fb.fv, 0.0) ORDER BY g.j) AS v
+       |  FROM grid g LEFT JOIN fb ON fb.doc_id = g.doc_id AND fb.j = g.j
+       |  GROUP BY g.doc_id),
+       |tgt AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$MfDim] AS v
+       |        FROM embeddings),
+       |e AS (SELECT doc_id AS vid, v, 0 AS side FROM f
+       |      UNION ALL SELECT vec_id AS vid, v, 1 AS side FROM tgt),
+       |b AS (
+       |  $bandSelects),
+       |ok AS (SELECT t, bucket FROM b GROUP BY t, bucket
+       |       HAVING count(*) <= $MmCap),
+       |c AS (SELECT b.vid, b.side, b.t, b.bucket FROM b
+       |      JOIN ok ON ok.t = b.t AND ok.bucket = b.bucket),
+       |cand AS (
+       |  SELECT DISTINCT x.vid AS src_id, y.vid AS tgt_id
+       |  FROM c x JOIN c y ON x.t = y.t AND x.bucket = y.bucket
+       |  WHERE x.side = 0 AND y.side = 1),
+       |s0 AS (
+       |  SELECT cand.src_id, cand.tgt_id,
+       |         floor((${fold("fa.v", "tb.v")}
+       |                / (${norm("fa.v")} * ${norm("tb.v")}))
+       |               * 1000000 + 0.5) / 1000000 AS cos
+       |  FROM cand
+       |  JOIN f fa ON fa.doc_id = cand.src_id
+       |  JOIN tgt tb ON tb.vec_id = cand.tgt_id),
+       |s AS (SELECT * FROM s0 WHERE cos > 0),
+       |rs AS (SELECT src_id, cos,
+       |              row_number() OVER (PARTITION BY src_id
+       |                                 ORDER BY cos DESC, tgt_id) AS rn
+       |       FROM s),
+       |avs AS (SELECT src_id,
+       |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+       |               / CAST(count(*) AS DOUBLE) AS av_s
+       |        FROM rs WHERE rn <= $MmK GROUP BY src_id),
+       |rt AS (SELECT tgt_id, cos,
+       |              row_number() OVER (PARTITION BY tgt_id
+       |                                 ORDER BY cos DESC, src_id) AS rn
+       |       FROM s),
+       |avt AS (SELECT tgt_id,
+       |               CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+       |               / CAST(count(*) AS DOUBLE) AS av_t
+       |        FROM rt WHERE rn <= $MmK GROUP BY tgt_id),
+       |m AS (SELECT s.src_id, s.tgt_id, s.cos,
+       |             s.cos / (0.5 * (av_s + av_t)) AS margin
+       |      FROM s JOIN avs USING (src_id) JOIN avt USING (tgt_id)),
+       |r AS (SELECT src_id, tgt_id, cos, margin,
+       |             row_number() OVER (PARTITION BY src_id
+       |                                ORDER BY margin DESC, tgt_id) AS r_s,
+       |             row_number() OVER (PARTITION BY tgt_id
+       |                                ORDER BY margin DESC, src_id) AS r_t
+       |      FROM m)
+       |SELECT src_id, tgt_id, cos,
+       |       floor(margin * 1000000 + 0.5) / 1000000 AS margin
+       |FROM r WHERE r_s = 1 AND r_t = 1 AND margin >= $MmMargin
+       |ORDER BY src_id, tgt_id""".stripMargin
   }
 }

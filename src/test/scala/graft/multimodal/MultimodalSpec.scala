@@ -142,6 +142,27 @@ class MultimodalSpec extends SparkSpec {
     assert(tr.container == "jpeg")
   }
 
+  test("JPEG content pin: committed fixture decodes to the pinned channel sums") {
+    // q30/q88 mask JPEG pixel sums NULL (DCT is not SQL-replayable), so the
+    // oracle verifies JPEG geometry/container only. This pins the CONTENT
+    // path instead: src/test/resources/fixtures/pinned_6.jpg is a committed
+    // real JPEG (tools/GenJpegFixture provenance) whose decoded channel sums
+    // were computed once through the same ImageIO decode — decodeMedia must
+    // reproduce them bit-exactly. A JDK/libjpeg rounding change fails here
+    // loudly instead of silently shifting decode output.
+    val in = getClass.getResourceAsStream("/fixtures/pinned_6.jpg")
+    assert(in != null, "fixture missing")
+    val bytes = in.readAllBytes(); in.close()
+    assert(bytes.length == 643) // the committed artifact, not a regeneration
+    val df = Seq((6L, "image", bytes)).toDF("doc_id", "kind", "payload")
+    val dec = Multimodal.decodeMedia(df, "doc_id").collect().head
+    assert(dec.container == "jpeg")
+    assert(dec.width.contains(8) && dec.height.contains(2))
+    assert(dec.sum_r.contains(3480L), s"sum_r=${dec.sum_r}")
+    assert(dec.sum_g.contains(2264L), s"sum_g=${dec.sum_g}")
+    assert(dec.sum_b.contains(992L), s"sum_b=${dec.sum_b}")
+  }
+
   test("video container: magic, frame sampling skips by length and decodes real PNGs") {
     val vid = Multimodal.videoPayload(5L)
     assert(new String(vid.take(4), "US-ASCII") == "GVID")
@@ -162,6 +183,25 @@ class MultimodalSpec extends SparkSpec {
     val expG = (for (x <- 0 until w; y <- 0 until h)
       yield Multimodal.pxG(fid, x, y).toLong).sum
     assert(f4.sum_g == expG)
+  }
+
+  test("dHashVideoFrames: per-frame hashes == dHashImages of each sampled frame") {
+    val media = Multimodal.withVideoMedia(Seq(5L, 8L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.dHashVideoFrames(media, "doc_id", stride = 2)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.dhash).toMap
+    // id 5: 7 frames → sampled 0,2,4,6; id 8: 4 frames → sampled 0,2
+    assert(got.keySet == Set((5L, 0), (5L, 2), (5L, 4), (5L, 6), (8L, 0), (8L, 2)))
+    // each sampled frame's hash equals dHashImages run on that frame's
+    // standalone PNG — the same decode, the same grid
+    for (((id, f), h) <- got) {
+      val fid = Multimodal.videoFrameId(id, f)
+      val still = Seq(fid).toDF("doc_id")
+      val frameMedia = still.as[Long].mapPartitions(_.map(i =>
+        (i, "image", Multimodal.pngPayload(i)))).toDF("doc_id", "kind", "payload")
+      val expected = Multimodal.dHashImages(frameMedia, "doc_id")
+        .as[(Long, Long)].collect().head._2
+      assert(h == expected, s"doc $id frame $f")
+    }
   }
 
   test("aHashAudio: fingerprint matches the formula replay over REAL WAV decodes") {
