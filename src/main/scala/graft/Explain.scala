@@ -116,6 +116,10 @@ object Explain {
           l.contains("ReadSchema") || l.contains("Arguments: [broadcast"))
         .mkString("\n"))
       sb.append("\n```\n")
+      // explain analysis can trigger operator-internal pins (the TVF
+      // registrations, banded frames); release per query like the runners
+      graft.PinnedFrames.release()
+      spark.catalog.clearCache()
     }
     Files.writeString(Paths.get("EXPLAIN_PLANS.md"),
       "# Physical plans (auto-generated by graft.Explain)\n" + sb.toString)

@@ -12,6 +12,8 @@ object ReuseProbe {
     val plan = df.queryExecution.executedPlan.toString
     println("HAS_REUSE=" + plan.contains("ReusedExchange"))
     println(plan.split('\n').take(30).mkString("\n"))
+    graft.PinnedFrames.release()
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

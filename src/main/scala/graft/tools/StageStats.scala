@@ -67,6 +67,10 @@ object StageStats {
       }
       perStage.clear()
     }
+    // run 2 deliberately reuses run 1's caches (steady-state stage stats);
+    // release only after both runs
+    graft.PinnedFrames.release()
+    spark.catalog.clearCache()
     spark.stop()
   }
 }
