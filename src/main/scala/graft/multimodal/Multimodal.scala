@@ -414,6 +414,9 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
+          require(kind == "image" || kind == "audio",
+            s"transformMedia supports image|audio payloads, got kind='$kind' " +
+              s"for doc $id (video rows go through sampleVideoFrames)")
           if (kind == "image") {
             val img = readImage(bytes)
             val (w, h) = (img.getWidth, img.getHeight)
@@ -466,6 +469,9 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
+          require(kind == "image" || kind == "audio",
+            s"decodeMedia supports image|audio payloads, got kind='$kind' " +
+              s"for doc $id (video rows go through sampleVideoFrames)")
           if (kind == "image") {
             val img = readImage(bytes)
             val (w, h) = (img.getWidth, img.getHeight)

@@ -177,14 +177,20 @@ object SqlSurfaceQueries {
         SqlSurface.register(s)
         // pre-materialized shingle view (the registrar's shingleTable
         // option): a SQL function body has no persist point, so the
-        // default body re-exploded shingles once per consumer — measured
-        // 3.3× over the q216 Column twin at sf0.1. The session admin
-        // computes the IDENTICAL derivation once, persists it, and the
-        // TVF's four consumers become cache reads. Pinned (caller-
+        // default body re-exploded shingles once per consumer (SIX scans:
+        // mh, dfreq, rk, sz, ti×2) — measured 3.3× over the q216 Column
+        // twin at sf0.1. The session admin computes the IDENTICAL
+        // derivation once, persists it, and the TVF's consumers become
+        // cache reads. DISK_ONLY, deliberately: the exploded shingle
+        // frame at 100× data is large enough that a memory-tier cache
+        // fights the verify join's execution memory (measured 258 s vs
+        // 181 s uncached at sf10); disk-resident columnar batches keep
+        // the sf0.1 win without the memory contention. Pinned (caller-
         // released) like every operator-internal persist.
         val sh = graft.PinnedFrames.pin(s.sql(
           s"SELECT doc_id, explode(graft_shingles(text, $ShingleN)) AS sh " +
-            "FROM documents").persist())
+            "FROM documents")
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
         sh.createOrReplaceTempView("doc_shingles")
         SqlSurface.createLshEvalSampledFunction(s,
           table = "documents", idCol = "doc_id", textCol = "text",
