@@ -76,7 +76,9 @@ object SqlSurface {
       ((es: Seq[Expression]) => NearestCell(es.head, es(1))),
     "nearest_cells" ->
       ((es: Seq[Expression]) =>
-        NearestCells(es.head, es(1), intArg(es, 2, "nearest_cells"))))
+        NearestCells(es.head, es(1), intArg(es, 2, "nearest_cells"))),
+    "nearest_code_l2" ->
+      ((es: Seq[Expression]) => NearestCodeL2(es.head, es(1))))
 
   /** Sketch aggregates. Builders return the AggregateFunction; the
     * analyzer wraps it in an AggregateExpression (same as built-in sum). */

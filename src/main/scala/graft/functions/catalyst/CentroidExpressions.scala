@@ -342,6 +342,117 @@ case class NearestCells(left: Expression, right: Expression, nProbe: Int)
     copy(left = l, right = r)
 }
 
+/** Argmin squared-L2 code assignment — the PQ sibling of [[NearestCell]]:
+  * codebooks as ONE matrix value, the argmin as a loop, ties to the LOWEST
+  * code id (exactly the `array_min(struct(l2_sq, code))` cascade this
+  * replaces — ascending scan + strictly-smaller replacement). The cascade
+  * unrolled nSub × nCodes L2Squared expressions through pqTopK/ivfPqTopK;
+  * production PQ (nCodes = 256) hits the same compile ceiling the centroid
+  * cascade did. The distance is the same sequential (x−y)² left fold as
+  * [[L2Squared]], so q119/q140 oracle replays hash unchanged. */
+case class NearestCodeL2(left: Expression, right: Expression)
+    extends BinaryExpression with CentroidMatrixSupport {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    CentroidExpressions.checkVecMatrix(prettyName, left, right)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_code_l2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    folded match {
+      case Some((flat, offs)) =>
+        val nc = offs.length - 1
+        var best = Double.PositiveInfinity
+        var bi = -1
+        var c = 0
+        while (c < nc) {
+          val n = math.min(v.numElements(), offs(c + 1) - offs(c))
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val d = v.getDouble(i) - flat(offs(c) + i); acc += d * d; i += 1
+          }
+          if (acc < best) { best = acc; bi = c }
+          c += 1
+        }
+        bi
+      case None =>
+        val m = b.asInstanceOf[ArrayData]
+        val nc = m.numElements()
+        var best = Double.PositiveInfinity
+        var bi = -1
+        var c = 0
+        while (c < nc) {
+          val cv = m.getArray(c)
+          val n = math.min(v.numElements(), cv.numElements())
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            val d = v.getDouble(i) - cv.getDouble(i); acc += d * d; i += 1
+          }
+          if (acc < best) { best = acc; bi = c }
+          c += 1
+        }
+        bi
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val body = folded match {
+        case Some((flat, offs)) =>
+          val flatRef = ctx.addReferenceObj("codeFlat", flat, "double[]")
+          val offsRef = ctx.addReferenceObj("codeOffs", offs, "int[]")
+          val base = ctx.freshName("base")
+          s"""
+             |for (int $c = 0; $c < ${offs.length - 1}; $c++) {
+             |  int $base = $offsRef[$c];
+             |  int $n = java.lang.Math.min($a.numElements(), $offsRef[$c + 1] - $base);
+             |  double $acc = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double $d = $a.getDouble($i) - $flatRef[$base + $i];
+             |    $acc += $d * $d;
+             |  }
+             |  if ($acc < $best) { $best = $acc; $bi = $c; }
+             |}
+           """.stripMargin
+        case None =>
+          val nc = ctx.freshName("nc")
+          val cv = ctx.freshName("cv")
+          s"""
+             |int $nc = $b.numElements();
+             |for (int $c = 0; $c < $nc; $c++) {
+             |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $b.getArray($c);
+             |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+             |  double $acc = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double $d = $a.getDouble($i) - $cv.getDouble($i);
+             |    $acc += $d * $d;
+             |  }
+             |  if ($acc < $best) { $best = $acc; $bi = $c; }
+             |}
+           """.stripMargin
+      }
+      s"""
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bi = -1;
+         |$body
+         |${ev.value} = $bi;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCodeL2 =
+    copy(left = l, right = r)
+}
+
 object CentroidExpressions {
 
   private[catalyst] def checkVecMatrix(name: String, vec: Expression,
@@ -387,4 +498,14 @@ object CentroidExpressions {
     * lookups). */
   def matrixLit(cents: Seq[Array[Double]]): Column =
     GraftColumnBridge.column(CentroidMatrixLiteral(cents.map(_.toSeq)))
+
+  /** PQ code assignment against a trained codebook (compact matrix). */
+  def nearestCodeL2(vec: Column, codes: Seq[Array[Double]]): Column =
+    GraftColumnBridge.column(NearestCodeL2(
+      GraftColumnBridge.expression(vec),
+      CentroidMatrixLiteral(codes.map(_.toSeq))))
+
+  def nearestCodeL2(vec: Column, matrix: Column): Column =
+    GraftColumnBridge.column(NearestCodeL2(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(matrix)))
 }

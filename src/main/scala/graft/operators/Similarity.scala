@@ -447,16 +447,15 @@ object Similarity {
   // --- Product quantization (Jégou, Douze, Schmid: "Product Quantization
   // for Nearest Neighbor Search", TPAMI 2011) ---
 
-  /** Per-subspace argmin code under fused squared-L2, ties to the lowest
-    * code id. The struct array_min trick mirrors [[nearestCentroid]]:
-    * lexicographic min of (distance, code) is exactly (dist asc, code asc). */
+  /** Per-subspace argmin code under squared-L2, ties to the lowest code
+    * id — the size-independent loop ([[graft.functions.catalyst.NearestCodeL2]]),
+    * replacing the per-code `array_min(struct(l2_sq, code))` cascade that
+    * unrolled nSub × nCodes expressions (the same compile ceiling the
+    * centroid cascade had — production PQ wants nCodes = 256). Distance
+    * fold order and tie-breaks are identical, so q119/q140 oracle hashes
+    * are unchanged. */
   private def pqNearestCode(x: Column, codes: Seq[Array[Double]]): Column =
-    array_min(array(codes.zipWithIndex.map { case (c, ci) =>
-      struct(
-        graft.functions.catalyst.VectorExpressions
-          .l2Squared(x, typedlit(c.toSeq)).as("d"),
-        lit(ci).as("c"))
-    }: _*)).getField("c")
+    graft.functions.catalyst.CentroidExpressions.nearestCodeL2(x, codes)
 
   /** Deterministic PQ codebook training: split each UNIT vector into
     * `nSub` contiguous `dims/nSub`-dim subvectors and run plain-L2 Lloyd

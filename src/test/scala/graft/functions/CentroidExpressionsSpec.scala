@@ -69,6 +69,41 @@ class CentroidExpressionsSpec extends SparkSpec {
       assert(both.where(to_json($"loop") =!= to_json($"cascade")).count() == 0)
     }
 
+  // the round-11 PQ argmin cascade, verbatim (the reference semantics)
+  private def cascadeCodeL2(vec: org.apache.spark.sql.Column,
+                            cs: Seq[Array[Double]]): org.apache.spark.sql.Column =
+    array_min(array(cs.zipWithIndex.map { case (c, ci) =>
+      struct(graft.functions.catalyst.VectorExpressions
+        .l2Squared(vec, typedlit(c.toSeq)).as("d"), lit(ci).as("c"))
+    }: _*)).getField("c")
+
+  for (nCodes <- Seq(4, 64, 256))
+    test(s"NearestCodeL2 == struct-cascade argmin at nCodes=$nCodes") {
+      val cs = cents(nCodes)
+      val both = vecs.select(
+        graft.functions.catalyst.CentroidExpressions
+          .nearestCodeL2($"v", cs).as("loop"),
+        cascadeCodeL2($"v", cs).as("cascade"))
+      assert(both.where($"loop" =!= $"cascade").count() == 0)
+      assert(both.select("loop").distinct().count() > 1)
+    }
+
+  test("NearestCodeL2 exact ties take the LOWEST code id") {
+    val dup = cents(4).toArray
+    dup(3) = dup(0) // duplicate the nearest-by-construction candidates
+    val got = vecs.select(
+      graft.functions.catalyst.CentroidExpressions
+        .nearestCodeL2($"v", dup.toSeq).as("loop"),
+      cascadeCodeL2($"v", dup.toSeq).as("cascade")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // codes 0 and 3 are identical, so 3 can never win an argmin — a tie
+    // must resolve to the lower id on both formulations
+    assert(got.forall(_.getInt(0) != 3))
+    // and the duplicated code is actually the winner for some vectors
+    // (otherwise the tie branch was never exercised)
+    assert(got.exists(_.getInt(0) == 0))
+  }
+
   test("exact-tie vectors take the LOWEST cell index (both probes)") {
     // duplicate centroid ⇒ every vector scores cells 1 and 2 identically;
     // the contract (and the cascade's max-by (s, -i)) picks index 1
