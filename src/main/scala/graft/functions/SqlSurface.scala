@@ -497,17 +497,24 @@ object SqlSurface {
          |a AS (SELECT vid, nw, u,
          |             nearest_cell(u, $centsLit) AS cell
          |      FROM u),
-         |cnt AS (SELECT cell,
-         |               sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS n_base,
-         |               sum(CASE WHEN nw = 1 THEN 1 ELSE 0 END) AS n_new
-         |        FROM a GROUP BY cell),
-         |mq AS (SELECT cell, pos,
+         |-- the counts and the means both derive from ONE (cell, pos)
+         |-- aggregate: forking the body at `a` instead gave the two
+         |-- consumers different-grain exchanges, so the whole
+         |-- scan+normalize+assignment pipeline ran twice (a SQL body has
+         |-- no persist point); forking at `ms` makes both sides share an
+         |-- identical (cell, pos) exchange, which ReuseExchange computes
+         |-- once. Per-cell vector counts = the pos-0 row's counts (every
+         |-- vector contributes exactly one row per pos).
+         |mq AS (SELECT cell, nw, pos,
          |              CAST(floor(x * 1000000 + 0.5) / 1000000
          |                   AS DECIMAL(38, 8)) AS xq
          |       FROM a LATERAL VIEW posexplode(u) AS pos, x),
          |ms AS (SELECT cell, pos,
-         |              CAST(sum(xq) AS DOUBLE) / count(*) AS m
+         |              CAST(sum(xq) AS DOUBLE) / count(*) AS m,
+         |              sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END) AS n_base,
+         |              sum(CASE WHEN nw = 1 THEN 1 ELSE 0 END) AS n_new
          |       FROM mq GROUP BY cell, pos),
+         |cnt AS (SELECT cell, n_base, n_new FROM ms WHERE pos = 0),
          |sq AS (SELECT cell,
          |              CAST(floor((m - c) * (m - c) * 1000000000000 + 0.5)
          |                   / 1000000000000 AS DECIMAL(38, 14)) AS sq
