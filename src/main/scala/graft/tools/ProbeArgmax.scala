@@ -36,6 +36,25 @@ object ProbeArgmax {
     }
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // pq modes: the ivfPqTopK ENCODE shape — nSub=8 subspaces, each
+    // assigning its subvector against nLists codes (so the cascade
+    // instantiates 8 × nLists expressions in ONE projection, the real
+    // compile shape; the loop instantiates 8 matrix loops)
+    val nSub = 8
+    val subDim = dims / nSub
+    def pqAssign(s: Int): org.apache.spark.sql.Column = {
+      val sub = expr(s"slice(v, ${s * subDim + 1}, $subDim)")
+      val books = cents.map(_.slice(s * subDim % dims, s * subDim % dims + subDim))
+      mode match {
+        case "pqloop" =>
+          graft.functions.catalyst.CentroidExpressions.nearestCodeL2(sub, books)
+        case "pqcascade" =>
+          array_min(array(books.zipWithIndex.map { case (c, ci) =>
+            struct(graft.functions.catalyst.VectorExpressions
+              .l2Squared(sub, typedlit(c.toSeq)).as("d"), lit(ci).as("c"))
+          }: _*)).getField("c")
+      }
+    }
     def cell = mode match {
       case "loop" =>
         graft.functions.catalyst.CentroidExpressions.nearestCell(col("v"), cents)
@@ -46,7 +65,13 @@ object ProbeArgmax {
         }: _*)).getField("ni") * -1
       case other => sys.error(s"unknown mode $other")
     }
-    val q = emb.select(cell.as("cell")).groupBy("cell").count()
+    val q =
+      if (mode.startsWith("pq"))
+        // plain column sum (stays in whole-stage codegen — a HOF here would
+        // evaluate the assignments interpreted and hide the compile cost)
+        emb.select((0 until nSub).map(pqAssign).reduce(_ + _).as("cell"))
+          .groupBy("cell").count()
+      else emb.select(cell.as("cell")).groupBy("cell").count()
     val planChars = q.queryExecution.executedPlan.toString.length
     for (round <- 1 to 3) {
       val t0 = System.nanoTime()
