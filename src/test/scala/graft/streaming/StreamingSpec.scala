@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     assert(r == (("click", 2L, 3.0)))
   }
 
+  test("multimodal decode is batch/stream shared: streamed dHash ≡ batch dHash") {
+    // the modality×streaming cell: the REAL-codec decode operators are
+    // typed Dataset transforms (mapPartitions), so the SAME code runs over
+    // a stream — media ingested incrementally hashes identically to a
+    // batch re-run over the full corpus. Two micro-batches prove the
+    // per-batch decode composes; includes a JPEG id (deterministic decode,
+    // just not SQL-replayable).
+    import graft.multimodal.Multimodal
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Long]
+    val ids = Seq(2L, 4L, 6L, 8L, 10L, 16L)
+    val streamed = Multimodal.dHashImages(
+      Multimodal.withRealMedia(
+        in.toDF().withColumnRenamed("value", "doc_id"), "doc_id"), "doc_id")
+    val q = streamed.writeStream.format("memory").queryName("mm_dhash")
+      .outputMode("append").start()
+    in.addData(ids.take(3): _*)
+    q.processAllAvailable()
+    in.addData(ids.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("mm_dhash").as[(Long, Long)].collect().toMap
+    q.stop()
+    val batch = Multimodal.dHashImages(
+      Multimodal.withRealMedia(ids.toDF("doc_id"), "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == batch && got.keySet == ids.toSet)
+  }
+
   test("streaming curation pipeline: classifier→dedup→decontam→sample ≡ q100's batch composition") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
