@@ -73,7 +73,8 @@ object Explain {
       "q220_media_feature_neardup", "q221_ann_centroid_drift",
       "q222_ann_ivf_append", "q223_sql_drift_one_call",
       "q224_audio_fingerprint_neardup", "q225_video_frame_sample",
-      "q226_video_neardup", "q227_crossmodal_margin_align")
+      "q226_video_neardup", "q227_crossmodal_margin_align",
+      "q228_video_dedup_keepbest")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -356,7 +356,138 @@ object StreamingQueries {
     // frame ids → pixels → grid grays → hash bits → bands → cap →
     // Hamming → fraction, so a hash match proves the pipeline ran on
     // genuinely parsed containers end to end.
-    Q.sql("q226_video_neardup",
+    Q.sql("q226_video_neardup", q226OracleSql) { (s, d) =>
+      val (fh, agg) = videoNearDupAgg(s, d)
+      agg.select(col("id_a"), col("id_b"), col("n_common"), col("n_matched"),
+          graft.queries.Qutil.dround(
+            col("n_matched").cast("double") / col("n_common"), 6)
+            .as("match_frac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // Video near-dup CLUSTERS with a keep-best representative — the q226
+    // pairs composed with the verified dedup machinery
+    // (Dedup.duplicateClusters — alternating-propagation CC with lineage
+    // rebase, pair-bounded at scale) plus the keep-best rule every dedup
+    // pipeline ends with: per cluster keep the video with the MOST FRAMES
+    // (from the decoded container, not the id), ties to the lowest id.
+    // The oracle replays pairs → symmetric edges → recursive reachability
+    // min → frame-count argmax.
+    Q.sql("q228_video_dedup_keepbest", {
+      val pairCtes = q226PairCtes
+      s"""WITH RECURSIVE ${pairCtes.stripPrefix("WITH ")},
+         |dup AS (SELECT id_a, id_b FROM agg WHERE n_matched * 2 >= n_common),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, t.r FROM edges e JOIN reach t ON t.id = e.dst),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |kb AS (
+         |  SELECT id, cluster_id, CAST(id % 6 + 2 AS INT) AS n_frames,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |                            ORDER BY (id % 6 + 2) DESC, id) AS rn
+         |  FROM cc)
+         |SELECT id AS doc_id, cluster_id, n_frames, rn = 1 AS kept
+         |FROM kb ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val (fh, agg) = videoNearDupAgg(s, d)
+      val pairs = agg.where(col("n_matched") * 2 >= col("n_common"))
+        .select("id_a", "id_b")
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      // keep-best on the DECODED frame count (fh carries n_frames from the
+      // container parse), not the generator formula
+      val nf = fh.select(col("doc_id").as("id"), col("n_frames")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n_frames").desc, col("id").asc)
+      clusters.join(nf, "id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("id").as("doc_id"), col("cluster_id"), col("n_frames"),
+          (col("rn") === 1).as("kept"))
+        .orderBy("doc_id")
+    },
+
+    // CROSS-MODAL alignment end to end: REAL decoded image pixels →
+    // pooled 8-dim feature vectors (Multimodal.mediaFeatures — the q220
+    // stage) aligned against TEXT-side embedding vectors (the embeddings
+    // table, sliced to the shared 8-dim space) through
+    // Similarity.marginMine UNCHANGED — the caption↔image mining shape the
+    // operator was built for, previously only exercised on same-space
+    // synthetic halves (q217's vec_id parity split). Candidates come from
+    // the shared hyperplane bands over the UNION of both modalities (one
+    // banding pass, capped hot buckets), margins normalize by both sides'
+    // retrieved-k-NN averages, mutual best only. The oracle replays
+    // pixels → grays → bucket means → planes → buckets → cap → cosines →
+    // k-NN averages → margins → mutual argmax, so a hash match proves the
+    // decode output composes with the alignment operator bit-for-bit.
+    Q.sql("q227_crossmodal_margin_align", crossModalOracle) { (s, d) =>
+      val lossless = graft.io.Tables.documents(s, d)
+        .where(col("doc_id") % 2 === 0 && col("doc_id") % 8 =!= 6)
+      val imgFeats = Multimodal.mediaFeatures(
+          Multimodal.withRealMedia(lossless, "doc_id"), "doc_id", dim = MfDim)
+        .select(col("doc_id").as("mid"), col("features").as("mvec"))
+      val txt = Tables.embeddings(s, d)
+        .select(col("vec_id").as("mid"),
+          expr(s"slice(cast(embedding as array<double>), 1, $MfDim)")
+            .as("mvec"))
+      graft.operators.Similarity.marginMine(imgFeats, txt, "mid", "mvec",
+          k = MmK, minMargin = MmMargin,
+          lsh = Some((MfDim, MmPlanes, MmTables)),
+          maxBucketSize = Some(MmCap))
+        .orderBy("src_id", "tgt_id")
+    })
+
+  /** Shared Spark half of q226/q228: decode-once pinned frame-hash table +
+    * the banded-candidate → per-frame-Hamming aggregate (id_a, id_b,
+    * n_common, n_matched). */
+  private def videoNearDupAgg(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val media = Multimodal.withVideoMedia(graft.io.Tables.documents(s, d), "doc_id")
+    // decoded ONCE: the frame-hash table feeds banding (twice via the
+    // self-join) and the per-frame verify (twice) — uncached, each
+    // consumer would re-decode every sampled frame (caller-released pin)
+    val fh = graft.PinnedFrames.pin(
+      Multimodal.dHashVideoFrames(media, "doc_id", stride = 2).toDF()
+        .select("doc_id", "n_frames", "frame_idx", "dhash").persist())
+    val band = fh.select(col("doc_id"), col("frame_idx"), col("dhash"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("b", expr("shiftright(dhash, cast(k * 8 as int)) & 255"))
+      .select("doc_id", "frame_idx", "k", "b")
+    val ok = band.groupBy("frame_idx", "k", "b").agg(count(lit(1)).as("n"))
+      .where(col("n") <= 50).select("frame_idx", "k", "b")
+    val bandOk = band.join(ok, Seq("frame_idx", "k", "b"))
+    // id-only candidates (the q217 discipline): the bucket self-join and
+    // the distinct shuffle ids only; hashes re-attach from the pinned
+    // frame afterwards
+    val cand = bandOk.select(col("doc_id").as("id_a"),
+        col("frame_idx"), col("k"), col("b"))
+      .join(bandOk.select(col("doc_id").as("id_b"),
+        col("frame_idx"), col("k"), col("b")),
+        Seq("frame_idx", "k", "b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pf = cand
+      .join(fh.select(col("doc_id").as("id_a"), col("frame_idx"),
+        col("dhash").as("ha")), Seq("id_a"))
+      .join(fh.select(col("doc_id").as("id_b"), col("frame_idx"),
+        col("dhash").as("hb")), Seq("id_b", "frame_idx"))
+      .withColumn("ham", expr("bit_count(ha ^ hb)"))
+    val agg = pf.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"),
+        sum(when(col("ham") <= 8, 1L).otherwise(0L)).as("n_matched"))
+      .where(col("n_matched") * 2 >= col("n_common"))
+    (fh, agg)
+  }
+
+  /** Shared oracle CTE chain for q226/q228: documents → sampled frame ids →
+    * per-frame dHash replay → bands → cap → candidates → per-frame Hamming
+    * aggregate `agg` (id_a, id_b, n_common, n_matched ≥ half matched). */
+  /** Shared oracle CTE chain for q226/q228: documents -> sampled frame
+    * ids -> per-frame dHash replay -> bands -> cap -> candidates ->
+    * per-frame Hamming aggregate `agg` (id_a, id_b, n_common, n_matched;
+    * consumers apply the matched-majority filter). */
+  private lazy val q226PairCtes: String =
       """WITH v AS (
         |  SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS n FROM documents),
         |fr AS (
@@ -401,81 +532,17 @@ object StreamingQueries {
         |         CAST(sum(CASE WHEN ham <= 8 THEN 1 ELSE 0 END) AS BIGINT)
         |           AS n_matched
         |  FROM pf GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, n_matched,
-        |       floor(CAST(n_matched AS DOUBLE) / n_common * 1000000 + 0.5)
-        |         / 1000000 AS match_frac
-        |FROM agg WHERE n_matched * 2 >= n_common
-        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      val media = Multimodal.withVideoMedia(
-        graft.io.Tables.documents(s, d), "doc_id")
-      // decoded ONCE: the frame-hash table feeds banding (twice via the
-      // self-join) and the per-frame verify (twice) — uncached, each
-      // consumer would re-decode every sampled frame (caller-released pin)
-      val fh = graft.PinnedFrames.pin(
-        Multimodal.dHashVideoFrames(media, "doc_id", stride = 2).toDF()
-          .select("doc_id", "frame_idx", "dhash").persist())
-      val band = fh.select(col("doc_id"), col("frame_idx"), col("dhash"),
-          explode(sequence(lit(0), lit(3))).as("k"))
-        .withColumn("b", expr("shiftright(dhash, cast(k * 8 as int)) & 255"))
-        .select("doc_id", "frame_idx", "k", "b")
-      val ok = band.groupBy("frame_idx", "k", "b").agg(count(lit(1)).as("n"))
-        .where(col("n") <= 50).select("frame_idx", "k", "b")
-      val bandOk = band.join(ok, Seq("frame_idx", "k", "b"))
-      // id-only candidates (the q217 discipline): the bucket self-join and
-      // the distinct shuffle ids only; hashes re-attach from the pinned
-      // frame afterwards
-      val cand = bandOk.select(col("doc_id").as("id_a"),
-          col("frame_idx"), col("k"), col("b"))
-        .join(bandOk.select(col("doc_id").as("id_b"),
-          col("frame_idx"), col("k"), col("b")),
-          Seq("frame_idx", "k", "b"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-      val pf = cand
-        .join(fh.select(col("doc_id").as("id_a"), col("frame_idx"),
-          col("dhash").as("ha")), Seq("id_a"))
-        .join(fh.select(col("doc_id").as("id_b"), col("frame_idx"),
-          col("dhash").as("hb")), Seq("id_b", "frame_idx"))
-        .withColumn("ham", expr("bit_count(ha ^ hb)"))
-      pf.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"),
-          sum(when(col("ham") <= 8, 1L).otherwise(0L)).as("n_matched"))
-        .where(col("n_matched") * 2 >= col("n_common"))
-        .select(col("id_a"), col("id_b"), col("n_common"), col("n_matched"),
-          graft.queries.Qutil.dround(
-            col("n_matched").cast("double") / col("n_common"), 6)
-            .as("match_frac"))
-        .orderBy("id_a", "id_b")
-    },
+        |""".stripMargin.trim
 
-    // CROSS-MODAL alignment end to end: REAL decoded image pixels →
-    // pooled 8-dim feature vectors (Multimodal.mediaFeatures — the q220
-    // stage) aligned against TEXT-side embedding vectors (the embeddings
-    // table, sliced to the shared 8-dim space) through
-    // Similarity.marginMine UNCHANGED — the caption↔image mining shape the
-    // operator was built for, previously only exercised on same-space
-    // synthetic halves (q217's vec_id parity split). Candidates come from
-    // the shared hyperplane bands over the UNION of both modalities (one
-    // banding pass, capped hot buckets), margins normalize by both sides'
-    // retrieved-k-NN averages, mutual best only. The oracle replays
-    // pixels → grays → bucket means → planes → buckets → cap → cosines →
-    // k-NN averages → margins → mutual argmax, so a hash match proves the
-    // decode output composes with the alignment operator bit-for-bit.
-    Q.sql("q227_crossmodal_margin_align", crossModalOracle) { (s, d) =>
-      val lossless = graft.io.Tables.documents(s, d)
-        .where(col("doc_id") % 2 === 0 && col("doc_id") % 8 =!= 6)
-      val imgFeats = Multimodal.mediaFeatures(
-          Multimodal.withRealMedia(lossless, "doc_id"), "doc_id", dim = MfDim)
-        .select(col("doc_id").as("mid"), col("features").as("mvec"))
-      val txt = Tables.embeddings(s, d)
-        .select(col("vec_id").as("mid"),
-          expr(s"slice(cast(embedding as array<double>), 1, $MfDim)")
-            .as("mvec"))
-      graft.operators.Similarity.marginMine(imgFeats, txt, "mid", "mvec",
-          k = MmK, minMargin = MmMargin,
-          lsh = Some((MfDim, MmPlanes, MmTables)),
-          maxBucketSize = Some(MmCap))
-        .orderBy("src_id", "tgt_id")
-    })
+  private lazy val q226OracleSql: String =
+    s"""$q226PairCtes
+       |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common, n_matched,
+       |       floor(CAST(n_matched AS DOUBLE) / n_common * 1000000 + 0.5)
+       |         / 1000000 AS match_frac
+       |FROM agg WHERE n_matched * 2 >= n_common
+       |ORDER BY 1, 2""".stripMargin
+
+
 
   // --- q220 oracle: pooled media features replayed in DuckDB ---
   private lazy val mediaFeatureOracle: String = {
