@@ -71,6 +71,44 @@ object Dedup {
       col(idCol) +: (0 until k).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
   }
 
+  /** Row-wise MinHash + banding — the STREAMING-SAFE form of
+    * [[minhashSignatures]] + [[lshCandidatePairs]]'s band table: identical
+    * hash-family arithmetic and band signature (md5 over the comma-joined
+    * minhash slice), but computed per ROW over the in-row shingle array
+    * instead of per GROUP over the exploded shingle table, so it is a
+    * stateless map usable under a streaming plan (no blind aggregate).
+    * Batch and stream therefore share one definition of "same bucket":
+    * StreamingSpec pins the streamed candidate pairs set-equal to
+    * [[lshCandidatePairs]] on the same corpus.
+    *
+    * Intermediate arrays are bound as real columns before any lambda
+    * consumes them (the shinglesFromWords lesson — a higher-order
+    * function's lambda body re-evaluates inline subtrees per element).
+    * Docs with zero shingles emit no rows, matching the aggregate path
+    * (no shingle rows → no signature group). Output: (idCol, band, bsig),
+    * `bands` rows per surviving doc. */
+  def bandedRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+                 k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val hashed = df
+      .withColumn("__ws", words(col(textCol)))
+      .withColumn("__sh", shinglesFromWords(col("__ws"), n))
+      .where(size(col("__sh")) > 0)
+      .withColumn("__hs", transform(col("__sh"), s => md5Int(s)))
+    val mh = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("__hs"), h => (h * a + b) % HashM)).as(s"mh_$i")
+    }
+    val sig = hashed.select(col(idCol) +: mh: _*)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", cols: _*).cast("binary")).as("bsig"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Skew guard for banded pair joins: a band signature shared by b docs

@@ -617,6 +617,41 @@ object Similarity {
       Seq("adc" -> true, "nid" -> false), k)
   }
 
+  /** Exact-cosine RERANK of coarse ANN candidates — the second stage of
+    * the production two-stage retrieval shape (coarse quantized recall →
+    * exact precision; FAISS's `IndexRefineFlat` role). The coarse stage
+    * (IVF/PQ/LSH) over-fetches `rerankDepth` candidates per query from
+    * compressed storage; this stage re-scores ONLY those candidates with
+    * the exact cosine over the full float vectors and keeps the true
+    * top-k, repairing quantization-induced rank inversions without ever
+    * touching the rest of the corpus.
+    *
+    * Scale shape: `candidates` is id-only and query-batch-bounded
+    * (nQueries × rerankDepth — config-sized, broadcast), so the full
+    * vectors are fetched by ONE equi-join against the corpus (the corpus
+    * never reshuffles and only candidate rows' vectors travel — the
+    * engine-wide id-only candidate rule) and the query vectors arrive by
+    * broadcast. At 100 TB the corpus side is a pruned point-lookup scan;
+    * nothing quadratic, nothing collected. Scoring is the same fused
+    * [[cosine]] expression as [[bruteForceTopK]] with the same
+    * (cos desc, nid) tie-break, so a rerank over the FULL corpus as its
+    * candidate set degenerates to exactly `bruteForceTopK`. */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = c
+      .join(broadcast(candidates.select("qid", "nid")), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+      .select("qid", "nid", "cos")
+    graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
+      Seq("cos" -> true, "nid" -> false), k)
+  }
+
   /** Centroid-drift report — the rebuild gate for APPEND-ONLY IVF index
     * maintenance. A 100 TB corpus takes daily appends, and re-running
     * Lloyd over the full corpus per append is the real-world cost cliff;

@@ -16,6 +16,7 @@ object SimilarityQueries {
   private val Dims = 64
   private val TopK = 5
   private val NQueries = 8 // query set = vec_id < 8
+  private val RerankDepth = 20 // q229 coarse over-fetch per query
   private val NearDupTau = 0.35 // synthetic embeddings are near-orthogonal;
                                 // 0.35 yields a few hundred pairs at sf0.01
   private val PcaIters = 4      // q182 power-iteration rounds (CTE-replayed)
@@ -543,6 +544,82 @@ object SimilarityQueries {
         nLists = 16, iters = 3)
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", cents,
           nProbe = 4, dims = Dims, nSub = 8, nCodes = 16, iters = 2, k = TopK)
+        .orderBy("qid", "nid")
+    },
+
+    // TWO-STAGE retrieval (Similarity.ivfPqTopK → Similarity.rerankExact):
+    // the production shape — the compressed IVF+PQ index over-fetches
+    // RerankDepth candidates per query (cheap ADC scoring over code
+    // bytes), then ONLY those candidates are re-scored with the exact
+    // cosine over the full float vectors and the true top-k kept. The
+    // rerank repairs quantization-induced rank inversions without
+    // touching the rest of the corpus: candidates travel id-only, the
+    // corpus vectors arrive by one equi-join, the query vectors by
+    // broadcast. The oracle chains q140's full double-training replay
+    // with the rerank's exact-cosine window — both stages hash-exact.
+    Q.sql("q229_ivfpq_rerank", {
+      val nLists = 16; val ivfIters = 3; val nProbe = 4
+      val nSub = 8; val nCodes = 16; val pqIters = 2; val subDim = Dims / nSub
+      def foldDotSub(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, $subDim), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+      s"""WITH ${lloydPrelude(nLists, ivfIters, 6)},
+         |${pqPrelude(nSub, nCodes, pqIters, 6, includeBase = false)},
+         |probes AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM u s CROSS JOIN centlist$ivfIters c
+         |    WHERE s.vec_id < $NQueries)
+         |  WHERE rn <= $nProbe),
+         |qs AS (
+         |  SELECT vec_id AS qid, s,
+         |         u[(s * $subDim + 1):(s * $subDim + $subDim)] AS qx
+         |  FROM (SELECT vec_id, u, unnest(generate_series(0, ${nSub - 1})) AS s
+         |        FROM u WHERE vec_id < $NQueries)),
+         |dt AS (
+         |  SELECT qid, qs.s, c.code,
+         |         floor(${foldDotSub("qx", "c.cv")} * 1000000 + 0.5) / 1000000 AS contrib
+         |  FROM qs JOIN cbl$pqIters c ON c.s = qs.s),
+         |contribs AS (
+         |  SELECT d.qid, pa.vec_id AS nid, d.s, d.contrib
+         |  FROM pasgf pa
+         |  JOIN dt d ON d.s = pa.s AND d.code = pa.code
+         |  JOIN asgf a ON a.vec_id = pa.vec_id
+         |  JOIN probes p ON p.qid = d.qid AND p.cell = a.cell
+         |  WHERE pa.vec_id != d.qid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |         list_reduce(list(contrib ORDER BY s), (a, b) -> a + b) AS adc
+         |  FROM contribs GROUP BY qid, nid),
+         |r AS (SELECT qid, nid, adc,
+         |             row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+         |      FROM sc),
+         |cand AS (SELECT qid, nid FROM r WHERE rn <= $RerankDepth),
+         |ex AS (
+         |  SELECT cd.qid, cd.nid,
+         |         ${foldDot("qe.v", "ne.v")}
+         |         / (${normSql("qe.v")} * ${normSql("ne.v")}) AS cos
+         |  FROM cand cd
+         |  JOIN e qe ON qe.vec_id = cd.qid
+         |  JOIN e ne ON ne.vec_id = cd.nid),
+         |rr AS (SELECT qid, nid, cos,
+         |              row_number() OVER (PARTITION BY qid
+         |                                 ORDER BY cos DESC, nid) AS rn
+         |       FROM ex)
+         |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+         |FROM rr WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      val coarse = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        cents, nProbe = 4, dims = Dims, nSub = 8, nCodes = 16, iters = 2,
+        k = RerankDepth)
+      Similarity.rerankExact(coarse, emb, queries, "vec_id", "embedding",
+          TopK)
+        .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "nid")
     },
 

@@ -41,6 +41,26 @@ class DedupSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("bandedRows ≡ aggregate minhash banding, hash for hash (streaming-safe row form)") {
+    val k = 16; val bands = 4; val r = k / bands
+    val rowWise = Dedup.bandedRows(docs, "doc_id", "text", 3, k, bands)
+      .as[(Long, Int, String)].collect().toSet
+    // replay the aggregate path's band table (lshCandidatePairs' banding)
+    val sig = Dedup.minhashSignatures(
+      Dedup.shingleTable(docs, "doc_id", "text", 3), "doc_id", k)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", cols: _*).cast("binary")).as("bsig"))
+    }
+    val agg = sig.select($"doc_id", explode(array(bandStructs: _*)).as("bs"))
+      .select($"doc_id", $"bs.band", $"bs.bsig")
+      .as[(Long, Int, String)].collect().toSet
+    assert(rowWise == agg)
+    // doc 5 (empty text) emits no bands on either path
+    assert(rowWise.map(_._1) == Set(1L, 2L, 3L, 4L))
+  }
+
   test("jaccard: identical docs 1.0, near dups in (0,1)") {
     val sh = Dedup.shingleTable(docs, "doc_id", "text", 3)
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
@@ -423,6 +443,46 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", cents,
       nProbe = 3, k = 5).as[(Long, Long, Double)].collect().toSet
     assert(ivf == brute)
+  }
+
+  test("rerankExact over the full corpus as candidates ≡ bruteForceTopK") {
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => math.sin(i * 8 + j) * 2)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 3L)
+    val all = corpus.select($"vec_id".as("nid"))
+      .crossJoin(q.select($"vec_id".as("qid")))
+      .where($"qid" =!= $"nid")
+    val rr = Similarity.rerankExact(all, corpus, q, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rr == brute)
+  }
+
+  test("two-stage ivfPq→rerank: subset of coarse candidates, exact cosines, " +
+    "planted dup reranked to the top") {
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7) * 3)
+    val nearDup = base.clone(); nearDup(0) += 1e-9
+    val corpus = ((0L, base) +: (1L, nearDup) +:
+      (2L until 60L).map(i => (i, Array.tabulate(16)(j => math.cos(i * 16 + j) * 3))))
+      .toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" === 0L)
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    val coarse = Similarity.ivfPqTopK(corpus, q, "vec_id", "embedding", cents,
+      nProbe = 4, dims = 16, nSub = 4, nCodes = 4, iters = 2, k = 12)
+    val candSet = coarse.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rr = Similarity.rerankExact(coarse, corpus, q, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double)].collect()
+    assert(rr.nonEmpty && rr.forall(r => candSet.contains((r._1, r._2))))
+    // exact cosines: every reranked score matches brute force bit-for-bit
+    val brute = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 59)
+      .as[(Long, Long, Double)].collect().map(r => (r._2, r._3)).toMap
+    rr.foreach { case (_, nid, cos) => assert(brute(nid) == cos) }
+    // the planted near-dup wins the reranked list regardless of ADC rank
+    val top = rr.minBy(r => (-r._3, r._2))
+    assert(top._2 == 1L && top._3 > 1.0 - 1e-9)
   }
 
   test("pqTopK: ADC scores equal a driver-side PQ reference bit-for-bit, " +
