@@ -445,6 +445,77 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class BandedDoc(doc_id: Long, band: Int, bsig: String)
+  final case class StreamCandidatePair(id_a: Long, id_b: Long, band: Int)
+
+  /** Per-bucket membership for streaming LSH near-dup: state is the list
+    * of doc ids already seen in this (band, bsig) bucket, capped at
+    * `maxBucket` — so state AND emission are both bounded per bucket
+    * (≤ maxBucket longs, ≤ maxBucket·(maxBucket−1)/2 pairs) no matter how
+    * much boilerplate the stream carries. Each newly-arriving member
+    * pairs against the existing members and is appended; arrivals into a
+    * saturated bucket are dropped without pairing — the PREFIX form of
+    * the batch hot-band cap (a stream cannot retract already-emitted
+    * pairs, so "drop the whole bucket once it exceeds cap" is not
+    * implementable; first-cap-members semantics is, and is documented as
+    * the difference). Within a micro-batch rows fold in doc_id order and
+    * re-deliveries of an id already in state are ignored, so replays
+    * cannot duplicate membership. */
+  class LshBucketProcessor(maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, String), BandedDoc, StreamCandidatePair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      members = getHandle.getListState[Long]("members",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String), rows: Iterator[BandedDoc],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[StreamCandidatePair] = {
+      var cur = members.get().toVector
+      val out = scala.collection.mutable.ArrayBuffer.empty[StreamCandidatePair]
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (!cur.contains(d.doc_id) && cur.size < maxBucket) {
+          cur.foreach { o =>
+            out += StreamCandidatePair(math.min(o, d.doc_id),
+              math.max(o, d.doc_id), key._1)
+          }
+          cur = cur :+ d.doc_id
+          members.appendValue(d.doc_id)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming MinHash+LSH near-duplicate candidates — the dedup×streaming
+    * matrix cell: documents arrive in micro-batches and each new arrival is
+    * checked against EVERYTHING seen so far through the accumulated band
+    * buckets, without ever rescanning history. Banding is the row-wise
+    * `Dedup.bandedRows` (hash-for-hash the batch family), so "candidate"
+    * means exactly what `Dedup.lshCandidatePairs` means — StreamingSpec
+    * drains the stream and pins the distinct pair set equal to the batch
+    * call on the same corpus (under the cap, prefix-vs-drop differs; see
+    * [[LshBucketProcessor]]). A pair sharing several bands emits once per
+    * band (the batch path's pre-`distinct()` grain); downstream either
+    * `dropDuplicatesWithinWatermark` or the batch verify join absorbs it.
+    * State: ≤ maxBucket ids per occupied bucket — bounded by corpus
+    * bucket structure, not by stream length. */
+  def lshCandidateStream(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int, bands: Int,
+                         maxBucketSize: Int): Dataset[StreamCandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.Dedup.bandedRows(docs, idCol, textCol, n, k, bands)
+      .select(col(idCol).cast("long").as("doc_id"), col("band"), col("bsig"))
+      .as[BandedDoc]
+      .groupByKey(d => (d.band, d.bsig))
+      .transformWithState(new LshBucketProcessor(maxBucketSize),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class EwmaSnapshot(user_id: Long, n: Long, ewma: Double)
 
   /** Streaming twin of `ops.Recurrence.ewmaReport`, on transformWithState

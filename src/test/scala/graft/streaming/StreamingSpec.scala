@@ -799,4 +799,110 @@ class StreamingSpec extends SparkSpec {
       prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
     }
   }
+
+  test("streaming ANN ingest: foreachBatch appends micro-batches to the IVF " +
+    "index; post-stream search ≡ one-shot index over the full corpus") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Similarity
+    val all = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j) * 2)))
+    val base = all.take(30).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(base, "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", cents, s"$dir/idx")
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = in.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(batch, "vec_id", "embedding", cents,
+          s"$dir/idx")
+      }
+      .start()
+    try {
+      in.addData(all.slice(30, 45)); q.processAllAvailable()
+      in.addData(all.slice(45, 60)); q.processAllAvailable()
+    } finally q.stop()
+    val queries = all.take(3).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopKFromIndex(spark, s"$dir/idx", queries,
+        "vec_id", "embedding", cents, nProbe = 4, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: the same index written in ONE shot over the full corpus
+    Similarity.writeIvfIndex(all.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, s"$dir/ref")
+    val want = Similarity.ivfTopKFromIndex(spark, s"$dir/ref", queries,
+        "vec_id", "embedding", cents, nProbe = 4, k = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    spark.catalog.clearCache() // release the probe frames both searches pin
+  }
+
+  test("lshCandidateStream: drained candidate pairs ≡ batch lshCandidatePairs " +
+    "(dedup×streaming, state carries buckets across micro-batches)") {
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog again and again today")
+    val d2 = (2L, "the quick brown fox jumps over the lazy dog again and again today")
+    val d3 = (3L, "the quick brown fox jumps over the lazy dog again and again tonight")
+    val d4 = (4L, "completely different words about spark partitions and shuffles here")
+    val d5 = (5L, "")
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.lshCandidateStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 16, bands = 4, maxBucketSize = 64)
+      .writeStream.format("memory").queryName("lsh_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // the exact dup (d2) arrives a micro-batch AFTER d1: pairing it
+      // requires the bucket membership to have survived in state
+      in.addData(d1, d4); q.processAllAvailable()
+      in.addData(d2, d5); q.processAllAvailable()
+      in.addData(d3); q.processAllAvailable()
+      val streamed = spark.table("lsh_stream")
+        .select("id_a", "id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val docs = Seq(d1, d2, d3, d4, d5).toDF("doc_id", "text")
+      val batch = graft.operators.Dedup.lshCandidatePairs(
+          graft.operators.Dedup.minhashSignatures(
+            graft.operators.Dedup.shingleTable(docs, "doc_id", "text", 3),
+            "doc_id", 16),
+          "doc_id", 16, 4)
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.contains((1L, 2L))) // cross-micro-batch exact dup found
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
+  test("lshCandidateStream: saturated bucket stops pairing — state and " +
+    "emission bounded by the cap (prefix form of the batch hot-band drop)") {
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val boiler = "this exact license header appears verbatim at the top of every file"
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.lshCandidateStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, k = 16, bands = 4, maxBucketSize = 3)
+      .writeStream.format("memory").queryName("lsh_stream_cap")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, boiler), (2L, boiler)); q.processAllAvailable()
+      in.addData((3L, boiler), (4L, boiler), (5L, boiler))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_stream_cap")
+        .select("id_a", "id_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      // only the first 3 arrivals joined the bucket; 4 and 5 were dropped
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
 }
