@@ -1,0 +1,158 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Morton (Z-order) clustering for
+  * scan-time pruning of MULTI-column range predicates — the lake-layout
+  * counterpart of the single-column partition pruning Tables/Writers
+  * already exercise. A table range-partitioned on one key prunes on that
+  * key only; interleaving the bits of m keys into one z-value and
+  * laying files out by z-ranges makes a box predicate on ANY subset of
+  * the keys touch only the z-buckets whose dyadic rectangle intersects
+  * the box. At 100 TB this is the difference between "scan everything
+  * unless you filtered on the partition column" and "every multi-key
+  * slice dashboards ask for prunes to a few percent of files" — the
+  * same idea Delta/Iceberg OPTIMIZE ZORDER ships, expressed here with
+  * plain parquet + directory partitioning so partition pruning (visible
+  * as PartitionFilters in the plan) does the skipping.
+  *
+  * Everything is deterministic integer bit arithmetic (no sampling, no
+  * RNG), so the z-value column replays bit-for-bit in the DuckDB oracle
+  * (q230) and the bucket math is unit-checked exhaustively (LayoutSpec).
+  */
+object Layout {
+
+  /** Morton z-value over `cols` (non-negative integral columns, each
+    * using its low `bits` bits): bit j of the result is bit (j div m) of
+    * dimension (j mod m). One bound-array attribute + a codegen'd
+    * `aggregate` loop over the bit positions — size-independent plan, no
+    * per-bit expression cascade (the CentroidExpressions lesson applied
+    * to layout). Caller contract: every value fits in `bits` bits;
+    * [[writeZClustered]] verifies that before writing, because a value
+    * with dropped high bits would land in the wrong bucket and break
+    * pruning soundness silently. */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+                 out: String = "zv"): DataFrame = {
+    val m = cols.size
+    require(m >= 2, "z-ordering needs at least 2 dimensions")
+    require(bits >= 1 && bits * m <= 62, s"bits=$bits × $m dims must fit a long")
+    df.withColumn("__zin", array(cols.map(c => col(c).cast("long")): _*))
+      .withColumn(out, expr(
+        s"""aggregate(sequence(0, ${bits * m - 1}), CAST(0 AS BIGINT),
+           |(acc, j) -> acc + shiftleft(
+           |  shiftright(element_at(__zin, j % $m + 1), j div $m) % 2, j))"""
+          .stripMargin))
+      .drop("__zin")
+  }
+
+  /** Driver-side Scala reference of the same interleave (config-sized
+    * inputs only — bucket math and tests). */
+  def zValueOf(coords: Seq[Long], bits: Int): Long = {
+    val m = coords.size
+    var z = 0L
+    var j = 0
+    while (j < bits * m) {
+      z |= ((coords(j % m) >> (j / m)) & 1L) << j
+      j += 1
+    }
+    z
+  }
+
+  /** Write `df` clustered by the z-value of `cols`, partitioned into
+    * 2^bucketBits z-bucket directories (`zb` = the z-value's top
+    * `bucketBits` bits). Range-repartitioning on zv before the
+    * partitioned write keeps each output task on a contiguous z-range,
+    * so a task writes into one (or few) bucket directories and file
+    * counts stay O(numFiles + buckets), not their product. The written
+    * table carries both `zv` and the original columns; `zb` becomes the
+    * partition directory. Fails fast if any dimension value needs more
+    * than `bits` bits (one cheap 2-column aggregate — soundness of every
+    * later pruned read depends on it). */
+  def writeZClustered(df: DataFrame, cols: Seq[String], bits: Int,
+                      bucketBits: Int, numFiles: Int, path: String): Unit =
+    zClusteredWrite(df, cols, bits, bucketBits, numFiles, path, "overwrite")
+
+  private def zClusteredWrite(df: DataFrame, cols: Seq[String], bits: Int,
+                              bucketBits: Int, numFiles: Int, path: String,
+                              mode: String): Unit = {
+    val m = cols.size
+    require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
+      s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
+    val lim = 1L << bits
+    val bad = df.select(cols.map(c =>
+        sum(when(col(c).cast("long") < 0 || col(c).cast("long") >= lim, 1L)
+          .otherwise(0L)).as(c)): _*)
+      .head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(bad.getLong(i) == 0L,
+        s"column $c has values outside [0, 2^$bits) — z-bucket pruning would be unsound")
+    }
+    withZValue(df, cols, bits)
+      .withColumn("zb", shiftright(col("zv"), bits * m - bucketBits))
+      .repartitionByRange(numFiles, col("zv"))
+      .sortWithinPartitions("zv")
+      .write.mode(mode).partitionBy("zb").parquet(path)
+  }
+
+  /** Append a new batch into an existing z-clustered layout without
+    * touching resident files: same interleave, same bucket split, dynamic
+    * append into the bucket directories (the [[graft.operators.Similarity]]
+    * `appendToIvfIndex` shape applied to layout — daily ingest never
+    * rewrites the table). Box reads prune identically over the grown
+    * table; the small files appends accumulate are the standing
+    * compaction job's problem ([[Writers.compactFiles]] per hot bucket
+    * directory), not the reader's. The same bit-budget guard applies —
+    * an out-of-range appended value would land in the wrong bucket and
+    * silently break pruning soundness. */
+  def appendZClustered(df: DataFrame, cols: Seq[String], bits: Int,
+                       bucketBits: Int, numFiles: Int, path: String): Unit =
+    zClusteredWrite(df, cols, bits, bucketBits, numFiles, path, "append")
+
+  /** The z-buckets whose dyadic rectangle intersects the box — driver-side
+    * config-sized math (2^bucketBits iterations; a bucket id fixes the top
+    * bucketBits/m bits of EVERY dimension because bucketBits is a multiple
+    * of m, so each bucket is an exact axis-aligned rectangle and the
+    * per-dimension interval-overlap test is exact: no missed bucket, no
+    * bucket that couldn't hold a box point). `box` is inclusive
+    * (lo, hi) per dimension, in the same column order given to
+    * [[writeZClustered]]. */
+  def zBoxBuckets(box: Seq[(Long, Long)], bits: Int,
+                  bucketBits: Int): Seq[Long] = {
+    val m = box.size
+    require(bucketBits % m == 0 && bucketBits <= bits * m)
+    val perDim = bucketBits / m
+    val low = bits - perDim
+    (0L until (1L << bucketBits)).filter { b =>
+      val prefixes = Array.fill(m)(0L)
+      var t = 0
+      while (t < bucketBits) {
+        val j = bits * m - bucketBits + t
+        if (((b >> t) & 1L) == 1L) prefixes(j % m) |= 1L << (j / m - low)
+        t += 1
+      }
+      (0 until m).forall { i =>
+        val lo = prefixes(i) << low
+        val hi = lo + (1L << low) - 1
+        hi >= box(i)._1 && lo <= box(i)._2
+      }
+    }
+  }
+
+  /** Read a z-clustered table restricted to an inclusive box:
+    * `dims` = (column, lo, hi) in the write-time column order. The
+    * bucket set reaches the scan as an `IN` partition filter (directory
+    * pruning — PartitionFilters in the plan, asserted by LayoutSpec) and
+    * the exact per-column predicates apply on top, so results equal a
+    * full-scan filter while touching only intersecting buckets. */
+  def readZBox(spark: SparkSession, path: String,
+               dims: Seq[(String, Long, Long)], bits: Int,
+               bucketBits: Int): DataFrame = {
+    val buckets = zBoxBuckets(dims.map(d => (d._2, d._3)), bits, bucketBits)
+    val exact: Column = dims.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    spark.read.parquet(path)
+      .where(col("zb").isin(buckets: _*) && exact)
+  }
+}

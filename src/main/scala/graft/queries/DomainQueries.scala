@@ -501,6 +501,44 @@ object DomainQueries {
         .orderBy("mon")
     },
 
+    // Multi-dimensional Z-order layout (io.Layout): lineitem is rewritten
+    // clustered by the Morton interleave of (l_partkey, l_suppkey) into
+    // z-bucket DIRECTORIES, and a box predicate on both keys reads only
+    // the buckets whose dyadic rectangle intersects the box — planner-level
+    // partition pruning (PartitionFilters; LayoutSpec asserts it) where
+    // q147 used manifest min/max skipping. The emitted zv column pins the
+    // interleave bit-for-bit in the oracle (42-iteration loop — prefix-
+    // stable, so the same SQL text is exact at any SF whose keys fit 21
+    // bits); a bucket wrongly pruned would drop rows and fail the hash.
+    Q.sql("q230_zorder_box",
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(list_reduce(list_transform(generate_series(0, 41), j ->
+        |         (((CASE WHEN j % 2 = 0 THEN l_partkey ELSE l_suppkey END)
+        |           >> (j // 2)) & 1) << j), (a, b) -> a + b) AS BIGINT) AS zv
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 499
+        |  AND l_suppkey BETWEEN 1 AND 25
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 21; val bucketBits = 8
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q230z").toString + "/lineitem_z"
+      graft.io.Layout.writeZClustered(
+        graft.io.Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits, bucketBits,
+        numFiles = 16, path = tbl)
+      val dims = Seq(("l_partkey", 100L, 499L), ("l_suppkey", 1L, 25L))
+      val probed = graft.io.Layout.zBoxBuckets(
+        dims.map(x => (x._2, x._3)), bits, bucketBits)
+      require(probed.size < (1 << bucketBits),
+        s"box probes all ${probed.size} buckets — no pruning")
+      graft.io.Layout.readZBox(s, tbl, dims, bits, bucketBits)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zv")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

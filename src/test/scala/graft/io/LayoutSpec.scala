@@ -1,0 +1,126 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withZValue ≡ Writers.zOrderValue for m=2 and ≡ the Scala reference") {
+    val df = (for (x <- 0L until 20L; y <- Seq(0L, 3L, 7L, 15L, 200L))
+      yield (x * 13 % 256, y)).toDF("a", "b")
+    val both = Layout.withZValue(df, Seq("a", "b"), bits = 9)
+      .withColumn("zw", Writers.zOrderValue(col("a"), col("b"), 9))
+      .as[(Long, Long, Long, Long)].collect()
+    both.foreach { case (a, b, zv, zw) =>
+      assert(zv == zw, s"loop form != unrolled form at ($a,$b)")
+      assert(zv == Layout.zValueOf(Seq(a, b), 9))
+    }
+  }
+
+  test("withZValue interleaves 3 dimensions (m>2, beyond the unrolled form)") {
+    val df = Seq((1L, 2L, 4L), (7L, 7L, 7L), (0L, 5L, 3L)).toDF("a", "b", "c")
+    val got = Layout.withZValue(df, Seq("a", "b", "c"), bits = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c, zv) =>
+      assert(zv == Layout.zValueOf(Seq(a, b, c), 3))
+    }
+  }
+
+  test("zBoxBuckets is exact at bucket granularity (exhaustive, 2 dims)") {
+    val bits = 4; val bucketBits = 4 // 16x16 grid, 16 buckets
+    val boxes = Seq(Seq((2L, 9L), (3L, 12L)), Seq((0L, 15L), (0L, 15L)),
+      Seq((5L, 5L), (5L, 5L)), Seq((14L, 15L), (0L, 1L)))
+    boxes.foreach { box =>
+      val flagged = Layout.zBoxBuckets(box, bits, bucketBits).toSet
+      val truth = (for {
+        x <- box(0)._1 to box(0)._2
+        y <- box(1)._1 to box(1)._2
+      } yield Layout.zValueOf(Seq(x, y), bits) >> (bits * 2 - bucketBits)).toSet
+      assert(flagged == truth, s"box $box: flagged $flagged != truth $truth")
+    }
+  }
+
+  test("zBoxBuckets is exact at bucket granularity (exhaustive, 3 dims)") {
+    val bits = 3; val bucketBits = 3 // 8x8x8 grid, 8 buckets
+    val box = Seq((1L, 6L), (0L, 2L), (5L, 7L))
+    val flagged = Layout.zBoxBuckets(box, bits, bucketBits).toSet
+    val truth = (for {
+      x <- box(0)._1 to box(0)._2
+      y <- box(1)._1 to box(1)._2
+      z <- box(2)._1 to box(2)._2
+    } yield Layout.zValueOf(Seq(x, y, z), bits) >> (bits * 3 - bucketBits)).toSet
+    assert(flagged == truth)
+  }
+
+  test("z-clustered box read: exact rows, PartitionFilters in the plan, " +
+    "strict directory subset") {
+    val n = 2000
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zlay").toString + "/t"
+    Layout.writeZClustered(df, Seq("x", "y"), bits = 8, bucketBits = 4,
+      numFiles = 8, path = path)
+    val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val boxed = Layout.readZBox(spark, path, dims, bits = 8, bucketBits = 4)
+    val got = boxed.select("id", "x", "y").as[(Long, Long, Long)]
+      .collect().toSet
+    val want = df.where($"x".between(10, 60) && $"y".between(100, 140))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    val plan = boxed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zb"))
+    // pruning is real: probed buckets are a strict subset of the 16 written
+    val probed = Layout.zBoxBuckets(dims.map(d => (d._2, d._3)), 8, 4)
+    assert(probed.size < 16)
+    // a box outside the domain probes nothing and returns empty cleanly
+    val empty = Layout.readZBox(spark, path,
+      Seq(("x", 300L, 400L), ("y", 300L, 400L)), bits = 8, bucketBits = 4)
+    assert(empty.count() == 0)
+  }
+
+  test("appendZClustered: box reads stay exact over the grown table; " +
+    "resident files untouched") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zapp").toString + "/t"
+    Layout.writeZClustered(mk(0 until 1000), Seq("x", "y"), bits = 8,
+      bucketBits = 4, numFiles = 4, path = path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val before = files()
+    Layout.appendZClustered(mk(1000 until 1500), Seq("x", "y"), bits = 8,
+      bucketBits = 4, numFiles = 4, path = path)
+    assert(before.subsetOf(files())) // append never rewrites resident files
+    val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val got = Layout.readZBox(spark, path, dims, bits = 8, bucketBits = 4)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    val want = mk(0 until 1500)
+      .where($"x".between(10, 60) && $"y".between(100, 140))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("writeZClustered rejects values that overflow the bit budget " +
+    "(pruning soundness guard)") {
+    val df = Seq((1L, 5L, 3L), (2L, 300L, 9L)).toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zbad").toString + "/t"
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeZClustered(df, Seq("x", "y"), bits = 8, bucketBits = 2,
+        numFiles = 2, path = path)
+    }
+    assert(e.getMessage.contains("unsound"))
+  }
+}
