@@ -42,7 +42,8 @@ object SimilarityQueries {
     // leave-one-out eval: the whole (eval-set-sized) table is the query
     // batch; the contract bound is the broadcast-batch ceiling
     "q176_knn_accuracy" -> Similarity.maxQueryBatch.toLong,
-    "q199_quantization_recall" -> NQueries.toLong)
+    "q199_quantization_recall" -> NQueries.toLong,
+    "q231_rerank_depth_recall" -> NQueries.toLong)
 
   private def observedQueries(df: org.apache.spark.sql.DataFrame,
                               qname: String): org.apache.spark.sql.DataFrame =
@@ -621,6 +622,109 @@ object SimilarityQueries {
           TopK)
         .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
         .orderBy("qid", "nid")
+    },
+
+    // Rerank-depth TUNING report: recall@TopK of the q229 two-stage
+    // retrieval as a function of the coarse over-fetch depth — the
+    // production dial ("how many ADC candidates must the compressed
+    // index surface before exact rerank recovers the true top-k?").
+    // Because the rerank is exact, two-stage recall at depth d equals
+    // the fraction of brute-force truth pairs whose ADC rank is ≤ d, so
+    // one ranked coarse run + one truth join answers every depth at once
+    // (map-only depth explode — no inequality join). The oracle replays
+    // the q140 training/ADC chain, the q25-form exact truth, and the
+    // depth histogram. Brute truth is the declared query-bounded
+    // baseline (queryBounds + the PlanSpec allowlist, like q199).
+    Q.sql("q231_rerank_depth_recall", {
+      val nLists = 16; val ivfIters = 3; val nProbe = 4
+      val nSub = 8; val nCodes = 16; val pqIters = 2; val subDim = Dims / nSub
+      val maxDepth = 20
+      def foldDotSub(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, $subDim), i -> $a[i] * $b[i]), (a, b) -> a + b)"
+      s"""WITH ${lloydPrelude(nLists, ivfIters, 6)},
+         |${pqPrelude(nSub, nCodes, pqIters, 6, includeBase = false)},
+         |probes AS (
+         |  SELECT vec_id AS qid, cell FROM (
+         |    SELECT s.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+         |    FROM u s CROSS JOIN centlist$ivfIters c
+         |    WHERE s.vec_id < $NQueries)
+         |  WHERE rn <= $nProbe),
+         |qs AS (
+         |  SELECT vec_id AS qid, s,
+         |         u[(s * $subDim + 1):(s * $subDim + $subDim)] AS qx
+         |  FROM (SELECT vec_id, u, unnest(generate_series(0, ${nSub - 1})) AS s
+         |        FROM u WHERE vec_id < $NQueries)),
+         |dt AS (
+         |  SELECT qid, qs.s, c.code,
+         |         floor(${foldDotSub("qx", "c.cv")} * 1000000 + 0.5) / 1000000 AS contrib
+         |  FROM qs JOIN cbl$pqIters c ON c.s = qs.s),
+         |contribs AS (
+         |  SELECT d.qid, pa.vec_id AS nid, d.s, d.contrib
+         |  FROM pasgf pa
+         |  JOIN dt d ON d.s = pa.s AND d.code = pa.code
+         |  JOIN asgf a ON a.vec_id = pa.vec_id
+         |  JOIN probes p ON p.qid = d.qid AND p.cell = a.cell
+         |  WHERE pa.vec_id != d.qid),
+         |sc AS (
+         |  SELECT qid, nid,
+         |         list_reduce(list(contrib ORDER BY s), (a, b) -> a + b) AS adc
+         |  FROM contribs GROUP BY qid, nid),
+         |r AS (SELECT qid, nid,
+         |             row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rn
+         |      FROM sc),
+         |truth AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${foldDot("q.v", "n.v")}
+         |                      / (${normSql("q.v")} * ${normSql("n.v")}) DESC,
+         |                      n.vec_id) AS rn
+         |    FROM e q JOIN e n ON n.vec_id != q.vec_id
+         |    WHERE q.vec_id < $NQueries)
+         |  WHERE rn <= $TopK),
+         |d AS (SELECT unnest([5, 10, $maxDepth]) AS depth),
+         |hits AS (
+         |  SELECT d.depth, count(*) AS n
+         |  FROM truth t
+         |  JOIN r ON r.qid = t.qid AND r.nid = t.nid
+         |  JOIN d ON r.rn <= d.depth
+         |  GROUP BY 1)
+         |SELECT d.depth, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       floor(CAST(coalesce(h.n, 0) AS DOUBLE)
+         |             / ${NQueries * TopK} * 1000000 + 0.5) / 1000000 AS recall
+         |FROM d LEFT JOIN hits h ON h.depth = d.depth
+         |ORDER BY d.depth""".stripMargin
+    }) { (s, d) =>
+      val maxDepth = 20
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") < NQueries)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      val coarse = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        cents, nProbe = 4, dims = Dims, nSub = 8, nCodes = 16, iters = 2,
+        k = maxDepth)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)
+      val ranked = coarse.withColumn("rn", row_number().over(w))
+      val truth = Similarity.bruteForceTopK(emb,
+          observedQueries(queries, "q231_rerank_depth_recall"),
+          "vec_id", "embedding", TopK)
+        .select("qid", "nid")
+      import s.implicits._
+      val depths = Seq(5, 10, maxDepth).toDF("depth")
+      val hits = truth.join(ranked, Seq("qid", "nid"))
+        .withColumn("depth",
+          explode(array(lit(5), lit(10), lit(maxDepth))))
+        .where(col("rn") <= col("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("n"))
+      depths.join(hits, Seq("depth"), "left")
+        .select(col("depth"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          dround(coalesce(col("n"), lit(0L)).cast("double") /
+            (NQueries * TopK), 6).as("recall"))
+        .orderBy("depth")
     },
 
     // Contrastive-pair mining (Similarity.hardPairs): per query, the

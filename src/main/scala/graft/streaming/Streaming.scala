@@ -445,6 +445,53 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CellOccupancy(cell: Int, n: Long)
+
+  /** Per-cell running arrival count. State: one long per occupied cell
+    * (≤ nLists entries total — config-bounded forever). */
+  class CellCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, Int, CellOccupancy] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[Int],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+    : Iterator[CellOccupancy] = {
+      val n = (if (st.exists()) st.get() else 0L) + rows.size
+      st.update(n)
+      Iterator.single(CellOccupancy(key, n))
+    }
+  }
+
+  /** Streaming IVF cell-occupancy monitor — the COUNT half of
+    * `Similarity.centroidDriftReport` as a continuous stream: arriving
+    * vectors are assigned to the trained centroids by the same
+    * size-independent `nearest_cell` loop (a stateless, deterministic
+    * expression — identical assignment to the batch path, which is the
+    * point), and each micro-batch emits every touched cell's refreshed
+    * running count. A cell whose count inflates far past its trained
+    * share is the append distribution the quantizer has never seen —
+    * the caller's rebuild-gate policy reads these snapshots instead of
+    * re-running the batch report per append. State is one long per
+    * occupied cell (≤ nLists — config-bounded regardless of stream
+    * length). StreamingSpec pins the drained final snapshots equal to a
+    * batch `assignCells` count on the same vectors. */
+  def cellOccupancyStream(vectors: DataFrame, idCol: String, vecCol: String,
+                          cents: Seq[Array[Double]]): Dataset[CellOccupancy] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    graft.operators.Similarity.assignCells(vectors, idCol, vecCol, cents)
+      .select(col("cell")).as[Int]
+      .groupByKey(identity)
+      .transformWithState(new CellCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class BandedDoc(doc_id: Long, band: Int, bsig: String)
   final case class StreamCandidatePair(id_a: Long, id_b: Long, band: Int)
 

@@ -217,6 +217,7 @@ class PlanSpec extends SparkSpec {
       "q119_ann_pq" -> queryBounded,
       "q176_knn_accuracy" -> queryBounded,
       "q199_quantization_recall" -> queryBounded,
+      "q231_rerank_depth_recall" -> queryBounded,
       "q37_embedding_neardup" -> ("declared exact-quadratic ORACLE " +
         "baseline of embeddingNearDups; q105 is the production LSH path " +
         "(two-tier contract measured in SCALE.md: exact 67.9x at 10x, " +

@@ -800,6 +800,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cellOccupancyStream: drained per-cell counts ≡ batch assignCells " +
+    "(the drift gate's count half, continuously)") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Similarity
+    import Streaming.CellOccupancy
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val all = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j) * 2)))
+    val cents = Similarity.trainCentroids(
+      all.take(30).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.cellOccupancyStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .writeStream.format("memory").queryName("cell_occ")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(all.take(25)); q.processAllAvailable()
+      in.addData(all.drop(25)); q.processAllAvailable()
+      val streamed = spark.table("cell_occ").as[CellOccupancy].collect()
+        .groupBy(_.cell).map { case (c, snaps) => c -> snaps.map(_.n).max }
+      val batch = Similarity.assignCells(all.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", cents)
+        .groupBy("cell").count().as[(Int, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
+    }
+  }
+
   test("streaming ANN ingest: foreachBatch appends micro-batches to the IVF " +
     "index; post-stream search ≡ one-shot index over the full corpus") {
     implicit val sql = spark.sqlContext
