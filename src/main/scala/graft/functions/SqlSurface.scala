@@ -530,6 +530,72 @@ object SqlSurface {
          |""".stripMargin)
   }
 
+  /** One-call SQL surface for Z-ORDERED box reads (`io.Layout`'s pruned
+    * read, fully dynamic): registration bakes the layout contract
+    * (clustered view, dimension columns in write order, bits, bucketBits)
+    * and the BOX arrives as call arguments —
+    * `SELECT * FROM graft_zbox(lo0, hi0, lo1, hi1)`. Unlike the Column
+    * API's `readZBox` (which computes the intersecting bucket set
+    * driver-side into an IN filter), a SQL body has no driver loop, so
+    * the dyadic-rectangle test is emitted INLINE as a predicate on the
+    * `zb` partition column: the registrar statically unrolls the
+    * de-interleave of zb into each dimension's prefix (bucketBits/m shift
+    * terms per dim — config-sized) and the per-dim interval-overlap test
+    * against the box args. Every reference in that predicate is the
+    * partition column plus literals-after-inlining, so Catalyst places it
+    * in `PartitionFilters` and prunes directories at planning time —
+    * IDENTICAL pruning to the Column path (LayoutSpec asserts both), with
+    * exact per-column predicates re-applied on top. The output schema is
+    * captured from the registered view at registration. q232 holds the
+    * TVF hash-for-hash to q230's oracle. */
+  def createZBoxFunction(spark: SparkSession, table: String,
+      dims: Seq[String], bits: Int, bucketBits: Int,
+      zbCol: String = "zb",
+      funcName: String = "graft_zbox"): Unit = {
+    val m = dims.size
+    require(m >= 2 && bits >= 1 && bits * m <= 62,
+      s"need ≥2 dims with bits×dims ≤ 62 (got $m × $bits)")
+    require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
+      s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qFunc = quotePart(funcName)
+    val qZb = quotePart(zbCol)
+    val perDim = bucketBits / m
+    val low = bits - perDim
+    val zbb = s"CAST($qZb AS BIGINT)"
+    // de-interleave of the bucket id: dim i's prefix = the zb bits t whose
+    // global z position (bits*m - bucketBits + t) belongs to dim i
+    def prefix(i: Int): String =
+      (0 until bucketBits).flatMap { t =>
+        val j = bits * m - bucketBits + t
+        if (j % m == i)
+          Some(s"(shiftright($zbb, $t) % 2) * CAST(${1L << (j / m - low)} AS BIGINT)")
+        else None
+      }.mkString("(", " + ", ")")
+    val overlap = dims.indices.map { i =>
+      val p = prefix(i)
+      s"($p * CAST(${1L << low} AS BIGINT) <= hi$i AND " +
+        s"$p * CAST(${1L << low} AS BIGINT) + CAST(${(1L << low) - 1} AS BIGINT) >= lo$i)"
+    }.mkString("\n  AND ")
+    val exact = dims.map(quotePart).zipWithIndex
+      .map { case (c, i) => s"($c BETWEEN lo$i AND hi$i)" }
+      .mkString(" AND ")
+    val params = dims.indices
+      .flatMap(i => Seq(s"lo$i BIGINT", s"hi$i BIGINT")).mkString(", ")
+    val schema = spark.table(table).schema
+    val outDdl = schema.map(f =>
+      s"${quotePart(f.name)} ${f.dataType.sql}").mkString(", ")
+    val outCols = schema.map(f => quotePart(f.name)).mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc($params)
+         |RETURNS TABLE ($outDdl)
+         |RETURN
+         |SELECT $outCols FROM $qTable
+         |WHERE $overlap
+         |  AND $exact
+         |""".stripMargin)
+  }
+
   /** Twin-surface registry, THE data the CI equality pin iterates
     * (SurfaceEquivalenceSpec): each entry maps a TVF registrar method in
     * this object to the registry queries that must be result-equal — the
@@ -545,7 +611,9 @@ object SqlSurface {
     "createLshEvalSampledFunction" -> Seq(
       "q219_sql_lsh_eval_one_call", "q216_lsh_dedup_eval_sampled"),
     "createCentroidDriftFunction" -> Seq(
-      "q223_sql_drift_one_call", "q221_ann_centroid_drift"))
+      "q223_sql_drift_one_call", "q221_ann_centroid_drift"),
+    "createZBoxFunction" -> Seq(
+      "q232_sql_zbox_one_call", "q230_zorder_box"))
 
   /** Non-TVF twin surfaces (hand-typed SQL text vs Column API) pinned by
     * the same spec. */

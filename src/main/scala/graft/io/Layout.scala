@@ -25,10 +25,15 @@ object Layout {
 
   /** Morton z-value over `cols` (non-negative integral columns, each
     * using its low `bits` bits): bit j of the result is bit (j div m) of
-    * dimension (j mod m). One bound-array attribute + a codegen'd
-    * `aggregate` loop over the bit positions — size-independent plan, no
-    * per-bit expression cascade (the CentroidExpressions lesson applied
-    * to layout). Caller contract: every value fits in `bits` bits;
+    * dimension (j mod m), built as an UNROLLED bitwise-OR of shift/mask
+    * terms — `Writers.zOrderValue` generalized to m dimensions. Unrolling
+    * is the right call here, unlike the centroid cascade the
+    * CentroidExpressions loop replaced: the term count is bits×m, which
+    * the long-width contract caps at 62 FOREVER (there is no scale knob
+    * that grows it), and plain shift/mask arithmetic stays inside
+    * whole-stage codegen, whereas a higher-order `aggregate` loop is
+    * CodegenFallback — interpreted per row on the table-rewrite hot path.
+    * Caller contract: every value fits in `bits` bits;
     * [[writeZClustered]] verifies that before writing, because a value
     * with dropped high bits would land in the wrong bucket and break
     * pruning soundness silently. */
@@ -37,13 +42,11 @@ object Layout {
     val m = cols.size
     require(m >= 2, "z-ordering needs at least 2 dimensions")
     require(bits >= 1 && bits * m <= 62, s"bits=$bits × $m dims must fit a long")
-    df.withColumn("__zin", array(cols.map(c => col(c).cast("long")): _*))
-      .withColumn(out, expr(
-        s"""aggregate(sequence(0, ${bits * m - 1}), CAST(0 AS BIGINT),
-           |(acc, j) -> acc + shiftleft(
-           |  shiftright(element_at(__zin, j % $m + 1), j div $m) % 2, j))"""
-          .stripMargin))
-      .drop("__zin")
+    val longs = cols.map(c => col(c).cast("long"))
+    val z = (0 until bits * m).map { j =>
+      shiftleft(shiftright(longs(j % m), j / m).bitwiseAND(1L), j)
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn(out, z)
   }
 
   /** Driver-side Scala reference of the same interleave (config-sized

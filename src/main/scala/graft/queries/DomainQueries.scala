@@ -210,6 +210,21 @@ object DomainQueries {
        |ORDER BY p.profileId""".stripMargin
   }
 
+  /** q230/q232 shared oracle: the 42-bit Morton interleave and the box
+    * rows — the Column (`Layout.readZBox`) and TVF (`graft_zbox`)
+    * surfaces are held hash-for-hash to this one text (the q221/q223
+    * twin discipline applied to layout). */
+  private val zorderBoxOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       CAST(list_reduce(list_transform(generate_series(0, 41), j ->
+      |         (((CASE WHEN j % 2 = 0 THEN l_partkey ELSE l_suppkey END)
+      |           >> (j // 2)) & 1) << j), (a, b) -> a + b) AS BIGINT) AS zv
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 499
+      |  AND l_suppkey BETWEEN 1 AND 25
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+      .stripMargin
+
   val all: Seq[Q] = Seq(
     Q.sql("q27_silver_profiles", q27Oracle) { (s, _) =>
       Silver.run(DemoFixture.playerStats(s), DemoFixture.lineups(s),
@@ -510,16 +525,7 @@ object DomainQueries {
     // interleave bit-for-bit in the oracle (42-iteration loop — prefix-
     // stable, so the same SQL text is exact at any SF whose keys fit 21
     // bits); a bucket wrongly pruned would drop rows and fail the hash.
-    Q.sql("q230_zorder_box",
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |       CAST(list_reduce(list_transform(generate_series(0, 41), j ->
-        |         (((CASE WHEN j % 2 = 0 THEN l_partkey ELSE l_suppkey END)
-        |           >> (j // 2)) & 1) << j), (a, b) -> a + b) AS BIGINT) AS zv
-        |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 499
-        |  AND l_suppkey BETWEEN 1 AND 25
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
-        .stripMargin) { (s, d) =>
+    Q.sql("q230_zorder_box", zorderBoxOracle) { (s, d) =>
       import org.apache.spark.sql.functions._
       val bits = 21; val bucketBits = 8
       val tbl = java.nio.file.Files
@@ -537,6 +543,34 @@ object DomainQueries {
       graft.io.Layout.readZBox(s, tbl, dims, bits, bucketBits)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zv")
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
+    // The ONE-CALL SQL surface for the z-ordered box read (SqlSurface.
+    // createZBoxFunction): registration bakes the layout contract (view,
+    // dim order, bits, bucketBits); the BOX arrives as call arguments.
+    // The registrar unrolls the dyadic bucket-intersection test into an
+    // inline predicate on the zb partition column (a SQL body has no
+    // driver loop), so directory pruning happens at planning time exactly
+    // like q230's isin path — LayoutSpec asserts PartitionFilters on
+    // BOTH surfaces, and this query is held hash-for-hash to q230's
+    // oracle (SurfaceEquivalenceSpec pins q232 ≙ q230 in CI).
+    Q.sql("q232_sql_zbox_one_call", zorderBoxOracle) { (s, d) =>
+      val bits = 21; val bucketBits = 8
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q232z").toString + "/lineitem_z"
+      graft.io.Layout.writeZClustered(
+        graft.io.Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits, bucketBits,
+        numFiles = 16, path = tbl)
+      s.read.parquet(tbl).createOrReplaceTempView("lineitem_z")
+      graft.functions.SqlSurface.createZBoxFunction(s, "lineitem_z",
+        Seq("l_partkey", "l_suppkey"), bits, bucketBits)
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zv
+          |FROM graft_zbox(100, 499, 1, 25)
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+          .stripMargin)
     },
 
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =

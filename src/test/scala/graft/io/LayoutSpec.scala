@@ -18,7 +18,7 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
-  test("withZValue interleaves 3 dimensions (m>2, beyond the unrolled form)") {
+  test("withZValue interleaves 3 dimensions (m>2, beyond the 2-dim Writers form)") {
     val df = Seq((1L, 2L, 4L), (7L, 7L, 7L), (0L, 5L, 3L)).toDF("a", "b", "c")
     val got = Layout.withZValue(df, Seq("a", "b", "c"), bits = 3)
       .as[(Long, Long, Long, Long)].collect()
@@ -79,6 +79,36 @@ class LayoutSpec extends SparkSpec {
     val empty = Layout.readZBox(spark, path,
       Seq(("x", 300L, 400L), ("y", 300L, 400L)), bits = 8, bucketBits = 4)
     assert(empty.count() == 0)
+  }
+
+  test("graft_zbox TVF: the inline dyadic predicate prunes partitions " +
+    "like the Column path and returns identical rows") {
+    val n = 2000
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("ztvf").toString + "/t"
+    Layout.writeZClustered(df, Seq("x", "y"), bits = 8, bucketBits = 4,
+      numFiles = 8, path = path)
+    spark.read.parquet(path).createOrReplaceTempView("zlay_tvf_view")
+    graft.functions.SqlSurface.createZBoxFunction(spark, "zlay_tvf_view",
+      Seq("x", "y"), bits = 8, bucketBits = 4)
+    val tvf = spark.sql("SELECT id, x, y FROM graft_zbox(10, 60, 100, 140)")
+    val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val col_ = Layout.readZBox(spark, path, dims, bits = 8, bucketBits = 4)
+      .select("id", "x", "y")
+    assert(tvf.as[(Long, Long, Long)].collect().toSet ==
+      col_.as[(Long, Long, Long)].collect().toSet)
+    // the dyadic test reaches the scan as a partition filter on zb
+    val plan = tvf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zb"))
+    // a different box through the SAME registered function — the
+    // dynamic-args point of the TVF surface
+    val other = spark.sql("SELECT id FROM graft_zbox(0, 5, 0, 5)")
+      .as[Long].collect().toSet
+    val otherWant = df.where($"x" <= 5 && $"y" <= 5).select("id")
+      .as[Long].collect().toSet
+    assert(other == otherWant)
   }
 
   test("appendZClustered: box reads stay exact over the grown table; " +
