@@ -75,7 +75,8 @@ object Explain {
       "q224_audio_fingerprint_neardup", "q225_video_frame_sample",
       "q226_video_neardup", "q227_crossmodal_margin_align",
       "q228_video_dedup_keepbest", "q229_ivfpq_rerank", "q230_zorder_box",
-      "q231_rerank_depth_recall", "q232_sql_zbox_one_call")
+      "q231_rerank_depth_recall", "q232_sql_zbox_one_call",
+      "q233_targeted_delete")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -1,0 +1,106 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted row-level deletion over plain parquet — the
+  * right-to-be-forgotten / compliance operation every lake table needs:
+  * rewrite ONLY the files that contain a matching row and leave every
+  * other file byte-untouched. At 100 TB the difference between this and
+  * a naive `read.filter.write` is the whole table: a GDPR batch of a few
+  * thousand user ids scattered over a petabyte touches a bounded set of
+  * files (tighter still when the table is clustered so the delete key
+  * correlates with file ranges — the [[Layout]]/[[Writers.writeZOrdered]]
+  * layouts make deletes cheap too, not just reads).
+  *
+  * Shape: one scan finds the affected FILE list (driver-collected —
+  * bounded by file count, the Delta/Iceberg planner's grain), one job
+  * rewrites only those files with matching rows dropped, then the swap
+  * removes the originals and moves the rewritten files in. Single-writer
+  * maintenance semantics like [[Writers.compactFiles]] /
+  * `Similarity.compactIvfIndex`: the swap window is not transactional
+  * against concurrent readers — run it like compaction, from the table's
+  * one maintenance writer (or behind a [[Versioned]] commit).
+  *
+  * NULL discipline: a row where the predicate evaluates NULL is NOT a
+  * match — it is kept, not silently dropped (`coalesce(pred, false)` on
+  * both the match count and the keep filter).
+  */
+object Deletes {
+
+  final case class DeleteReport(filesTouched: Int, filesTotal: Int,
+                                rowsDeleted: Long)
+
+  /** Delete rows matching `pred`. Handles flat directories and one level
+    * of `col=value` partition directories (the [[Writers]]/[[Layout]]
+    * layouts); partition columns are preserved through the rewrite. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  pred: Column): DeleteReport = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val top = fs.listStatus(root).toSeq
+    val partDirs = top.filter(d => d.isDirectory && d.getPath.getName.contains("="))
+    val partCols = partDirs.map(_.getPath.getName.split("=")(0)).distinct
+    require(partCols.size <= 1,
+      s"deleteWhere handles at most one partition level; found $partCols")
+    partDirs.foreach { d =>
+      val nested = fs.listStatus(d.getPath)
+        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
+      require(nested.isEmpty,
+        s"nested partition directories under ${d.getPath} are not supported")
+    }
+    def parquetCount(p: org.apache.hadoop.fs.Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val totalFiles = parquetCount(root)
+    val matchP = coalesce(pred, lit(false))
+    val all = spark.read.option("basePath", path).parquet(path)
+    val affected = all.where(matchP)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) return DeleteReport(0, totalFiles, 0L)
+
+    val aff = spark.read.option("basePath", path).parquet(affected: _*)
+    val rowsDeleted = aff.where(matchP).count()
+    val keep = aff.where(!matchP)
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".delete.tmp")
+    fs.delete(tmp, true)
+    val w = keep.repartition(affected.length)
+    (if (partCols.nonEmpty) w.write.partitionBy(partCols.head) else w.write)
+      .mode("overwrite").parquet(tmp.toString)
+
+    // swap: drop the originals, then move the rewritten files into place
+    // (fresh task UUID file names — no collision with resident files)
+    affected.foreach { f =>
+      require(fs.delete(new org.apache.hadoop.fs.Path(f), false),
+        s"failed to remove $f")
+    }
+    val qTmp = fs.makeQualified(tmp).toString
+    val qRoot = fs.makeQualified(root)
+    val it = fs.listFiles(tmp, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = fs.makeQualified(f).toString.stripPrefix(qTmp).stripPrefix("/")
+        val dst = new org.apache.hadoop.fs.Path(qRoot, rel)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(f, dst), s"failed to move $f into place")
+      }
+    }
+    fs.delete(tmp, true)
+    DeleteReport(affected.length, totalFiles, rowsDeleted)
+  }
+
+  /** Key-batch convenience (`keyCol IN keys`): the GDPR-batch shape.
+    * `keys` is driver-side and config-sized (a compliance batch, not a
+    * corpus) — for corpus-scale delete sets, express the set as a
+    * predicate or run batched calls. */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+                 keys: Seq[Any]): DeleteReport = {
+    require(keys.nonEmpty, "empty key batch")
+    deleteWhere(spark, path, col(keyCol).isin(keys: _*))
+  }
+}

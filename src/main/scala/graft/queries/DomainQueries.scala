@@ -573,6 +573,42 @@ object DomainQueries {
           .stripMargin)
     },
 
+    // Targeted row-level delete (io.Deletes): the right-to-be-forgotten
+    // lake operation — a key batch is deleted by rewriting ONLY the files
+    // that contain matching rows (found by one input_file_name scan, the
+    // Delta/Iceberg planner grain); every other file stays byte-identical
+    // (DeletesSpec pins names unchanged). The table is range-clustered by
+    // the delete key, so a 3-key compliance batch touches a strict file
+    // subset (require-asserted). The report READS THE REWRITTEN TABLE;
+    // the oracle reads the original minus the keys — a hash match proves
+    // the rewrite deleted exactly the batch and nothing else.
+    Q.sql("q233_targeted_delete",
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders
+        |WHERE o_custkey NOT IN (7, 501, 999)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q233del").toString + "/orders_d"
+      graft.io.Tables.orders(s, d)
+        .repartitionByRange(20, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.parquet(tbl)
+      val r = graft.io.Deletes.deleteKeys(s, tbl, "o_custkey",
+        Seq(7L, 501L, 999L))
+      require(r.rowsDeleted > 0 && r.filesTouched < r.filesTotal,
+        s"delete did not target a file subset ($r)")
+      s.read.parquet(tbl)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("status")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DeletesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(n: Int) = (0 until n).map { i =>
+    (i.toLong, (i % 7).toLong, s"payload_$i")
+  }.toDF("id", "grp", "payload")
+
+  test("deleteWhere rewrites only affected files; untouched files keep " +
+    "their exact names; matching rows gone, everything else intact") {
+    val path = java.nio.file.Files.createTempDirectory("del").toString + "/t"
+    // range-clustered by id → the id-range delete touches a file subset
+    mk(1000).repartitionByRange(10, $"id").sortWithinPartitions("id")
+      .write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+      b.result()
+    }
+    val before = files()
+    val r = Deletes.deleteWhere(spark, path, $"id".between(100, 199))
+    assert(r.rowsDeleted == 100)
+    assert(r.filesTouched < r.filesTotal && r.filesTotal == before.size)
+    // untouched files are the SAME files (names unchanged — never rewritten)
+    val after = files()
+    assert((before intersect after).size == before.size - r.filesTouched)
+    val left = spark.read.parquet(path)
+    assert(left.count() == 900)
+    assert(left.where($"id".between(100, 199)).count() == 0)
+    assert(left.select(sum($"id")).head().getLong(0) ==
+      (0L until 1000L).filterNot(i => i >= 100 && i <= 199).sum)
+  }
+
+  test("deleteKeys on a partitioned table preserves partition columns " +
+    "and prunes untouched partitions") {
+    val path = java.nio.file.Files.createTempDirectory("delp").toString + "/t"
+    mk(700).write.partitionBy("grp").parquet(path)
+    val r = Deletes.deleteKeys(spark, path, "id", Seq(3L, 10L, 17L)) // all grp=3
+    assert(r.rowsDeleted == 3 && r.filesTouched < r.filesTotal)
+    val left = spark.read.parquet(path)
+    assert(left.count() == 697)
+    assert(left.where($"id".isin(3L, 10L, 17L)).count() == 0)
+    // partition column survived the rewrite and still matches id % 7
+    assert(left.where($"grp" =!= $"id" % 7).count() == 0)
+  }
+
+  test("a NULL predicate row is kept, not deleted (null discipline)") {
+    val path = java.nio.file.Files.createTempDirectory("deln").toString + "/t"
+    Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "tag").write.parquet(path)
+    // tag = 'a' is NULL for the None row — that row must survive
+    val r = Deletes.deleteWhere(spark, path, $"tag" === "a")
+    assert(r.rowsDeleted == 1)
+    assert(spark.read.parquet(path).select("id").as[Long].collect().toSet ==
+      Set(2L, 3L))
+  }
+
+  test("no match is a no-op: zero files touched, directory unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("del0").toString + "/t"
+    mk(100).write.parquet(path)
+    val r = Deletes.deleteWhere(spark, path, $"id" > 10000)
+    assert(r == Deletes.DeleteReport(0, r.filesTotal, 0L))
+    assert(spark.read.parquet(path).count() == 100)
+  }
+}
