@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-partition-directory small-file compaction — the shared engine
+  * behind `Similarity.compactIvfIndex` (cell= dirs) and
+  * [[Layout]] z-bucket compaction (zb= dirs): any layout that takes
+  * dynamic appends accumulates ≥1 new parquet file per touched partition
+  * per batch, so scan cost grows with APPEND COUNT instead of data size.
+  * Directories over `maxFilesPerDir` are rewritten to one file each:
+  * pruned read of only the hot partitions (cold ones are never listed or
+  * read), one task per hot partition, atomic per-directory swap via FS
+  * rename. Row content is untouched, so reads return identical results
+  * pre/post and partition pruning is preserved (IvfAppendSpec and
+  * LayoutSpec both pin this on their layouts). Single-writer maintenance
+  * semantics, like [[Writers.compactFiles]]. */
+object Compaction {
+
+  /** Compact every `partCol=value` directory under `path` whose parquet
+    * file count exceeds `maxFilesPerDir`. Returns the compacted partition
+    * values (directory-name strings, sorted). */
+  def compactPartitionedDirs(spark: SparkSession, path: String,
+                             partCol: String,
+                             maxFilesPerDir: Int): Seq[String] = {
+    require(maxFilesPerDir >= 1, "maxFilesPerDir must be ≥ 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prefix = s"$partCol="
+    val hot = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
+          maxFilesPerDir
+      }
+      .map(_.getPath.getName.stripPrefix(prefix))
+      .sorted
+    if (hot.nonEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+      fs.delete(tmp, true)
+      // pruned read (only hot partitions listed/read): the string compare
+      // on the casted partition column is a deterministic partition-only
+      // predicate, so it lands in PartitionFilters for any value type
+      spark.read.parquet(path)
+        .where(col(partCol).cast("string").isin(hot: _*))
+        .repartition(hot.size, col(partCol))
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      hot.foreach { v =>
+        val src = new org.apache.hadoop.fs.Path(tmp, s"$prefix$v")
+        val dst = new org.apache.hadoop.fs.Path(root, s"$prefix$v")
+        require(fs.delete(dst, true) && fs.rename(src, dst),
+          s"compaction swap failed for $partCol=$v")
+      }
+      fs.delete(tmp, true)
+    }
+    hot
+  }
+}

@@ -88,7 +88,8 @@ object Layout {
           .otherwise(0L)).as(c)): _*)
       .head()
     cols.zipWithIndex.foreach { case (c, i) =>
-      require(bad.getLong(i) == 0L,
+      // null sum = empty input (a legitimate empty append batch) — no-op
+      require(bad.isNullAt(i) || bad.getLong(i) == 0L,
         s"column $c has values outside [0, 2^$bits) — z-bucket pruning would be unsound")
     }
     withZValue(df, cols, bits)
@@ -104,13 +105,22 @@ object Layout {
     * `appendToIvfIndex` shape applied to layout — daily ingest never
     * rewrites the table). Box reads prune identically over the grown
     * table; the small files appends accumulate are the standing
-    * compaction job's problem ([[Writers.compactFiles]] per hot bucket
-    * directory), not the reader's. The same bit-budget guard applies —
+    * compaction job's problem ([[compactZBuckets]]), not the reader's.
+    * The same bit-budget guard applies —
     * an out-of-range appended value would land in the wrong bucket and
     * silently break pruning soundness. */
   def appendZClustered(df: DataFrame, cols: Seq[String], bits: Int,
                        bucketBits: Int, numFiles: Int, path: String): Unit =
     zClusteredWrite(df, cols, bits, bucketBits, numFiles, path, "append")
+
+  /** Compact the small files [[appendZClustered]] accumulates in the
+    * z-bucket directories — [[Compaction.compactPartitionedDirs]] on the
+    * `zb` layout (the same engine `Similarity.compactIvfIndex` runs on
+    * `cell=` dirs). Returns the compacted bucket ids. */
+  def compactZBuckets(spark: SparkSession, path: String,
+                      maxFilesPerBucket: Int): Seq[Long] =
+    Compaction.compactPartitionedDirs(spark, path, "zb", maxFilesPerBucket)
+      .map(_.toLong).sorted
 
   /** The z-buckets whose dyadic rectangle intersects the box — driver-side
     * config-sized math (2^bucketBits iterations; a bucket id fixes the top

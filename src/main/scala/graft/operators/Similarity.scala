@@ -338,37 +338,9 @@ object Similarity {
     * and the probed scan keeps its `PartitionFilters`. Returns the
     * compacted cell ids. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                      maxFilesPerCell: Int): Seq[Int] = {
-    require(maxFilesPerCell >= 1, "maxFilesPerCell must be ≥ 1")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val hot = fs.listStatus(root).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
-      .filter { d =>
-        fs.listStatus(d.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
-          maxFilesPerCell
-      }
-      .map(_.getPath.getName.stripPrefix("cell=").toInt)
-      .sorted
-    if (hot.nonEmpty) {
-      val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
-      fs.delete(tmp, true)
-      // pruned read (only hot cells listed/read) — cold cells cost nothing
-      spark.read.parquet(path)
-        .where(col("cell").isin(hot: _*))
-        .repartition(hot.size, col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
-      hot.foreach { c =>
-        val src = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
-        val dst = new org.apache.hadoop.fs.Path(root, s"cell=$c")
-        require(fs.delete(dst, true) && fs.rename(src, dst),
-          s"compaction swap failed for cell $c")
-      }
-      fs.delete(tmp, true)
-    }
-    hot
-  }
+                      maxFilesPerCell: Int): Seq[Int] =
+    graft.io.Compaction.compactPartitionedDirs(spark, path, "cell",
+      maxFilesPerCell).map(_.toInt).sorted
 
   /** Search a written IVF index for one QUERY BATCH: the probed cell set
     * (≤ nQueries × nProbe ids, deduplicated — config-sized for a batch)

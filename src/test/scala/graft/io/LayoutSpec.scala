@@ -143,6 +143,48 @@ class LayoutSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("compactZBuckets: hot-bucket file counts drop to one, cold buckets " +
+    "untouched, box reads identical pre/post") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zcmp").toString + "/t"
+    Layout.writeZClustered(mk(0 until 800), Seq("x", "y"), bits = 8,
+      bucketBits = 4, numFiles = 2, path = path)
+    // three appends → every touched bucket accumulates extra files
+    (0 until 3).foreach { k =>
+      Layout.appendZClustered(mk(800 + 400 * k until 800 + 400 * (k + 1)),
+        Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 2, path = path)
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketFiles(): Map[String, Set[String]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("zb="))
+        .map { d =>
+          d.getPath.getName -> fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).toSet
+        }.toMap
+    val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val before = Layout.readZBox(spark, path, dims, bits = 8, bucketBits = 4)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    val filesBefore = bucketFiles()
+    val compacted = Layout.compactZBuckets(spark, path, maxFilesPerBucket = 2)
+    assert(compacted.nonEmpty)
+    val filesAfter = bucketFiles()
+    compacted.foreach { b =>
+      assert(filesAfter(s"zb=$b").size == 1 && filesBefore(s"zb=$b").size > 2)
+    }
+    // cold buckets keep their exact files
+    (filesBefore.keySet -- compacted.map(b => s"zb=$b")).foreach { d =>
+      assert(filesAfter(d) == filesBefore(d))
+    }
+    val after = Layout.readZBox(spark, path, dims, bits = 8, bucketBits = 4)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(after == before && after.nonEmpty)
+  }
+
   test("writeZClustered rejects values that overflow the bit budget " +
     "(pruning soundness guard)") {
     val df = Seq((1L, 5L, 3L), (2L, 300L, 9L)).toDF("id", "x", "y")

@@ -800,6 +800,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming layout ingest: foreachBatch appends micro-batches into " +
+    "the z-clustered layout; post-stream box read ≡ one-shot write") {
+    implicit val sql = spark.sqlContext
+    import graft.io.Layout
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zstream").toString
+    Layout.writeZClustered(mk(0 until 500).toDF("id", "x", "y"),
+      Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 2, path = s"$dir/t")
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDF().toDF("id", "x", "y").writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Layout.appendZClustered(batch, Seq("x", "y"), bits = 8,
+          bucketBits = 4, numFiles = 2, path = s"$dir/t")
+      }
+      .start()
+    try {
+      in.addData(mk(500 until 750)); q.processAllAvailable()
+      in.addData(mk(750 until 1000)); q.processAllAvailable()
+    } finally q.stop()
+    val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val got = Layout.readZBox(spark, s"$dir/t", dims, bits = 8, bucketBits = 4)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    Layout.writeZClustered(mk(0 until 1000).toDF("id", "x", "y"),
+      Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 2, path = s"$dir/ref")
+    val want = Layout.readZBox(spark, s"$dir/ref", dims, bits = 8,
+        bucketBits = 4)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("cellOccupancyStream: drained per-cell counts ≡ batch assignCells " +
     "(the drift gate's count half, continuously)") {
     implicit val sql = spark.sqlContext
