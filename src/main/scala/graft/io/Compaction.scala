@@ -18,17 +18,30 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Compact every `partCol=value` directory under `path` whose parquet
-    * file count exceeds `maxFilesPerDir`. Returns the compacted partition
-    * values (directory-name strings, sorted). */
+    * file count exceeds `maxFilesPerDir`. `sortCols` restores the layout's
+    * within-file order in the rewritten files (zv for the z-order layout
+    * — compaction must not silently un-cluster what the writer sorted).
+    * Returns the compacted partition values (directory-name strings,
+    * sorted).
+    *
+    * Safety: a value whose directory name does not round-trip through
+    * cast-to-string (URL-escaped characters, the null partition
+    * `__HIVE_DEFAULT_PARTITION__`) would make the pruned read select
+    * nothing while the swap deletes the live directory — data loss. The
+    * null-partition dir is therefore skipped outright, and the swap
+    * verifies the staged replacement EXISTS before touching the live
+    * directory, so any other encoding mismatch aborts with nothing
+    * destroyed. */
   def compactPartitionedDirs(spark: SparkSession, path: String,
-                             partCol: String,
-                             maxFilesPerDir: Int): Seq[String] = {
+                             partCol: String, maxFilesPerDir: Int,
+                             sortCols: Seq[String] = Nil): Seq[String] = {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be ≥ 1")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val prefix = s"$partCol="
     val hot = fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+      .filter(_.getPath.getName != s"${prefix}__HIVE_DEFAULT_PARTITION__")
       .filter { d =>
         fs.listStatus(d.getPath)
           .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) >
@@ -42,10 +55,21 @@ object Compaction {
       // pruned read (only hot partitions listed/read): the string compare
       // on the casted partition column is a deterministic partition-only
       // predicate, so it lands in PartitionFilters for any value type
-      spark.read.parquet(path)
+      val pruned = spark.read.parquet(path)
         .where(col(partCol).cast("string").isin(hot: _*))
         .repartition(hot.size, col(partCol))
-        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      val ordered =
+        if (sortCols.isEmpty) pruned
+        else pruned.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      ordered.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      // verify EVERY staged dir exists before deleting ANY live one — an
+      // encoding mismatch must abort with zero destructive actions taken
+      hot.foreach { v =>
+        require(fs.exists(new org.apache.hadoop.fs.Path(tmp, s"$prefix$v")),
+          s"compaction staging missing for $partCol=$v — the directory " +
+            "name does not round-trip through cast-to-string; aborting " +
+            "before touching live data")
+      }
       hot.foreach { v =>
         val src = new org.apache.hadoop.fs.Path(tmp, s"$prefix$v")
         val dst = new org.apache.hadoop.fs.Path(root, s"$prefix$v")

@@ -33,9 +33,12 @@ object Deletes {
 
   /** Delete rows matching `pred`. Handles flat directories and one level
     * of `col=value` partition directories (the [[Writers]]/[[Layout]]
-    * layouts); partition columns are preserved through the rewrite. */
-  def deleteWhere(spark: SparkSession, path: String,
-                  pred: Column): DeleteReport = {
+    * layouts); partition columns are preserved through the rewrite, and
+    * `sortCols` restores the table's within-file clustering order in the
+    * rewritten files (pass the table's cluster key so repeated delete
+    * batches stay file-targeted instead of progressively scattering). */
+  def deleteWhere(spark: SparkSession, path: String, pred: Column,
+                  sortCols: Seq[String] = Nil): DeleteReport = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val top = fs.listStatus(root).toSeq
@@ -58,17 +61,32 @@ object Deletes {
     val totalFiles = parquetCount(root)
     val matchP = coalesce(pred, lit(false))
     val all = spark.read.option("basePath", path).parquet(path)
-    val affected = all.where(matchP)
-      .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0))
+    // ONE discovery scan yields both the affected file list and the
+    // deleted-row count (per-file match counts) — no second pass over
+    // the affected files just to count
+    val perFile = all.where(matchP)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    val affected = perFile.map(_.getString(0))
+    val rowsDeleted = perFile.map(_.getLong(1)).sum
     if (affected.isEmpty) return DeleteReport(0, totalFiles, 0L)
 
-    val aff = spark.read.option("basePath", path).parquet(affected: _*)
-    val rowsDeleted = aff.where(matchP).count()
-    val keep = aff.where(!matchP)
+    val aff = spark.read.option("basePath", path).parquet(affected.toSeq: _*)
+    // keep FILE LOCALITY through the rewrite: grouping survivors by their
+    // source file (plus restoring `sortCols` order within each output
+    // file) preserves the clustering that made this delete targeted, so
+    // the NEXT compliance batch still touches a file subset instead of
+    // progressively degrading toward whole-table rewrites
+    val keep = aff.where(!matchP).withColumn("__src", input_file_name())
     val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".delete.tmp")
     fs.delete(tmp, true)
-    val w = keep.repartition(affected.length)
+    // leading the sort with the partition column lets the dynamic-
+    // partition writer accept our ordering instead of re-sorting (which
+    // would destroy the restored sortCols order)
+    val sortKeys = (partCols ++ Seq("__src") ++ sortCols).map(col)
+    val w = keep.repartition(affected.length, col("__src"))
+      .sortWithinPartitions(sortKeys: _*)
+      .drop("__src")
     (if (partCols.nonEmpty) w.write.partitionBy(partCols.head) else w.write)
       .mode("overwrite").parquet(tmp.toString)
 
@@ -99,8 +117,8 @@ object Deletes {
     * corpus) — for corpus-scale delete sets, express the set as a
     * predicate or run batched calls. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
-                 keys: Seq[Any]): DeleteReport = {
+                 keys: Seq[Any], sortCols: Seq[String] = Nil): DeleteReport = {
     require(keys.nonEmpty, "empty key batch")
-    deleteWhere(spark, path, col(keyCol).isin(keys: _*))
+    deleteWhere(spark, path, col(keyCol).isin(keys: _*), sortCols)
   }
 }

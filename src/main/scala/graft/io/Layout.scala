@@ -69,9 +69,9 @@ object Layout {
     * so a task writes into one (or few) bucket directories and file
     * counts stay O(numFiles + buckets), not their product. The written
     * table carries both `zv` and the original columns; `zb` becomes the
-    * partition directory. Fails fast if any dimension value needs more
-    * than `bits` bits (one cheap 2-column aggregate — soundness of every
-    * later pruned read depends on it). */
+    * partition directory. Fails if any dimension value is NULL or needs
+    * more than `bits` bits — a per-row guard fused into the write's own
+    * scan (soundness of every later pruned read depends on it). */
   def writeZClustered(df: DataFrame, cols: Seq[String], bits: Int,
                       bucketBits: Int, numFiles: Int, path: String): Unit =
     zClusteredWrite(df, cols, bits, bucketBits, numFiles, path, "overwrite")
@@ -83,17 +83,21 @@ object Layout {
     require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
       s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
     val lim = 1L << bits
-    val bad = df.select(cols.map(c =>
-        sum(when(col(c).cast("long") < 0 || col(c).cast("long") >= lim, 1L)
-          .otherwise(0L)).as(c)): _*)
-      .head()
-    cols.zipWithIndex.foreach { case (c, i) =>
-      // null sum = empty input (a legitimate empty append batch) — no-op
-      require(bad.isNullAt(i) || bad.getLong(i) == 0L,
-        s"column $c has values outside [0, 2^$bits) — z-bucket pruning would be unsound")
-    }
+    // per-row bit-budget guard, fused into zb so it rides the SAME scan
+    // as the write (a separate validation aggregate doubled the upstream
+    // pipeline cost — once per micro-batch on the streaming ingest path)
+    // and catches NULL dimensions too (a null key would land in the
+    // __HIVE_DEFAULT_PARTITION__ dir and silently vanish from every box
+    // read). CASE WHEN + raise_error, the form the optimizer keeps.
+    val viol = cols.map { c =>
+      col(c).isNull || col(c).cast("long") < 0 || col(c).cast("long") >= lim
+    }.reduce(_ || _)
     withZValue(df, cols, bits)
-      .withColumn("zb", shiftright(col("zv"), bits * m - bucketBits))
+      .withColumn("zb",
+        when(viol, raise_error(lit(
+          s"a dimension of (${cols.mkString(", ")}) is NULL or outside " +
+            s"[0, 2^$bits) — z-bucket pruning would be unsound")))
+          .otherwise(shiftright(col("zv"), bits * m - bucketBits)))
       .repartitionByRange(numFiles, col("zv"))
       .sortWithinPartitions("zv")
       .write.mode(mode).partitionBy("zb").parquet(path)
@@ -119,7 +123,8 @@ object Layout {
     * `cell=` dirs). Returns the compacted bucket ids. */
   def compactZBuckets(spark: SparkSession, path: String,
                       maxFilesPerBucket: Int): Seq[Long] =
-    Compaction.compactPartitionedDirs(spark, path, "zb", maxFilesPerBucket)
+    Compaction.compactPartitionedDirs(spark, path, "zb", maxFilesPerBucket,
+        sortCols = Seq("zv"))
       .map(_.toLong).sorted
 
   /** The z-buckets whose dyadic rectangle intersects the box — driver-side

@@ -89,8 +89,6 @@ object Dedup {
     * `bands` rows per surviving doc. */
   def bandedRows(df: DataFrame, idCol: String, textCol: String, n: Int,
                  k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     val hashed = df
       .withColumn("__ws", words(col(textCol)))
       .withColumn("__sh", shinglesFromWords(col("__ws"), n))
@@ -99,7 +97,22 @@ object Dedup {
     val mh = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("__hs"), h => (h * a + b) % HashM)).as(s"mh_$i")
     }
-    val sig = hashed.select(col(idCol) +: mh: _*)
+    explodeBands(hashed.select(col(idCol) +: mh: _*), idCol, k, bands)
+  }
+
+  /** THE band-table definition — the one place "same bucket" is defined:
+    * band b's signature is md5 over the comma-joined minhash slice
+    * [b·r, (b+1)·r). One pass over the signature table: explode the band
+    * structs instead of unioning `bands` selects — the upstream signature
+    * subplan stays single, so Spark reuses its shuffle across both join
+    * sides (ReuseExchange). Shared by [[lshCandidatePairs]] (batch) and
+    * [[bandedRows]] (the streaming-safe row form), which is what makes
+    * the batch≡stream bucket-semantics pin structural rather than two
+    * coincidentally-equal copies. */
+  private def explodeBands(sig: DataFrame, idCol: String, k: Int,
+                           bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"),
@@ -176,25 +189,12 @@ object Dedup {
     * `maxBucketSize` enables the hot-band skew cap (see capHotBuckets). */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int, bands: Int,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
-    // One pass over the signature table: explode the band structs instead of
-    // unioning `bands` selects — the upstream signature aggregate is then a
-    // single subplan whose shuffle Spark reuses across both join sides
-    // (ReuseExchange), instead of being recomputed 2·bands times.
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"mh_$i"))
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", cols: _*).cast("binary")).as("bsig"))
-    }
     // Persisted: the band table is tiny (#docs × bands rows of (id, int,
     // hash)) but its lineage is the whole shingle+signature pipeline, which
     // would otherwise run once per join side (the broadcast side defeats
     // ReuseExchange).
     val banded = graft.PinnedFrames.pin(
-      sig.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
-        .select(col(idCol), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-        .persist())
+      explodeBands(sig, idCol, k, bands).persist())
     val all = maxBucketSize.fold(banded)(
       capHotBuckets(banded, Seq("band", "bsig"), _, "lshCandidatePairs"))
     val x = all.as("x"); val y = all.as("y")

@@ -598,7 +598,7 @@ object DomainQueries {
         .sortWithinPartitions("o_custkey")
         .write.parquet(tbl)
       val r = graft.io.Deletes.deleteKeys(s, tbl, "o_custkey",
-        Seq(7L, 501L, 999L))
+        Seq(7L, 501L, 999L), sortCols = Seq("o_custkey"))
       require(r.rowsDeleted > 0 && r.filesTouched < r.filesTotal,
         s"delete did not target a file subset ($r)")
       s.read.parquet(tbl)

@@ -33,11 +33,16 @@ object ProbeZbox {
 
     def scanStats(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
       val t0 = System.nanoTime()
-      val n = df.count()
+      // collect() drives df's OWN QueryExecution (count() would build a
+      // separate one and leave these metrics at zero)
+      val n = df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
-      val scans = df.queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => s
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
       }
+      val scans = plan.collect { case s: FileSourceScanExec => s }
       scans.foreach { s =>
         println(f"[zbox] $label: rows $n, ${dt}%.2f s, " +
           s"partitions ${s.relation.location.inputFiles.length} files total; " +

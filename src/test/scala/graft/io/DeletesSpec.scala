@@ -54,6 +54,29 @@ class DeletesSpec extends SparkSpec {
     assert(left.where($"grp" =!= $"id" % 7).count() == 0)
   }
 
+  test("deleteWhere with sortCols preserves clustering: rewritten files " +
+    "keep narrow key spans, so the NEXT delete batch stays file-targeted") {
+    val path = java.nio.file.Files.createTempDirectory("delc").toString + "/t"
+    mk(1000).repartitionByRange(10, $"id").sortWithinPartitions("id")
+      .write.parquet(path)
+    val r1 = Deletes.deleteWhere(spark, path, $"id".between(100, 299),
+      sortCols = Seq("id"))
+    assert(r1.rowsDeleted == 200 && r1.filesTouched < r1.filesTotal)
+    // every file (rewritten ones included) still spans a narrow id range —
+    // the survivors were grouped by source file and re-sorted, not
+    // round-robin scattered across the rewrite tasks
+    val manifest = Writers.scanManifest(spark, path, Seq("id"))
+      .select("min_id", "max_id").as[(Long, Long)].collect()
+    manifest.foreach { case (mn, mx) =>
+      assert(mx - mn < 250, s"file span $mn..$mx — clustering destroyed")
+    }
+    // and a later batch in a different range touches a strict subset again
+    val r2 = Deletes.deleteWhere(spark, path, $"id".between(800, 899),
+      sortCols = Seq("id"))
+    assert(r2.rowsDeleted == 100 && r2.filesTouched < r2.filesTotal)
+    assert(spark.read.parquet(path).count() == 700)
+  }
+
   test("a NULL predicate row is kept, not deleted (null discipline)") {
     val path = java.nio.file.Files.createTempDirectory("deln").toString + "/t"
     Seq((1L, Some("a")), (2L, None), (3L, Some("b")))

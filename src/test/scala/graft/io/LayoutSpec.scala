@@ -185,14 +185,76 @@ class LayoutSpec extends SparkSpec {
     assert(after == before && after.nonEmpty)
   }
 
+  private def causeChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      .flatMap(c => Option(c.getMessage))
+
   test("writeZClustered rejects values that overflow the bit budget " +
-    "(pruning soundness guard)") {
+    "(pruning soundness guard, fused into the write's own scan)") {
     val df = Seq((1L, 5L, 3L), (2L, 300L, 9L)).toDF("id", "x", "y")
     val path = java.nio.file.Files.createTempDirectory("zbad").toString + "/t"
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Layout.writeZClustered(df, Seq("x", "y"), bits = 8, bucketBits = 2,
         numFiles = 2, path = path)
     }
-    assert(e.getMessage.contains("unsound"))
+    assert(causeChain(e).exists(_.contains("unsound")))
+  }
+
+  test("writeZClustered rejects NULL dimension values (they would vanish " +
+    "into the null partition and silently miss every box read)") {
+    val df = Seq((1L, Some(5L), 3L), (2L, None, 9L)).toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("znull").toString + "/t"
+    val e = intercept[Throwable] {
+      Layout.writeZClustered(df, Seq("x", "y"), bits = 8, bucketBits = 2,
+        numFiles = 2, path = path)
+    }
+    assert(causeChain(e).exists(_.contains("unsound")))
+  }
+
+  test("compactZBuckets leaves a __HIVE_DEFAULT_PARTITION__ dir untouched " +
+    "(the cast-to-string round-trip cannot cover it) and restores the " +
+    "within-file zv sort") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zdef").toString + "/t"
+    Layout.writeZClustered(mk(0 until 400), Seq("x", "y"), bits = 8,
+      bucketBits = 4, numFiles = 2, path = path)
+    (0 until 3).foreach { k =>
+      Layout.appendZClustered(mk(400 + 200 * k until 600 + 200 * k),
+        Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 2, path = path)
+    }
+    // plant a hot null-partition dir an unguarded compactor would destroy
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val defDir = new org.apache.hadoop.fs.Path(path, "zb=__HIVE_DEFAULT_PARTITION__")
+    fs.mkdirs(defDir)
+    // real parquet bytes (schema inference may sample any file): clone an
+    // existing part file of the table into the null-partition dir
+    val donor = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      var found: org.apache.hadoop.fs.Path = null
+      while (found == null && it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) found = f
+      }
+      found
+    }
+    (1 to 4).foreach { i =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+        new org.apache.hadoop.fs.Path(defDir, s"junk_$i.parquet"),
+        false, spark.sessionState.newHadoopConf())
+    }
+    val compacted = Layout.compactZBuckets(spark, path, maxFilesPerBucket = 2)
+    assert(compacted.nonEmpty)
+    // the planted dir survives byte-for-byte (4 files still there)
+    assert(fs.listStatus(defDir).count(_.getPath.getName.endsWith(".parquet")) == 4)
+    // compacted buckets are internally zv-sorted again (the writer's order)
+    compacted.foreach { b =>
+      val rows = spark.read.parquet(s"$path/zb=$b").select("zv")
+        .as[Long].collect()
+      assert(rows.sameElements(rows.sorted), s"zb=$b not zv-sorted after compaction")
+    }
+    fs.delete(defDir, true) // cleanup so later readers don't trip on junk
   }
 }
