@@ -596,6 +596,67 @@ object SqlSurface {
          |""".stripMargin)
   }
 
+  /** One-call SQL surface for IVF ANN SEARCH — the family's most-used
+    * operation: `SELECT * FROM graft_ann_search()` runs the whole
+    * normalize → assign → probe → exact-cosine → top-k pipeline of
+    * `Similarity.ivfTopK`. Registration bakes the TRAINED centroids as
+    * ONE matrix literal (the q223 discipline — size-independent plan and
+    * compile at any nLists), the probe width, k, and the query-set
+    * predicate (parse-checked registration-time SQL, the basePred
+    * pattern); assignment is the registered `nearest_cell`/`nearest_cells`
+    * loop and scoring the registered `cosine_sim` — the SAME expressions
+    * the Column API builds, so q234 is held hash-for-hash to q41's
+    * oracle. */
+  def createAnnSearchFunction(spark: SparkSession,
+      cents: Seq[Array[Double]], nProbe: Int, k: Int,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryPred: String = "vec_id < 8",
+      funcName: String = "graft_ann_search"): Unit = {
+    require(cents.nonEmpty && nProbe >= 1 && k >= 1)
+    try spark.sessionState.sqlParser.parseExpression(queryPred)
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$funcName: queryPred is not a parseable SQL expression: '$queryPred'", e)
+    }
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qVec = quotePart(vecCol)
+    val qFunc = quotePart(funcName)
+    register(spark)
+    def arr(a: Array[Double]): String =
+      a.map(x => s"${x}D").mkString("array(", ",", ")")
+    val centsLit = cents.map(arr).mkString("array(", ",", ")")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
+         |RETURNS TABLE (qid BIGINT, nid BIGINT, cos DOUBLE)
+         |RETURN
+         |WITH e AS (
+         |  SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v,
+         |         CASE WHEN ($queryPred) THEN 1 ELSE 0 END AS isq
+         |  FROM $qTable),
+         |n AS (SELECT vid, v, isq, sqrt(dot_product(v, v)) AS nrm FROM e),
+         |u AS (SELECT vid, v, isq,
+         |             CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm)
+         |                  ELSE v END AS u
+         |      FROM n),
+         |a AS (SELECT vid, v, nearest_cell(u, $centsLit) AS cell FROM u),
+         |probes AS (
+         |  SELECT vid AS qid, v AS qv,
+         |         explode(nearest_cells(u, $centsLit, $nProbe)) AS cell
+         |  FROM u WHERE isq = 1),
+         |sc AS (
+         |  SELECT p.qid, a.vid AS nid, cosine_sim(p.qv, a.v) AS cos
+         |  FROM probes p JOIN a ON a.cell = p.cell
+         |  WHERE a.vid != p.qid),
+         |r AS (SELECT qid, nid, cos,
+         |             row_number() OVER (PARTITION BY qid
+         |                                ORDER BY cos DESC, nid) AS rn
+         |      FROM sc)
+         |SELECT qid, nid, cos FROM r WHERE rn <= $k
+         |""".stripMargin)
+  }
+
   /** Twin-surface registry, THE data the CI equality pin iterates
     * (SurfaceEquivalenceSpec): each entry maps a TVF registrar method in
     * this object to the registry queries that must be result-equal — the
@@ -613,7 +674,9 @@ object SqlSurface {
     "createCentroidDriftFunction" -> Seq(
       "q223_sql_drift_one_call", "q221_ann_centroid_drift"),
     "createZBoxFunction" -> Seq(
-      "q232_sql_zbox_one_call", "q230_zorder_box"))
+      "q232_sql_zbox_one_call", "q230_zorder_box"),
+    "createAnnSearchFunction" -> Seq(
+      "q234_sql_ann_one_call", "q41_ann_ivf"))
 
   /** Non-TVF twin surfaces (hand-typed SQL text vs Column API) pinned by
     * the same spec. */

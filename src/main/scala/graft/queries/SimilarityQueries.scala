@@ -49,6 +49,38 @@ object SimilarityQueries {
                               qname: String): org.apache.spark.sql.DataFrame =
     df.observe(s"queryBound:$qname", count(lit(1)).as("n"))
 
+  /** q41/q234 shared oracle: the full IVF search replay (Lloyd training,
+    * probe argmax, exact cosine, top-k) — the Column path and the
+    * `graft_ann_search()` TVF are held hash-for-hash to this one text
+    * (the q221/q223 twin discipline). */
+  private lazy val ivfSearchOracle: String = {
+    val nLists = 16; val iters = 3; val nProbe = 4; val q = 6
+    s"""WITH ${lloydPrelude(nLists, iters, q)},
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT s.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
+       |    FROM u s CROSS JOIN centlist$iters c
+       |    WHERE s.vec_id < $NQueries)
+       |  WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid FROM probes p
+       |  JOIN asgf a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.qid),
+       |sc AS (
+       |  SELECT cand.qid, cand.nid,
+       |         ${foldDot("qe.v", "ne.v")} / (${normSql("qe.v")} * ${normSql("ne.v")}) AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.qid
+       |  JOIN e ne ON ne.vec_id = cand.nid),
+       |r AS (SELECT qid, nid, cos,
+       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |      FROM sc)
+       |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+       |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
+  }
+
   // --- shared oracle SQL fragments (q41 IVF + q60 SemDeDup) ---
   // sequential ascending fold; DuckDB's seedless list_reduce starts at
   // the first element, which equals Scala's fold from 0.0 (0.0+x = x)
@@ -272,34 +304,7 @@ object SimilarityQueries {
     // normalization — then the probe/candidate/score pipeline, all
     // bit-identically. Exact-within-probed-cells and planted-dup recall
     // are additionally pinned in SimilaritySpec.
-    Q.sql("q41_ann_ivf", {
-      val nLists = 16; val iters = 3; val nProbe = 4; val q = 6
-      def norm(vec: String): String = normSql(vec)
-      s"""WITH ${lloydPrelude(nLists, iters, q)},
-         |probes AS (
-         |  SELECT vec_id AS qid, cell FROM (
-         |    SELECT s.vec_id, c.cell,
-         |           row_number() OVER (PARTITION BY s.vec_id
-         |             ORDER BY ${foldDot("s.u", "c.cv")} DESC, c.cell ASC) AS rn
-         |    FROM u s CROSS JOIN centlist$iters c
-         |    WHERE s.vec_id < $NQueries)
-         |  WHERE rn <= $nProbe),
-         |cand AS (
-         |  SELECT p.qid, a.vec_id AS nid FROM probes p
-         |  JOIN asgf a ON a.cell = p.cell
-         |  WHERE a.vec_id != p.qid),
-         |sc AS (
-         |  SELECT cand.qid, cand.nid,
-         |         ${foldDot("qe.v", "ne.v")} / (${norm("qe.v")} * ${norm("ne.v")}) AS cos
-         |  FROM cand
-         |  JOIN e qe ON qe.vec_id = cand.qid
-         |  JOIN e ne ON ne.vec_id = cand.nid),
-         |r AS (SELECT qid, nid, cos,
-         |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-         |      FROM sc)
-         |SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
-         |FROM r WHERE rn <= $TopK ORDER BY qid, nid""".stripMargin
-    }) { (s, d) =>
+    Q.sql("q41_ann_ivf", ivfSearchOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.where(col("vec_id") < NQueries)
       val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
@@ -725,6 +730,28 @@ object SimilarityQueries {
           dround(coalesce(col("n"), lit(0L)).cast("double") /
             (NQueries * TopK), 6).as("recall"))
         .orderBy("depth")
+    },
+
+    // The ONE-CALL SQL surface for IVF ANN search — the family's
+    // most-used operation (SqlSurface.createAnnSearchFunction):
+    // registration bakes the TRAINED centroids as one matrix literal
+    // plus (nProbe, k, query predicate); `SELECT * FROM
+    // graft_ann_search()` then runs normalize → nearest_cell assignment
+    // → nearest_cells probes → cosine_sim scoring → top-k. Every
+    // function in the body is the registered twin of the Column
+    // expression (identical fold order and tie-breaks), so this query is
+    // held hash-for-hash to q41's oracle (SurfaceEquivalenceSpec pins
+    // q234 ≙ q41 in CI via tvfTwins).
+    Q.sql("q234_sql_ann_one_call", ivfSearchOracle) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      emb.createOrReplaceTempView("embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      SqlSurface.createAnnSearchFunction(s, cents, nProbe = 4, k = TopK,
+        queryPred = s"vec_id < $NQueries")
+      s.sql(
+        """SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
+          |FROM graft_ann_search() ORDER BY qid, nid""".stripMargin)
     },
 
     // Contrastive-pair mining (Similarity.hardPairs): per query, the
