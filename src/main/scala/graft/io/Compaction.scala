@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -10,12 +11,43 @@ import org.apache.spark.sql.functions._
   * per batch, so scan cost grows with APPEND COUNT instead of data size.
   * Directories over `maxFilesPerDir` are rewritten to one file each:
   * pruned read of only the hot partitions (cold ones are never listed or
-  * read), one task per hot partition, atomic per-directory swap via FS
+  * read), one task per hot partition, per-directory swap via FS
   * rename. Row content is untouched, so reads return identical results
   * pre/post and partition pruning is preserved (IvfAppendSpec and
   * LayoutSpec both pin this on their layouts). Single-writer maintenance
-  * semantics, like [[Writers.compactFiles]]. */
+  * semantics, like [[Writers.compactFiles]]; for snapshot-isolated
+  * compaction use [[Versioned.compact]].
+  *
+  * Crash durability: the swap renames each live directory ASIDE (to an
+  * underscore-prefixed name readers ignore), renames the staged
+  * replacement in, then deletes the aside copy — every intermediate
+  * crash state retains at least one complete copy of each partition, and
+  * the next run's recovery pass either restores the aside copy (live dir
+  * missing → the crash hit between the two renames) or clears it (live
+  * dir present → the staged data already landed). */
 object Compaction {
+
+  private val asidePrefix = "_compact_old_"
+
+  /** Heal any interrupted swap from a prior crashed run: an aside dir
+    * with no live twin is renamed back (its data is the only copy); one
+    * WITH a live twin is a leftover duplicate of already-landed data and
+    * is removed. Idempotent; runs at the start of every
+    * [[compactPartitionedDirs]]. */
+  private def recoverAsides(fs: FileSystem, root: HPath): Unit = {
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(asidePrefix))
+      .foreach { a =>
+        val live = new HPath(root, a.getPath.getName.stripPrefix(asidePrefix))
+        if (!fs.exists(live))
+          require(fs.rename(a.getPath, live),
+            s"recovery failed to restore ${a.getPath}")
+        else
+          require(fs.delete(a.getPath, true),
+            s"recovery failed to clear ${a.getPath}")
+      }
+  }
 
   /** Compact every `partCol=value` directory under `path` whose parquet
     * file count exceeds `maxFilesPerDir`. `sortCols` restores the layout's
@@ -27,7 +59,7 @@ object Compaction {
     * Safety: a value whose directory name does not round-trip through
     * cast-to-string (URL-escaped characters, the null partition
     * `__HIVE_DEFAULT_PARTITION__`) would make the pruned read select
-    * nothing while the swap deletes the live directory — data loss. The
+    * nothing while the swap replaces the live directory — data loss. The
     * null-partition dir is therefore skipped outright, and the swap
     * verifies the staged replacement EXISTS before touching the live
     * directory, so any other encoding mismatch aborts with nothing
@@ -36,8 +68,9 @@ object Compaction {
                              partCol: String, maxFilesPerDir: Int,
                              sortCols: Seq[String] = Nil): Seq[String] = {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be ≥ 1")
-    val root = new org.apache.hadoop.fs.Path(path)
+    val root = new HPath(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverAsides(fs, root)
     val prefix = s"$partCol="
     val hot = fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
@@ -50,7 +83,7 @@ object Compaction {
       .map(_.getPath.getName.stripPrefix(prefix))
       .sorted
     if (hot.nonEmpty) {
-      val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+      val tmp = new HPath(path + "_compact_tmp")
       fs.delete(tmp, true)
       // pruned read (only hot partitions listed/read): the string compare
       // on the casted partition column is a deterministic partition-only
@@ -62,19 +95,23 @@ object Compaction {
         if (sortCols.isEmpty) pruned
         else pruned.sortWithinPartitions((partCol +: sortCols).map(col): _*)
       ordered.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
-      // verify EVERY staged dir exists before deleting ANY live one — an
+      // verify EVERY staged dir exists before touching ANY live one — an
       // encoding mismatch must abort with zero destructive actions taken
       hot.foreach { v =>
-        require(fs.exists(new org.apache.hadoop.fs.Path(tmp, s"$prefix$v")),
+        require(fs.exists(new HPath(tmp, s"$prefix$v")),
           s"compaction staging missing for $partCol=$v — the directory " +
             "name does not round-trip through cast-to-string; aborting " +
             "before touching live data")
       }
+      // aside → in → drop aside: at every instant at least one complete
+      // copy of the partition exists under a name recovery understands
       hot.foreach { v =>
-        val src = new org.apache.hadoop.fs.Path(tmp, s"$prefix$v")
-        val dst = new org.apache.hadoop.fs.Path(root, s"$prefix$v")
-        require(fs.delete(dst, true) && fs.rename(src, dst),
-          s"compaction swap failed for $partCol=$v")
+        val src = new HPath(tmp, s"$prefix$v")
+        val dst = new HPath(root, s"$prefix$v")
+        val aside = new HPath(root, s"$asidePrefix$prefix$v")
+        require(fs.rename(dst, aside), s"compaction aside failed for $partCol=$v")
+        require(fs.rename(src, dst), s"compaction swap failed for $partCol=$v")
+        require(fs.delete(aside, true), s"compaction cleanup failed for $partCol=$v")
       }
       fs.delete(tmp, true)
     }

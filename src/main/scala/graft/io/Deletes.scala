@@ -1,5 +1,6 @@
 package graft.io
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,11 +17,21 @@ import org.apache.spark.sql.functions._
   * Shape: one scan finds the affected FILE list (driver-collected —
   * bounded by file count, the Delta/Iceberg planner's grain), one job
   * rewrites only those files with matching rows dropped, then the swap
-  * removes the originals and moves the rewritten files in. Single-writer
-  * maintenance semantics like [[Writers.compactFiles]] /
-  * `Similarity.compactIvfIndex`: the swap window is not transactional
-  * against concurrent readers — run it like compaction, from the table's
-  * one maintenance writer (or behind a [[Versioned]] commit).
+  * moves the rewritten files in and only AFTERWARDS removes the
+  * originals. Crash durability: an `_delete_inflight` marker (landed by
+  * atomic rename before the first destructive action) records the
+  * planned swap; every crash state leaves at least one complete copy of
+  * every surviving row, and the next `deleteWhere` (or an explicit
+  * [[recover]]) COMPLETES the interrupted swap from the marker instead
+  * of discarding staged data. The only transient anomaly a crash can
+  * leave is duplicate survivor rows (original + rewritten copy), which
+  * recovery removes — never row loss.
+  *
+  * Concurrent READERS are still not isolated from the swap window —
+  * single-writer maintenance semantics like [[Writers.compactFiles]] /
+  * [[Compaction]]. For snapshot-isolated deletes use
+  * [[Versioned.deleteWhere]], which lands the same rewrite as an atomic
+  * manifest commit.
   *
   * NULL discipline: a row where the predicate evaluates NULL is NOT a
   * match — it is kept, not silently dropped (`coalesce(pred, false)` on
@@ -31,28 +42,106 @@ object Deletes {
   final case class DeleteReport(filesTouched: Int, filesTotal: Int,
                                 rowsDeleted: Long)
 
-  /** Delete rows matching `pred`. Handles flat directories and one level
-    * of `col=value` partition directories (the [[Writers]]/[[Layout]]
-    * layouts); partition columns are preserved through the rewrite, and
-    * `sortCols` restores the table's within-file clustering order in the
-    * rewritten files (pass the table's cluster key so repeated delete
-    * batches stay file-targeted instead of progressively scattering). */
+  private val markerName = "_delete_inflight"
+
+  private def tmpPath(path: String) =
+    new HPath(path.stripSuffix("/") + ".delete.tmp")
+
+  /** Ordered partition-column spine of a Hive-layout directory tree:
+    * every level's `col=value` directories must agree on the column name
+    * and nest identically (ragged or mixed layouts are a corrupt table,
+    * not a supported input). Empty for flat directories. */
+  private def partitionSpine(fs: FileSystem, root: HPath): Seq[String] = {
+    val dirs = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.contains("=") &&
+        !d.getPath.getName.startsWith("_") && !d.getPath.getName.startsWith("."))
+    if (dirs.isEmpty) Nil
+    else {
+      val cols = dirs.map(_.getPath.getName.split("=")(0)).distinct
+      require(cols.size == 1,
+        s"inconsistent partition columns under $root: $cols")
+      val subs = dirs.map(d => partitionSpine(fs, d.getPath)).distinct
+      require(subs.size == 1,
+        s"ragged partition nesting under $root: $subs")
+      cols.head +: subs.head
+    }
+  }
+
+  /** Complete an interrupted swap recorded in `_delete_inflight`:
+    * staged files still in the tmp dir are moved in (a missing source
+    * means that rename already happened — its destination must exist),
+    * then the listed originals are removed, then marker + tmp dir are
+    * cleared. Idempotent; called automatically at the start of every
+    * [[deleteWhere]]. */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverInflight(fs, root, path)
+  }
+
+  private def recoverInflight(fs: FileSystem, root: HPath,
+                              path: String): Boolean = {
+    val marker = new HPath(root, markerName)
+    // a crashed marker WRITE leaves only the staging name — never a
+    // half-written live marker (the rename below is the commit point)
+    fs.delete(new HPath(root, markerName + ".staging"), false)
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val originals = lines.collect { case l if l.startsWith("O\t") =>
+      l.stripPrefix("O\t") }
+    val moves = lines.collect { case l if l.startsWith("M\t") =>
+      val Array(src, dst) = l.stripPrefix("M\t").split('\t'); (src, dst) }
+    moves.foreach { case (src, dst) =>
+      val s = new HPath(src); val d = new HPath(dst)
+      if (fs.exists(s)) {
+        fs.mkdirs(d.getParent)
+        require(fs.rename(s, d), s"recovery failed to move $s")
+      } else require(fs.exists(d),
+        s"recovery: staged file $src vanished without reaching $dst")
+    }
+    originals.foreach { f =>
+      val p = new HPath(f)
+      if (fs.exists(p)) require(fs.delete(p, false), s"failed to remove $f")
+    }
+    require(fs.delete(marker, false), s"failed to clear $marker")
+    fs.delete(tmpPath(path), true)
+    true
+  }
+
+  /** Land the swap plan via write-to-staging + atomic rename: the marker
+    * either exists complete or not at all. */
+  private def writeMarker(fs: FileSystem, root: HPath,
+                          originals: Seq[String],
+                          moves: Seq[(String, String)]): HPath = {
+    val staging = new HPath(root, markerName + ".staging")
+    val marker = new HPath(root, markerName)
+    val out = fs.create(staging, true)
+    try {
+      val body = (originals.map(o => s"O\t$o") ++
+        moves.map { case (s, d) => s"M\t$s\t$d" }).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    require(fs.rename(staging, marker), s"failed to land $marker")
+    marker
+  }
+
+  /** Delete rows matching `pred`. Handles flat directories and any depth
+    * of Hive `col=value` partition directories (the [[Writers]]/[[Layout]]
+    * layouts, including composites like `zb=` under a date level);
+    * partition columns are preserved through the rewrite, and `sortCols`
+    * restores the table's within-file clustering order in the rewritten
+    * files (pass the table's cluster key so repeated delete batches stay
+    * file-targeted instead of progressively scattering). */
   def deleteWhere(spark: SparkSession, path: String, pred: Column,
                   sortCols: Seq[String] = Nil): DeleteReport = {
-    val root = new org.apache.hadoop.fs.Path(path)
+    val root = new HPath(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val top = fs.listStatus(root).toSeq
-    val partDirs = top.filter(d => d.isDirectory && d.getPath.getName.contains("="))
-    val partCols = partDirs.map(_.getPath.getName.split("=")(0)).distinct
-    require(partCols.size <= 1,
-      s"deleteWhere handles at most one partition level; found $partCols")
-    partDirs.foreach { d =>
-      val nested = fs.listStatus(d.getPath)
-        .filter(x => x.isDirectory && x.getPath.getName.contains("="))
-      require(nested.isEmpty,
-        s"nested partition directories under ${d.getPath} are not supported")
-    }
-    def parquetCount(p: org.apache.hadoop.fs.Path): Int = {
+    recoverInflight(fs, root, path)
+    val partCols = partitionSpine(fs, root)
+    def parquetCount(p: HPath): Int = {
       val it = fs.listFiles(p, true)
       var n = 0
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
@@ -72,42 +161,63 @@ object Deletes {
     if (affected.isEmpty) return DeleteReport(0, totalFiles, 0L)
 
     val aff = spark.read.option("basePath", path).parquet(affected.toSeq: _*)
+    // the working source-file column must not shadow table data: derive a
+    // name guaranteed absent from the input schema
+    val srcCol = Iterator.from(0)
+      .map(i => if (i == 0) "__src" else s"__src$i")
+      .find(c => !aff.columns.contains(c)).get
     // keep FILE LOCALITY through the rewrite: grouping survivors by their
     // source file (plus restoring `sortCols` order within each output
     // file) preserves the clustering that made this delete targeted, so
     // the NEXT compliance batch still touches a file subset instead of
     // progressively degrading toward whole-table rewrites
-    val keep = aff.where(!matchP).withColumn("__src", input_file_name())
-    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".delete.tmp")
+    val keep = aff.where(!matchP).withColumn(srcCol, input_file_name())
+    val tmp = tmpPath(path)
     fs.delete(tmp, true)
-    // leading the sort with the partition column lets the dynamic-
+    // leading the sort with the partition columns lets the dynamic-
     // partition writer accept our ordering instead of re-sorting (which
     // would destroy the restored sortCols order)
-    val sortKeys = (partCols ++ Seq("__src") ++ sortCols).map(col)
-    val w = keep.repartition(affected.length, col("__src"))
+    val sortKeys = (partCols ++ Seq(srcCol) ++ sortCols).map(col)
+    val w = keep.repartition(affected.length, col(srcCol))
       .sortWithinPartitions(sortKeys: _*)
-      .drop("__src")
-    (if (partCols.nonEmpty) w.write.partitionBy(partCols.head) else w.write)
+      .drop(srcCol)
+    (if (partCols.nonEmpty) w.write.partitionBy(partCols: _*) else w.write)
       .mode("overwrite").parquet(tmp.toString)
 
-    // swap: drop the originals, then move the rewritten files into place
+    // plan the swap: every staged parquet file and its destination
     // (fresh task UUID file names — no collision with resident files)
-    affected.foreach { f =>
-      require(fs.delete(new org.apache.hadoop.fs.Path(f), false),
-        s"failed to remove $f")
-    }
     val qTmp = fs.makeQualified(tmp).toString
     val qRoot = fs.makeQualified(root)
-    val it = fs.listFiles(tmp, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      if (f.getName.endsWith(".parquet")) {
-        val rel = fs.makeQualified(f).toString.stripPrefix(qTmp).stripPrefix("/")
-        val dst = new org.apache.hadoop.fs.Path(qRoot, rel)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(f, dst), s"failed to move $f into place")
+    val moves = {
+      val b = Seq.newBuilder[(String, String)]
+      val it = fs.listFiles(tmp, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          val q = fs.makeQualified(f)
+          val rel = q.toString.stripPrefix(qTmp).stripPrefix("/")
+          b += ((q.toString, new HPath(qRoot, rel).toString))
+        }
       }
+      b.result()
     }
+    // land the plan, THEN act: rename the rewritten files in first (a
+    // crash here leaves transient duplicate survivor rows, recoverable
+    // from the marker), and only then delete the originals — no crash
+    // state ever holds the last copy of a surviving row in a dir a retry
+    // would wipe
+    val qAffected = affected.map(f => fs.makeQualified(new HPath(f)).toString)
+    writeMarker(fs, root, qAffected.toSeq, moves)
+    moves.foreach { case (src, dst) =>
+      val d = new HPath(dst)
+      fs.mkdirs(d.getParent)
+      require(fs.rename(new HPath(src), d), s"failed to move $src into place")
+    }
+    qAffected.foreach { f =>
+      require(fs.delete(new HPath(f), false), s"failed to remove $f")
+    }
+    require(fs.delete(new HPath(root, markerName), false),
+      "failed to clear the inflight marker")
     fs.delete(tmp, true)
     DeleteReport(affected.length, totalFiles, rowsDeleted)
   }

@@ -607,16 +607,37 @@ object Similarity {
     * nothing quadratic, nothing collected. Scoring is the same fused
     * [[cosine]] expression as [[bruteForceTopK]] with the same
     * (cos desc, nid) tie-break, so a rerank over the FULL corpus as its
-    * candidate set degenerates to exactly `bruteForceTopK`. */
+    * candidate set degenerates to exactly `bruteForceTopK`.
+    *
+    * Contract (the [[maxQueryBatch]] discipline): `queries` is a BATCH
+    * and `candidates` its id-only over-fetch — both are broadcast, so a
+    * corpus-scale frame on either input would OOM executors instead of
+    * failing with a contract error. The query side is counted directly
+    * (a cheap input scan); the candidate side is pinned-persisted FIRST
+    * and counted from the cache, so the fail-fast never recomputes the
+    * caller's coarse stage and the scoring join reuses the same cached
+    * id pairs. */
+  val maxRerankCandidates = 10000000 // ≈160 MB of id pairs broadcast
   def rerankExact(candidates: DataFrame, corpus: DataFrame,
                   queries: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueryBatch,
+      s"rerankExact is for query BATCHES (≤ $maxQueryBatch rows, got $nq); " +
+        "for corpus-scale query sides use ivfTopK/bruteForceTopK")
+    val cand = graft.PinnedFrames.pin(
+      candidates.select("qid", "nid").persist())
+    val nc = cand.count()
+    require(nc <= maxRerankCandidates,
+      s"rerankExact candidates must be a query-batch over-fetch " +
+        s"(≤ $maxRerankCandidates id pairs, got $nc) — a corpus-scale " +
+        "candidate set belongs in ivfTopK's cell join, not a broadcast")
     val c = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("nvec"))
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     val scored = c
-      .join(broadcast(candidates.select("qid", "nid")), Seq("nid"))
+      .join(broadcast(cand), Seq("nid"))
       .join(broadcast(q), Seq("qid"))
       .withColumn("cos", cosine(col("qvec"), col("nvec")))
       .select("qid", "nid", "cos")

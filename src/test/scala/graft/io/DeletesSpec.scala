@@ -95,4 +95,78 @@ class DeletesSpec extends SparkSpec {
     assert(r == Deletes.DeleteReport(0, r.filesTotal, 0L))
     assert(spark.read.parquet(path).count() == 100)
   }
+
+  test("two-level partitioned table: delete preserves BOTH partition " +
+    "columns and still targets a file subset") {
+    val path = java.nio.file.Files.createTempDirectory("del2l").toString + "/t"
+    (0 until 800).map { i =>
+      (i.toLong, (i % 4).toLong, (i % 3).toLong, s"p_$i")
+    }.toDF("id", "grp", "sub", "payload")
+      .write.partitionBy("grp", "sub").parquet(path)
+    val r = Deletes.deleteKeys(spark, path, "id", Seq(5L, 77L, 133L))
+    assert(r.rowsDeleted == 3 && r.filesTouched < r.filesTotal)
+    val left = spark.read.parquet(path)
+    assert(left.count() == 797)
+    assert(left.where($"id".isin(5L, 77L, 133L)).count() == 0)
+    // both partition columns survived the rewrite with correct values
+    assert(left.where($"grp" =!= $"id" % 4 || $"sub" =!= $"id" % 3)
+      .count() == 0)
+  }
+
+  test("a table that already has a __src column keeps its data — the " +
+    "working column derives a non-colliding name") {
+    val path = java.nio.file.Files.createTempDirectory("delsrc").toString + "/t"
+    (0 until 200).map(i => (i.toLong, s"origin_$i"))
+      .toDF("id", "__src")
+      .repartitionByRange(4, $"id").write.parquet(path)
+    val r = Deletes.deleteWhere(spark, path, $"id" < 50)
+    assert(r.rowsDeleted == 50)
+    val left = spark.read.parquet(path)
+    assert(left.count() == 150)
+    // the user's __src data is intact in REWRITTEN files too
+    assert(left.where($"__src" =!= concat(lit("origin_"), $"id")).count() == 0)
+  }
+
+  test("recover completes an interrupted swap: staged files move in, " +
+    "listed originals go, marker and tmp are cleared") {
+    val dir = java.nio.file.Files.createTempDirectory("delrec").toString
+    val path = dir + "/t"
+    mk(100).coalesce(1).write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def parquets(p: String): Seq[org.apache.hadoop.fs.Path] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    val original = parquets(path).head
+    // simulate a crash immediately after the marker landed: the staged
+    // survivor file (ids ≥ 20) sits in the tmp dir, nothing moved yet
+    val tmp = path + ".delete.tmp"
+    mk(100).where($"id" >= 20).coalesce(1).write.parquet(tmp)
+    val staged = parquets(tmp).head
+    val dst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), staged.getName)
+    val marker = new org.apache.hadoop.fs.Path(path, "_delete_inflight")
+    val out = fs.create(marker, true)
+    out.write((s"O\t${fs.makeQualified(original)}\n" +
+      s"M\t${fs.makeQualified(staged)}\t${fs.makeQualified(dst)}")
+      .getBytes("UTF-8"))
+    out.close()
+    assert(Deletes.recover(spark, path))
+    assert(!fs.exists(marker))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+    assert(!fs.exists(original) && fs.exists(dst))
+    assert(spark.read.parquet(path).count() == 80)
+    // idempotent: nothing left to recover
+    assert(!Deletes.recover(spark, path))
+    // and recovery mid-way (original already gone, staged already moved)
+    // is the same no-op path exercised inside deleteWhere's entry call
+    val r = Deletes.deleteWhere(spark, path, $"id" >= 90)
+    assert(r.rowsDeleted == 10 && spark.read.parquet(path).count() == 70)
+  }
 }

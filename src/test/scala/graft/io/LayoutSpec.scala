@@ -257,4 +257,39 @@ class LayoutSpec extends SparkSpec {
     }
     fs.delete(defDir, true) // cleanup so later readers don't trip on junk
   }
+
+  test("compaction crash recovery: an aside dir with no live twin is " +
+    "restored, one with a live twin is cleared — no state loses a copy") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zrec").toString + "/t"
+    Layout.writeZClustered(mk(0 until 600), Seq("x", "y"), bits = 8,
+      bucketBits = 4, numFiles = 2, path = path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val total = spark.read.parquet(path).count()
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("zb="))
+      .map(_.getPath).sortBy(_.getName)
+    assert(live.size >= 2)
+    // crash state A: between the two renames — live dir moved aside, the
+    // staged replacement never landed (aside holds the ONLY copy)
+    val a = live.head
+    val aAside = new org.apache.hadoop.fs.Path(a.getParent,
+      "_compact_old_" + a.getName)
+    assert(fs.rename(a, aAside))
+    // crash state B: after the staged dir landed but before cleanup —
+    // live dir present AND a stale aside duplicate of the same rows
+    val b = live(1)
+    val bAside = new org.apache.hadoop.fs.Path(b.getParent,
+      "_compact_old_" + b.getName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, b, fs, bAside, false,
+      spark.sessionState.newHadoopConf())
+    // threshold high enough that no bucket is hot — this run is recovery only
+    Layout.compactZBuckets(spark, path, maxFilesPerBucket = 1000)
+    assert(fs.exists(a) && !fs.exists(aAside), "state A not restored")
+    assert(fs.exists(b) && !fs.exists(bAside), "state B aside not cleared")
+    assert(spark.read.parquet(path).count() == total)
+  }
 }
