@@ -606,47 +606,121 @@ object SqlSurface {
     * pattern); assignment is the registered `nearest_cell`/`nearest_cells`
     * loop and scoring the registered `cosine_sim` — the SAME expressions
     * the Column API builds, so q234 is held hash-for-hash to q41's
-    * oracle. */
+    * oracle.
+    *
+    * The default body gives the query side its OWN derivation chain so
+    * the baked predicate lands in the parquet scan's PushedFilters
+    * (exactly the Column twin q41's shape — a predicate hidden inside an
+    * `isq` CASE column forced a second FULL-corpus normalize pass, the
+    * measured ~1.5× twin tax this structure removed).
+    *
+    * `unitTable`: for sessions that call the TVF repeatedly, the name of
+    * a pre-materialized (vid, v, isq, u) view/table — the session admin
+    * materializes [[annUnitViewSql]]'s exact text (zero drift possible),
+    * persists it, registers the view — and every call's BOTH sides
+    * become cache reads, amortizing even the single corpus normalize
+    * across calls (the q219 shingleTable pattern). With `unitTable` set
+    * the baked `queryPred` is unused: the materialized `isq` column
+    * (computed by the admin with their predicate) governs which vectors
+    * probe. Contents must equal the default derivation; the q41 oracle
+    * holds the TVF to the identical hash either way
+    * (SurfaceEquivalenceSpec pins both bodies). */
+  /** The EXACT (vid, v, isq, u) derivation a pre-materialized `unitTable`
+    * for [[createAnnSearchFunction]] must contain — emitted as runnable
+    * SQL so the session admin materializes THIS text instead of
+    * re-typing it (any drift would silently change search results; the
+    * q41 oracle would catch it as a hash mismatch). Same expressions as
+    * the TVF's default body: cast to double array, the baked query
+    * predicate as `isq`, `dot_product`-based norm, zero-norm vectors
+    * passed through unnormalized. */
+  def annUnitViewSql(table: String = "embeddings", idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     queryPred: String = "vec_id < 8"): String = {
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qVec = quotePart(vecCol)
+    s"""WITH e AS (
+       |  SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v,
+       |         CASE WHEN ($queryPred) THEN 1 ELSE 0 END AS isq
+       |  FROM $qTable),
+       |n AS (SELECT vid, v, isq, sqrt(dot_product(v, v)) AS nrm FROM e)
+       |SELECT vid, v, isq,
+       |       CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm)
+       |            ELSE v END AS u
+       |FROM n""".stripMargin
+  }
+
   def createAnnSearchFunction(spark: SparkSession,
       cents: Seq[Array[Double]], nProbe: Int, k: Int,
       table: String = "embeddings", idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryPred: String = "vec_id < 8",
-      funcName: String = "graft_ann_search"): Unit = {
+      funcName: String = "graft_ann_search",
+      unitTable: Option[String] = None): Unit = {
     require(cents.nonEmpty && nProbe >= 1 && k >= 1)
     try spark.sessionState.sqlParser.parseExpression(queryPred)
     catch {
       case e: Exception => throw new IllegalArgumentException(
         s"$funcName: queryPred is not a parseable SQL expression: '$queryPred'", e)
     }
-    val qTable = table.split('.').map(quotePart).mkString(".")
-    val qId = quotePart(idCol)
-    val qVec = quotePart(vecCol)
     val qFunc = quotePart(funcName)
     register(spark)
-    def arr(a: Array[Double]): String =
-      a.map(x => s"${x}D").mkString("array(", ",", ")")
-    val centsLit = cents.map(arr).mkString("array(", ",", ")")
+    // the trained matrix enters the body as a zero-arg NATIVE function
+    // resolving straight to the compact CentroidMatrixLiteral node (the
+    // Column path's representation) — baking it as `array(array(...))`
+    // TEXT cost a parse + constant-fold of ~nLists×dims literal nodes at
+    // registration AND at every SELECT (SQL function bodies re-inline),
+    // a measured ~0.3 s/call driver tax at a mere 16×64 and growing
+    // linearly with nLists; the name resolves in O(1) at any size
+    val centsFnName = funcName + "_cents"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      centsFnName,
+      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.catalyst.CentroidMatrixLiteral(
+          cents.map(_.toSeq)),
+      "built-in")
+    val centsLit = s"${quotePart(centsFnName)}()"
+    // The query side gets its OWN derivation chain with the predicate as
+    // a plain WHERE on the base table — a predicate folded into an
+    // `isq` CASE column never reaches the parquet scan, so the probe
+    // side would normalize the FULL corpus to extract a handful of query
+    // rows (the measured q234 twin tax; the Column twin q41 scans a
+    // pushed-filter subset). With a pre-materialized `unitTable` both
+    // sides are cache reads and the stored isq column governs instead.
+    val (unitCtes, probesFrom) = unitTable match {
+      case Some(ut) =>
+        val qUt = ut.split('.').map(quotePart).mkString(".")
+        (s"u AS (SELECT vid, v, isq, u FROM $qUt),",
+          "FROM u WHERE isq = 1")
+      case None =>
+        val qTable = table.split('.').map(quotePart).mkString(".")
+        val qId = quotePart(idCol)
+        val qVec = quotePart(vecCol)
+        def chain(sfx: String, where: String) =
+          s"""e$sfx AS (
+             |  SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+             |  FROM $qTable$where),
+             |n$sfx AS (SELECT vid, v, sqrt(dot_product(v, v)) AS nrm FROM e$sfx),
+             |u$sfx AS (SELECT vid, v,
+             |             CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm)
+             |                  ELSE v END AS u
+             |      FROM n$sfx),""".stripMargin
+        (chain("", "") + "\n" + chain("q", s"\n  WHERE ($queryPred)"),
+          "FROM uq")
+    }
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (qid BIGINT, nid BIGINT, cos DOUBLE)
          |RETURN
-         |WITH e AS (
-         |  SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v,
-         |         CASE WHEN ($queryPred) THEN 1 ELSE 0 END AS isq
-         |  FROM $qTable),
-         |n AS (SELECT vid, v, isq, sqrt(dot_product(v, v)) AS nrm FROM e),
-         |u AS (SELECT vid, v, isq,
-         |             CASE WHEN nrm > 0 THEN transform(v, x -> x / nrm)
-         |                  ELSE v END AS u
-         |      FROM n),
+         |WITH $unitCtes
          |a AS (SELECT vid, v, nearest_cell(u, $centsLit) AS cell FROM u),
          |probes AS (
          |  SELECT vid AS qid, v AS qv,
          |         explode(nearest_cells(u, $centsLit, $nProbe)) AS cell
-         |  FROM u WHERE isq = 1),
+         |  $probesFrom),
          |sc AS (
-         |  SELECT p.qid, a.vid AS nid, cosine_sim(p.qv, a.v) AS cos
+         |  SELECT /*+ BROADCAST(p) */
+         |         p.qid, a.vid AS nid, cosine_sim(p.qv, a.v) AS cos
          |  FROM probes p JOIN a ON a.cell = p.cell
          |  WHERE a.vid != p.qid),
          |r AS (SELECT qid, nid, cos,

@@ -156,7 +156,14 @@ object Deletes {
     val perFile = all.where(matchP)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect()
-    val affected = perFile.map(_.getString(0))
+    // input_file_name returns a fully URI-ENCODED string; Hive-escaped
+    // partition values (spaces, %) make the raw string unreadable as a
+    // path (Spark's path parser decodes once more). Round-trip through
+    // java.net.URI → Hadoop Path, whose toString is the form both the
+    // FS layer and spark.read accept for every escaping case
+    // (DeletesSpec pins a table with space/% partition values).
+    val affected = perFile
+      .map(r => new HPath(new java.net.URI(r.getString(0))).toString)
     val rowsDeleted = perFile.map(_.getLong(1)).sum
     if (affected.isEmpty) return DeleteReport(0, totalFiles, 0L)
 

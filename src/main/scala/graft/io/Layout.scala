@@ -127,6 +127,128 @@ object Layout {
         sortCols = Seq("zv"))
       .map(_.toLong).sorted
 
+  // --- Dimension encoding: z-order over ARBITRARY ordered columns ---
+  //
+  // withZValue/writeZClustered require non-negative integrals fitting
+  // `bits` bits; strings, timestamps, and skewed ids don't. The encoder
+  // owns that mapping: each dimension gets a PERSISTED, deterministic,
+  // ORDER-PRESERVING value→code table (codes dense in [0, 2^bits)), so
+  // range predicates on the original column map to range predicates on
+  // the code and the dyadic box pruning applies unchanged. Cardinality ≤
+  // 2^bits gets the exact dictionary (rank = code); above that, ranks
+  // are bucketed equal-frequency over the DISTINCT values
+  // (code = rank·2^bits / n — the skewed-id case: a hot key inflates one
+  // code's ROW count but never its code range, so pruning soundness is
+  // untouched). Both are one distinct-aggregate to build (shuffle at
+  // #distinct grain, not row grain) and the encoder table itself is
+  // ≤ #distinct rows of metadata.
+
+  // sibling of the table dir (the _compact_tmp convention): the layout's
+  // own overwrite-mode write truncates the table path, and the encoders
+  // must survive it — they are built BEFORE the clustered write reads
+  // them
+  private def encoderPath(path: String, c: String) =
+    s"${path.stripSuffix("/")}_encoders/$c"
+
+  private def encCol(c: String) = s"__zenc_$c"
+
+  /** Build + persist the encoder for one dimension column. Determinism:
+    * distinct values sorted ascending, dense ranks — bit-identical on
+    * rebuild, replayable in an external oracle. NULLs are excluded here
+    * and rejected at write time by the z-layout's own NULL guard. */
+  private def buildEncoder(df: DataFrame, c: String, bits: Int,
+                           path: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
+    val enc = df.select(col(c).as("value")).where(col("value").isNotNull)
+      .distinct()
+      // global-order window: runs AFTER the distinct aggregate, on
+      // #distinct rows — the encoder-sized frame, not the table
+      .withColumn("rank", row_number().over(w).cast("long") - 1L)
+    val n = enc.count()
+    require(n >= 1, s"dimension $c has no non-null values")
+    val lim = 1L << bits
+    val coded =
+      if (n <= lim) enc.withColumn("code", col("rank"))
+      else enc.withColumn("code", (col("rank") * lim / n).cast("long"))
+    coded.select("value", "code").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Encoder table for dimension `c` of an encoded z-layout at `path`:
+    * (value, code) rows, ascending in both. */
+  def readEncoder(spark: SparkSession, path: String, c: String): DataFrame =
+    spark.read.parquet(encoderPath(path, c))
+
+  private def encodeDims(df: DataFrame, spark: SparkSession, path: String,
+                         cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      val enc = readEncoder(spark, path, c)
+        .select(col("value").as(s"${encCol(c)}_v"),
+          col("code").as(encCol(c)))
+      // broadcast: the encoder is metadata-sized by construction; an
+      // unseen value (appends after the dictionary was built) joins to a
+      // NULL code and the z-layout's NULL guard aborts the write — the
+      // dictionary is static until explicitly rebuilt, never silently
+      // extended (codes are order-dependent; an in-place extension would
+      // scramble resident buckets)
+      acc.join(broadcast(enc), acc(c) === col(s"${encCol(c)}_v"), "left")
+        .drop(s"${encCol(c)}_v")
+    }
+
+  /** Write `df` z-clustered by ENCODED dimensions `cols` — arbitrary
+    * orderable types (strings, timestamps, skewed ids). Builds and
+    * persists one encoder per dimension under `<path>/_encoders/`, then
+    * writes the [[writeZClustered]] layout over the code columns. The
+    * written table keeps the original columns (the read path's exact
+    * predicates) plus the code columns and zv/zb. */
+  def writeZClusteredEncoded(df: DataFrame, cols: Seq[String], bits: Int,
+                             bucketBits: Int, numFiles: Int,
+                             path: String): Unit = {
+    val spark = df.sparkSession
+    cols.foreach(c => buildEncoder(df, c, bits, encoderPath(path, c)))
+    zClusteredWrite(encodeDims(df, spark, path, cols), cols.map(encCol),
+      bits, bucketBits, numFiles, path, "overwrite")
+  }
+
+  /** Append a batch into an encoded z-layout using the PERSISTED
+    * encoders — the [[appendZClustered]] contract; a value outside the
+    * built dictionary fails the write (NULL-code guard) instead of
+    * landing in a wrong bucket. */
+  def appendZClusteredEncoded(df: DataFrame, cols: Seq[String], bits: Int,
+                              bucketBits: Int, numFiles: Int,
+                              path: String): Unit =
+    zClusteredWrite(encodeDims(df, df.sparkSession, path, cols),
+      cols.map(encCol), bits, bucketBits, numFiles, path, "append")
+
+  /** Read an encoded z-clustered table restricted to an inclusive box on
+    * the ORIGINAL column values: each dimension's value range maps to a
+    * code range via its encoder (min/max code over the dictionary values
+    * inside the range — exact for pruning: every row whose value lies in
+    * the box has its code in that range), the dyadic bucket math prunes
+    * directories, and the exact per-column predicates on the original
+    * values apply on top. A dimension range containing NO dictionary
+    * value proves zero matching rows — the scan is skipped outright. */
+  def readZBoxEncoded(spark: SparkSession, path: String,
+                      dims: Seq[(String, Any, Any)], bits: Int,
+                      bucketBits: Int): DataFrame = {
+    val ranges = dims.map { case (c, lo, hi) =>
+      val r = readEncoder(spark, path, c)
+        .where(col("value") >= lit(lo) && col("value") <= lit(hi))
+        .agg(min("code"), max("code")).head()
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+    val exact: Column = dims.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (ranges.exists(_.isEmpty))
+      spark.read.parquet(path).where(lit(false))
+    else {
+      val buckets = zBoxBuckets(ranges.map(_.get), bits, bucketBits)
+      spark.read.parquet(path)
+        .where(col("zb").isin(buckets: _*) && exact)
+    }
+  }
+
   /** The z-buckets whose dyadic rectangle intersects the box — driver-side
     * config-sized math (2^bucketBits iterations; a bucket id fixes the top
     * bucketBits/m bits of EVERY dimension because bucketBits is a multiple

@@ -342,6 +342,23 @@ object Similarity {
     graft.io.Compaction.compactPartitionedDirs(spark, path, "cell",
       maxFilesPerCell).map(_.toInt).sorted
 
+  /** RIGHT-TO-BE-FORGOTTEN on the WRITTEN ANN index — at 100 TB a
+    * compliance batch includes embeddings, not just documents: targeted
+    * delete of vector ids from the cell=-partitioned index via
+    * [[graft.io.Deletes]] on the index layout. Only the files of cells
+    * holding a deleted vector are rewritten (delete cost scales with
+    * affected files, not index size — the cell clustering that makes
+    * probes cheap makes deletes cheap too); every other cell file stays
+    * byte-identical, so partition pruning and resident search behavior
+    * are untouched. Searches afterwards equal a fresh index built
+    * without the deleted ids: assignment is per-vector (dropping rows
+    * changes no other row's cell or vector) and scoring is exact within
+    * probed cells (IvfIndexSpec pins the equivalence). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String,
+                         ids: Seq[Any]): graft.io.Deletes.DeleteReport =
+    graft.io.Deletes.deleteKeys(spark, indexPath, "nid", ids)
+
   /** Search a written IVF index for one QUERY BATCH: the probed cell set
     * (≤ nQueries × nProbe ids, deduplicated — config-sized for a batch)
     * becomes a static partition filter, so the scan never lists or reads
@@ -644,6 +661,31 @@ object Similarity {
     graft.plans.TopK.topKPerGroup(scored, Seq("qid"),
       Seq("cos" -> true, "nid" -> false), k)
   }
+
+  /** Turn the rerank-depth TUNING report (q231's (depth, recall) rows —
+    * recall@k of two-stage retrieval as a function of the coarse
+    * over-fetch depth) into the production dial it measures: the MINIMAL
+    * depth whose measured recall meets `targetRecall`. Depths are
+    * scanned ascending; when no measured depth meets the target the
+    * deepest one is returned (the report's ceiling — the caller decides
+    * whether to re-run the report deeper or accept the best available).
+    * Driver-side over a config-sized report: the report is the control
+    * input to the retrieval pipeline, not a dashboard. */
+  def chooseRerankDepth(report: Seq[(Int, Double)],
+                        targetRecall: Double): Int = {
+    require(report.nonEmpty, "empty tuning report")
+    val sorted = report.sortBy(_._1)
+    sorted.find(_._2 >= targetRecall).map(_._1).getOrElse(sorted.last._1)
+  }
+
+  /** Overload over the report FRAME (q231's output schema:
+    * depth, n_hits, recall). Config-sized collect — one row per
+    * measured depth. */
+  def chooseRerankDepth(report: DataFrame, targetRecall: Double): Int =
+    chooseRerankDepth(
+      report.select(col("depth").cast("int"), col("recall").cast("double"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq,
+      targetRecall)
 
   /** Centroid-drift report — the rebuild gate for APPEND-ONLY IVF index
     * maintenance. A 100 TB corpus takes daily appends, and re-running

@@ -577,11 +577,14 @@ object DomainQueries {
     // lake operation — a key batch is deleted by rewriting ONLY the files
     // that contain matching rows (found by one input_file_name scan, the
     // Delta/Iceberg planner grain); every other file stays byte-identical
-    // (DeletesSpec pins names unchanged). The table is range-clustered by
-    // the delete key, so a 3-key compliance batch touches a strict file
-    // subset (require-asserted). The report READS THE REWRITTEN TABLE;
-    // the oracle reads the original minus the keys — a hash match proves
-    // the rewrite deleted exactly the batch and nothing else.
+    // (DeletesSpec pins names unchanged). The table is a TWO-LEVEL Hive
+    // layout (status=/priority= — the first composite a real lake hits)
+    // with the delete key range-clustered within files, so a 3-key
+    // compliance batch still touches a strict file subset
+    // (require-asserted) and BOTH partition columns survive the rewrite.
+    // The report READS THE REWRITTEN TABLE; the oracle reads the original
+    // minus the keys — a hash match proves the rewrite deleted exactly
+    // the batch and nothing else, through the composite layout.
     Q.sql("q233_targeted_delete",
       """SELECT o_orderstatus AS status, count(*) AS n_rows,
         |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
@@ -594,9 +597,11 @@ object DomainQueries {
       val tbl = java.nio.file.Files
         .createTempDirectory("q233del").toString + "/orders_d"
       graft.io.Tables.orders(s, d)
-        .repartitionByRange(20, col("o_custkey"))
-        .sortWithinPartitions("o_custkey")
-        .write.parquet(tbl)
+        .repartitionByRange(20, col("o_orderstatus"),
+          col("o_orderpriority"), col("o_custkey"))
+        .sortWithinPartitions("o_orderstatus", "o_orderpriority",
+          "o_custkey")
+        .write.partitionBy("o_orderstatus", "o_orderpriority").parquet(tbl)
       val r = graft.io.Deletes.deleteKeys(s, tbl, "o_custkey",
         Seq(7L, 501L, 999L), sortCols = Seq("o_custkey"))
       require(r.rowsDeleted > 0 && r.filesTouched < r.filesTotal,
@@ -607,6 +612,107 @@ object DomainQueries {
           sum(col("o_orderkey")).as("key_sum"),
           Qutil.msum(col("o_totalprice"), 2).as("total_price"))
         .orderBy("status")
+    },
+
+    // TRANSACTIONAL delete + time travel (io.Versioned.deleteWhere —
+    // q233's file-targeted rewrite landed as a manifest COMMIT instead of
+    // a directory swap): the GDPR batch rewrites only the affected files'
+    // survivors into a new commit dir and the new manifest swaps exactly
+    // those files, so a reader pinned to the pre-delete version still
+    // sees the full table AFTER the delete landed — both reads run after
+    // both commits, and the oracle states each version's contents from
+    // the key split. require() pins the lake-shape claims the hash can't
+    // see: the delete touched a strict file subset (the v2 manifest
+    // reuses v1 files verbatim) and no live file was removed.
+    Q.sql("q235_versioned_delete_travel",
+      """WITH a AS (
+        |  SELECT 1 AS version, o_orderstatus AS status, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS total_price
+        |  FROM orders GROUP BY 2),
+        |b AS (
+        |  SELECT 2 AS version, o_orderstatus AS status, count(*) AS n_rows,
+        |         CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS total_price
+        |  FROM orders WHERE o_custkey NOT IN (7, 501, 999) GROUP BY 2)
+        |SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY version, status""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q235vdel").toString + "/orders_vd"
+      val v1 = graft.io.Versioned.commit(
+        graft.io.Tables.orders(s, d)
+          .repartitionByRange(20, col("o_custkey"))
+          .sortWithinPartitions("o_custkey"), tbl)
+      val v2 = graft.io.Versioned.deleteWhere(s, tbl,
+        col("o_custkey").isin(7L, 501L, 999L), sortCols = Seq("o_custkey"))
+      require(v2 == v1 + 1, s"delete must land one commit ($v1 -> $v2)")
+      def files(v: Int) = graft.io.Versioned.snapshot(s, tbl, v)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (f1, f2) = (files(v1), files(v2))
+      val shared = f1 intersect f2
+      require(shared.nonEmpty && shared.size < f1.size,
+        s"versioned delete must reuse a strict file subset " +
+          s"(${shared.size}/${f1.size})")
+      require(f1.forall(f => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(new java.net.URI(f)))),
+        "a pre-delete file was physically removed before vacuum")
+      def agg(version: Int) =
+        graft.io.Versioned.snapshot(s, tbl, version)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+          .select(lit(version).as("version"), col("status"),
+            col("n_rows"), col("key_sum"), col("total_price"))
+      agg(v1).unionByName(agg(v2)).orderBy("version", "status")
+    },
+
+    // ENCODED z-order layout (io.Layout.writeZClusteredEncoded): z-
+    // clustering over columns the raw Morton interleave can't take — a
+    // TIMESTAMP and a STRING — via the engine-owned order-preserving
+    // dimension encoders (persisted value→code dictionaries; dates
+    // rank-bucket above the bit budget, priorities dictionary-encode).
+    // The box read maps the original-value ranges to code ranges through
+    // the encoders, prunes z-buckets with the same exact dyadic math as
+    // q230, and applies the exact original-column predicates on top — so
+    // the oracle is a plain range filter on orders. require() pins the
+    // strict bucket-subset pruning the hash can't see.
+    Q.sql("q236_zorder_encoded",
+      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |       o_orderpriority AS prio, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |  AND o_orderpriority >= '1-URGENT' AND o_orderpriority <= '2-HIGH'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 8; val bucketBits = 4
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q236ze").toString + "/orders_ze"
+      graft.io.Layout.writeZClusteredEncoded(
+        graft.io.Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        Seq("o_orderdate", "o_orderpriority"), bits, bucketBits,
+        numFiles = 8, path = tbl)
+      val box = graft.io.Layout.readZBoxEncoded(s, tbl,
+        Seq(("o_orderdate",
+          java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1996-12-31 23:59:59")),
+          ("o_orderpriority", "1-URGENT", "2-HIGH")),
+        bits, bucketBits)
+      val touched = box.select("zb").distinct().count()
+      require(touched < (1L << bucketBits),
+        s"encoded z-box read must prune buckets ($touched/${1L << bucketBits})")
+      box.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("odate", "prio")
     },
 
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =

@@ -16,7 +16,17 @@ object SimilarityQueries {
   private val Dims = 64
   private val TopK = 5
   private val NQueries = 8 // query set = vec_id < 8
-  private val RerankDepth = 20 // q229 coarse over-fetch per query
+  /** q231's committed tuning report (sf0.1 run, round 13): recall@TopK of
+    * the q229 two-stage retrieval per coarse over-fetch depth. The
+    * REPORT chooses q229's depth (Similarity.chooseRerankDepth) — the
+    * tuning run is the control loop's measurement phase, its output the
+    * persisted config artifact; re-run q231 and refresh this table to
+    * re-tune. At the 0.45 recall target only depth 20 qualifies, so the
+    * chosen depth equals the previous hand-typed constant and q229's
+    * oracle hashes are unchanged. */
+  private val TunedDepthReport = Seq(5 -> 0.25, 10 -> 0.30, 20 -> 0.475)
+  private val RerankDepth = // q229 coarse over-fetch per query
+    Similarity.chooseRerankDepth(TunedDepthReport, targetRecall = 0.45)
   private val NearDupTau = 0.35 // synthetic embeddings are near-orthogonal;
                                 // 0.35 yields a few hundred pairs at sf0.01
   private val PcaIters = 4      // q182 power-iteration rounds (CTE-replayed)
@@ -53,8 +63,17 @@ object SimilarityQueries {
     * probe argmax, exact cosine, top-k) — the Column path and the
     * `graft_ann_search()` TVF are held hash-for-hash to this one text
     * (the q221/q223 twin discipline). */
-  private lazy val ivfSearchOracle: String = {
+  private lazy val ivfSearchOracle: String = ivfSearchOracleExcluding(Nil)
+
+  /** The q41 IVF-search oracle with an optional deleted-id exclusion —
+    * training and assignment replay over the FULL corpus (the index was
+    * built before the delete; dropping a row changes no other row's cell),
+    * only the candidate set loses the deleted ids (q237). */
+  private def ivfSearchOracleExcluding(exclude: Seq[Long]): String = {
     val nLists = 16; val iters = 3; val nProbe = 4; val q = 6
+    val excl =
+      if (exclude.isEmpty) ""
+      else s"\n   AND a.vec_id NOT IN (${exclude.mkString(", ")})"
     s"""WITH ${lloydPrelude(nLists, iters, q)},
        |probes AS (
        |  SELECT vec_id AS qid, cell FROM (
@@ -67,7 +86,7 @@ object SimilarityQueries {
        |cand AS (
        |  SELECT p.qid, a.vec_id AS nid FROM probes p
        |  JOIN asgf a ON a.cell = p.cell
-       |  WHERE a.vec_id != p.qid),
+       |  WHERE a.vec_id != p.qid$excl),
        |sc AS (
        |  SELECT cand.qid, cand.nid,
        |         ${foldDot("qe.v", "ne.v")} / (${normSql("qe.v")} * ${normSql("ne.v")}) AS cos
@@ -752,6 +771,33 @@ object SimilarityQueries {
       s.sql(
         """SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS cos
           |FROM graft_ann_search() ORDER BY qid, nid""".stripMargin)
+    },
+
+    // RIGHT-TO-BE-FORGOTTEN on the ANN index (Similarity.deleteFromIvfIndex
+    // = io.Deletes on the cell= layout): three vector ids are deleted from
+    // a WRITTEN index by rewriting only the files of the cells that hold
+    // them (require-pinned strict file subset), then the search runs over
+    // the post-delete index. The oracle replays the full q41 pipeline with
+    // only the candidate set excluding the deleted ids — a hash match
+    // proves the targeted rewrite removed exactly those vectors and
+    // nothing else (deleted ids overlap the q41 result set, so the delete
+    // demonstrably changes answers).
+    Q.sql("q237_ivf_index_delete",
+      ivfSearchOracleExcluding(Seq(73L, 334L, 386L))) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      val idx = java.nio.file.Files
+        .createTempDirectory("q237ivfdel").toString + "/ivf_idx"
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", cents, idx)
+      val r = Similarity.deleteFromIvfIndex(s, idx, Seq(73L, 334L, 386L))
+      require(r.rowsDeleted == 3 && r.filesTouched < r.filesTotal,
+        s"index delete must rewrite a strict file subset ($r)")
+      Similarity.ivfTopKFromIndex(s, idx,
+          emb.where(col("vec_id") < NQueries),
+          "vec_id", "embedding", cents, nProbe = 4, k = TopK)
+        .select(col("qid"), col("nid"), dround(col("cos"), 6).as("cos"))
+        .orderBy("qid", "nid")
     },
 
     // Contrastive-pair mining (Similarity.hardPairs): per query, the

@@ -671,4 +671,59 @@ object Streaming {
         graft.io.Versioned.commit(batch, table): Unit
       }
       .start()
+
+  /** Stream → z-clustered layout with the COMPACTION TRIGGER integrated:
+    * each micro-batch dynamic-appends into the z-bucket directories
+    * ([[graft.io.Layout.appendZClustered]]), and every `compactEvery`
+    * batches the standing maintenance pass rewrites directories over
+    * `maxFilesPerDir` to one file ([[graft.io.Layout.compactZBuckets]]) —
+    * a long-running ingest keeps file counts bounded by construction
+    * instead of waiting for an operator to remember a manual compaction.
+    *
+    * Single-writer discipline, made EXPLICIT: the trigger runs inside the
+    * same foreachBatch epoch as the append, and streaming epochs are
+    * serialized — appender and compactor are the one table writer, so the
+    * directory swap never races another writer. The trigger fires on
+    * `batchId % compactEvery == compactEvery - 1` (epoch ids survive
+    * checkpoint recovery, so a restarted stream keeps the cadence);
+    * `compactEvery <= 0` disables it. Reads return identical rows before
+    * and after a trigger (the layout's compaction invariant, pinned by
+    * LayoutSpec and StreamingSpec). */
+  def zLayoutSink(df: DataFrame, cols: Seq[String], bits: Int,
+                  bucketBits: Int, numFiles: Int, path: String,
+                  checkpoint: String, compactEvery: Int = 16,
+                  maxFilesPerDir: Int = 8): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.Layout.appendZClustered(batch, cols, bits, bucketBits,
+          numFiles, path)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.io.Layout.compactZBuckets(batch.sparkSession, path,
+            maxFilesPerDir): Unit
+      }
+      .start()
+
+  /** Stream → IVF ANN index with the same integrated compaction trigger:
+    * micro-batches assign to the FIXED trained centroids and append into
+    * their cell partitions ([[graft.operators.Similarity.appendToIvfIndex]]
+    * — no retraining on the hot path; [[cellOccupancyStream]] /
+    * `centroidDriftReport` gate rebuilds), and every `compactEvery`
+    * batches hot cells compact
+    * ([[graft.operators.Similarity.compactIvfIndex]]). Same serialized
+    * single-writer contract as [[zLayoutSink]]. */
+  def ivfIndexSink(df: DataFrame, idCol: String, vecCol: String,
+                   cents: Seq[Array[Double]], path: String,
+                   checkpoint: String, compactEvery: Int = 16,
+                   maxFilesPerCell: Int = 8): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(batch, idCol, vecCol,
+          cents, path)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.operators.Similarity.compactIvfIndex(batch.sparkSession,
+            path, maxFilesPerCell): Unit
+      }
+      .start()
 }

@@ -56,4 +56,29 @@ class SurfaceEquivalenceSpec extends SparkSpec {
       for (other <- names.tail)
         assert(rows(other) == first, s"${names.head} != $other")
     }
+
+  test("createAnnSearchFunction unitTable body ≡ default body (the " +
+    "pre-materialized unit view changes the plan, never the rows)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.io.Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("embeddings")
+    val cents = graft.operators.Similarity.trainCentroids(
+      emb, "vec_id", "embedding", nLists = 8, iters = 2)
+    SqlSurface.register(spark)
+    SqlSurface.createAnnSearchFunction(spark, cents, nProbe = 2, k = 5,
+      queryPred = "vec_id < 6", funcName = "ann_default")
+    val unit = PinnedFrames.pin(
+      spark.sql(SqlSurface.annUnitViewSql(queryPred = "vec_id < 6"))
+        .persist())
+    unit.createOrReplaceTempView("emb_unit_eq")
+    SqlSurface.createAnnSearchFunction(spark, cents, nProbe = 2, k = 5,
+      queryPred = "vec_id < 6", funcName = "ann_mat",
+      unitTable = Some("emb_unit_eq"))
+    def res(f: String) = spark.sql(
+      s"SELECT qid, nid, floor(cos * 1000000 + 0.5) / 1000000 AS c " +
+        s"FROM $f() ORDER BY qid, nid").collect().map(_.toString).toSeq
+    val d = res("ann_default")
+    assert(d.nonEmpty && d == res("ann_mat"))
+    PinnedFrames.release()
+  }
 }

@@ -127,6 +127,28 @@ class DeletesSpec extends SparkSpec {
     assert(left.where($"__src" =!= concat(lit("origin_"), $"id")).count() == 0)
   }
 
+  test("Hive-escaped partition values (space, percent) round-trip through " +
+    "the delete: discovery, rewrite, and swap all resolve the real files") {
+    val path = java.nio.file.Files.createTempDirectory("delesc").toString + "/t"
+    (0 until 300).map { i =>
+      val p = i % 3 match {
+        case 0 => "NOT SPECIFIED"; case 1 => "C%D"; case _ => "ok"
+      }
+      (i.toLong, p, s"pay_$i")
+    }.toDF("id", "prio", "payload")
+      .repartitionByRange(6, $"prio", $"id").sortWithinPartitions("prio", "id")
+      .write.partitionBy("prio").parquet(path)
+    val r = Deletes.deleteKeys(spark, path, "id", Seq(0L, 1L, 2L),
+      sortCols = Seq("id"))
+    assert(r.rowsDeleted == 3 && r.filesTouched < r.filesTotal)
+    val left = spark.read.parquet(path)
+    assert(left.count() == 297)
+    assert(left.where($"id" < 3).count() == 0)
+    // all three partition values still present and intact
+    assert(left.select("prio").distinct().as[String].collect().toSet ==
+      Set("NOT SPECIFIED", "C%D", "ok"))
+  }
+
   test("recover completes an interrupted swap: staged files move in, " +
     "listed originals go, marker and tmp are cleared") {
     val dir = java.nio.file.Files.createTempDirectory("delrec").toString

@@ -258,6 +258,75 @@ class LayoutSpec extends SparkSpec {
     fs.delete(defDir, true) // cleanup so later readers don't trip on junk
   }
 
+  test("encoded z-layout: (string, skewed long) dims cluster and box-read " +
+    "exactly; PartitionFilters prunes a strict bucket subset; unseen " +
+    "append values are rejected") {
+    val cats = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    // skewed ids: a hot key (1000000) plus a long tail — cardinality
+    // above 2^bits, so the rank-bucketed encoder path is exercised
+    val mk = (r: Range) => r.map { i =>
+      val id = if (i % 3 == 0) 1000000L else (i * 7919L) % 100000L
+      (i.toLong, cats(i % cats.size), id)
+    }.toDF("row", "cat", "skew")
+    val path = java.nio.file.Files.createTempDirectory("zenc").toString + "/t"
+    val bits = 6; val bucketBits = 4
+    Layout.writeZClusteredEncoded(mk(0 until 3000), Seq("cat", "skew"),
+      bits, bucketBits, numFiles = 4, path = path)
+    // encoder sanity: order-preserving, codes inside the bit budget
+    val encS = Layout.readEncoder(spark, path, "skew")
+      .orderBy("value").select("value", "code").as[(Long, Long)].collect()
+    assert(encS.map(_._2).forall(c => c >= 0 && c < (1L << bits)))
+    assert(encS.sortBy(_._1).map(_._2).sameElements(encS.map(_._2).sorted),
+      "skew encoder not order-preserving")
+    assert(encS.length > (1 << bits), "test must exceed the dictionary size")
+    val got = Layout.readZBoxEncoded(spark, path,
+      Seq(("cat", "bravo", "delta"), ("skew", 10000L, 60000L)),
+      bits, bucketBits)
+    val gotRows = got.select("row").as[Long].collect().toSet
+    val want = mk(0 until 3000)
+      .where($"cat".between("bravo", "delta") && $"skew".between(10000L, 60000L))
+      .select("row").as[Long].collect().toSet
+    assert(gotRows == want && gotRows.nonEmpty)
+    // the bucket predicate reaches the scan as a partition filter over a
+    // strict subset of the bucket dirs
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zb"),
+      s"no partition filter in:\n$plan")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val allBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(d => d.isDirectory && d.getPath.getName.startsWith("zb="))
+    val prunedTo = got.select("zb").distinct().count()
+    assert(prunedTo < allBuckets, s"no pruning: $prunedTo/$allBuckets")
+    // a range that covers no dictionary value proves zero rows scan-free
+    assert(Layout.readZBoxEncoded(spark, path,
+      Seq(("cat", "f", "g"), ("skew", 10000L, 60000L)),
+      bits, bucketBits).count() == 0)
+    // append with DICTIONARY values lands and reads exactly (new rows,
+    // seen dimension values — the static-dictionary contract)
+    val appendBatch = (0 until 500).map { i =>
+      val id = if (i % 3 == 0) 1000000L else (i * 7919L) % 100000L
+      (3000L + i, cats(i % cats.size), id)
+    }.toDF("row", "cat", "skew")
+    Layout.appendZClusteredEncoded(appendBatch, Seq("cat", "skew"),
+      bits, bucketBits, numFiles = 2, path = path)
+    val grown = Layout.readZBoxEncoded(spark, path,
+      Seq(("cat", "bravo", "delta"), ("skew", 10000L, 60000L)),
+      bits, bucketBits).select("row").as[Long].collect().toSet
+    val wantGrown = want ++ appendBatch
+      .where($"cat".between("bravo", "delta") && $"skew".between(10000L, 60000L))
+      .select("row").as[Long].collect().toSet
+    assert(grown == wantGrown && grown.size > want.size)
+    // an appended value OUTSIDE the built dictionary must abort, not
+    // land in a wrong bucket
+    val bad = Seq((9999L, "foxtrot", 12345L)).toDF("row", "cat", "skew")
+    val e = intercept[Throwable] {
+      Layout.appendZClusteredEncoded(bad, Seq("cat", "skew"),
+        bits, bucketBits, numFiles = 1, path = path)
+    }
+    assert(causeChain(e).exists(_.contains("unsound")))
+  }
+
   test("compaction crash recovery: an aside dir with no live twin is " +
     "restored, one with a live twin is cleared — no state loses a copy") {
     val mk = (r: Range) => r.map { i =>

@@ -45,4 +45,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex.as[(Long, Long, Double)].collect().toSet == direct)
     assert(direct.map(_._2).subsetOf(Set(1L, 2L))) // same-cell neighbours
   }
+
+  test("deleteFromIvfIndex: search over the post-delete index equals a " +
+    "fresh index built without the deleted ids; untouched cell files " +
+    "keep their exact names") {
+    val dir = Files.createTempDirectory("ivfdel").toString + "/idx"
+    val cents = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", cents, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+      b.result()
+    }
+    val before = files()
+    // delete id 1 — a member of id 0's cell that the search RETURNS
+    val r = Similarity.deleteFromIvfIndex(spark, dir, Seq(1L))
+    assert(r.rowsDeleted == 1 && r.filesTouched < r.filesTotal)
+    assert((before intersect files()).size == before.size - r.filesTouched)
+    val queries = corpus.where($"vec_id" === 0L)
+    val got = Similarity.ivfTopKFromIndex(spark, dir, queries,
+        "vec_id", "embedding", cents, nProbe = 1, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: an index written from the corpus WITHOUT the deleted id
+    // (same centroids — the delete never retrains)
+    val freshDir = Files.createTempDirectory("ivffresh").toString + "/idx"
+    Similarity.writeIvfIndex(corpus.where($"vec_id" =!= 1L),
+      "vec_id", "embedding", cents, freshDir)
+    val want = Similarity.ivfTopKFromIndex(spark, freshDir, queries,
+        "vec_id", "embedding", cents, nProbe = 1, k = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    assert(!got.exists(_._2 == 1L), "deleted id still returned")
+  }
 }

@@ -539,4 +539,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top == refTop) // ids AND double bits
     assert(top.head._1 == 1L) // identical codes as the query ⇒ top rank
   }
+
+  test("chooseRerankDepth: minimal depth meeting the target, deepest as " +
+    "ceiling fallback, order-insensitive, frame overload matches") {
+    val report = Seq(20 -> 0.475, 5 -> 0.25, 10 -> 0.30) // unsorted on purpose
+    assert(Similarity.chooseRerankDepth(report, 0.25) == 5)
+    assert(Similarity.chooseRerankDepth(report, 0.26) == 10)
+    assert(Similarity.chooseRerankDepth(report, 0.45) == 20)
+    // nothing meets the target → the report's ceiling (deepest measured)
+    assert(Similarity.chooseRerankDepth(report, 0.99) == 20)
+    intercept[IllegalArgumentException] {
+      Similarity.chooseRerankDepth(Seq.empty[(Int, Double)], 0.5)
+    }
+    // the DataFrame overload reads q231's report schema
+    val frame = report.map { case (d, r) => (d, 0L, r) }
+      .toDF("depth", "n_hits", "recall")
+    assert(Similarity.chooseRerankDepth(frame, 0.26) == 10)
+    assert(Similarity.chooseRerankDepth(frame, 0.99) == 20)
+  }
 }

@@ -800,8 +800,9 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming layout ingest: foreachBatch appends micro-batches into " +
-    "the z-clustered layout; post-stream box read ≡ one-shot write") {
+  test("streaming layout ingest (zLayoutSink): micro-batches append into " +
+    "the z-clustered layout, the integrated trigger keeps per-bucket file " +
+    "counts bounded, and the post-stream box read ≡ one-shot write") {
     implicit val sql = spark.sqlContext
     import graft.io.Layout
     val mk = (r: Range) => r.map { i =>
@@ -810,19 +811,37 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("zstream").toString
     Layout.writeZClustered(mk(0 until 500).toDF("id", "x", "y"),
       Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 2, path = s"$dir/t")
-    val in = MemoryStream[(Long, Long, Long)]
-    val q = in.toDF().toDF("id", "x", "y").writeStream
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        Layout.appendZClustered(batch, Seq("x", "y"), bits = 8,
-          bucketBits = 4, numFiles = 2, path = s"$dir/t")
-      }
-      .start()
-    try {
-      in.addData(mk(500 until 750)); q.processAllAvailable()
-      in.addData(mk(750 until 1000)); q.processAllAvailable()
-    } finally q.stop()
     val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val in = MemoryStream[(Long, Long, Long)]
+    // trigger every 2 batches, cap 2 files/dir: the 4-batch run below
+    // fires it at epochs 1 and 3 — WITHOUT it each bucket would
+    // accumulate ~1 file per touching batch forever
+    val q = Streaming.zLayoutSink(in.toDF().toDF("id", "x", "y"),
+      Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 2,
+      path = s"$dir/t", checkpoint = s"$dir/ckpt",
+      compactEvery = 2, maxFilesPerDir = 2)
+    var midStream: Set[(Long, Long, Long)] = Set.empty
+    try {
+      in.addData(mk(500 until 625)); q.processAllAvailable()
+      in.addData(mk(625 until 750)); q.processAllAvailable() // trigger fires
+      midStream = Layout.readZBox(spark, s"$dir/t", dims, bits = 8,
+          bucketBits = 4)
+        .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+      in.addData(mk(750 until 875)); q.processAllAvailable()
+      in.addData(mk(875 until 1000)); q.processAllAvailable() // trigger fires
+    } finally q.stop()
+    // the mid-stream read (taken right after a trigger epoch) saw exactly
+    // the rows ingested so far — compaction changed nothing
+    assert(midStream == mk(0 until 750)
+      .filter(r => r._2 >= 10 && r._2 <= 60 && r._3 >= 100 && r._3 <= 140)
+      .toSet)
+    // bounded: after the final trigger every bucket is at/under the cap
+    val root = new java.io.File(s"$dir/t")
+    val perDir = root.listFiles().filter(_.getName.startsWith("zb="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perDir.nonEmpty && perDir.values.max <= 2,
+      s"file counts not bounded by the trigger: $perDir")
     val got = Layout.readZBox(spark, s"$dir/t", dims, bits = 8, bucketBits = 4)
       .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
     Layout.writeZClustered(mk(0 until 1000).toDF("id", "x", "y"),
@@ -867,8 +886,9 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming ANN ingest: foreachBatch appends micro-batches to the IVF " +
-    "index; post-stream search ≡ one-shot index over the full corpus") {
+  test("streaming ANN ingest (ivfIndexSink): micro-batches append to the " +
+    "IVF index, the integrated trigger bounds per-cell file counts, and " +
+    "the post-stream search ≡ one-shot index over the full corpus") {
     implicit val sql = spark.sqlContext
     import graft.operators.Similarity
     val all = (0L until 60L).map(i =>
@@ -879,17 +899,20 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("annstream").toString
     Similarity.writeIvfIndex(base, "vec_id", "embedding", cents, s"$dir/idx")
     val in = MemoryStream[(Long, Array[Double])]
-    val q = in.toDF().toDF("vec_id", "embedding").writeStream
-      .option("checkpointLocation", s"$dir/ckpt")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        Similarity.appendToIvfIndex(batch, "vec_id", "embedding", cents,
-          s"$dir/idx")
-      }
-      .start()
+    val q = Streaming.ivfIndexSink(in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, path = s"$dir/idx",
+      checkpoint = s"$dir/ckpt", compactEvery = 2, maxFilesPerCell = 1)
     try {
       in.addData(all.slice(30, 45)); q.processAllAvailable()
-      in.addData(all.slice(45, 60)); q.processAllAvailable()
+      in.addData(all.slice(45, 60)); q.processAllAvailable() // trigger fires
     } finally q.stop()
+    // bounded: after the trigger epoch every cell is at the 1-file cap
+    val perCell = new java.io.File(s"$dir/idx").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perCell.nonEmpty && perCell.values.max <= 1,
+      s"cell file counts not bounded by the trigger: $perCell")
     val queries = all.take(3).toDF("vec_id", "embedding")
     val got = Similarity.ivfTopKFromIndex(spark, s"$dir/idx", queries,
         "vec_id", "embedding", cents, nProbe = 4, k = 5)
