@@ -671,6 +671,101 @@ object DomainQueries {
       agg(v1).unionByName(agg(v2)).orderBy("version", "status")
     },
 
+    // VERSIONED small-file compaction (io.Versioned.compactSmallFiles):
+    // q185's OPTIMIZE job as a MANIFEST COMMIT — orders lands as one
+    // large commit plus a tail of small append commits (the streaming-
+    // ingest shape), then compaction coalesces only the small files into
+    // the next commit dir and the new manifest keeps the large files
+    // verbatim. The report reads the POST-COMPACTION snapshot; the oracle
+    // reads the original table — a hash match proves the commit is
+    // row-faithful. require() pins what the hash can't see: the version
+    // advanced, the file count shrank, the large commit's files are
+    // served from their ORIGINAL paths, and the pre-compaction version
+    // still reads intact (snapshot isolation through maintenance).
+    Q.sql("q238_versioned_compaction",
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q238vc").toString + "/orders_vc"
+      val orders = graft.io.Tables.orders(s, d)
+      // commit 1: the bulk (two large range-clustered files); commits
+      // 2..5: small appends — ~1/40 the bulk size per construction at
+      // ANY scale factor, so the threshold below is scale-independent
+      graft.io.Versioned.commit(
+        orders.where(col("o_orderkey") % 16 =!= 0)
+          .repartitionByRange(2, col("o_orderkey")), tbl)
+      (0 until 4).foreach { k =>
+        graft.io.Versioned.commit(
+          orders.where(col("o_orderkey") % 16 === 0 &&
+            col("o_orderkey") % 64 === (k * 16)), tbl): Unit
+      }
+      val v5 = graft.io.Versioned.latestVersion(tbl)
+      def files(v: Int) = graft.io.Versioned.snapshot(s, tbl, v)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (bulk, before) = (files(1), files(v5))
+      val nBefore = graft.io.Versioned.snapshot(s, tbl, v5).count()
+      // threshold = the smallest bulk file: the appends (strictly
+      // smaller by construction) compact, the bulk files are kept
+      val v6 = graft.io.Versioned.compactSmallFiles(s, tbl,
+        smallBytes = bulk.map(f => java.nio.file.Files.size(
+          java.nio.file.Paths.get(new java.net.URI(f)))).min)
+      require(v6 == v5 + 1, s"compaction must land one commit ($v5 -> $v6)")
+      val after = files(v6)
+      require(after.size < before.size,
+        s"compaction must shrink the file count (${before.size} -> ${after.size})")
+      require(bulk.subsetOf(after),
+        "the large commit's files must be served from their original paths")
+      require(graft.io.Versioned.snapshot(s, tbl, v5).count() == nBefore,
+        "the pre-compaction version must still read intact")
+      graft.io.Versioned.snapshot(s, tbl, v6)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("status")
+    },
+
+    // STREAMING ingest into the z-layout with the integrated compaction
+    // trigger (Streaming.zLayoutSink) — the q230 layout built by a REAL
+    // Structured Streaming query instead of a one-shot write: lineitem is
+    // staged as 4 files, a file-source stream (maxFilesPerTrigger=1)
+    // replays them as 4 micro-batches through the sink, and the trigger
+    // (compactEvery=2) compacts hot buckets INSIDE epochs 1 and 3 — the
+    // serialized single-writer shape a long-running ingest runs forever.
+    // Held to q230's oracle VERBATIM: the streamed, twice-compacted
+    // table must box-read hash-identical to the one-shot clustered
+    // write, interleave bits included. require() pins the trigger's
+    // effect: every bucket dir ends at/under the file cap.
+    Q.sql("q239_streaming_zingest", zorderBoxOracle) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 21; val bucketBits = 8
+      val dir = java.nio.file.Files.createTempDirectory("q239zs").toString
+      val li = graft.io.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      li.repartition(4).write.parquet(s"$dir/stage")
+      val src = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/stage")
+      val q = graft.streaming.Streaming.zLayoutSink(src,
+        Seq("l_partkey", "l_suppkey"), bits, bucketBits, numFiles = 16,
+        path = s"$dir/t", checkpoint = s"$dir/ckpt",
+        compactEvery = 2, maxFilesPerDir = 4)
+      try q.processAllAvailable() finally q.stop()
+      val root = new java.io.File(s"$dir/t")
+      val worst = root.listFiles().filter(_.getName.startsWith("zb="))
+        .map(b => b.listFiles().count(_.getName.endsWith(".parquet"))).max
+      require(worst <= 4,
+        s"trigger failed to bound bucket file counts (worst $worst)")
+      val dims = Seq(("l_partkey", 100L, 499L), ("l_suppkey", 1L, 25L))
+      graft.io.Layout.readZBox(s, s"$dir/t", dims, bits, bucketBits)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zv")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
     // ENCODED z-order layout (io.Layout.writeZClusteredEncoded): z-
     // clustering over columns the raw Morton interleave can't take — a
     // TIMESTAMP and a STRING — via the engine-owned order-preserving
