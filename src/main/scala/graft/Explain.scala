@@ -76,7 +76,10 @@ object Explain {
       "q226_video_neardup", "q227_crossmodal_margin_align",
       "q228_video_dedup_keepbest", "q229_ivfpq_rerank", "q230_zorder_box",
       "q231_rerank_depth_recall", "q232_sql_zbox_one_call",
-      "q233_targeted_delete", "q234_sql_ann_one_call")
+      "q233_targeted_delete", "q234_sql_ann_one_call",
+      "q235_versioned_delete_travel", "q236_zorder_encoded",
+      "q237_ivf_index_delete", "q238_versioned_compaction",
+      "q239_streaming_zingest")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

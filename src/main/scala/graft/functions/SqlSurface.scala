@@ -475,12 +475,22 @@ object SqlSurface {
     val qVec = quotePart(vecCol)
     val qFunc = quotePart(funcName)
     register(spark)
-    def arr(a: Array[Double]): String =
-      a.map(x => s"${x}D").mkString("array(", ",", ")")
-    // ONE matrix literal + the generated-loop argmax — plan size and
+    // ONE matrix value + the generated-loop argmax — plan size and
     // compile time flat in nLists (the per-centroid named_struct cascade
-    // this replaces cost ~2 min of cold Janino at just 16 cells; SCALE.md)
-    val centsLit = cents.map(arr).mkString("array(", ",", ")")
+    // this replaces cost ~2 min of cold Janino at just 16 cells;
+    // SCALE.md). The matrix enters as a zero-arg NATIVE function
+    // resolving to the compact CentroidMatrixLiteral node, not as
+    // array(...) TEXT — the createAnnSearchFunction lesson: literal text
+    // re-parses and re-folds ~nLists×dims nodes at registration AND at
+    // every SELECT (SQL bodies re-inline), a per-call driver tax linear
+    // in nLists.
+    val centsFnName = funcName + "_cents"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      centsFnName,
+      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.catalyst.CentroidMatrixLiteral(cents.map(_.toSeq)),
+      "built-in")
+    val centsLit = s"${quotePart(centsFnName)}()"
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (cell INT, n_base BIGINT, n_new BIGINT, shift DOUBLE)

@@ -39,12 +39,62 @@ object Versioned {
 
   private def versionsDir(table: String) = Paths.get(table, "_versions")
 
+  /** Latest LANDED version — claim files (`<v>.claim`) and staging names
+    * are ignored, so an in-flight or crashed commit never changes what
+    * readers resolve. */
   def latestVersion(table: String): Int = {
     val d = versionsDir(table)
     if (!Files.exists(d)) 0
     else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.getFileName.toString)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toInt).foldLeft(0)(math.max)
+  }
+
+  /** OPTIMISTIC CONCURRENCY for the manifest log: atomically claim the
+    * next version number via `Files.createFile` (CREATE_NEW semantics —
+    * exactly one writer wins each number; a loser advances and retries),
+    * so two concurrent commits can never both land the same manifest
+    * with one silently replacing the other (rename(2) overwrites — the
+    * single-writer caveat this removes). A claim whose writer dies
+    * before landing leaves a numbered gap; [[awaitPredecessor]] bounds
+    * how long a successor waits for it before failing loudly. */
+  private def claimVersion(table: String): Int = {
+    Files.createDirectories(versionsDir(table))
+    var v = latestVersion(table) + 1
+    while (true) {
+      // also skip numbers another writer has claimed but not landed
+      if (!Files.exists(versionsDir(table).resolve(v.toString))) {
+        try {
+          Files.createFile(versionsDir(table).resolve(s"$v.claim"))
+          return v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
+      }
+      v += 1
+    }
+    v // unreachable
+  }
+
+  /** Wait for manifest v-1 to land (the claimer ahead of us is writing
+    * its data files). A dead predecessor would hang the log, so the wait
+    * is bounded: on timeout the commit FAILS LOUDLY rather than landing
+    * a manifest that silently omits the predecessor's rows. */
+  private def awaitPredecessor(table: String, v: Int,
+                               timeoutMs: Long = 120000L): Unit = {
+    if (v == 1) return
+    val prev = versionsDir(table).resolve((v - 1).toString)
+    val t0 = System.nanoTime()
+    while (!Files.exists(prev)) {
+      if ((System.nanoTime() - t0) / 1000000 > timeoutMs)
+        throw new IllegalStateException(
+          s"manifest ${v - 1} of $table never landed (claimed but not " +
+            s"committed within ${timeoutMs} ms) — a predecessor writer " +
+            "died mid-commit; remove its .claim file after verifying its " +
+            "data dir is orphaned, then retry")
+      Thread.sleep(50)
+    }
   }
 
   private def manifestEntries(table: String, v: Int): Seq[String] =
@@ -81,15 +131,24 @@ object Versioned {
     Paths.get(new java.net.URI(uri)).toAbsolutePath.toString
 
   /** Append `df` as a new commit; returns the new version number.
-    * `overwrite = true` starts the file list fresh (replace semantics). */
+    * `overwrite = true` starts the file list fresh (replace semantics).
+    *
+    * Concurrency: the version number is CLAIMED atomically before any
+    * write, and the entry list is built from the predecessor manifest
+    * AFTER it lands — concurrent appends serialize into consecutive
+    * versions, each containing all prior commits; none is ever silently
+    * replaced (VersionedSpec races N threads and checks every commit's
+    * rows survive into the final snapshot). */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false): Int = {
-    val v = latestVersion(table) + 1
+    val v = claimVersion(table)
     val dataDir = Paths.get(table, "data", s"c$v").toString
     df.write.parquet(dataDir)
+    awaitPredecessor(table, v)
     val prev =
       if (overwrite || v == 1) Seq.empty
       else manifestEntries(table, v - 1)
     landManifest(table, v, prev :+ dataDir)
+    Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim"))
     v
   }
 
@@ -114,6 +173,24 @@ object Versioned {
     *
     * NULL discipline as [[Deletes.deleteWhere]]: a NULL-predicate row is
     * kept. */
+  /** Claim the next version for a MAINTENANCE commit (delete/compaction):
+    * unlike an append, a maintenance commit REWRITES part of the base
+    * snapshot's file list, so its base must still be the immediate
+    * predecessor at claim time — a commit that landed in between means
+    * the rewritten list is stale, and the operation aborts with a
+    * conflict error (the caller re-reads and retries) instead of
+    * landing a manifest that silently drops the interleaved commit. */
+  private def claimMaintenance(table: String, base: Int): Int = {
+    val v = claimVersion(table)
+    if (v != base + 1) {
+      Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim"))
+      throw new java.util.ConcurrentModificationException(
+        s"maintenance on $table based on version $base lost the race " +
+          s"(next free version is $v) — re-read the snapshot and retry")
+    }
+    v
+  }
+
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
                   sortCols: Seq[String] = Nil): Int = {
     val v = latestVersion(table)
@@ -129,15 +206,17 @@ object Versioned {
     val srcCol = Iterator.from(0)
       .map(i => if (i == 0) "__src" else s"__src$i")
       .find(c => !aff.columns.contains(c)).get
-    val newDir = Paths.get(table, "data", s"c${v + 1}").toString
+    val nv = claimMaintenance(table, v)
+    val newDir = Paths.get(table, "data", s"c$nv").toString
     aff.where(!matchP).withColumn(srcCol, input_file_name())
       .repartition(affected.size, col(srcCol))
       .sortWithinPartitions((Seq(srcCol) ++ sortCols).map(col): _*)
       .drop(srcCol)
       .write.parquet(newDir)
-    landManifest(table, v + 1,
+    landManifest(table, nv,
       allFiles.filterNot(affected.contains) :+ newDir)
-    v + 1
+    Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    nv
   }
 
   /** SNAPSHOT-ISOLATED small-file compaction — the OPTIMIZE commit:
@@ -160,11 +239,13 @@ object Versioned {
     if (small.size < 2) return v
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / smallBytes).toInt)
-    val newDir = Paths.get(table, "data", s"c${v + 1}").toString
+    val nv = claimMaintenance(table, v)
+    val newDir = Paths.get(table, "data", s"c$nv").toString
     spark.read.parquet(small.map(_._1): _*)
       .coalesce(nOut).write.parquet(newDir)
-    landManifest(table, v + 1, big.map(_._1) :+ newDir)
-    v + 1
+    landManifest(table, nv, big.map(_._1) :+ newDir)
+    Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    nv
   }
 
   /** Physically remove data files referenced by NO retained manifest and
@@ -203,6 +284,15 @@ object Versioned {
     (1 until keep.head).foreach { k =>
       Files.deleteIfExists(versionsDir(table).resolve(k.toString)): Unit
     }
+    // orphaned claims of writers that died before landing: any claim at
+    // or below the latest LANDED version can never land (the number is
+    // burned), and its data dir was cleared by the walk above
+    Files.list(versionsDir(table)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".claim"))
+      .filter(_.getFileName.toString.stripSuffix(".claim")
+        .forall(_.isDigit))
+      .filter(_.getFileName.toString.stripSuffix(".claim").toInt <= v)
+      .foreach(Files.deleteIfExists(_): Unit)
     removed.result()
   }
 }

@@ -34,6 +34,49 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("concurrent commits serialize — N racing writers land N " +
+    "consecutive versions; every commit's rows survive into the final " +
+    "snapshot (no lost update)") {
+    val tbl = java.nio.file.Files.createTempDirectory("verrace").toString + "/t"
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { i =>
+      new Thread(() => {
+        try Versioned.commit(Seq(i).toDF("x"), tbl): Unit
+        catch { case t: Throwable => failures.add(t): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"commit failed: ${failures.peek()}")
+    assert(Versioned.latestVersion(tbl) == 6)
+    assert(Versioned.snapshot(spark, tbl).as[Int].collect().sorted
+      === (1 to 6).toArray)
+    // every intermediate version landed and reads exactly k commits
+    (1 to 6).foreach { k =>
+      assert(Versioned.snapshot(spark, tbl, k).count() == k,
+        s"version $k lost a predecessor's rows")
+    }
+  }
+
+  test("maintenance aborts on a concurrency conflict instead of landing " +
+    "a manifest that drops the interleaved commit") {
+    val tbl = java.nio.file.Files.createTempDirectory("verconf").toString + "/t"
+    Versioned.commit((0 until 100).map(i => (i.toLong, s"p_$i"))
+      .toDF("id", "pay").repartition(4), tbl)
+    // an in-flight concurrent writer holds the next version's claim
+    val claim = java.nio.file.Paths.get(tbl, "_versions", "2.claim")
+    java.nio.file.Files.createFile(claim)
+    intercept[java.util.ConcurrentModificationException] {
+      Versioned.deleteWhere(spark, tbl, $"id" < 10)
+    }
+    // nothing landed, the base version is untouched
+    assert(Versioned.latestVersion(tbl) == 1)
+    assert(Versioned.snapshot(spark, tbl).count() == 100)
+    // the in-flight writer goes away → the retry succeeds
+    java.nio.file.Files.delete(claim)
+    val v = Versioned.deleteWhere(spark, tbl, $"id" < 10)
+    assert(v == 2 && Versioned.snapshot(spark, tbl, v).count() == 90)
+  }
+
   test("versioned deleteWhere: a reader pinned to the pre-delete version " +
     "is untouched while the delete commits; the new version has exactly " +
     "the survivors; only affected files are rewritten") {
