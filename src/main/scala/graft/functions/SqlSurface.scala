@@ -107,6 +107,25 @@ object SqlSurface {
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 
+  /** Register `name` as a zero-arg NATIVE function resolving straight to
+    * the compact [[graft.functions.catalyst.CentroidMatrixLiteral]] node,
+    * returning the quoted SQL call text to splice into a TVF body. This
+    * is how a constant matrix (trained centroids, PQ codebooks, LSH
+    * hyperplanes) enters generated SQL: baked `array(array(...))` TEXT
+    * re-parses and re-folds ~rows×dims literal nodes at registration AND
+    * at every SELECT (SQL function bodies re-inline) — a measured
+    * ~0.3 s/call driver tax at a mere 16×64, linear in rows — while the
+    * named function resolves in O(1) at any size. */
+  private def registerMatrixFunction(spark: SparkSession, name: String,
+                                     rows: Seq[Seq[Double]]): String = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.catalyst.CentroidMatrixLiteral(rows),
+      "built-in")
+    s"${quotePart(name)}()"
+  }
+
   /** One-call SQL surface for the MinHash+LSH candidate pipeline: registers
     * a zero-arg SQL TABLE function `graft_lsh_candidates()` so a SQL user
     * runs the whole shingle → sketch → band → self-join pipeline as
@@ -223,13 +242,21 @@ object SqlSurface {
     val qVec = quotePart(vecCol)
     val qFunc = quotePart(funcName)
     register(spark)
-    def planeLit(t: Int, p: Int): String =
-      graft.operators.Similarity.planeVec(t, p, dims)
-        .map(x => if (x > 0) "1.0D" else "-1.0D")
-        .mkString("array(", ",", ")")
+    // the nTables×nPlanes hyperplane matrix enters as ONE zero-arg native
+    // function resolving to the compact CentroidMatrixLiteral node (row
+    // t*nPlanes+p = plane (t,p), the Column path's planeVec values) — as
+    // array-literal TEXT this was ~nTables×nPlanes×dims nodes re-parsed
+    // and re-folded at registration AND per SELECT (the
+    // createAnnSearchFunction lesson); element_at on the reference object
+    // is one array deref per (row, plane), noise next to the dot product
+    val planesCall = registerMatrixFunction(spark, funcName + "_planes",
+      (0 until nTables).flatMap(t => (0 until nPlanes).map(p =>
+        graft.operators.Similarity.planeVec(t, p, dims).toSeq)))
+    def planeRef(t: Int, p: Int): String =
+      s"element_at($planesCall, ${t * nPlanes + p + 1})"
     val bandSelects = (0 until nTables).map { t =>
       val bucket = (0 until nPlanes).map { p =>
-        s"(CASE WHEN dot_product(v, ${planeLit(t, p)}) > 0 THEN ${1L << p}L ELSE 0L END)"
+        s"(CASE WHEN dot_product(v, ${planeRef(t, p)}) > 0 THEN ${1L << p}L ELSE 0L END)"
       }.mkString(" + ")
       s"SELECT vid, side, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
     }.mkString("\n  UNION ALL ")
@@ -484,13 +511,8 @@ object SqlSurface {
     // re-parses and re-folds ~nLists×dims nodes at registration AND at
     // every SELECT (SQL bodies re-inline), a per-call driver tax linear
     // in nLists.
-    val centsFnName = funcName + "_cents"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      centsFnName,
-      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.catalyst.CentroidMatrixLiteral(cents.map(_.toSeq)),
-      "built-in")
-    val centsLit = s"${quotePart(centsFnName)}()"
+    val centsLit = registerMatrixFunction(spark, funcName + "_cents",
+      cents.map(_.toSeq))
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (cell INT, n_base BIGINT, n_new BIGINT, shift DOUBLE)
@@ -682,14 +704,8 @@ object SqlSurface {
     // registration AND at every SELECT (SQL function bodies re-inline),
     // a measured ~0.3 s/call driver tax at a mere 16×64 and growing
     // linearly with nLists; the name resolves in O(1) at any size
-    val centsFnName = funcName + "_cents"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      centsFnName,
-      (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.catalyst.CentroidMatrixLiteral(
-          cents.map(_.toSeq)),
-      "built-in")
-    val centsLit = s"${quotePart(centsFnName)}()"
+    val centsLit = registerMatrixFunction(spark, funcName + "_cents",
+      cents.map(_.toSeq))
     // The query side gets its OWN derivation chain with the predicate as
     // a plain WHERE on the base table — a predicate folded into an
     // `isq` CASE column never reaches the parquet scan, so the probe

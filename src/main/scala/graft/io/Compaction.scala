@@ -29,6 +29,20 @@ object Compaction {
 
   private val asidePrefix = "_compact_old_"
 
+  /** Aside name for a live partition dir. The dir name is percent-
+    * ENCODED ('%' then '='): Spark's partition discovery ignores an
+    * underscore-prefixed name only when it contains NO '=' (verified
+    * against HadoopFSUtils.shouldFilterOutPathName in the Spark 4.1.2
+    * jars) — a raw `_compact_old_cell=3` would be listed as a CONFLICTING
+    * partition column and make the whole table unreadable for as long as
+    * the aside exists (the crash window this protocol is for). The
+    * encoding is reversible, so recovery can restore the exact name. */
+  private[io] def asideName(dirName: String): String =
+    asidePrefix + dirName.replace("%", "%25").replace("=", "%3D")
+
+  private[io] def dirNameOfAside(aside: String): String =
+    aside.stripPrefix(asidePrefix).replace("%3D", "=").replace("%25", "%")
+
   /** Heal any interrupted swap from a prior crashed run: an aside dir
     * with no live twin is renamed back (its data is the only copy); one
     * WITH a live twin is a leftover duplicate of already-landed data and
@@ -39,7 +53,7 @@ object Compaction {
     fs.listStatus(root).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith(asidePrefix))
       .foreach { a =>
-        val live = new HPath(root, a.getPath.getName.stripPrefix(asidePrefix))
+        val live = new HPath(root, dirNameOfAside(a.getPath.getName))
         if (!fs.exists(live))
           require(fs.rename(a.getPath, live),
             s"recovery failed to restore ${a.getPath}")
@@ -108,7 +122,7 @@ object Compaction {
       hot.foreach { v =>
         val src = new HPath(tmp, s"$prefix$v")
         val dst = new HPath(root, s"$prefix$v")
-        val aside = new HPath(root, s"$asidePrefix$prefix$v")
+        val aside = new HPath(root, asideName(s"$prefix$v"))
         require(fs.rename(dst, aside), s"compaction aside failed for $partCol=$v")
         require(fs.rename(src, dst), s"compaction swap failed for $partCol=$v")
         require(fs.delete(aside, true), s"compaction cleanup failed for $partCol=$v")

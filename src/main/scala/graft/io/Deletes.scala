@@ -128,6 +128,27 @@ object Deletes {
     marker
   }
 
+  /** Survivor rewrite shared by [[deleteWhere]] and
+    * [[Versioned.deleteWhere]]: keep FILE LOCALITY through the rewrite by
+    * grouping survivors by their source file (a working column whose name
+    * is derived to never shadow table data) and restoring `sortCols`
+    * order within each output file — the clustering that made the delete
+    * targeted survives it, so the NEXT compliance batch still touches a
+    * file subset instead of progressively degrading toward whole-table
+    * rewrites. `partCols` lead the sort so a dynamic-partition writer
+    * accepts the ordering instead of re-sorting. */
+  private[io] def rewriteSurvivors(aff: org.apache.spark.sql.DataFrame,
+      keepPred: Column, nFiles: Int, partCols: Seq[String],
+      sortCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val srcCol = Iterator.from(0)
+      .map(i => if (i == 0) "__src" else s"__src$i")
+      .find(c => !aff.columns.contains(c)).get
+    aff.where(keepPred).withColumn(srcCol, input_file_name())
+      .repartition(nFiles, col(srcCol))
+      .sortWithinPartitions((partCols ++ Seq(srcCol) ++ sortCols).map(col): _*)
+      .drop(srcCol)
+  }
+
   /** Delete rows matching `pred`. Handles flat directories and any depth
     * of Hive `col=value` partition directories (the [[Writers]]/[[Layout]]
     * layouts, including composites like `zb=` under a date level);
@@ -168,26 +189,10 @@ object Deletes {
     if (affected.isEmpty) return DeleteReport(0, totalFiles, 0L)
 
     val aff = spark.read.option("basePath", path).parquet(affected.toSeq: _*)
-    // the working source-file column must not shadow table data: derive a
-    // name guaranteed absent from the input schema
-    val srcCol = Iterator.from(0)
-      .map(i => if (i == 0) "__src" else s"__src$i")
-      .find(c => !aff.columns.contains(c)).get
-    // keep FILE LOCALITY through the rewrite: grouping survivors by their
-    // source file (plus restoring `sortCols` order within each output
-    // file) preserves the clustering that made this delete targeted, so
-    // the NEXT compliance batch still touches a file subset instead of
-    // progressively degrading toward whole-table rewrites
-    val keep = aff.where(!matchP).withColumn(srcCol, input_file_name())
     val tmp = tmpPath(path)
     fs.delete(tmp, true)
-    // leading the sort with the partition columns lets the dynamic-
-    // partition writer accept our ordering instead of re-sorting (which
-    // would destroy the restored sortCols order)
-    val sortKeys = (partCols ++ Seq(srcCol) ++ sortCols).map(col)
-    val w = keep.repartition(affected.length, col(srcCol))
-      .sortWithinPartitions(sortKeys: _*)
-      .drop(srcCol)
+    val w = rewriteSurvivors(aff, !matchP, affected.length, partCols,
+      sortCols)
     (if (partCols.nonEmpty) w.write.partitionBy(partCols: _*) else w.write)
       .mode("overwrite").parquet(tmp.toString)
 

@@ -197,10 +197,13 @@ object Layout {
 
   /** Write `df` z-clustered by ENCODED dimensions `cols` — arbitrary
     * orderable types (strings, timestamps, skewed ids). Builds and
-    * persists one encoder per dimension under `<path>/_encoders/`, then
-    * writes the [[writeZClustered]] layout over the code columns. The
-    * written table keeps the original columns (the read path's exact
-    * predicates) plus the code columns and zv/zb. */
+    * persists one encoder per dimension in the SIBLING directory
+    * `<path>_encoders/<col>` (outside the table dir — the layout's own
+    * overwrite-mode write truncates `<path>`, and relocating or removing
+    * the table must move/remove the encoders WITH it), then writes the
+    * [[writeZClustered]] layout over the code columns. The written table
+    * keeps the original columns (the read path's exact predicates) plus
+    * the code columns and zv/zb. */
   def writeZClusteredEncoded(df: DataFrame, cols: Seq[String], bits: Int,
                              bucketBits: Int, numFiles: Int,
                              path: String): Unit = {

@@ -77,22 +77,32 @@ object Versioned {
     v // unreachable
   }
 
+  /** Default bound on how long a commit waits for its predecessor's
+    * manifest to land; override per commit for workloads whose single
+    * commits legitimately run long (a large rewrite at real scale). */
+  val defaultPredecessorTimeoutMs: Long = 120000L
+
   /** Wait for manifest v-1 to land (the claimer ahead of us is writing
     * its data files). A dead predecessor would hang the log, so the wait
-    * is bounded: on timeout the commit FAILS LOUDLY rather than landing
-    * a manifest that silently omits the predecessor's rows. */
+    * is bounded: on timeout the commit FAILS LOUDLY (releasing its own
+    * claim) rather than landing a manifest that silently omits the
+    * predecessor's rows. */
   private def awaitPredecessor(table: String, v: Int,
-                               timeoutMs: Long = 120000L): Unit = {
+                               timeoutMs: Long): Unit = {
     if (v == 1) return
     val prev = versionsDir(table).resolve((v - 1).toString)
     val t0 = System.nanoTime()
     while (!Files.exists(prev)) {
       if ((System.nanoTime() - t0) / 1000000 > timeoutMs)
         throw new IllegalStateException(
-          s"manifest ${v - 1} of $table never landed (claimed but not " +
-            s"committed within ${timeoutMs} ms) — a predecessor writer " +
-            "died mid-commit; remove its .claim file after verifying its " +
-            "data dir is orphaned, then retry")
+          s"manifest ${v - 1} of $table has not landed within $timeoutMs " +
+            "ms of being claimed. If that writer is STILL RUNNING (a " +
+            "slow large commit), retry with a larger " +
+            "predecessorTimeoutMs — do NOT remove its claim file. Only " +
+            s"after confirming the writer is dead: verify data/c${v - 1} " +
+            "is orphaned, remove both, and retry — removing a LIVE " +
+            "writer's claim lets two commits land the same version, " +
+            "silently dropping one")
       Thread.sleep(50)
     }
   }
@@ -103,15 +113,38 @@ object Versioned {
 
   /** Land manifest `v` atomically: full write to a staging name, then an
     * ATOMIC_MOVE rename — a reader never observes a partial manifest and
-    * a crash mid-write leaves only the staging file. */
+    * a crash mid-write leaves only the staging file. Refuses to land on
+    * top of an existing manifest (rename(2) silently REPLACES; claims
+    * make a collision impossible in normal operation, this is the
+    * defense-in-depth for an operator who cleared a LIVE writer's
+    * claim). */
   private def landManifest(table: String, v: Int,
                            entries: Seq[String]): Unit = {
     Files.createDirectories(versionsDir(table))
+    val target = versionsDir(table).resolve(v.toString)
+    require(!Files.exists(target),
+      s"manifest $v of $table already exists — refusing to replace a " +
+        "landed commit (was a live writer's claim file removed?)")
     val staging = versionsDir(table).resolve(s"$v.staging")
     Files.write(staging,
       entries.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(staging, versionsDir(table).resolve(v.toString),
-      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Release a claimed version after an IN-PROCESS failure: remove the
+    * partial data dir (best-effort) and the claim file, so the number can
+    * be re-claimed and the log never wedges on a failed write — a
+    * successor blocked in [[awaitPredecessor]] unblocks as soon as a new
+    * writer re-claims and lands the number. (A hard JVM crash still
+    * leaks its claim; the awaitPredecessor error documents the manual
+    * recovery.) */
+  private def abandonClaim(table: String, v: Int, dataDir: Path): Unit = {
+    try {
+      if (Files.exists(dataDir))
+        Files.walk(dataDir).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f): Unit)
+    } catch { case _: Exception => () } // best-effort; vacuum sweeps later
+    Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim")): Unit
   }
 
   /** Every parquet file a manifest entry resolves to, absolute paths
@@ -139,15 +172,20 @@ object Versioned {
     * versions, each containing all prior commits; none is ever silently
     * replaced (VersionedSpec races N threads and checks every commit's
     * rows survive into the final snapshot). */
-  def commit(df: DataFrame, table: String, overwrite: Boolean = false): Int = {
+  def commit(df: DataFrame, table: String, overwrite: Boolean = false,
+             predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs): Int = {
     val v = claimVersion(table)
-    val dataDir = Paths.get(table, "data", s"c$v").toString
-    df.write.parquet(dataDir)
-    awaitPredecessor(table, v)
-    val prev =
-      if (overwrite || v == 1) Seq.empty
-      else manifestEntries(table, v - 1)
-    landManifest(table, v, prev :+ dataDir)
+    val dataDir = Paths.get(table, "data", s"c$v")
+    try {
+      df.write.parquet(dataDir.toString)
+      awaitPredecessor(table, v, predecessorTimeoutMs)
+      val prev =
+        if (overwrite || v == 1) Seq.empty
+        else manifestEntries(table, v - 1)
+      landManifest(table, v, prev :+ dataDir.toString)
+    } catch {
+      case t: Throwable => abandonClaim(table, v, dataDir); throw t
+    }
     Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim"))
     v
   }
@@ -203,18 +241,26 @@ object Versioned {
       .collect().map(r => fileOfUri(r.getString(0))).toSet
     if (affected.isEmpty) return v
     val aff = spark.read.parquet(affected.toSeq: _*)
-    val srcCol = Iterator.from(0)
-      .map(i => if (i == 0) "__src" else s"__src$i")
-      .find(c => !aff.columns.contains(c)).get
     val nv = claimMaintenance(table, v)
-    val newDir = Paths.get(table, "data", s"c$nv").toString
-    aff.where(!matchP).withColumn(srcCol, input_file_name())
-      .repartition(affected.size, col(srcCol))
-      .sortWithinPartitions((Seq(srcCol) ++ sortCols).map(col): _*)
-      .drop(srcCol)
-      .write.parquet(newDir)
-    landManifest(table, nv,
-      allFiles.filterNot(affected.contains) :+ newDir)
+    val newDir = Paths.get(table, "data", s"c$nv")
+    try {
+      Deletes.rewriteSurvivors(aff, !matchP, affected.size, Nil, sortCols)
+        .write.parquet(newDir.toString)
+      // an all-matching delete leaves survivors empty and the commit dir
+      // without data files — listing it in the manifest would make the
+      // snapshot unreadable; and a manifest with NO entries at all is not
+      // representable (snapshot has no schema to return)
+      val survived = expandFiles(newDir.toString).nonEmpty
+      val entries = allFiles.filterNot(affected.contains) ++
+        (if (survived) Seq(newDir.toString) else Nil)
+      require(entries.nonEmpty,
+        s"deleteWhere would remove EVERY row of $table — a manifest " +
+          "cannot represent a schema-less empty table; land an explicit " +
+          "empty frame via commit(emptyDf, overwrite = true) instead")
+      landManifest(table, nv, entries)
+    } catch {
+      case t: Throwable => abandonClaim(table, nv, newDir); throw t
+    }
     Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
     nv
   }
@@ -240,10 +286,14 @@ object Versioned {
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / smallBytes).toInt)
     val nv = claimMaintenance(table, v)
-    val newDir = Paths.get(table, "data", s"c$nv").toString
-    spark.read.parquet(small.map(_._1): _*)
-      .coalesce(nOut).write.parquet(newDir)
-    landManifest(table, nv, big.map(_._1) :+ newDir)
+    val newDir = Paths.get(table, "data", s"c$nv")
+    try {
+      spark.read.parquet(small.map(_._1): _*)
+        .coalesce(nOut).write.parquet(newDir.toString)
+      landManifest(table, nv, big.map(_._1) :+ newDir.toString)
+    } catch {
+      case t: Throwable => abandonClaim(table, nv, newDir); throw t
+    }
     Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
     nv
   }
@@ -258,6 +308,21 @@ object Versioned {
     require(retainLast >= 1, "must retain at least the latest version")
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
+    // an IN-FLIGHT commit (claim above the latest landed version) has a
+    // data dir no manifest references YET — the unreferenced-file sweep
+    // below would destroy the data its manifest is about to reference.
+    // Refuse loudly; run vacuum after it lands (or clear claims whose
+    // writers are confirmed dead).
+    val inflight = Files.list(versionsDir(table)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".claim") &&
+        n.stripSuffix(".claim").forall(_.isDigit))
+      .map(_.stripSuffix(".claim").toInt).filter(_ > v).toSeq.sorted
+    require(inflight.isEmpty,
+      s"vacuum refused: in-flight commit claim(s) ${inflight.mkString(", ")} " +
+        s"on $table — their data dirs are not yet manifest-referenced and " +
+        "would be destroyed; vacuum after they land, or clear the claims " +
+        "of writers confirmed dead")
     val keep = math.max(1, v - retainLast + 1) to v
     val referenced = keep.flatMap(k =>
       manifestEntries(table, k).flatMap(expandFiles)).toSet

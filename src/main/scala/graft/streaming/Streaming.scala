@@ -663,12 +663,26 @@ object Streaming {
     * the checkpoint replays an epoch only into an already-written version
     * (commit is idempotent per epoch at-least-once with manifest last-
     * writer-wins — the same contract foreachBatch itself gives). */
-  def versionedSink(df: DataFrame, table: String,
-                    checkpoint: String): StreamingQuery =
+  /** `compactEvery`/`smallBytes`: every N epochs the sink lands a
+    * [[graft.io.Versioned.compactSmallFiles]] OPTIMIZE commit after the
+    * batch's append — micro-batch commits are the worst small-file
+    * generator there is (one commit dir per epoch forever), and the
+    * versioned compaction keeps the live manifest's file count bounded
+    * WITHOUT breaking snapshot isolation: pinned readers keep their
+    * version, old files stay until vacuum. The append and the compaction
+    * run in the same serialized epoch, so the maintenance conflict check
+    * never trips against this sink's own appends. `compactEvery <= 0`
+    * disables (the pre-round-13 behavior). */
+  def versionedSink(df: DataFrame, table: String, checkpoint: String,
+                    compactEvery: Int = 0,
+                    smallBytes: Long = 8L << 20): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.io.Versioned.commit(batch, table): Unit
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.io.Versioned.compactSmallFiles(batch.sparkSession, table,
+            smallBytes): Unit
       }
       .start()
 

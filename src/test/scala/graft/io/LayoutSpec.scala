@@ -346,15 +346,24 @@ class LayoutSpec extends SparkSpec {
     // staged replacement never landed (aside holds the ONLY copy)
     val a = live.head
     val aAside = new org.apache.hadoop.fs.Path(a.getParent,
-      "_compact_old_" + a.getName)
+      Compaction.asideName(a.getName))
+    // the encoded aside name must carry no '=' — Spark's partition
+    // discovery only ignores underscore names WITHOUT '=', so a raw
+    // aside would surface as a conflicting partition column
+    assert(!aAside.getName.contains("=") && aAside.getName.startsWith("_"))
+    assert(Compaction.dirNameOfAside(aAside.getName) == a.getName)
+    val aRows = spark.read.parquet(a.toString).count()
     assert(fs.rename(a, aAside))
     // crash state B: after the staged dir landed but before cleanup —
     // live dir present AND a stale aside duplicate of the same rows
     val b = live(1)
     val bAside = new org.apache.hadoop.fs.Path(b.getParent,
-      "_compact_old_" + b.getName)
+      Compaction.asideName(b.getName))
     org.apache.hadoop.fs.FileUtil.copy(fs, b, fs, bAside, false,
       spark.sessionState.newHadoopConf())
+    // the table stays READABLE while asides exist (the crash window):
+    // discovery ignores them instead of inferring a conflicting column
+    assert(spark.read.parquet(path).count() == total - aRows)
     // threshold high enough that no bucket is hot — this run is recovery only
     Layout.compactZBuckets(spark, path, maxFilesPerBucket = 1000)
     assert(fs.exists(a) && !fs.exists(aAside), "state A not restored")

@@ -683,6 +683,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versionedSink compaction trigger: the live manifest's file count " +
+    "stays bounded across micro-batch commits; rows and pinned snapshots " +
+    "unaffected") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.input_file_name
+    val base = java.nio.file.Files.createTempDirectory("vsinkc").toString
+    val in = MemoryStream[(Long, Double)]
+    // trigger every 2 epochs; every commit file is "small" at this size
+    val q = Streaming.versionedSink(in.toDS().toDF("id", "v"),
+      s"$base/t", s"$base/ckpt", compactEvery = 2, smallBytes = 1L << 20)
+    def liveFiles() = graft.io.Versioned.snapshot(spark, s"$base/t")
+      .select(input_file_name()).distinct().count()
+    try {
+      (0 until 6).foreach { k =>
+        in.addData((k.toLong, k.toDouble)); q.processAllAvailable()
+      }
+      // 6 epochs → 6 append commits + 3 OPTIMIZE commits; the live
+      // manifest resolves to ~1 coalesced file, never 6 accumulating
+      assert(liveFiles() <= 2, s"live file count unbounded: ${liveFiles()}")
+      assert(graft.io.Versioned.snapshot(spark, s"$base/t")
+        .as[(Long, Double)].collect().toSet ==
+        (0 until 6).map(k => (k.toLong, k.toDouble)).toSet)
+      // history is intact: the version right before the last OPTIMIZE
+      // still reads the same rows from the retired small files
+      val latest = graft.io.Versioned.latestVersion(s"$base/t")
+      assert(graft.io.Versioned.snapshot(spark, s"$base/t", latest - 1)
+        .count() >= 5)
+    } finally q.stop()
+  }
+
   test("ewmaStream: ValueState fold is bit-identical to the batch recurrence") {
     implicit val sql = spark.sqlContext
     import Streaming.EwmaSnapshot
