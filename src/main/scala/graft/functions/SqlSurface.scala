@@ -580,18 +580,19 @@ object SqlSurface {
     * exact per-column predicates re-applied on top. The output schema is
     * captured from the registered view at registration. q232 holds the
     * TVF hash-for-hash to q230's oracle. */
-  def createZBoxFunction(spark: SparkSession, table: String,
-      dims: Seq[String], bits: Int, bucketBits: Int,
-      zbCol: String = "zb",
-      funcName: String = "graft_zbox"): Unit = {
-    val m = dims.size
-    require(m >= 2 && bits >= 1 && bits * m <= 62,
-      s"need ≥2 dims with bits×dims ≤ 62 (got $m × $bits)")
-    require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
-      s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
-    val qTable = table.split('.').map(quotePart).mkString(".")
-    val qFunc = quotePart(funcName)
-    val qZb = quotePart(zbCol)
+  /** The statically-unrolled dyadic-rectangle intersection test on the
+    * z-bucket partition column, shared by [[createZBoxFunction]] and
+    * [[createEncodedZBoxFunction]]: a bucket id fixes the top
+    * bucketBits/m bits of EVERY dimension (bucketBits is a multiple of
+    * m), so each bucket is an exact axis-aligned rectangle and the
+    * per-dimension interval-overlap test against the CODE bounds
+    * (`loSql(i)`/`hiSql(i)` — parameters, or scalar subqueries over an
+    * encoder) is exact. A SQL body has no driver loop, so the
+    * de-interleave of zb into each dimension's prefix is emitted inline
+    * (bucketBits/m shift terms per dim — config-sized). */
+  private def zbOverlapSql(qZb: String, m: Int, bits: Int, bucketBits: Int,
+                           loSql: Int => String,
+                           hiSql: Int => String): String = {
     val perDim = bucketBits / m
     val low = bits - perDim
     val zbb = s"CAST($qZb AS BIGINT)"
@@ -604,11 +605,27 @@ object SqlSurface {
           Some(s"(shiftright($zbb, $t) % 2) * CAST(${1L << (j / m - low)} AS BIGINT)")
         else None
       }.mkString("(", " + ", ")")
-    val overlap = dims.indices.map { i =>
+    (0 until m).map { i =>
       val p = prefix(i)
-      s"($p * CAST(${1L << low} AS BIGINT) <= hi$i AND " +
-        s"$p * CAST(${1L << low} AS BIGINT) + CAST(${(1L << low) - 1} AS BIGINT) >= lo$i)"
+      s"($p * CAST(${1L << low} AS BIGINT) <= ${hiSql(i)} AND " +
+        s"$p * CAST(${1L << low} AS BIGINT) + CAST(${(1L << low) - 1} AS BIGINT) >= ${loSql(i)})"
     }.mkString("\n  AND ")
+  }
+
+  def createZBoxFunction(spark: SparkSession, table: String,
+      dims: Seq[String], bits: Int, bucketBits: Int,
+      zbCol: String = "zb",
+      funcName: String = "graft_zbox"): Unit = {
+    val m = dims.size
+    require(m >= 2 && bits >= 1 && bits * m <= 62,
+      s"need ≥2 dims with bits×dims ≤ 62 (got $m × $bits)")
+    require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
+      s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qFunc = quotePart(funcName)
+    val qZb = quotePart(zbCol)
+    val overlap = zbOverlapSql(qZb, m, bits, bucketBits,
+      i => s"lo$i", i => s"hi$i")
     val exact = dims.map(quotePart).zipWithIndex
       .map { case (c, i) => s"($c BETWEEN lo$i AND hi$i)" }
       .mkString(" AND ")
@@ -622,6 +639,72 @@ object SqlSurface {
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc($params)
          |RETURNS TABLE ($outDdl)
          |RETURN
+         |SELECT $outCols FROM $qTable
+         |WHERE $overlap
+         |  AND $exact
+         |""".stripMargin)
+  }
+
+  /** One-call SQL surface for the ENCODED z-box read
+    * ([[graft.io.Layout.readZBoxEncoded]] behind a TVF): registration
+    * bakes the layout contract — the encoded table view, the dimension
+    * columns in write order, their ENCODER views (the session admin
+    * registers each `<path>_encoders/<col>` dictionary as a view), bits,
+    * bucketBits — and the BOX arrives as call arguments in the ORIGINAL
+    * value types (timestamps, strings, skewed ids). Code bounds come
+    * from scalar subqueries over the encoder views (min/max code across
+    * the dictionary values inside the range — exact for pruning: every
+    * row in the box has its code inside the bounds), the same inline
+    * dyadic de-interleave predicate as `graft_zbox` prunes the zb
+    * partition column, and the exact original-column predicates apply on
+    * top. A dimension range containing NO dictionary value makes its
+    * code bounds NULL, the overlap predicate NULL, and the result
+    * empty — the Column path's scan-free short-circuit, expressed
+    * relationally. */
+  def createEncodedZBoxFunction(spark: SparkSession, table: String,
+      dims: Seq[String], encoderViews: Seq[String], bits: Int,
+      bucketBits: Int, zbCol: String = "zb",
+      funcName: String = "graft_zbox_encoded"): Unit = {
+    val m = dims.size
+    require(m >= 2 && bits >= 1 && bits * m <= 62,
+      s"need ≥2 dims with bits×dims ≤ 62 (got $m × $bits)")
+    require(encoderViews.size == m,
+      s"need one encoder view per dimension (got ${encoderViews.size} for $m)")
+    require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
+      s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qFunc = quotePart(funcName)
+    val qZb = quotePart(zbCol)
+    val schema = spark.table(table).schema
+    val typeOf = schema.map(f => f.name -> f.dataType.sql).toMap
+    dims.foreach(c => require(typeOf.contains(c), s"no column $c in $table"))
+    val params = dims.zipWithIndex.flatMap { case (c, i) =>
+      Seq(s"lo$i ${typeOf(c)}", s"hi$i ${typeOf(c)}")
+    }.mkString(", ")
+    def enc(i: Int): String =
+      encoderViews(i).split('.').map(quotePart).mkString(".")
+    // function parameters resolve inside CTE definitions but NOT inside
+    // subquery EXPRESSIONS, so each dimension's code bounds are a 1-row
+    // CTE (params in its WHERE) and the main predicate reads them back
+    // through uncorrelated scalar subqueries
+    val boundCtes = dims.indices.map { i =>
+      s"""b$i AS (SELECT min(code) AS lo, max(code) AS hi FROM ${enc(i)}
+         |        WHERE value >= lo$i AND value <= hi$i)""".stripMargin
+    }.mkString(",\n")
+    val overlap = zbOverlapSql(qZb, m, bits, bucketBits,
+      i => s"(SELECT lo FROM b$i)",
+      i => s"(SELECT hi FROM b$i)")
+    val exact = dims.map(quotePart).zipWithIndex
+      .map { case (c, i) => s"($c BETWEEN lo$i AND hi$i)" }
+      .mkString(" AND ")
+    val outDdl = schema.map(f =>
+      s"${quotePart(f.name)} ${f.dataType.sql}").mkString(", ")
+    val outCols = schema.map(f => quotePart(f.name)).mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc($params)
+         |RETURNS TABLE ($outDdl)
+         |RETURN
+         |WITH $boundCtes
          |SELECT $outCols FROM $qTable
          |WHERE $overlap
          |  AND $exact
@@ -776,7 +859,9 @@ object SqlSurface {
     "createZBoxFunction" -> Seq(
       "q232_sql_zbox_one_call", "q230_zorder_box"),
     "createAnnSearchFunction" -> Seq(
-      "q234_sql_ann_one_call", "q41_ann_ivf"))
+      "q234_sql_ann_one_call", "q41_ann_ivf"),
+    "createEncodedZBoxFunction" -> Seq(
+      "q240_sql_zbox_encoded_one_call", "q236_zorder_encoded"))
 
   /** Non-TVF twin surfaces (hand-typed SQL text vs Column API) pinned by
     * the same spec. */

@@ -225,6 +225,18 @@ object DomainQueries {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
       .stripMargin
 
+  /** Shared by q236 (Column read path) and q240 (the one-call TVF) —
+    * the hash-for-hash twin discipline. */
+  private val zorderEncodedOracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
+      |       o_orderpriority AS prio, count(*) AS n_orders,
+      |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+      |  AND o_orderpriority >= '1-URGENT' AND o_orderpriority <= '2-HIGH'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q.sql("q27_silver_profiles", q27Oracle) { (s, _) =>
       Silver.run(DemoFixture.playerStats(s), DemoFixture.lineups(s),
@@ -776,15 +788,7 @@ object DomainQueries {
     // q230, and applies the exact original-column predicates on top — so
     // the oracle is a plain range filter on orders. require() pins the
     // strict bucket-subset pruning the hash can't see.
-    Q.sql("q236_zorder_encoded",
-      """SELECT strftime(o_orderdate, '%Y-%m-%d') AS odate,
-        |       o_orderpriority AS prio, count(*) AS n_orders,
-        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
-        |  AND o_orderpriority >= '1-URGENT' AND o_orderpriority <= '2-HIGH'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Q.sql("q236_zorder_encoded", zorderEncodedOracle) { (s, d) =>
       import org.apache.spark.sql.functions._
       val bits = 8; val bucketBits = 4
       val tbl = java.nio.file.Files
@@ -808,6 +812,43 @@ object DomainQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_orderkey")).as("key_sum"))
         .orderBy("odate", "prio")
+    },
+
+    // ONE-CALL SQL surface for the ENCODED z-box read (SqlSurface.
+    // createEncodedZBoxFunction): registration bakes the layout contract
+    // plus the two ENCODER views; the box arrives as TIMESTAMP/STRING
+    // call arguments. Code bounds are scalar subqueries over the encoder
+    // dictionaries, the dyadic de-interleave predicate prunes zb exactly
+    // like q232's, and the exact original-column predicates apply on
+    // top — held hash-for-hash to q236's oracle (SurfaceEquivalenceSpec
+    // pins q240 ≙ q236 via tvfTwins).
+    Q.sql("q240_sql_zbox_encoded_one_call", zorderEncodedOracle) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 8; val bucketBits = 4
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q240ze").toString + "/orders_ze"
+      graft.io.Layout.writeZClusteredEncoded(
+        graft.io.Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        Seq("o_orderdate", "o_orderpriority"), bits, bucketBits,
+        numFiles = 8, path = tbl)
+      s.read.parquet(tbl).createOrReplaceTempView("orders_ze_sql")
+      graft.io.Layout.readEncoder(s, tbl, "o_orderdate")
+        .createOrReplaceTempView("enc_odate")
+      graft.io.Layout.readEncoder(s, tbl, "o_orderpriority")
+        .createOrReplaceTempView("enc_prio")
+      graft.functions.SqlSurface.createEncodedZBoxFunction(s,
+        "orders_ze_sql", Seq("o_orderdate", "o_orderpriority"),
+        Seq("enc_odate", "enc_prio"), bits, bucketBits)
+      s.sql(
+        """SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+          |       o_orderpriority AS prio, count(*) AS n_orders,
+          |       sum(o_orderkey) AS key_sum
+          |FROM graft_zbox_encoded(
+          |  TIMESTAMP '1996-01-01 00:00:00',
+          |  TIMESTAMP '1996-12-31 23:59:59',
+          |  '1-URGENT', '2-HIGH')
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     },
 
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =

@@ -325,6 +325,28 @@ class LayoutSpec extends SparkSpec {
         bits, bucketBits, numFiles = 1, path = path)
     }
     assert(causeChain(e).exists(_.contains("unsound")))
+
+    // the one-call TVF over the same layout: identical rows to the
+    // Column path, and the scalar-subquery code bounds still land the
+    // bucket predicate in PartitionFilters (runtime-subquery pruning)
+    spark.read.parquet(path).createOrReplaceTempView("zenc_tvf_t")
+    Layout.readEncoder(spark, path, "cat")
+      .createOrReplaceTempView("zenc_tvf_cat")
+    Layout.readEncoder(spark, path, "skew")
+      .createOrReplaceTempView("zenc_tvf_skew")
+    graft.functions.SqlSurface.createEncodedZBoxFunction(spark,
+      "zenc_tvf_t", Seq("cat", "skew"),
+      Seq("zenc_tvf_cat", "zenc_tvf_skew"), bits, bucketBits,
+      funcName = "zbox_enc_spec")
+    val tvf = spark.sql(
+      "SELECT row FROM zbox_enc_spec('bravo', 'delta', 10000L, 60000L)")
+    assert(tvf.as[Long].collect().toSet == grown)
+    val tvfPlan = tvf.queryExecution.executedPlan.toString
+    assert(tvfPlan.contains("PartitionFilters") && tvfPlan.contains("zb"),
+      s"no partition filter in TVF plan:\n$tvfPlan")
+    assert(!tvfPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters: []") && l.contains("zb")),
+      "TVF bucket predicate missing from PartitionFilters")
   }
 
   test("compaction crash recovery: an aside dir with no live twin is " +
