@@ -79,7 +79,7 @@ object Explain {
       "q233_targeted_delete", "q234_sql_ann_one_call",
       "q235_versioned_delete_travel", "q236_zorder_encoded",
       "q237_ivf_index_delete", "q238_versioned_compaction",
-      "q239_streaming_zingest")
+      "q239_streaming_zingest", "q240_sql_zbox_encoded_one_call")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
