@@ -624,10 +624,14 @@ object SqlSurface {
     val qTable = table.split('.').map(quotePart).mkString(".")
     val qFunc = quotePart(funcName)
     val qZb = quotePart(zbCol)
+    // parameter references are QUALIFIED with the function name: an
+    // unqualified lo0/hi0 resolves a TABLE COLUMN of that name in
+    // preference to the parameter (probe-verified), silently comparing
+    // against data instead of the call argument
     val overlap = zbOverlapSql(qZb, m, bits, bucketBits,
-      i => s"lo$i", i => s"hi$i")
+      i => s"$qFunc.lo$i", i => s"$qFunc.hi$i")
     val exact = dims.map(quotePart).zipWithIndex
-      .map { case (c, i) => s"($c BETWEEN lo$i AND hi$i)" }
+      .map { case (c, i) => s"($c BETWEEN $qFunc.lo$i AND $qFunc.hi$i)" }
       .mkString(" AND ")
     val params = dims.indices
       .flatMap(i => Seq(s"lo$i BIGINT", s"hi$i BIGINT")).mkString(", ")
@@ -687,15 +691,18 @@ object SqlSurface {
     // subquery EXPRESSIONS, so each dimension's code bounds are a 1-row
     // CTE (params in its WHERE) and the main predicate reads them back
     // through uncorrelated scalar subqueries
+    // the same function-name qualification as createZBoxFunction: an
+    // encoder whose dictionary VALUES column were ever named lo0 could
+    // otherwise shadow the parameter
     val boundCtes = dims.indices.map { i =>
       s"""b$i AS (SELECT min(code) AS lo, max(code) AS hi FROM ${enc(i)}
-         |        WHERE value >= lo$i AND value <= hi$i)""".stripMargin
+         |        WHERE value >= $qFunc.lo$i AND value <= $qFunc.hi$i)""".stripMargin
     }.mkString(",\n")
     val overlap = zbOverlapSql(qZb, m, bits, bucketBits,
       i => s"(SELECT lo FROM b$i)",
       i => s"(SELECT hi FROM b$i)")
     val exact = dims.map(quotePart).zipWithIndex
-      .map { case (c, i) => s"($c BETWEEN lo$i AND hi$i)" }
+      .map { case (c, i) => s"($c BETWEEN $qFunc.lo$i AND $qFunc.hi$i)" }
       .mkString(" AND ")
     val outDdl = schema.map(f =>
       s"${quotePart(f.name)} ${f.dataType.sql}").mkString(", ")

@@ -111,24 +111,40 @@ object Versioned {
     Files.readAllLines(versionsDir(table).resolve(v.toString),
       StandardCharsets.UTF_8).asScala.toSeq
 
-  /** Land manifest `v` atomically: full write to a staging name, then an
-    * ATOMIC_MOVE rename — a reader never observes a partial manifest and
-    * a crash mid-write leaves only the staging file. Refuses to land on
-    * top of an existing manifest (rename(2) silently REPLACES; claims
-    * make a collision impossible in normal operation, this is the
-    * defense-in-depth for an operator who cleared a LIVE writer's
-    * claim). */
+  /** Version numbers of all claim files currently present. */
+  private def claimNumbers(table: String): Seq[Int] =
+    Files.list(versionsDir(table)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".claim") &&
+        n.stripSuffix(".claim").nonEmpty &&
+        n.stripSuffix(".claim").forall(_.isDigit))
+      .map(_.stripSuffix(".claim").toInt).toSeq.sorted
+
+  /** Land manifest `v` atomically and CREATE-NEW: the full content goes
+    * to a PER-WRITER staging name (a shared name would let one racer
+    * truncate another's bytes mid-move), then a hard link claims the
+    * target — link(2) fails atomically if the target exists, so even two
+    * writers holding the same number (an operator cleared a LIVE
+    * writer's claim) can never silently replace a landed manifest; the
+    * loser gets a loud error. A reader never observes a partial
+    * manifest; a crash mid-land leaves only a staging file. */
   private def landManifest(table: String, v: Int,
                            entries: Seq[String]): Unit = {
     Files.createDirectories(versionsDir(table))
     val target = versionsDir(table).resolve(v.toString)
-    require(!Files.exists(target),
-      s"manifest $v of $table already exists — refusing to replace a " +
-        "landed commit (was a live writer's claim file removed?)")
-    val staging = versionsDir(table).resolve(s"$v.staging")
+    val staging = versionsDir(table).resolve(
+      s"$v.staging.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(staging,
       entries.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(target, staging)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(staging)
+        throw new IllegalStateException(
+          s"manifest $v of $table already exists — refusing to replace a " +
+            "landed commit (was a live writer's claim file removed?)")
+    }
+    Files.deleteIfExists(staging): Unit
   }
 
   /** Release a claimed version after an IN-PROCESS failure: remove the
@@ -137,10 +153,16 @@ object Versioned {
     * successor blocked in [[awaitPredecessor]] unblocks as soon as a new
     * writer re-claims and lands the number. (A hard JVM crash still
     * leaks its claim; the awaitPredecessor error documents the manual
-    * recovery.) */
+    * recovery.)
+    *
+    * If manifest `v` EXISTS, the data dir is NOT touched: that means a
+    * second writer held the same number (a cleared live claim) and
+    * LANDED it — this writer's failure must not destroy the directory
+    * that landed manifest references. */
   private def abandonClaim(table: String, v: Int, dataDir: Path): Unit = {
+    val landed = Files.exists(versionsDir(table).resolve(v.toString))
     try {
-      if (Files.exists(dataDir))
+      if (!landed && Files.exists(dataDir))
         Files.walk(dataDir).iterator().asScala.toSeq.reverse
           .foreach(f => Files.deleteIfExists(f): Unit)
     } catch { case _: Exception => () } // best-effort; vacuum sweeps later
@@ -312,12 +334,14 @@ object Versioned {
     // data dir no manifest references YET — the unreferenced-file sweep
     // below would destroy the data its manifest is about to reference.
     // Refuse loudly; run vacuum after it lands (or clear claims whose
-    // writers are confirmed dead).
-    val inflight = Files.list(versionsDir(table)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".claim") &&
-        n.stripSuffix(".claim").forall(_.isDigit))
-      .map(_.stripSuffix(".claim").toInt).filter(_ > v).toSeq.sorted
+    // writers are confirmed dead). Check-then-act caveat: a writer
+    // claiming AFTER this check can still race the sweep (the deletion
+    // list is re-checked against claims once more below to narrow the
+    // window), so vacuum carries the same single-maintenance-writer
+    // discipline as the directory-swap operations — run it from the
+    // table's maintenance owner, not concurrently with ingest.
+    def inflightClaims(): Seq[Int] = claimNumbers(table).filter(_ > v)
+    val inflight = inflightClaims()
     require(inflight.isEmpty,
       s"vacuum refused: in-flight commit claim(s) ${inflight.mkString(", ")} " +
         s"on $table — their data dirs are not yet manifest-referenced and " +
@@ -333,7 +357,14 @@ object Versioned {
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".parquet"))
         .map(_.toAbsolutePath).toSeq
-      all.filterNot(f => referenced.contains(f.toString)).foreach { f =>
+      val toDelete = all.filterNot(f => referenced.contains(f.toString))
+      // second look after enumerating the deletion list: a commit that
+      // claimed while we walked would lose its files to the sweep
+      val late = inflightClaims()
+      require(late.isEmpty,
+        s"vacuum aborted before deleting anything: commit claim(s) " +
+          s"${late.mkString(", ")} appeared during the file walk")
+      toDelete.foreach { f =>
         Files.delete(f); removed += f.toString
       }
       // prune commit dirs emptied of parquet files (crash-orphaned dirs
@@ -351,12 +382,13 @@ object Versioned {
     }
     // orphaned claims of writers that died before landing: any claim at
     // or below the latest LANDED version can never land (the number is
-    // burned), and its data dir was cleared by the walk above
+    // burned), and its data dir was cleared by the walk above; staging
+    // leftovers from crashed manifest lands clear the same way
+    claimNumbers(table).filter(_ <= v).foreach { k =>
+      Files.deleteIfExists(versionsDir(table).resolve(s"$k.claim")): Unit
+    }
     Files.list(versionsDir(table)).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".claim"))
-      .filter(_.getFileName.toString.stripSuffix(".claim")
-        .forall(_.isDigit))
-      .filter(_.getFileName.toString.stripSuffix(".claim").toInt <= v)
+      .filter(_.getFileName.toString.contains(".staging"))
       .foreach(Files.deleteIfExists(_): Unit)
     removed.result()
   }

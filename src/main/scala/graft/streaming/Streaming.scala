@@ -681,8 +681,21 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.io.Versioned.commit(batch, table): Unit
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.io.Versioned.compactSmallFiles(batch.sparkSession, table,
-            smallBytes): Unit
+          // BEST-EFFORT: the epoch's append has already landed; letting a
+          // maintenance conflict (another writer's commit interleaving —
+          // Versioned explicitly supports concurrent writers) or a
+          // transient error fail the epoch would abort the stream and
+          // REPLAY the batch on restart, landing the same rows twice. A
+          // skipped compaction is retried at the next trigger.
+          try graft.io.Versioned.compactSmallFiles(batch.sparkSession,
+            table, smallBytes): Unit
+          catch {
+            case e: Exception =>
+              // stderr, not silence: the skip must be visible in driver logs
+              System.err.println(
+                s"[versionedSink] compaction skipped at epoch $batchId " +
+                  s"(retried next trigger): ${e.getMessage}")
+          }
       }
       .start()
 

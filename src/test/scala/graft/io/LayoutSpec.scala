@@ -349,6 +349,27 @@ class LayoutSpec extends SparkSpec {
       "TVF bucket predicate missing from PartitionFilters")
   }
 
+  test("zbox TVF parameters are not shadowed by table columns named " +
+    "lo0/hi0 (function-name-qualified references)") {
+    // a column legally named lo0 whose values would satisfy NO box —
+    // unqualified parameter references would resolve it instead of the
+    // call argument and silently return zero rows
+    val df = (0 until 400).map { i =>
+      (i.toLong, (i % 50).toLong, (i % 30).toLong, 9999L)
+    }.toDF("id", "x", "y", "lo0")
+    val path = java.nio.file.Files.createTempDirectory("zshad").toString + "/t"
+    Layout.writeZClustered(df, Seq("x", "y"), bits = 6, bucketBits = 2,
+      numFiles = 2, path = path)
+    spark.read.parquet(path).createOrReplaceTempView("zshad_t")
+    graft.functions.SqlSurface.createZBoxFunction(spark, "zshad_t",
+      Seq("x", "y"), bits = 6, bucketBits = 2, funcName = "zbox_shad")
+    val got = spark.sql("SELECT id FROM zbox_shad(10, 20, 5, 15)")
+      .as[Long].collect().toSet
+    val want = df.where($"x".between(10, 20) && $"y".between(5, 15))
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("compaction crash recovery: an aside dir with no live twin is " +
     "restored, one with a live twin is cleared — no state loses a copy") {
     val mk = (r: Range) => r.map { i =>
