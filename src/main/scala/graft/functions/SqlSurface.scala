@@ -254,12 +254,25 @@ object SqlSurface {
         graft.operators.Similarity.planeVec(t, p, dims).toSeq)))
     def planeRef(t: Int, p: Int): String =
       s"element_at($planesCall, ${t * nPlanes + p + 1})"
-    val bandSelects = (0 until nTables).map { t =>
-      val bucket = (0 until nPlanes).map { p =>
+    // ONE pass bands all tables: the per-table UNION ALL formulation
+    // re-derived `e` (two pushed-filter parquet scans + casts) once per
+    // hash table PER CONSUMER of `b` — 6 tables × 2 consumers = 12
+    // derivations at the defaults; the LATERAL VIEW explode over
+    // per-table structs is the Column path's banding shape
+    // (marginMine's explode(array(struct(t, bucket)...))), identical
+    // values, one derivation of `e` per consumer
+    def bucketExpr(t: Int): String =
+      (0 until nPlanes).map { p =>
         s"(CASE WHEN dot_product(v, ${planeRef(t, p)}) > 0 THEN ${1L << p}L ELSE 0L END)"
       }.mkString(" + ")
-      s"SELECT vid, side, $t AS t, CAST($bucket AS BIGINT) AS bucket FROM e"
-    }.mkString("\n  UNION ALL ")
+    val tableStructs = (0 until nTables).map { t =>
+      s"named_struct('t', $t, 'bucket', CAST(${bucketExpr(t)} AS BIGINT))"
+    }.mkString(",\n    ")
+    val bandSelects =
+      s"""SELECT vid, side, tb.t AS t, tb.bucket AS bucket
+         |  FROM e
+         |  LATERAL VIEW explode(array(
+         |    $tableStructs)) ex AS tb""".stripMargin
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (src_id BIGINT, tgt_id BIGINT, cos DOUBLE, margin DOUBLE)
