@@ -221,6 +221,50 @@ object SqlSurface {
     * cosine is the registered `cosine_sim` (identical fused fold), and
     * the k-NN averages run as DECIMAL sums of 6dp-quantized cosines — so
     * the TVF's results hash-match the Column API's (q218 ≙ q217). */
+  /** The EXACT (vid, side, t, bucket) band-table derivation a
+    * pre-materialized `bandTable` for [[createMarginMiningFunction]]
+    * must contain — emitted as runnable SQL (and registering the planes
+    * matrix function the text references) so the session admin
+    * materializes THIS text instead of re-typing it. The q219
+    * shingleTable pattern: a SQL function body has no persist point, so
+    * the default body re-derives the band table once per consumer (the
+    * cap aggregate plus both sides of the candidate self-join); a
+    * persisted view makes every consumer a cache read. */
+  def marginBandViewSql(spark: SparkSession,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      srcPred: String = "vec_id % 2 = 0",
+      tgtPred: String = "vec_id % 2 = 1",
+      dims: Int = 64, nPlanes: Int = 12, nTables: Int = 6,
+      funcName: String = "graft_margin_pairs"): String = {
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qVec = quotePart(vecCol)
+    register(spark)
+    val planesCall = registerMatrixFunction(spark, funcName + "_planes",
+      (0 until nTables).flatMap(t => (0 until nPlanes).map(p =>
+        graft.operators.Similarity.planeVec(t, p, dims).toSeq)))
+    def planeRef(t: Int, p: Int): String =
+      s"element_at($planesCall, ${t * nPlanes + p + 1})"
+    def bucketExpr(t: Int): String =
+      (0 until nPlanes).map { p =>
+        s"(CASE WHEN dot_product(v, ${planeRef(t, p)}) > 0 THEN ${1L << p}L ELSE 0L END)"
+      }.mkString(" + ")
+    val tableStructs = (0 until nTables).map { t =>
+      s"named_struct('t', $t, 'bucket', CAST(${bucketExpr(t)} AS BIGINT))"
+    }.mkString(",\n    ")
+    s"""WITH es AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+       |            FROM $qTable WHERE ($srcPred)),
+       |et AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+       |       FROM $qTable WHERE ($tgtPred)),
+       |e AS (SELECT vid, v, 0 AS side FROM es
+       |      UNION ALL SELECT vid, v, 1 AS side FROM et)
+       |SELECT vid, side, tb.t AS t, tb.bucket AS bucket
+       |FROM e
+       |LATERAL VIEW explode(array(
+       |    $tableStructs)) ex AS tb""".stripMargin
+  }
+
   def createMarginMiningFunction(spark: SparkSession,
       table: String = "embeddings", idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -228,7 +272,8 @@ object SqlSurface {
       tgtPred: String = "vec_id % 2 = 1",
       dims: Int = 64, nPlanes: Int = 12, nTables: Int = 6, cap: Int = 256,
       k: Int = 4, minMargin: Double = 1.0,
-      funcName: String = "graft_margin_pairs"): Unit = {
+      funcName: String = "graft_margin_pairs",
+      bandTable: Option[String] = None): Unit = {
     require(nPlanes <= 62, s"nPlanes=$nPlanes must fit a long bucket id")
     Seq("srcPred" -> srcPred, "tgtPred" -> tgtPred).foreach { case (what, p) =>
       try spark.sessionState.sqlParser.parseExpression(p)
@@ -268,11 +313,20 @@ object SqlSurface {
     val tableStructs = (0 until nTables).map { t =>
       s"named_struct('t', $t, 'bucket', CAST(${bucketExpr(t)} AS BIGINT))"
     }.mkString(",\n    ")
-    val bandSelects =
-      s"""SELECT vid, side, tb.t AS t, tb.bucket AS bucket
-         |  FROM e
-         |  LATERAL VIEW explode(array(
-         |    $tableStructs)) ex AS tb""".stripMargin
+    // with a pre-materialized band view ([[marginBandViewSql]]'s exact
+    // derivation, persisted by the session admin), every consumer of the
+    // band table — the cap aggregate and BOTH sides of the candidate
+    // self-join — becomes a cache read instead of a re-derivation
+    val bandSelects = bandTable match {
+      case Some(bt) =>
+        val qBt = bt.split('.').map(quotePart).mkString(".")
+        s"SELECT vid, side, t, bucket FROM $qBt"
+      case None =>
+        s"""SELECT vid, side, tb.t AS t, tb.bucket AS bucket
+           |  FROM e
+           |  LATERAL VIEW explode(array(
+           |    $tableStructs)) ex AS tb""".stripMargin
+    }
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (src_id BIGINT, tgt_id BIGINT, cos DOUBLE, margin DOUBLE)

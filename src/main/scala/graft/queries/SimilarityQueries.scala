@@ -1097,11 +1097,26 @@ object SimilarityQueries {
     // held to q212's family.
     Q.sql("q218_sql_margin_one_call", marginOracleSql) { (s, d) =>
       Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+      // pre-materialized band view (the registrar's bandTable option —
+      // the q219 shingleTable pattern): a SQL function body has no
+      // persist point, so the default body re-derives the band table for
+      // EACH of its consumers (the cap aggregate + both sides of the
+      // candidate self-join). The session admin materializes the
+      // registrar's own derivation text (marginBandViewSql — zero drift
+      // possible), persists it, and every consumer becomes a cache read.
+      // Pinned (caller-released) like every operator-internal persist —
+      // the same band-table persist the Column twin q217 does.
+      val bands = graft.PinnedFrames.pin(
+        s.sql(SqlSurface.marginBandViewSql(s, table = "embeddings",
+          idCol = "vec_id", vecCol = "embedding",
+          srcPred = "vec_id % 2 = 0", tgtPred = "vec_id % 2 = 1",
+          dims = Dims, nPlanes = 12, nTables = 6)).persist())
+      bands.createOrReplaceTempView("margin_bands")
       SqlSurface.createMarginMiningFunction(s, table = "embeddings",
         idCol = "vec_id", vecCol = "embedding",
         srcPred = "vec_id % 2 = 0", tgtPred = "vec_id % 2 = 1",
         dims = Dims, nPlanes = 12, nTables = 6, cap = 256, k = 4,
-        minMargin = 1.0)
+        minMargin = 1.0, bandTable = Some("margin_bands"))
       s.sql("SELECT src_id, tgt_id, cos, margin FROM graft_margin_pairs() " +
         "ORDER BY src_id, tgt_id")
     },
