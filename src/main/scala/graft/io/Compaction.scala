@@ -63,6 +63,26 @@ object Compaction {
       }
   }
 
+  /** PUBLIC crash recovery — run [[recoverAsides]] on a table whose last
+    * maintenance job may have died mid-swap, WITHOUT waiting for the next
+    * compaction pass to happen to run: a crash between the two renames
+    * leaves a partition's only copy under the reader-ignored aside name,
+    * and every read of that partition silently returns zero rows until
+    * the aside is restored. [[Deletes.recover]] is the same contract for
+    * the delete marker protocol; operators should run both after a
+    * crashed maintenance job (idempotent, cheap — one directory listing
+    * when there is nothing to heal). Returns true when anything was
+    * restored or cleared. */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return false
+    val had = fs.listStatus(root).exists(d =>
+      d.isDirectory && d.getPath.getName.startsWith(asidePrefix))
+    recoverAsides(fs, root)
+    had
+  }
+
   /** Compact every `partCol=value` directory under `path` whose parquet
     * file count exceeds `maxFilesPerDir`. `sortCols` restores the layout's
     * within-file order in the rewritten files (zv for the z-order layout

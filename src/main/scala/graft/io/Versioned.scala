@@ -39,13 +39,61 @@ object Versioned {
 
   private def versionsDir(table: String) = Paths.get(table, "_versions")
 
+  /** Every `Files.list`/`Files.walk` call site drains the stream into a
+    * materialized Seq inside try/finally close — the NIO streams hold a
+    * directory file descriptor until closed, and the streaming sinks run
+    * this machinery every micro-batch for the lifetime of the ingest, so
+    * leaking one FD per call is an exhaustion bug, not a style nit. */
+  private def listDir(d: Path): Seq[Path] = {
+    val s = Files.list(d)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private def walkDir(d: Path): Seq[Path] = {
+    val s = Files.walk(d)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  // --- manifest line format ---
+  //
+  // A manifest is newline-separated lines, oldest format first:
+  //   <path>                      data dir or parquet file (whole grain)
+  //   <path>\t<col>=<value>       parquet FILE carrying its partition
+  //                               value — the grain [[commitPartitioned]]
+  //                               writes so reads can prune FILES by
+  //                               partition value from the manifest alone
+  //                               (no Hive directory listing — the
+  //                               Delta/Iceberg metadata-pruning model)
+  //   #key=value                  header comment (e.g. the idempotency
+  //                               tag [[commit]] records); never a path
+  // Paths may not contain tabs or leading '#'; partition values are
+  // stored exactly as the writer's partition-directory segment encodes
+  // them (Spark's Hive escaping), so they round-trip verbatim.
+
+  private def parseEntry(line: String): (String, Option[(String, String)]) =
+    line.indexOf('\t') match {
+      case -1 => (line, None)
+      case i =>
+        val meta = line.substring(i + 1)
+        val eq = meta.indexOf('=')
+        (line.substring(0, i),
+          Some((meta.substring(0, eq), meta.substring(eq + 1))))
+    }
+
+  private def formatEntry(path: String,
+                          meta: Option[(String, String)]): String =
+    meta match {
+      case Some((c, v)) => s"$path\t$c=$v"
+      case None => path
+    }
+
   /** Latest LANDED version — claim files (`<v>.claim`) and staging names
     * are ignored, so an in-flight or crashed commit never changes what
     * readers resolve. */
   def latestVersion(table: String): Int = {
     val d = versionsDir(table)
     if (!Files.exists(d)) 0
-    else Files.list(d).iterator().asScala
+    else listDir(d)
       .map(_.getFileName.toString)
       .filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toInt).foldLeft(0)(math.max)
@@ -107,18 +155,45 @@ object Versioned {
     }
   }
 
-  private def manifestEntries(table: String, v: Int): Seq[String] =
+  private def manifestLines(table: String, v: Int): Seq[String] =
     Files.readAllLines(versionsDir(table).resolve(v.toString),
       StandardCharsets.UTF_8).asScala.toSeq
 
+  /** Path-bearing manifest lines of version `v` (header comments
+    * filtered; partition metadata retained on each line). */
+  private def manifestEntries(table: String, v: Int): Seq[String] =
+    manifestLines(table, v).filterNot(_.startsWith("#"))
+
+  /** The idempotency tag recorded in version `v`'s manifest header, if
+    * any — landed atomically WITH the entry list (one file, one
+    * CREATE-NEW link), so a tag can never exist without its commit or
+    * vice versa. */
+  def versionTag(table: String, v: Int): Option[String] =
+    manifestLines(table, v).find(_.startsWith("#tag="))
+      .map(_.stripPrefix("#tag="))
+
+  /** Largest numeric suffix among landed tags with the given prefix
+    * (e.g. prefix "epoch:" over tags "epoch:7") — the streaming sink's
+    * replay boundary, resolved ONCE at stream (re)start. */
+  def latestTaggedSuffix(table: String, prefix: String): Option[Long] = {
+    val v = latestVersion(table)
+    if (v < 1) None
+    else (1 to v).iterator
+      .filter(k => Files.exists(versionsDir(table).resolve(k.toString)))
+      .flatMap(k => versionTag(table, k))
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .foldLeft(Option.empty[Long])((m, x) => Some(math.max(m.getOrElse(x), x)))
+  }
+
   /** Version numbers of all claim files currently present. */
   private def claimNumbers(table: String): Seq[Int] =
-    Files.list(versionsDir(table)).iterator().asScala
+    listDir(versionsDir(table))
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".claim") &&
         n.stripSuffix(".claim").nonEmpty &&
         n.stripSuffix(".claim").forall(_.isDigit))
-      .map(_.stripSuffix(".claim").toInt).toSeq.sorted
+      .map(_.stripSuffix(".claim").toInt).sorted
 
   /** Land manifest `v` atomically and CREATE-NEW: the full content goes
     * to a PER-WRITER staging name (a shared name would let one racer
@@ -163,24 +238,29 @@ object Versioned {
     val landed = Files.exists(versionsDir(table).resolve(v.toString))
     try {
       if (!landed && Files.exists(dataDir))
-        Files.walk(dataDir).iterator().asScala.toSeq.reverse
+        walkDir(dataDir).reverse
           .foreach(f => Files.deleteIfExists(f): Unit)
     } catch { case _: Exception => () } // best-effort; vacuum sweeps later
     Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim")): Unit
   }
 
-  /** Every parquet file a manifest entry resolves to, absolute paths
-    * (dir entries enumerate their current listing; immutability of
-    * committed dirs makes that deterministic until [[vacuum]]). */
-  private def expandFiles(entry: String): Seq[String] = {
-    val p = Paths.get(entry)
+  /** Every (parquet file, partition metadata) pair a manifest entry
+    * resolves to, absolute paths (dir entries enumerate their current
+    * listing; immutability of committed dirs makes that deterministic
+    * until [[vacuum]]). Dir-grain entries carry no metadata. */
+  private def expandEntry(entry: String): Seq[(String, Option[(String, String)])] = {
+    val (path, meta) = parseEntry(entry)
+    val p = Paths.get(path)
     if (Files.isDirectory(p))
-      Files.walk(p).iterator().asScala
+      walkDir(p)
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-    else Seq(p.toAbsolutePath.toString)
+        .map(f => (f.toAbsolutePath.toString, meta)).sortBy(_._1)
+    else Seq((p.toAbsolutePath.toString, meta))
   }
+
+  private def expandFiles(entry: String): Seq[String] =
+    expandEntry(entry).map(_._1)
 
   private def fileOfUri(uri: String): String =
     Paths.get(new java.net.URI(uri)).toAbsolutePath.toString
@@ -195,16 +275,73 @@ object Versioned {
     * replaced (VersionedSpec races N threads and checks every commit's
     * rows survive into the final snapshot). */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
-             predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs): Int = {
+             predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
+             tag: Option[String] = None): Int =
+    commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
+      df.write.parquet(dataDir.toString)
+      Seq(dataDir.toString)
+    }
+
+  /** Append `df` as a new commit whose manifest entries carry PARTITION
+    * METADATA: the commit dir is written Hive-partitioned on an internal
+    * copy of `partCol` (so every data file RETAINS the original column),
+    * and each file's manifest line records its `partCol=value`. Reads
+    * via [[snapshotWhere]] then prune FILES from the manifest alone —
+    * no directory listing, no Hive-layout coupling — which is what lets
+    * the zb=/cell= layouts ([[Layout]], `Similarity`) commit appends and
+    * maintenance as snapshot-isolated versions instead of directory
+    * swaps. NULL partition values abort the write (a null would vanish
+    * into the default partition and silently miss every pruned read —
+    * the same guard as the z-layout's). */
+  def commitPartitioned(df: DataFrame, table: String, partCol: String,
+      overwrite: Boolean = false,
+      predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
+      tag: Option[String] = None): Int =
+    commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
+      df.withColumn(partDirCol,
+          when(col(partCol).isNull, raise_error(lit(
+            s"NULL $partCol — a null partition value would vanish from " +
+              "every pruned snapshot read")))
+            .otherwise(col(partCol).cast("string")))
+        .write.partitionBy(partDirCol).parquet(dataDir.toString)
+      partitionedEntries(dataDir, partCol)
+    }
+
+  /** The internal Hive-dir column [[commitPartitioned]] writes — a COPY
+    * of the caller's partition column, so the original stays IN the data
+    * files (manifest-pruned reads never reconstruct columns from paths). */
+  private val partDirCol = "__pv"
+
+  /** file-grain manifest lines `path\tpartCol=value` for every parquet
+    * file under a partitioned commit dir, value taken verbatim from the
+    * writer's directory segment (Hive-escaped — round-trips exactly). */
+  private def partitionedEntries(dataDir: Path, partCol: String): Seq[String] =
+    walkDir(dataDir)
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map { f =>
+        val seg = f.getParent.getFileName.toString
+        require(seg.startsWith(partDirCol + "="),
+          s"partitioned commit file $f not under a $partDirCol= dir")
+        formatEntry(f.toAbsolutePath.toString,
+          Some((partCol, seg.stripPrefix(partDirCol + "="))))
+      }.sorted
+
+  /** Shared claim → write → land skeleton of [[commit]] /
+    * [[commitPartitioned]]; `write` produces the new manifest entries. */
+  private def commitWith(table: String, overwrite: Boolean,
+      predecessorTimeoutMs: Long, tag: Option[String])
+      (write: Path => Seq[String]): Int = {
     val v = claimVersion(table)
     val dataDir = Paths.get(table, "data", s"c$v")
     try {
-      df.write.parquet(dataDir.toString)
+      val newEntries = write(dataDir)
       awaitPredecessor(table, v, predecessorTimeoutMs)
       val prev =
         if (overwrite || v == 1) Seq.empty
         else manifestEntries(table, v - 1)
-      landManifest(table, v, prev :+ dataDir.toString)
+      landManifest(table, v,
+        tag.map(t => s"#tag=$t").toSeq ++ prev ++ newEntries)
     } catch {
       case t: Throwable => abandonClaim(table, v, dataDir); throw t
     }
@@ -217,7 +354,30 @@ object Versioned {
                version: Int = Int.MaxValue): DataFrame = {
     val v = math.min(version, latestVersion(table))
     require(v >= 1, s"no commits in $table")
-    spark.read.parquet(manifestEntries(table, v): _*)
+    spark.read.parquet(manifestEntries(table, v).map(parseEntry(_)._1): _*)
+  }
+
+  /** Read the snapshot PRUNED to the files whose manifest metadata says
+    * `partCol` ∈ `values` — the manifest-as-index read: file selection is
+    * metadata-only (no directory listing, no partition discovery), so a
+    * z-box read or an IVF probe over a versioned layout touches exactly
+    * the files of the requested buckets/cells at any table size. Entries
+    * WITHOUT metadata for `partCol` (plain commits mixed into the table)
+    * are kept conservatively — correctness never depends on the pruning.
+    * `values` are compared against the writer's directory-segment
+    * encoding (identical to the raw value for numeric layouts). */
+  def snapshotWhere(spark: SparkSession, table: String, partCol: String,
+                    values: Set[String],
+                    version: Int = Int.MaxValue): DataFrame = {
+    val v = math.min(version, latestVersion(table))
+    require(v >= 1, s"no commits in $table")
+    val kept = manifestEntries(table, v).flatMap(expandEntry).collect {
+      case (f, Some((c, pv))) if c == partCol && values.contains(pv) => f
+      case (f, meta) if !meta.exists(_._1 == partCol) => f
+    }
+    if (kept.isEmpty)
+      snapshot(spark, table, v).where(lit(false))
+    else spark.read.parquet(kept.distinct: _*)
   }
 
   /** SNAPSHOT-ISOLATED row-level delete — [[Deletes.deleteWhere]]'s
@@ -255,7 +415,9 @@ object Versioned {
                   sortCols: Seq[String] = Nil): Int = {
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
-    val allFiles = manifestEntries(table, v).flatMap(expandFiles).distinct
+    val allEntries = manifestEntries(table, v).flatMap(expandEntry)
+      .distinctBy(_._1)
+    val allFiles = allEntries.map(_._1)
     val df = spark.read.parquet(allFiles: _*)
     val matchP = coalesce(pred, lit(false))
     val affected = df.where(matchP)
@@ -263,18 +425,39 @@ object Versioned {
       .collect().map(r => fileOfUri(r.getString(0))).toSet
     if (affected.isEmpty) return v
     val aff = spark.read.parquet(affected.toSeq: _*)
+    // PARTITION-METADATA PRESERVATION: when every affected file carries
+    // metadata on one column, the survivors are rewritten partitioned on
+    // it and the new entries carry per-file metadata again — a compliance
+    // delete on a versioned z-layout/IVF index keeps [[snapshotWhere]]'s
+    // file pruning intact through the rewrite (untouched files keep
+    // their original metadata lines verbatim either way).
+    val affectedMetaCols = allEntries
+      .filter(e => affected.contains(e._1)).map(_._2.map(_._1)).distinct
+    val partMetaCol = affectedMetaCols match {
+      case Seq(Some(c)) => Some(c)
+      case _ => None
+    }
     val nv = claimMaintenance(table, v)
     val newDir = Paths.get(table, "data", s"c$nv")
     try {
-      Deletes.rewriteSurvivors(aff, !matchP, affected.size, Nil, sortCols)
-        .write.parquet(newDir.toString)
-      // an all-matching delete leaves survivors empty and the commit dir
-      // without data files — listing it in the manifest would make the
-      // snapshot unreadable; and a manifest with NO entries at all is not
-      // representable (snapshot has no schema to return)
-      val survived = expandFiles(newDir.toString).nonEmpty
-      val entries = allFiles.filterNot(affected.contains) ++
-        (if (survived) Seq(newDir.toString) else Nil)
+      val survivors =
+        Deletes.rewriteSurvivors(aff, !matchP, affected.size, Nil, sortCols)
+      val newEntries = partMetaCol match {
+        case Some(c) =>
+          survivors.withColumn(partDirCol, col(c).cast("string"))
+            .write.partitionBy(partDirCol).parquet(newDir.toString)
+          partitionedEntries(newDir, c)
+        case None =>
+          survivors.write.parquet(newDir.toString)
+          // an all-matching delete leaves survivors empty and the commit
+          // dir without data files — listing it in the manifest would make
+          // the snapshot unreadable; and a manifest with NO entries at all
+          // is not representable (snapshot has no schema to return)
+          if (expandFiles(newDir.toString).nonEmpty) Seq(newDir.toString)
+          else Nil
+      }
+      val entries = allEntries.filterNot(e => affected.contains(e._1))
+        .map((formatEntry _).tupled) ++ newEntries
       require(entries.nonEmpty,
         s"deleteWhere would remove EVERY row of $table — a manifest " +
           "cannot represent a schema-less empty table; land an explicit " +
@@ -296,23 +479,51 @@ object Versioned {
     * transition; retired small files stay on disk for older versions
     * until [[vacuum]]. Returns the new version (current when <2 small
     * files — nothing to gain). */
+  /** `sortCols`: within-file order restored in the PARTITIONED rewrite
+    * path (a z-layout's zv clustering must survive its own OPTIMIZE);
+    * the plain coalesce path preserves row order by construction. */
   def compactSmallFiles(spark: SparkSession, table: String,
-                        smallBytes: Long): Int = {
+                        smallBytes: Long,
+                        sortCols: Seq[String] = Nil): Int = {
     require(smallBytes > 0, "smallBytes must be positive")
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
-    val allFiles = manifestEntries(table, v).flatMap(expandFiles).distinct
-    val sized = allFiles.map(f => f -> Files.size(Paths.get(f)))
-    val (small, big) = sized.partition(_._2 < smallBytes)
+    val allEntries = manifestEntries(table, v).flatMap(expandEntry)
+      .distinctBy(_._1)
+    val sized = allEntries.map { case (f, meta) =>
+      (f, meta, Files.size(Paths.get(f)))
+    }
+    val (small, big) = sized.partition(_._3 < smallBytes)
     if (small.size < 2) return v
     val nOut = math.max(1,
-      math.ceil(small.map(_._2).sum.toDouble / smallBytes).toInt)
+      math.ceil(small.map(_._3).sum.toDouble / smallBytes).toInt)
+    // as in [[deleteWhere]]: uniform single-column metadata on the small
+    // files → the compacted replacement is rewritten per partition value
+    // (shuffle at small-file grain — each value's rows coalesce into one
+    // output) and its entries carry metadata, so manifest pruning
+    // survives the OPTIMIZE. Mixed/absent metadata falls back to the
+    // order-preserving coalesce (no shuffle).
+    val partMetaCol = small.map(_._2.map(_._1)).distinct match {
+      case Seq(Some(c)) => Some(c)
+      case _ => None
+    }
     val nv = claimMaintenance(table, v)
     val newDir = Paths.get(table, "data", s"c$nv")
     try {
-      spark.read.parquet(small.map(_._1): _*)
-        .coalesce(nOut).write.parquet(newDir.toString)
-      landManifest(table, nv, big.map(_._1) :+ newDir.toString)
+      val sm = spark.read.parquet(small.map(_._1): _*)
+      val newEntries = partMetaCol match {
+        case Some(c) =>
+          sm.repartition(math.max(nOut, 1), col(c))
+            .sortWithinPartitions((c +: sortCols).map(col): _*)
+            .withColumn(partDirCol, col(c).cast("string"))
+            .write.partitionBy(partDirCol).parquet(newDir.toString)
+          partitionedEntries(newDir, c)
+        case None =>
+          sm.coalesce(nOut).write.parquet(newDir.toString)
+          Seq(newDir.toString)
+      }
+      landManifest(table, nv,
+        big.map(e => formatEntry(e._1, e._2)) ++ newEntries)
     } catch {
       case t: Throwable => abandonClaim(table, nv, newDir); throw t
     }
@@ -321,12 +532,26 @@ object Versioned {
   }
 
   /** Physically remove data files referenced by NO retained manifest and
-    * drop manifests older than the retention window (the last
-    * `retainLast` versions). This is the ONLY destructive operation in
-    * the module — everything else strictly adds files; time travel below
-    * the retention boundary stops working, by declaration, exactly like
-    * Delta's VACUUM. Returns the removed file paths. */
-  def vacuum(table: String, retainLast: Int = 1): Seq[String] = {
+    * drop manifests older than the retention window. This is the ONLY
+    * destructive operation in the module — everything else strictly adds
+    * files; time travel below the retention boundary stops working, by
+    * declaration, exactly like Delta's VACUUM. Returns the removed file
+    * paths.
+    *
+    * Retention is the UNION of two windows: the last `retainLast`
+    * versions by count, plus (when `olderThanMs >= 0`) every version
+    * whose manifest landed within the last `olderThanMs` milliseconds —
+    * the "retain 7 days" policy real operators set (versions land in
+    * number order, so the time-retained set is always a suffix and the
+    * kept range stays contiguous). `olderThanMs < 0` disables the time
+    * window (count-only, the original behavior).
+    *
+    * `dryRun = true` REPORTS the files the sweep would remove and
+    * performs NO destructive action of any kind — no file deletes, no
+    * manifest drops, no claim/staging cleanup — so an operator can
+    * review the plan before the one destructive operation here. */
+  def vacuum(table: String, retainLast: Int = 1,
+             olderThanMs: Long = -1L, dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
@@ -334,12 +559,13 @@ object Versioned {
     // data dir no manifest references YET — the unreferenced-file sweep
     // below would destroy the data its manifest is about to reference.
     // Refuse loudly; run vacuum after it lands (or clear claims whose
-    // writers are confirmed dead). Check-then-act caveat: a writer
-    // claiming AFTER this check can still race the sweep (the deletion
-    // list is re-checked against claims once more below to narrow the
-    // window), so vacuum carries the same single-maintenance-writer
-    // discipline as the directory-swap operations — run it from the
-    // table's maintenance owner, not concurrently with ingest.
+    // writers are confirmed dead). Check-then-act caveat narrowed to
+    // closed: the deletion list is fixed by the walk BELOW, a claim filed
+    // before the walk is caught by the re-check AFTER it, and a claim
+    // filed after the re-check writes its files after the list was fixed
+    // — so the sweep itself cannot eat an in-flight commit's data files.
+    // The empty-dir prune at the end re-reads claims separately (its
+    // hazard window is its own).
     def inflightClaims(): Seq[Int] = claimNumbers(table).filter(_ > v)
     val inflight = inflightClaims()
     require(inflight.isEmpty,
@@ -347,17 +573,29 @@ object Versioned {
         s"on $table — their data dirs are not yet manifest-referenced and " +
         "would be destroyed; vacuum after they land, or clear the claims " +
         "of writers confirmed dead")
-    val keep = math.max(1, v - retainLast + 1) to v
+    val countHead = math.max(1, v - retainLast + 1)
+    val keepHead =
+      if (olderThanMs < 0) countHead
+      else {
+        val cutoff = System.currentTimeMillis() - olderThanMs
+        val timeHead = (1 to v).find { k =>
+          val m = versionsDir(table).resolve(k.toString)
+          Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= cutoff
+        }.getOrElse(v)
+        math.min(countHead, timeHead)
+      }
+    val keep = keepHead to v
     val referenced = keep.flatMap(k =>
       manifestEntries(table, k).flatMap(expandFiles)).toSet
     val dataRoot = Paths.get(table, "data")
     val removed = Seq.newBuilder[String]
     if (Files.exists(dataRoot)) {
-      val all = Files.walk(dataRoot).iterator().asScala
+      val all = walkDir(dataRoot)
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath).toSeq
+        .map(_.toAbsolutePath)
       val toDelete = all.filterNot(f => referenced.contains(f.toString))
+      if (dryRun) return toDelete.map(_.toString)
       // second look after enumerating the deletion list: a commit that
       // claimed while we walked would lose its files to the sweep
       val late = inflightClaims()
@@ -365,18 +603,28 @@ object Versioned {
         s"vacuum aborted before deleting anything: commit claim(s) " +
           s"${late.mkString(", ")} appeared during the file walk")
       toDelete.foreach { f =>
-        Files.delete(f); removed += f.toString
+        if (Files.deleteIfExists(f)) removed += f.toString
       }
       // prune commit dirs emptied of parquet files (crash-orphaned dirs
-      // from an unlanded commit clear here too)
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { d: Path =>
-        if (Files.isDirectory(d) && !Files.walk(d).iterator().asScala
+      // from an unlanded commit clear here too). A dir belonging to a
+      // commit claimed AFTER the checks above may exist here with its
+      // parquet not yet written — pruning it would break that writer's
+      // in-flight job mid-write — so claims are RE-READ at this instant
+      // and any dir whose number is claimed or above the landed boundary
+      // is left alone (its own commit/abandon path owns it).
+      val protected_ = claimNumbers(table).toSet
+      listDir(dataRoot).foreach { d: Path =>
+        val name = d.getFileName.toString
+        val num = if (name.startsWith("c") && name.drop(1).forall(_.isDigit))
+          Some(name.drop(1).toInt) else None
+        val owned = num.exists(k => k <= v && !protected_.contains(k))
+        if (owned && Files.isDirectory(d) && !walkDir(d)
           .exists(f => Files.isRegularFile(f) &&
             f.getFileName.toString.endsWith(".parquet"))) {
-          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          walkDir(d).reverse.foreach(Files.deleteIfExists(_): Unit)
         }
       }
-    }
+    } else if (dryRun) return Nil
     (1 until keep.head).foreach { k =>
       Files.deleteIfExists(versionsDir(table).resolve(k.toString)): Unit
     }
@@ -387,7 +635,7 @@ object Versioned {
     claimNumbers(table).filter(_ <= v).foreach { k =>
       Files.deleteIfExists(versionsDir(table).resolve(s"$k.claim")): Unit
     }
-    Files.list(versionsDir(table)).iterator().asScala.toSeq
+    listDir(versionsDir(table))
       .filter(_.getFileName.toString.contains(".staging"))
       .foreach(Files.deleteIfExists(_): Unit)
     removed.result()

@@ -655,14 +655,51 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** Best-effort maintenance trigger shared by the ingest sinks: the
+    * epoch's APPEND is already durable when the trigger fires, so a
+    * transient compaction failure must NOT abort the epoch — a restart
+    * would replay the batch into a layout that already holds its rows
+    * (zLayoutSink/ivfIndexSink appends are not idempotent) or burn a
+    * duplicate version (versionedSink). A skipped compaction is retried
+    * at the next trigger, surfaced through `onSkip` (default: stderr,
+    * visible in driver logs), and BOUNDED: `maxConsecutiveSkips`
+    * consecutive failures fail the stream loudly instead of letting
+    * small files accumulate forever behind a permanently broken
+    * maintenance path. A success resets the counter. */
+  final class CompactionGuard(label: String, maxConsecutiveSkips: Int,
+                              onSkip: (Long, Exception) => Unit) {
+    private val consecutive = new java.util.concurrent.atomic.AtomicInteger(0)
+    def apply(batchId: Long)(body: => Unit): Unit =
+      try { body; consecutive.set(0) }
+      catch {
+        case e: Exception =>
+          val n = consecutive.incrementAndGet()
+          onSkip(batchId, e)
+          if (n >= maxConsecutiveSkips)
+            throw new IllegalStateException(
+              s"[$label] compaction failed $n consecutive trigger(s) — " +
+                "failing the stream instead of accumulating small files " +
+                s"without bound (last: ${e.getMessage})", e)
+      }
+  }
+
+  private def stderrSkip(label: String): (Long, Exception) => Unit =
+    (batchId, e) => System.err.println(
+      s"[$label] compaction skipped at epoch $batchId " +
+        s"(retried next trigger): ${e.getMessage}")
+
   /** Stream → versioned table: each micro-batch lands as one
     * `io.Versioned` commit, so a long-running ingest gets table-format
     * semantics for free — readers pin a snapshot and are isolated from
     * in-flight batches, and `snapshot(v)` time-travels the ingest history.
-    * Micro-batch commit aligns the streaming epoch with the table version:
-    * the checkpoint replays an epoch only into an already-written version
-    * (commit is idempotent per epoch at-least-once with manifest last-
-    * writer-wins — the same contract foreachBatch itself gives). */
+    *
+    * EXACTLY-ONCE per epoch: each commit's manifest records the epoch id
+    * as a `#tag=epoch:<batchId>` header (landed atomically with the entry
+    * list). At (re)start the sink resolves the largest landed epoch once,
+    * and a replayed epoch at or below it is SKIPPED — a crash between the
+    * checkpoint's epoch commit and Spark's offset write no longer lands
+    * the same rows as a second version. Epochs land in order (foreachBatch
+    * serializes), so the boundary is one number, not a set. */
   /** `compactEvery`/`smallBytes`: every N epochs the sink lands a
     * [[graft.io.Versioned.compactSmallFiles]] OPTIMIZE commit after the
     * batch's append — micro-batch commits are the worst small-file
@@ -672,32 +709,39 @@ object Streaming {
     * version, old files stay until vacuum. The append and the compaction
     * run in the same serialized epoch, so the maintenance conflict check
     * never trips against this sink's own appends. `compactEvery <= 0`
-    * disables (the pre-round-13 behavior). */
+    * disables (the pre-round-13 behavior). Compaction failures follow the
+    * [[CompactionGuard]] contract (bounded consecutive skips, `onSkip`). */
   def versionedSink(df: DataFrame, table: String, checkpoint: String,
                     compactEvery: Int = 0,
-                    smallBytes: Long = 8L << 20): StreamingQuery =
+                    smallBytes: Long = 8L << 20,
+                    maxConsecutiveSkips: Int = 10,
+                    onSkip: (Long, Exception) => Unit = stderrSkip("versionedSink"),
+                    compactFn: (org.apache.spark.sql.SparkSession, String, Long) => Int =
+                      graft.io.Versioned.compactSmallFiles(_, _, _)): StreamingQuery = {
+    val guard = new CompactionGuard("versionedSink", maxConsecutiveSkips, onSkip)
+    // resolved lazily INSIDE the first epoch (the table may not exist at
+    // sink construction); -1 = nothing landed yet
+    var landedThrough = Option.empty[Long]
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.Versioned.commit(batch, table): Unit
+        if (landedThrough.isEmpty)
+          landedThrough = Some(
+            if (graft.io.Versioned.latestVersion(table) < 1) -1L
+            else graft.io.Versioned.latestTaggedSuffix(table, "epoch:")
+              .getOrElse(-1L))
+        if (batchId > landedThrough.get) {
+          graft.io.Versioned.commit(batch, table,
+            tag = Some(s"epoch:$batchId")): Unit
+          landedThrough = Some(batchId)
+        }
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          // BEST-EFFORT: the epoch's append has already landed; letting a
-          // maintenance conflict (another writer's commit interleaving —
-          // Versioned explicitly supports concurrent writers) or a
-          // transient error fail the epoch would abort the stream and
-          // REPLAY the batch on restart, landing the same rows twice. A
-          // skipped compaction is retried at the next trigger.
-          try graft.io.Versioned.compactSmallFiles(batch.sparkSession,
-            table, smallBytes): Unit
-          catch {
-            case e: Exception =>
-              // stderr, not silence: the skip must be visible in driver logs
-              System.err.println(
-                s"[versionedSink] compaction skipped at epoch $batchId " +
-                  s"(retried next trigger): ${e.getMessage}")
+          guard(batchId) {
+            compactFn(batch.sparkSession, table, smallBytes): Unit
           }
       }
       .start()
+  }
 
   /** Stream → z-clustered layout with the COMPACTION TRIGGER integrated:
     * each micro-batch dynamic-appends into the z-bucket directories
@@ -719,17 +763,29 @@ object Streaming {
   def zLayoutSink(df: DataFrame, cols: Seq[String], bits: Int,
                   bucketBits: Int, numFiles: Int, path: String,
                   checkpoint: String, compactEvery: Int = 16,
-                  maxFilesPerDir: Int = 8): StreamingQuery =
+                  maxFilesPerDir: Int = 8,
+                  maxConsecutiveSkips: Int = 10,
+                  onSkip: (Long, Exception) => Unit = stderrSkip("zLayoutSink"))
+      : StreamingQuery = {
+    val guard = new CompactionGuard("zLayoutSink", maxConsecutiveSkips, onSkip)
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.io.Layout.appendZClustered(batch, cols, bits, bucketBits,
           numFiles, path)
+        // guarded, not bare: the epoch's append is already durable here,
+        // and a transient compaction failure aborting the epoch would
+        // REPLAY the batch on restart — duplicating its rows in the
+        // layout (the append is not idempotent). Same contract as
+        // versionedSink's trigger, bounded by maxConsecutiveSkips.
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.io.Layout.compactZBuckets(batch.sparkSession, path,
-            maxFilesPerDir): Unit
+          guard(batchId) {
+            graft.io.Layout.compactZBuckets(batch.sparkSession, path,
+              maxFilesPerDir): Unit
+          }
       }
       .start()
+  }
 
   /** Stream → IVF ANN index with the same integrated compaction trigger:
     * micro-batches assign to the FIXED trained centroids and append into
@@ -742,15 +798,24 @@ object Streaming {
   def ivfIndexSink(df: DataFrame, idCol: String, vecCol: String,
                    cents: Seq[Array[Double]], path: String,
                    checkpoint: String, compactEvery: Int = 16,
-                   maxFilesPerCell: Int = 8): StreamingQuery =
+                   maxFilesPerCell: Int = 8,
+                   maxConsecutiveSkips: Int = 10,
+                   onSkip: (Long, Exception) => Unit = stderrSkip("ivfIndexSink"))
+      : StreamingQuery = {
+    val guard = new CompactionGuard("ivfIndexSink", maxConsecutiveSkips, onSkip)
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity.appendToIvfIndex(batch, idCol, vecCol,
           cents, path)
+        // same guarded-trigger rationale as zLayoutSink: the append is
+        // durable, a failed compaction must not force a duplicating replay
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.operators.Similarity.compactIvfIndex(batch.sparkSession,
-            path, maxFilesPerCell): Unit
+          guard(batchId) {
+            graft.operators.Similarity.compactIvfIndex(batch.sparkSession,
+              path, maxFilesPerCell): Unit
+          }
       }
       .start()
+  }
 }

@@ -151,4 +151,122 @@ class VersionedSpec extends SparkSpec {
       java.nio.file.Paths.get(f).getFileName.toString))),
       "vacuum removed a file the retained manifest references")
   }
+
+  test("partitioned commits: snapshotWhere prunes to a strict FILE subset " +
+    "from manifest metadata alone; delete and OPTIMIZE preserve the " +
+    "metadata; a pinned pre-compaction read is isolated") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("verpart").toString + "/t"
+    def mk(r: Range) = r.map(i => (i.toLong, (i % 4).toLong, s"p_$i"))
+      .toDF("id", "b", "pay")
+    val v1 = Versioned.commitPartitioned(mk(0 until 400), tbl, "b")
+    val v2 = Versioned.commitPartitioned(mk(400 until 500), tbl, "b")
+    assert(Seq(v1, v2) == Seq(1, 2))
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().as[String].collect().toSet
+    val full = Versioned.snapshot(spark, tbl)
+    val pruned = Versioned.snapshotWhere(spark, tbl, "b", Set("3"))
+    // the pruned read touches a strict file subset — manifest metadata,
+    // no directory listing — and returns exactly the partition's rows
+    // (the data column survives the partitioned write)
+    assert(files(pruned).size < files(full).size)
+    assert(pruned.as[(Long, Long, String)].collect().toSet ==
+      mk(0 until 500).where($"b" === 3)
+        .as[(Long, Long, String)].collect().toSet)
+    // versioned delete on a partitioned table: survivors re-partitioned,
+    // metadata pruning intact afterwards
+    val v3 = Versioned.deleteWhere(spark, tbl, $"id" < 50, Seq("id"))
+    assert(v3 == 3)
+    val afterDel = Versioned.snapshotWhere(spark, tbl, "b", Set("1"))
+    assert(files(afterDel).size <
+      files(Versioned.snapshot(spark, tbl, v3)).size,
+      "delete dropped the partition metadata — pruning lost")
+    assert(afterDel.as[(Long, Long, String)].collect().toSet ==
+      mk(0 until 500).where($"b" === 1 && $"id" >= 50)
+        .as[(Long, Long, String)].collect().toSet)
+    // versioned OPTIMIZE keeps metadata too; the pinned pre-compaction
+    // version reads identically across it
+    val pinnedRows = Versioned.snapshot(spark, tbl, v3).count()
+    val v4 = Versioned.compactSmallFiles(spark, tbl,
+      smallBytes = 64L << 20, sortCols = Seq("id"))
+    assert(v4 == 4)
+    assert(Versioned.snapshot(spark, tbl, v3).count() == pinnedRows,
+      "pinned read changed across compaction")
+    val afterOpt = Versioned.snapshotWhere(spark, tbl, "b", Set("2"))
+    assert(files(afterOpt).size <
+      files(Versioned.snapshot(spark, tbl, v4)).size,
+      "OPTIMIZE dropped the partition metadata — pruning lost")
+    assert(afterOpt.as[(Long, Long, String)].collect().toSet ==
+      mk(0 until 500).where($"b" === 2 && $"id" >= 50)
+        .as[(Long, Long, String)].collect().toSet)
+    // null partition values abort the commit instead of vanishing
+    val bad = Seq((Some(1L), Option.empty[Long], Some("x")))
+      .toDF("id", "b", "pay")
+    val e = intercept[Throwable] {
+      Versioned.commitPartitioned(bad, tbl, "b")
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).flatMap(c => Option(c.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("NULL")))
+    // the failed commit released its claim; the next commit lands cleanly
+    assert(Versioned.commitPartitioned(mk(500 until 510), tbl, "b") == 5)
+  }
+
+  test("manifest tags land atomically with the commit; latestTaggedSuffix " +
+    "resolves the epoch boundary across untagged maintenance commits") {
+    val tbl = java.nio.file.Files.createTempDirectory("vertag").toString + "/t"
+    Versioned.commit(Seq(1).toDF("x"), tbl, tag = Some("epoch:0"))
+    Versioned.commit(Seq(2).toDF("x"), tbl, tag = Some("epoch:1"))
+    Versioned.commit(Seq(3).toDF("x"), tbl) // untagged (e.g. OPTIMIZE)
+    assert(Versioned.versionTag(tbl, 1).contains("epoch:0"))
+    assert(Versioned.versionTag(tbl, 3).isEmpty)
+    assert(Versioned.latestTaggedSuffix(tbl, "epoch:").contains(1L))
+    // tag header lines are invisible to readers
+    assert(Versioned.snapshot(spark, tbl).as[Int].collect().sorted
+      === Array(1, 2, 3))
+  }
+
+  test("vacuum dry run reports the sweep and removes NOTHING; time-based " +
+    "retention keeps versions younger than the window past retainLast") {
+    val tbl = java.nio.file.Files.createTempDirectory("verdry").toString + "/t"
+    Versioned.commit(Seq(1, 2).toDF("x"), tbl)
+    Versioned.commit(Seq(9).toDF("x"), tbl, overwrite = true) // orphans c1
+    Versioned.commit(Seq(10).toDF("x"), tbl)
+    // dry run with count-only retention: c1's files WOULD go
+    val planned = Versioned.vacuum(tbl, retainLast = 1, dryRun = true)
+    assert(planned.nonEmpty && planned.forall(_.contains("/c1/")))
+    // ... but nothing actually moved: every version still reads
+    assert(Versioned.snapshot(spark, tbl, 1).count() == 2)
+    assert(Versioned.latestVersion(tbl) == 3)
+    // a generous time window retains everything despite retainLast=1
+    assert(Versioned.vacuum(tbl, retainLast = 1,
+      olderThanMs = 24L * 3600 * 1000, dryRun = true).isEmpty)
+    // age manifests 1 and 2 beyond the window → the sweep may take c1
+    (1 to 2).foreach { k =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(tbl, "_versions", k.toString),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000))
+    }
+    val removed = Versioned.vacuum(tbl, retainLast = 1, olderThanMs = 60000)
+    assert(removed.nonEmpty && removed.forall(_.contains("/c1/")))
+    assert(Versioned.snapshot(spark, tbl).as[Int].collect().sorted
+      === Array(9, 10))
+    intercept[Exception] { Versioned.snapshot(spark, tbl, 1).count() }
+  }
+
+  test("vacuum's empty-dir prune leaves a data dir above the landed " +
+    "boundary alone — an in-flight writer's dir mid-write is never swept") {
+    val tbl = java.nio.file.Files.createTempDirectory("verinf").toString + "/t"
+    Versioned.commit(Seq(1).toDF("x"), tbl)
+    // a concurrent writer far along in the claim sequence: dir exists,
+    // parquet not yet written (the exact state the prune used to destroy)
+    val inflight = java.nio.file.Paths.get(tbl, "data", "c9")
+    java.nio.file.Files.createDirectories(inflight)
+    java.nio.file.Files.write(inflight.resolve("_temporary_marker"),
+      "wip".getBytes("UTF-8"))
+    Versioned.vacuum(tbl, retainLast = 1)
+    assert(java.nio.file.Files.exists(inflight.resolve("_temporary_marker")),
+      "vacuum swept an in-flight writer's un-landed data dir")
+  }
 }

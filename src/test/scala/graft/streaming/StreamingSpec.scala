@@ -713,6 +713,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versionedSink: replayed epochs are SKIPPED — a restart that " +
+    "re-delivers already-landed batches lands no duplicate versions") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vsinkr").toString
+    val tbl = s"$base/t"
+    // the pre-crash history: epochs 0 and 1 landed, the offset log did not
+    // (a fresh checkpoint re-delivers batchIds from 0)
+    graft.io.Versioned.commit(Seq((1L, 1.0)).toDF("id", "v"), tbl,
+      tag = Some("epoch:0"))
+    graft.io.Versioned.commit(Seq((2L, 2.0)).toDF("id", "v"), tbl,
+      tag = Some("epoch:1"))
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.versionedSink(in.toDS().toDF("id", "v"),
+      tbl, s"$base/ckpt")
+    try {
+      in.addData((1L, 1.0)); q.processAllAvailable() // replayed epoch 0
+      in.addData((2L, 2.0)); q.processAllAvailable() // replayed epoch 1
+      in.addData((3L, 3.0)); q.processAllAvailable() // genuinely new
+      assert(graft.io.Versioned.latestVersion(tbl) === 3,
+        "a replayed epoch landed as a duplicate version")
+      assert(graft.io.Versioned.snapshot(spark, tbl)
+        .as[(Long, Double)].collect().sorted ===
+        Array((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+      assert(graft.io.Versioned.versionTag(tbl, 3).contains("epoch:2"))
+    } finally q.stop()
+  }
+
+  test("versionedSink: a persistently failing compaction is BOUNDED — " +
+    "skips surface through onSkip, the stream fails after " +
+    "maxConsecutiveSkips instead of accumulating small files forever") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("vsinkf").toString
+    val skips = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val in = MemoryStream[(Long, Double)]
+    val q = Streaming.versionedSink(in.toDS().toDF("id", "v"),
+      s"$base/t", s"$base/ckpt", compactEvery = 1,
+      maxConsecutiveSkips = 2,
+      onSkip = (b, _) => skips.add(b): Unit,
+      compactFn = (_, _, _) => sys.error("injected compaction failure"))
+    try {
+      in.addData((1L, 1.0)); q.processAllAvailable() // skip 1 — stream lives
+      assert(q.isActive && skips.size() === 1)
+      in.addData((2L, 2.0))
+      intercept[Exception] { q.processAllAvailable() } // skip 2 — bounded
+      assert(skips.size() === 2)
+      // both epochs' APPENDS landed before their compactions failed
+      assert(graft.io.Versioned.snapshot(spark, s"$base/t").count() === 2)
+    } finally q.stop()
+  }
+
+  test("CompactionGuard: transient failures are swallowed and RESET on " +
+    "success; only consecutive failures reach the bound") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val g = new Streaming.CompactionGuard("spec", 2, (b, _) => seen.add(b): Unit)
+    g(0) { sys.error("transient") } // 1 consecutive
+    g(1) { () }                     // success resets
+    g(2) { sys.error("transient") } // 1 consecutive again
+    val e = intercept[IllegalStateException] {
+      g(3) { sys.error("persistent") } // 2 consecutive → bound
+    }
+    assert(e.getMessage.contains("2 consecutive"))
+    assert(seen.toArray.toSeq === Seq(0L, 2L, 3L))
+  }
+
   test("ewmaStream: ValueState fold is bit-identical to the batch recurrence") {
     implicit val sql = spark.sqlContext
     import Streaming.EwmaSnapshot
