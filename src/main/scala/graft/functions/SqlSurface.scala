@@ -761,13 +761,44 @@ object SqlSurface {
     // the same function-name qualification as createZBoxFunction: an
     // encoder whose dictionary VALUES column were ever named lo0 could
     // otherwise shadow the parameter
+    //
+    // code-bound SQL per encoder KIND (read once at registration — the
+    // kind is a build-time property of the persisted encoder):
+    //  - dict: min/max code across dictionary values INSIDE the range
+    //    (exact; an empty range nulls the bounds → zero rows, the
+    //    short-circuit the Column path has)
+    //  - bounds: greatest boundary ≤ each bound (lo falling below every
+    //    boundary takes the first code) — the conservative-but-sound map
+    //    of Layout.readZBoxEncoded; hi below the FIRST boundary nulls →
+    //    zero rows (sound: below-minimum appends are rejected at encode)
+    // PARAMETER-RESOLUTION constraint shaping both forms: a function
+    // parameter resolves in a CTE's own WHERE, but neither inside a
+    // scalar-subquery expression nested in a CTE nor inside an aggregate
+    // mixing it with a column (AGGREGATE_FUNCTION_MIXED_OUTER_LOCAL
+    // _REFERENCES) — so each bound that depends on a parameter gets its
+    // OWN one-row CTE with the parameter in the WHERE, and everything
+    // downstream reads those CTEs back through uncorrelated subqueries.
+    val kinds = dims.indices.map { i =>
+      spark.table(encoderViews(i)).select("kind").head().getString(0)
+    }
     val boundCtes = dims.indices.map { i =>
-      s"""b$i AS (SELECT min(code) AS lo, max(code) AS hi FROM ${enc(i)}
-         |        WHERE value >= $qFunc.lo$i AND value <= $qFunc.hi$i)""".stripMargin
+      if (kinds(i) == graft.io.Layout.BoundsKind)
+        s"""blo$i AS (SELECT max(code) AS c FROM ${enc(i)}
+           |          WHERE value <= $qFunc.lo$i),
+           |bhi$i AS (SELECT max(code) AS c FROM ${enc(i)}
+           |          WHERE value <= $qFunc.hi$i),
+           |bmin$i AS (SELECT min(code) AS c FROM ${enc(i)})""".stripMargin
+      else
+        s"""b$i AS (SELECT min(code) AS lo, max(code) AS hi FROM ${enc(i)}
+           |        WHERE value >= $qFunc.lo$i AND value <= $qFunc.hi$i)""".stripMargin
     }.mkString(",\n")
     val overlap = zbOverlapSql(qZb, m, bits, bucketBits,
-      i => s"(SELECT lo FROM b$i)",
-      i => s"(SELECT hi FROM b$i)")
+      i => if (kinds(i) == graft.io.Layout.BoundsKind)
+        s"coalesce((SELECT c FROM blo$i), (SELECT c FROM bmin$i))"
+      else s"(SELECT lo FROM b$i)",
+      i => if (kinds(i) == graft.io.Layout.BoundsKind)
+        s"(SELECT c FROM bhi$i)"
+      else s"(SELECT hi FROM b$i)")
     val exact = dims.map(quotePart).zipWithIndex
       .map { case (c, i) => s"($c BETWEEN $qFunc.lo$i AND $qFunc.hi$i)" }
       .mkString(" AND ")

@@ -76,19 +76,20 @@ object Layout {
                       bucketBits: Int, numFiles: Int, path: String): Unit =
     zClusteredWrite(df, cols, bits, bucketBits, numFiles, path, "overwrite")
 
-  private def zClusteredWrite(df: DataFrame, cols: Seq[String], bits: Int,
-                              bucketBits: Int, numFiles: Int, path: String,
-                              mode: String): Unit = {
+  /** The clustered FRAME both write paths share: zv + zb as DATA columns,
+    * range-repartitioned on zv and sorted within tasks, with the per-row
+    * bit-budget/NULL guard fused into zb's own expression so it rides the
+    * SAME scan as the write (a separate validation aggregate doubled the
+    * upstream pipeline cost — once per micro-batch on the streaming
+    * ingest path). A null key would land in the
+    * __HIVE_DEFAULT_PARTITION__ dir and silently vanish from every box
+    * read; CASE WHEN + raise_error is the form the optimizer keeps. */
+  private def zClusteredFrame(df: DataFrame, cols: Seq[String], bits: Int,
+                              bucketBits: Int, numFiles: Int): DataFrame = {
     val m = cols.size
     require(bucketBits >= m && bucketBits % m == 0 && bucketBits <= bits * m,
       s"bucketBits=$bucketBits must be a positive multiple of $m dims, ≤ ${bits * m}")
     val lim = 1L << bits
-    // per-row bit-budget guard, fused into zb so it rides the SAME scan
-    // as the write (a separate validation aggregate doubled the upstream
-    // pipeline cost — once per micro-batch on the streaming ingest path)
-    // and catches NULL dimensions too (a null key would land in the
-    // __HIVE_DEFAULT_PARTITION__ dir and silently vanish from every box
-    // read). CASE WHEN + raise_error, the form the optimizer keeps.
     val viol = cols.map { c =>
       col(c).isNull || col(c).cast("long") < 0 || col(c).cast("long") >= lim
     }.reduce(_ || _)
@@ -100,8 +101,13 @@ object Layout {
           .otherwise(shiftright(col("zv"), bits * m - bucketBits)))
       .repartitionByRange(numFiles, col("zv"))
       .sortWithinPartitions("zv")
-      .write.mode(mode).partitionBy("zb").parquet(path)
   }
+
+  private def zClusteredWrite(df: DataFrame, cols: Seq[String], bits: Int,
+                              bucketBits: Int, numFiles: Int, path: String,
+                              mode: String): Unit =
+    zClusteredFrame(df, cols, bits, bucketBits, numFiles)
+      .write.mode(mode).partitionBy("zb").parquet(path)
 
   /** Append a new batch into an existing z-clustered layout without
     * touching resident files: same interleave, same bucket split, dynamic
@@ -127,21 +133,83 @@ object Layout {
         sortCols = Seq("zv"))
       .map(_.toLong).sorted
 
+  // --- VERSIONED z-layout: the table-format composition ---
+  //
+  // The Hive-dir layout above swaps directories for maintenance, with the
+  // documented non-isolated windows (single-writer discipline;
+  // [[Compaction]]'s crash protocol). The versioned form instead commits
+  // every append and compaction as a [[Versioned]] MANIFEST whose
+  // file-grain entries carry the zb partition value, so:
+  //  - box reads resolve a PINNED manifest and prune FILES by bucket from
+  //    metadata alone (no directory listing — the Delta/Iceberg model);
+  //  - appends/OPTIMIZE are snapshot-isolated: a reader holding version N
+  //    sees identical rows before/during/after any maintenance commit;
+  //  - time travel works per bucket (`readZBoxVersioned(version = N)`).
+  // zb stays a DATA column here (the manifest, not the path, is the
+  // index), so the residual `zb IN buckets` filter is an ordinary pushed
+  // predicate over the already-pruned file set.
+
+  /** Commit `df` z-clustered into the versioned table (first commit
+    * creates it; later calls append). Returns the new version. */
+  def writeZClusteredVersioned(df: DataFrame, cols: Seq[String], bits: Int,
+                               bucketBits: Int, numFiles: Int,
+                               table: String): Int =
+    Versioned.commitPartitioned(
+      zClusteredFrame(df, cols, bits, bucketBits, numFiles), table, "zb")
+
+  /** Snapshot-isolated OPTIMIZE of the versioned z-layout: small files
+    * coalesce per bucket (zv order restored within files), the manifest
+    * swaps them atomically, pinned readers keep their version. */
+  def compactZBucketsVersioned(spark: SparkSession, table: String,
+                               smallBytes: Long): Int =
+    Versioned.compactSmallFiles(spark, table, smallBytes,
+      sortCols = Seq("zv"))
+
+  /** Box read over the versioned z-layout as of `version` (latest by
+    * default): bucket set from the same exact dyadic math, file set from
+    * the pinned manifest's zb metadata, exact predicates on top. */
+  def readZBoxVersioned(spark: SparkSession, table: String,
+                        dims: Seq[(String, Long, Long)], bits: Int,
+                        bucketBits: Int,
+                        version: Int = Int.MaxValue): DataFrame = {
+    val buckets = zBoxBuckets(dims.map(d => (d._2, d._3)), bits, bucketBits)
+    val exact: Column = dims.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    Versioned.snapshotWhere(spark, table, "zb",
+        buckets.map(_.toString).toSet, version)
+      .where(col("zb").isin(buckets: _*) && exact)
+  }
+
   // --- Dimension encoding: z-order over ARBITRARY ordered columns ---
   //
   // withZValue/writeZClustered require non-negative integrals fitting
   // `bits` bits; strings, timestamps, and skewed ids don't. The encoder
   // owns that mapping: each dimension gets a PERSISTED, deterministic,
-  // ORDER-PRESERVING value→code table (codes dense in [0, 2^bits)), so
-  // range predicates on the original column map to range predicates on
-  // the code and the dyadic box pruning applies unchanged. Cardinality ≤
-  // 2^bits gets the exact dictionary (rank = code); above that, ranks
-  // are bucketed equal-frequency over the DISTINCT values
-  // (code = rank·2^bits / n — the skewed-id case: a hot key inflates one
-  // code's ROW count but never its code range, so pruning soundness is
-  // untouched). Both are one distinct-aggregate to build (shuffle at
-  // #distinct grain, not row grain) and the encoder table itself is
-  // ≤ #distinct rows of metadata.
+  // ORDER-PRESERVING value→code table, so range predicates on the
+  // original column map to range predicates on the code and the dyadic
+  // box pruning applies unchanged. Two kinds, chosen by cardinality:
+  //
+  //  - `dict` (#distinct ≤ 2^bits): the exact dictionary, rank = code.
+  //    The persisted table is ≤ 2^bits rows — the config-declared
+  //    dictionary budget — and encoding is a broadcast equi-join.
+  //  - `bounds` (#distinct > 2^bits — the skewed-id / high-cardinality
+  //    class): ONLY the 2^bits equal-frequency BOUNDARY values are
+  //    persisted (the first distinct value of each code class), so the
+  //    encoder is provably ≤ 2^bits rows no matter the dimension's
+  //    cardinality — a 10⁹-distinct id dim yields the same config-sized
+  //    table as a date dim. Encoding is a codegen'd binary-search range
+  //    lookup ([[graft.functions.catalyst.BoundaryCode]]): no join, no
+  //    broadcast, nothing corpus-sized on the driver. A hot key inflates
+  //    one code's ROW count but never its code range, so pruning
+  //    soundness is untouched; box reads map value ranges to code ranges
+  //    conservatively (greatest boundary ≤ bound) and the exact original-
+  //    column predicates re-apply on top, so results are exact either way.
+  //
+  // The rank itself is computed with the range-partition + offsets
+  // global-index recipe (ops.Windows.globalIndex) — NOT an unpartitioned
+  // row_number window — so the build path has no single-partition sort at
+  // ANY cardinality (LayoutSpec gates the plan).
 
   // sibling of the table dir (the _compact_tmp convention): the layout's
   // own overwrite-mode write truncates the table path, and the encoders
@@ -152,48 +220,145 @@ object Layout {
 
   private def encCol(c: String) = s"__zenc_$c"
 
-  /** Build + persist the encoder for one dimension column. Determinism:
-    * distinct values sorted ascending, dense ranks — bit-identical on
-    * rebuild, replayable in an external oracle. NULLs are excluded here
-    * and rejected at write time by the z-layout's own NULL guard. */
-  private def buildEncoder(df: DataFrame, c: String, bits: Int,
-                           path: String): Unit = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("value"))
-    val enc = df.select(col(c).as("value")).where(col("value").isNotNull)
-      .distinct()
-      // global-order window: runs AFTER the distinct aggregate, on
-      // #distinct rows — the encoder-sized frame, not the table
-      .withColumn("rank", row_number().over(w).cast("long") - 1L)
-    val n = enc.count()
-    require(n >= 1, s"dimension $c has no non-null values")
+  val DictKind = "dict"
+  val BoundsKind = "bounds"
+
+  /** The coded encoder FRAME for one dimension (value, code, kind) —
+    * package-private so LayoutSpec can gate the PLAN: the value-carrying
+    * frame never passes through a single-partition window. Determinism:
+    * distinct values sorted ascending, exact global ranks — bit-identical
+    * on rebuild, replayable in an external oracle. NULLs are excluded
+    * here and rejected at write time by the z-layout's own NULL guard. */
+  private[io] def buildEncoderFrame(df: DataFrame, c: String,
+                                    bits: Int): DataFrame = {
     val lim = 1L << bits
-    val coded =
-      if (n <= lim) enc.withColumn("code", col("rank"))
-      else enc.withColumn("code", (col("rank") * lim / n).cast("long"))
-    coded.select("value", "code").coalesce(1)
-      .write.mode("overwrite").parquet(path)
+    val distinctVals = df.select(col(c).as("value"))
+      .where(col("value").isNotNull).distinct()
+    val n = distinctVals.count()
+    require(n >= 1, s"dimension $c has no non-null values")
+    // exact global rank at #distinct grain via range partitioning +
+    // broadcast partition offsets — scale-safe where a global row_number
+    // window would funnel every distinct value through one task
+    val ranked = graft.ops.Windows.globalIndex(distinctVals, Seq("value"),
+        "rank")
+      .withColumn("rank", col("rank") - 1L)
+    if (n <= lim)
+      ranked.select(col("value"), col("rank").as("code"),
+        lit(DictKind).as("kind"))
+    else {
+      // equal-frequency code classes over the distinct ranks (same
+      // monotone map as the dictionary form: code = rank·2^bits / n);
+      // persist ONLY each class's first value — the boundary
+      val codeOf = (r: Column) => (r * lim / n).cast("long")
+      ranked
+        .where(col("rank") === 0L ||
+          codeOf(col("rank")) =!= codeOf(col("rank") - 1L))
+        .select(col("value"), codeOf(col("rank")).as("code"),
+          lit(BoundsKind).as("kind"))
+    }
   }
 
+  private def buildEncoder(df: DataFrame, c: String, bits: Int,
+                           path: String): Unit =
+    // ≤ 2^bits rows by construction for BOTH kinds — the coalesce(1) and
+    // the downstream broadcast are config-bounded, never corpus-bounded
+    buildEncoderFrame(df, c, bits).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
   /** Encoder table for dimension `c` of an encoded z-layout at `path`:
-    * (value, code) rows, ascending in both. */
+    * (value, code, kind) rows, ascending in value and code; `kind` is
+    * [[DictKind]] (exact dictionary) or [[BoundsKind]] (equal-frequency
+    * boundaries). ≤ 2^bits rows either way. */
   def readEncoder(spark: SparkSession, path: String, c: String): DataFrame =
     spark.read.parquet(encoderPath(path, c))
 
-  private def encodeDims(df: DataFrame, spark: SparkSession, path: String,
-                         cols: Seq[String]): DataFrame =
+  private def encoderKind(enc: DataFrame): String =
+    enc.select("kind").head().getString(0)
+
+  private[io] def encodeDims(df: DataFrame, spark: SparkSession, path: String,
+                             cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (acc, c) =>
       val enc = readEncoder(spark, path, c)
-        .select(col("value").as(s"${encCol(c)}_v"),
+      if (encoderKind(enc) == DictKind) {
+        val e = enc.select(col("value").as(s"${encCol(c)}_v"),
           col("code").as(encCol(c)))
-      // broadcast: the encoder is metadata-sized by construction; an
-      // unseen value (appends after the dictionary was built) joins to a
-      // NULL code and the z-layout's NULL guard aborts the write — the
-      // dictionary is static until explicitly rebuilt, never silently
-      // extended (codes are order-dependent; an in-place extension would
-      // scramble resident buckets)
-      acc.join(broadcast(enc), acc(c) === col(s"${encCol(c)}_v"), "left")
-        .drop(s"${encCol(c)}_v")
+        // broadcast: dict encoders are ≤ 2^bits rows by construction; an
+        // unseen value joins to a NULL code and the z-layout's NULL guard
+        // aborts the write — the dictionary is static until explicitly
+        // rebuilt or order-preservingly EXTENDED ([[extendEncoders]]);
+        // interior insertions are never accepted (codes are
+        // order-dependent; one would scramble resident buckets)
+        acc.join(broadcast(e), acc(c) === col(s"${encCol(c)}_v"), "left")
+          .drop(s"${encCol(c)}_v")
+      } else {
+        // bounds encoder: ≤ 2^bits (boundary, code) rows — config-sized
+        // driver math baked into a codegen'd binary search; no join, no
+        // broadcast. A value BELOW the first boundary codes NULL (the
+        // NULL guard aborts the write — it would need an interior code);
+        // a value ABOVE the last boundary takes the last code, which is
+        // order-preserving, so appends of later periods need no rebuild.
+        val rows = enc.orderBy("code").select("value", "code").collect()
+        acc.withColumn(encCol(c),
+          graft.functions.catalyst.LayoutExpressions.boundaryCode(
+            acc(c), df.schema(c).dataType,
+            rows.map(_.get(0)).toSeq, rows.map(_.getLong(1)).toSeq))
+      }
     }
+
+  /** Order-preserving EXTENSION of the persisted dictionaries for
+    * append-time new values — the recovery path short of a full rebuild
+    * + re-cluster when an append carries values the build never saw:
+    *
+    *  - `dict` dims: new values sorting STRICTLY ABOVE the current
+    *    dictionary maximum (the time-dimension common case: a new month
+    *    arrives) get the next codes above the current max — resident
+    *    buckets are untouched by construction (no existing code moves).
+    *    Unseen values INTERIOR to the dictionary range abort loudly (an
+    *    interior code would re-order the mapping and scramble resident
+    *    buckets), as does overflowing the 2^bits code budget.
+    *  - `bounds` dims need no extension (later values take the last
+    *    boundary's code natively) — reported as 0.
+    *
+    * Returns per-dimension counts of newly added dictionary entries.
+    * Call before [[appendZClusteredEncoded]] when the batch may carry
+    * later periods. */
+  def extendEncoders(df: DataFrame, cols: Seq[String], bits: Int,
+                     path: String): Map[String, Long] = {
+    val spark = df.sparkSession
+    val lim = 1L << bits
+    cols.map { c =>
+      val enc = readEncoder(spark, path, c)
+      if (encoderKind(enc) == BoundsKind) c -> 0L
+      else {
+        val m = enc.agg(max("value"), max("code")).head()
+        val maxV = m.get(0); val maxCode = m.getLong(1)
+        val vals = df.select(col(c).as("value")).where(col("value").isNotNull)
+        val interior = vals.where(col("value") <= lit(maxV))
+          .join(enc.select("value"), Seq("value"), "left_anti")
+          .limit(1).collect()
+        require(interior.isEmpty,
+          s"dimension $c has an unseen value INTERIOR to the built " +
+            s"dictionary (${interior.headOption.map(_.get(0))}): an " +
+            "interior code would scramble resident buckets — rebuild the " +
+            "layout instead")
+        val newVals = vals.where(col("value") > lit(maxV)).distinct()
+        val nNew = newVals.count()
+        if (nNew == 0L) c -> 0L
+        else {
+          require(maxCode + nNew < lim,
+            s"extending $c by $nNew values would overflow the 2^$bits " +
+              "code budget — rebuild with more bits or a bounds encoder")
+          // ranks are 1-based → codes maxCode+1 .. maxCode+nNew
+          graft.ops.Windows.globalIndex(newVals, Seq("value"), "rank")
+            .select(col("value"), (col("rank") + maxCode).as("code"),
+              lit(DictKind).as("kind"))
+            .coalesce(1).write.mode("append")
+            .parquet(encoderPath(path, c))
+          c -> nNew
+        }
+      }
+    }.toMap
+  }
 
   /** Write `df` z-clustered by ENCODED dimensions `cols` — arbitrary
     * orderable types (strings, timestamps, skewed ids). Builds and
@@ -214,9 +379,12 @@ object Layout {
   }
 
   /** Append a batch into an encoded z-layout using the PERSISTED
-    * encoders — the [[appendZClustered]] contract; a value outside the
-    * built dictionary fails the write (NULL-code guard) instead of
-    * landing in a wrong bucket. */
+    * encoders — the [[appendZClustered]] contract. Unseen values: a
+    * `dict` dimension fails the write (NULL-code guard) unless the
+    * dictionary was first extended via [[extendEncoders]]; a `bounds`
+    * dimension accepts values ABOVE its last boundary natively (last
+    * code — order-preserving) and fails only below its first boundary.
+    * Either failure is loud, never a silently wrong bucket. */
   def appendZClusteredEncoded(df: DataFrame, cols: Seq[String], bits: Int,
                               bucketBits: Int, numFiles: Int,
                               path: String): Unit =
@@ -225,20 +393,37 @@ object Layout {
 
   /** Read an encoded z-clustered table restricted to an inclusive box on
     * the ORIGINAL column values: each dimension's value range maps to a
-    * code range via its encoder (min/max code over the dictionary values
-    * inside the range — exact for pruning: every row whose value lies in
-    * the box has its code in that range), the dyadic bucket math prunes
+    * code range via its encoder, the dyadic bucket math prunes
     * directories, and the exact per-column predicates on the original
-    * values apply on top. A dimension range containing NO dictionary
-    * value proves zero matching rows — the scan is skipped outright. */
+    * values apply on top. Code-range mapping per encoder kind:
+    *
+    *  - `dict`: min/max code over the dictionary values inside the range
+    *    — exact for pruning, and a range containing NO dictionary value
+    *    proves zero matching rows (the scan is skipped outright).
+    *  - `bounds`: each bound maps to the greatest boundary ≤ it (lo with
+    *    no boundary below falls to the first code) — conservative but
+    *    sound: every value in the box codes inside [loCode, hiCode]
+    *    because the boundary map is monotone. A hi below the FIRST
+    *    boundary still proves emptiness (the first boundary is the
+    *    dimension's build-time minimum and below-minimum appends are
+    *    rejected by the encode NULL guard). */
   def readZBoxEncoded(spark: SparkSession, path: String,
                       dims: Seq[(String, Any, Any)], bits: Int,
                       bucketBits: Int): DataFrame = {
     val ranges = dims.map { case (c, lo, hi) =>
-      val r = readEncoder(spark, path, c)
-        .where(col("value") >= lit(lo) && col("value") <= lit(hi))
-        .agg(min("code"), max("code")).head()
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      val enc = readEncoder(spark, path, c)
+      if (encoderKind(enc) == DictKind) {
+        val r = enc
+          .where(col("value") >= lit(lo) && col("value") <= lit(hi))
+          .agg(min("code"), max("code")).head()
+        if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+      } else {
+        val r = enc.agg(
+          max(when(col("value") <= lit(lo), col("code"))),
+          max(when(col("value") <= lit(hi), col("code")))).head()
+        if (r.isNullAt(1)) None
+        else Some(((if (r.isNullAt(0)) 0L else r.getLong(0)), r.getLong(1)))
+      }
     }
     val exact: Column = dims.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)

@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   * data DIR (whole-commit grain — append/overwrite commits) or an
   * individual parquet FILE (the grain [[deleteWhere]] and
   * [[compactSmallFiles]] need to retire a file subset while older
-  * manifests keep resolving it). Manifests are metadata-sized; the
-  * parquet reader accepts both grains directly.
+  * manifests keep resolving it), optionally carrying a PARTITION VALUE
+  * ([[commitPartitioned]] — [[snapshotWhere]] then prunes files from the
+  * manifest alone, the Delta/Iceberg metadata-pruning model the zb=/cell=
+  * layouts compose with). A `#tag=` header line records an idempotency
+  * tag atomically with the commit (the streaming sink's exactly-once
+  * epoch boundary). Manifests are metadata-sized; the parquet reader
+  * accepts both grains directly.
   *
   * MAINTENANCE AS COMMITS (the transactional counterpart of
   * [[Deletes]]/[[Compaction]]'s directory-swap operations): a versioned

@@ -359,6 +359,78 @@ object Similarity {
                          ids: Seq[Any]): graft.io.Deletes.DeleteReport =
     graft.io.Deletes.deleteKeys(spark, indexPath, "nid", ids)
 
+  // --- VERSIONED IVF index: the table-format composition ---
+  //
+  // [[writeIvfIndex]]'s cell= layout swaps directories for maintenance;
+  // the versioned form commits the same (nid, nvec, cell) assignment as a
+  // [[graft.io.Versioned]] manifest whose file-grain entries carry the
+  // cell value, so probes prune FILES from a PINNED manifest (no
+  // directory listing), appends/compactions/deletes are snapshot-isolated
+  // commits, and a compliance delete becomes an AUDITABLE version: a
+  // review can re-run the pre-delete search at its pinned version and see
+  // exactly what was returned before the ids were forgotten, while every
+  // post-delete search resolves the new manifest (q244 pins both against
+  // the oracle). `vacuum` is the point where the forgotten vectors
+  // physically leave disk — retention policy decides how long the audit
+  // window stays open.
+
+  /** Commit the corpus as a versioned IVF index (assignment identical to
+    * [[writeIvfIndex]]). Later calls append — the incremental-maintenance
+    * contract of [[appendToIvfIndex]], as commits. Returns the version. */
+  def writeIvfIndexVersioned(corpus: DataFrame, idCol: String,
+                             vecCol: String, cents: Seq[Array[Double]],
+                             table: String): Int =
+    graft.io.Versioned.commitPartitioned(
+      withUnitVec(
+        corpus.select(col(idCol).as("nid"),
+          col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
+        .withColumn("cell", nearestCentroid(col("nu"), cents))
+        .select("nid", "nvec", "cell"),
+      table, "cell")
+
+  /** RIGHT-TO-BE-FORGOTTEN as a COMMIT: only the files of cells holding a
+    * deleted id are rewritten (file-targeted, metadata preserved so probe
+    * pruning survives), the manifest swaps them atomically, and the
+    * pre-delete version stays readable until [[graft.io.Versioned.vacuum]]
+    * — the audit-trail shape compliance reviews ask for. Returns the new
+    * version. */
+  def deleteFromIvfIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                                  table: String, ids: Seq[Any]): Int =
+    graft.io.Versioned.deleteWhere(spark, table, col("nid").isin(ids: _*),
+      sortCols = Seq("nid"))
+
+  /** [[ivfTopKFromIndex]] over the versioned index as of `version`
+    * (latest by default): the probed cell set prunes the pinned
+    * manifest's FILES, scoring is the identical exact-cosine top-k. */
+  def ivfTopKFromIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                                table: String, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                cents: Seq[Array[Double]], nProbe: Int,
+                                k: Int,
+                                version: Int = Int.MaxValue): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueryBatch,
+      s"ivfTopKFromIndexVersioned is for query BATCHES (≤ $maxQueryBatch " +
+        s"rows, got $nq); use ivfTopK for corpus-scale query sides")
+    val q = withUnitVec(
+      queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec", "qu")
+      .withColumn("cell",
+        explode(nearestCentroids(col("qu"), cents, nProbe)))
+      .select("qid", "qvec", "cell")
+      .persist()
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val c = graft.io.Versioned.snapshotWhere(spark, table, "cell",
+        cells.map(_.toString).toSet, version)
+      .where(col("cell").isin(cells: _*))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "nid", "cos")
+  }
+
   /** Search a written IVF index for one QUERY BATCH: the probed cell set
     * (≤ nQueries × nProbe ids, deduplicated — config-sized for a batch)
     * becomes a static partition filter, so the scan never lists or reads

@@ -851,6 +851,189 @@ object DomainQueries {
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     },
 
+    // ENCODED z-order over a HIGH-CARDINALITY SKEWED id (io.Layout's
+    // bounds encoder — the input class the module header advertises): a
+    // synthetic hot key (25% of rows collapse onto id 42) rides a
+    // ~10k-distinct customer-id tail, far above the 2^8 dictionary
+    // budget, so the encoder persists only the 2^8 equal-frequency
+    // BOUNDARY values — require() pins that the persisted encoder is
+    // config-sized while the dimension's cardinality is not, the property
+    // that makes the build/encode path survive 100×. Encoding is the
+    // codegen'd binary-search expression (no corpus-sized broadcast —
+    // LayoutSpec gates the plan); the box read maps value ranges to code
+    // ranges through the boundaries and the exact predicates re-apply, so
+    // the oracle is a plain range filter.
+    Q.sql("q241_zorder_encoded_skewed_id",
+      """WITH sk AS (
+        |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 42
+        |              ELSE 100 + o_custkey % 1000 END AS skewkey,
+        |         o_orderkey, o_orderdate
+        |  FROM orders)
+        |SELECT skewkey AS ck, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM sk
+        |WHERE skewkey BETWEEN 150 AND 240
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      // bits=6: the 64-code budget sits BELOW the skew dim's cardinality
+      // at every scale factor (the 1000-wide residue domain), so the
+      // bounds path is exercised from sf0.001 up — the gates run the
+      // registry at the smallest SF
+      val bits = 6; val bucketBits = 4
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q241zsk").toString + "/orders_sk"
+      val base = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 4 === 0, 42L)
+            .otherwise(lit(100L) + col("o_custkey").cast("long") % 1000L)
+            .as("skewkey"))
+      graft.io.Layout.writeZClusteredEncoded(base,
+        Seq("skewkey", "o_orderdate"), bits, bucketBits,
+        numFiles = 8, path = tbl)
+      val nDistinct = base.select("skewkey").distinct().count()
+      val encRows = graft.io.Layout.readEncoder(s, tbl, "skewkey").count()
+      require(nDistinct > (1L << bits) && encRows <= (1L << bits),
+        s"bounds encoder not config-sized: $encRows rows for " +
+          s"$nDistinct distinct (budget ${1L << bits})")
+      val box = graft.io.Layout.readZBoxEncoded(s, tbl,
+        Seq(("skewkey", 150L, 240L),
+          ("o_orderdate",
+            java.sql.Timestamp.valueOf("1996-01-01 00:00:00"),
+            java.sql.Timestamp.valueOf("1996-12-31 23:59:59"))),
+        bits, bucketBits)
+      val touched = box.select("zb").distinct().count()
+      require(touched < (1L << bucketBits),
+        s"skewed-id z-box read must prune buckets ($touched/${1L << bucketBits})")
+      box.groupBy(col("skewkey").as("ck"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("ck")
+    },
+
+    // ORDER-PRESERVING encoder EXTENSION (io.Layout.extendEncoders): the
+    // layout is built on pre-1998 orders with a dict-encoded month
+    // dimension; the 1998 batch carries months the dictionary never saw.
+    // A plain append aborts (require-pinned) — the static-dictionary
+    // contract — and the extension assigns the new months codes ABOVE the
+    // current max, so resident buckets are untouched by construction
+    // (require-pinned file subset) and the appended batch lands. The box
+    // read spans the old/new boundary; the oracle is a plain month-string
+    // range filter over ALL orders — a hash match proves the extended
+    // layout serves both sides of the boundary exactly.
+    Q.sql("q242_zorder_encoder_extension",
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+        |         o_orderpriority AS prio, o_orderkey
+        |  FROM orders)
+        |SELECT omonth, prio, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM m
+        |WHERE omonth >= '1997-10' AND omonth <= '1998-06'
+        |  AND prio >= '1-URGENT' AND prio <= '2-HIGH'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 8; val bucketBits = 4
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q242zx").toString + "/orders_zx"
+      val all = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("omonth"),
+          col("o_orderpriority"))
+      val old = all.where(col("omonth") < "1998-01")
+      val fresh = all.where(col("omonth") >= "1998-01")
+      graft.io.Layout.writeZClusteredEncoded(old,
+        Seq("omonth", "o_orderpriority"), bits, bucketBits,
+        numFiles = 8, path = tbl)
+      // the static dictionary rejects the unseen months — loudly
+      val e = try {
+        graft.io.Layout.appendZClusteredEncoded(fresh,
+          Seq("omonth", "o_orderpriority"), bits, bucketBits,
+          numFiles = 2, path = tbl); None
+      } catch { case t: Throwable => Some(t) }
+      require(e.isDefined, "append with unseen months must abort")
+      val resident = s.read.parquet(tbl)
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      val added = graft.io.Layout.extendEncoders(fresh,
+        Seq("omonth", "o_orderpriority"), bits, tbl)
+      require(added("omonth") >= 1 && added("o_orderpriority") == 0,
+        s"extension added $added")
+      graft.io.Layout.appendZClusteredEncoded(fresh,
+        Seq("omonth", "o_orderpriority"), bits, bucketBits,
+        numFiles = 2, path = tbl)
+      val after = s.read.parquet(tbl)
+        .select(input_file_name()).distinct().collect()
+        .map(_.getString(0)).toSet
+      require(resident.subsetOf(after) && after.size > resident.size,
+        "extension must append without rewriting resident files")
+      graft.io.Layout.readZBoxEncoded(s, tbl,
+          Seq(("omonth", "1997-10", "1998-06"),
+            ("o_orderpriority", "1-URGENT", "2-HIGH")),
+          bits, bucketBits)
+        .groupBy(col("omonth"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("omonth", "prio")
+    },
+
+    // VERSIONED z-layout (io.Layout.writeZClusteredVersioned — manifest
+    // entries carrying the zb partition value): the z-layout as a
+    // TABLE-FORMAT table. Bulk commit + append commit + snapshot-isolated
+    // OPTIMIZE, then the box read resolves the PINNED latest manifest and
+    // prunes FILES by bucket from metadata alone (require-pinned strict
+    // file subset, no directory listing). Dims are mod-256 key residues
+    // so the bucket domain is POPULATED at every scale factor (raw keys
+    // under bits=21 leave all top interleave bits zero at small SF — one
+    // bucket, nothing to prune); the oracle replays the residues and the
+    // 16-bit interleave. require() also pins snapshot isolation: the
+    // pre-OPTIMIZE version reads the same rows after the compaction
+    // landed.
+    Q.sql("q243_versioned_zlayout",
+      """WITH z AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+        |         CAST(list_reduce(list_transform(generate_series(0, 15), j ->
+        |           (((CASE WHEN j % 2 = 0 THEN l_partkey % 256
+        |                   ELSE l_suppkey % 256 END)
+        |             >> (j // 2)) & 1) << j), (a, b) -> a + b) AS BIGINT) AS zv
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, pk, sk, zv
+        |FROM z WHERE pk BETWEEN 50 AND 120 AND sk BETWEEN 10 AND 90
+        |ORDER BY l_orderkey, l_linenumber, pk, sk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 8; val bucketBits = 4
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q243vz").toString + "/lineitem_vz"
+      val li = graft.io.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256)).cast("long").as("pk"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("sk"))
+      val v1 = graft.io.Layout.writeZClusteredVersioned(
+        li.where(col("l_orderkey") % 8 =!= 0), Seq("pk", "sk"),
+        bits, bucketBits, numFiles = 16, table = tbl)
+      val v2 = graft.io.Layout.writeZClusteredVersioned(
+        li.where(col("l_orderkey") % 8 === 0), Seq("pk", "sk"),
+        bits, bucketBits, numFiles = 4, table = tbl)
+      require(v2 == v1 + 1, "append must land one commit")
+      val preOpt = graft.io.Versioned.snapshot(s, tbl, v2).count()
+      val v3 = graft.io.Layout.compactZBucketsVersioned(s, tbl,
+        smallBytes = 1L << 20)
+      require(v3 > v2, "OPTIMIZE must land a commit")
+      require(graft.io.Versioned.snapshot(s, tbl, v2).count() == preOpt,
+        "pinned pre-OPTIMIZE version changed")
+      val dims = Seq(("pk", 50L, 120L), ("sk", 10L, 90L))
+      val box = graft.io.Layout.readZBoxVersioned(s, tbl, dims,
+        bits, bucketBits)
+      def nFiles(df: org.apache.spark.sql.DataFrame) =
+        df.select(input_file_name()).distinct().count()
+      require(nFiles(box) < nFiles(graft.io.Versioned.snapshot(s, tbl, v3)),
+        "manifest metadata failed to prune the box read's file set")
+      box.select("l_orderkey", "l_linenumber", "pk", "sk", "zv")
+        .orderBy("l_orderkey", "l_linenumber", "pk", "sk")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

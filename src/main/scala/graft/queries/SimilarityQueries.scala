@@ -782,6 +782,60 @@ object SimilarityQueries {
     // proves the targeted rewrite removed exactly those vectors and
     // nothing else (deleted ids overlap the q41 result set, so the delete
     // demonstrably changes answers).
+    // VERSIONED right-to-be-forgotten with an AUDIT TRAIL (q237 × q235 —
+    // Similarity.writeIvfIndexVersioned / deleteFromIvfIndexVersioned):
+    // the IVF index is a manifest-versioned table whose file entries carry
+    // the cell value; the compliance delete lands as a COMMIT that
+    // rewrites only the affected cells' files (require-pinned strict
+    // subset, metadata preserved so probe pruning survives). The search
+    // then runs at BOTH versions — the pinned pre-delete version still
+    // returns the deleted ids (the audit window a review replays; vacuum
+    // is where they physically leave disk), the post-delete version
+    // equals a fresh index without them. The oracle replays the full q41
+    // pipeline twice, with and without the excluded ids.
+    Q.sql("q244_versioned_ann_forget", {
+      val del = Seq(73L, 334L, 386L)
+      s"""SELECT * FROM (
+         |  SELECT 1 AS version, * FROM (${ivfSearchOracleExcluding(Nil)})
+         |  UNION ALL
+         |  SELECT 2 AS version, * FROM (${ivfSearchOracleExcluding(del)})
+         |) ORDER BY version, qid, nid""".stripMargin
+    }) { (s, d) =>
+      val del = Seq(73L, 334L, 386L)
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nLists = 16, iters = 3)
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q244ivfv").toString + "/ivf_v"
+      val v1 = Similarity.writeIvfIndexVersioned(emb, "vec_id", "embedding",
+        cents, tbl)
+      val v2 = Similarity.deleteFromIvfIndexVersioned(s, tbl, del)
+      require(v2 == v1 + 1, s"delete must land one commit ($v1 -> $v2)")
+      def files(v: Int) = graft.io.Versioned.snapshot(s, tbl, v)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (f1, f2) = (files(v1), files(v2))
+      val shared = f1 intersect f2
+      require(shared.nonEmpty && shared.size < f1.size,
+        s"versioned index delete must rewrite a strict file subset " +
+          s"(${shared.size}/${f1.size})")
+      def searchAt(v: Int) = Similarity.ivfTopKFromIndexVersioned(s, tbl,
+        emb.where(col("vec_id") < NQueries), "vec_id", "embedding",
+        cents, nProbe = 4, k = TopK, version = v)
+      // the audit property the hash also proves, pinned explicitly: the
+      // deleted ids are still RETRIEVABLE at the pre-delete version and
+      // gone from the post-delete one
+      require(searchAt(v1).where(col("nid").isin(del: _*)).count() > 0,
+        "pinned pre-delete search lost the audit trail")
+      require(searchAt(v2).where(col("nid").isin(del: _*)).count() == 0,
+        "post-delete search still returns forgotten ids")
+      def report(v: Int, ver: Int) = searchAt(v)
+        .select(lit(ver).as("version"), col("qid"), col("nid"),
+          dround(col("cos"), 6).as("cos"))
+      report(v1, 1).unionByName(report(v2, 2))
+        .orderBy("version", "qid", "nid")
+    },
+
     Q.sql("q237_ivf_index_delete",
       ivfSearchOracleExcluding(Seq(73L, 334L, 386L))) { (s, d) =>
       val emb = Tables.embeddings(s, d)

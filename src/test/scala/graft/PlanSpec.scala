@@ -177,10 +177,22 @@ class PlanSpec extends SparkSpec {
         val globals = plan.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
-        globals.collect {
+        val unreduced = globals.collect {
           case w if !grainReduced(w.child) && !allowlist.contains(name) =>
             s"$name: global window over an unreduced frame:\n${w.treeString}"
         }
+        // round-13 finding #2 tightened: the aggregate benefit-of-the-
+        // doubt above does NOT extend to DISTINCT-shaped aggregates —
+        // a distinct over an id-like column is not grain-reduced
+        // (#distinct ≈ #rows), which is exactly how the old encoder
+        // build's single-task sort slipped through this gate. Bounded
+        // columns a distinct MAY feed a global window from: the
+        // partition-id frames of the global-index/offsets recipe.
+        val distinctFed =
+          if (allowlist.contains(name)) Nil
+          else PlanGates.distinctFedGlobalWindows(plan, Set("__pid"))
+            .map(v => s"$name: $v")
+        unreduced ++ distinctFed
     }
     assert(violations.isEmpty, violations.mkString("\n\n"))
   }

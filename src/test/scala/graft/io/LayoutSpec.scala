@@ -272,13 +272,23 @@ class LayoutSpec extends SparkSpec {
     val bits = 6; val bucketBits = 4
     Layout.writeZClusteredEncoded(mk(0 until 3000), Seq("cat", "skew"),
       bits, bucketBits, numFiles = 4, path = path)
-    // encoder sanity: order-preserving, codes inside the bit budget
+    // encoder sanity: order-preserving, codes inside the bit budget, and
+    // — the 100 TB property — the persisted encoder is CONFIG-sized
+    // (≤ 2^bits boundary rows) even though the dimension's cardinality
+    // exceeds the dictionary budget
     val encS = Layout.readEncoder(spark, path, "skew")
       .orderBy("value").select("value", "code").as[(Long, Long)].collect()
     assert(encS.map(_._2).forall(c => c >= 0 && c < (1L << bits)))
     assert(encS.sortBy(_._1).map(_._2).sameElements(encS.map(_._2).sorted),
       "skew encoder not order-preserving")
-    assert(encS.length > (1 << bits), "test must exceed the dictionary size")
+    val nDistinctSkew = mk(0 until 3000).select("skew").distinct().count()
+    assert(nDistinctSkew > (1L << bits), "test must exceed the dictionary size")
+    assert(encS.length <= (1 << bits),
+      s"bounds encoder must persist ≤ 2^$bits boundaries, got ${encS.length}")
+    assert(Layout.readEncoder(spark, path, "skew").select("kind")
+      .head().getString(0) == Layout.BoundsKind)
+    assert(Layout.readEncoder(spark, path, "cat").select("kind")
+      .head().getString(0) == Layout.DictKind)
     val got = Layout.readZBoxEncoded(spark, path,
       Seq(("cat", "bravo", "delta"), ("skew", 10000L, 60000L)),
       bits, bucketBits)
@@ -347,6 +357,150 @@ class LayoutSpec extends SparkSpec {
     assert(!tvfPlan.linesIterator.exists(l =>
       l.contains("PartitionFilters: []") && l.contains("zb")),
       "TVF bucket predicate missing from PartitionFilters")
+  }
+
+  test("encoder BUILD and ENCODE plans are scale-clean: no unpartitioned " +
+    "window over the value frame, no broadcast for the bounds kind — and " +
+    "the old single-partition shape is what the gate flags") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // high-cardinality skewed ids: the exact input class of finding #1
+    val df = (0 until 5000).map { i =>
+      val id = if (i % 3 == 0) 1000000L else (i * 104729L) % 1000003L
+      (i.toLong, id)
+    }.toDF("row", "skew")
+    val bits = 6
+    // BUILD plan: the only global window allowed is the offsets window
+    // over (__pid, count) — the value-carrying frame never single-tasks
+    val frame = Layout.buildEncoderFrame(df, "skew", bits)
+    val buildPlan = frame.queryExecution.sparkPlan
+    assert(graft.PlanGates.globalWindowsCarrying(buildPlan, "value").isEmpty,
+      s"value frame passed through a single-partition window:\n$buildPlan")
+    assert(graft.PlanGates.distinctFedGlobalWindows(buildPlan,
+      Set("__pid")).isEmpty, s"distinct-fed global window:\n$buildPlan")
+    // the encoder frame itself is config-sized
+    assert(frame.count() <= (1L << bits))
+    graft.PinnedFrames.release()
+    // ENCODE plan (bounds kind): the binary-search expression — no join,
+    // no broadcast, no window
+    val path = java.nio.file.Files.createTempDirectory("zsc").toString + "/t"
+    Layout.writeZClusteredEncoded(df, Seq("skew", "row"), bits,
+      bucketBits = 2, numFiles = 2, path = path)
+    val enc = Layout.encodeDims(df, spark, path, Seq("skew"))
+    val encPlan = enc.queryExecution.sparkPlan
+    assert(encPlan.collect {
+      case b: BroadcastExchangeExec => b
+    }.isEmpty, s"bounds encode must not broadcast:\n$encPlan")
+    assert(encPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"bounds encode must not window:\n$encPlan")
+    // the codegen'd lookup agrees with the persisted boundary table's
+    // monotone map, including the below-first-boundary NULL
+    val bounds = Layout.readEncoder(spark, path, "skew")
+      .orderBy("code").select("value", "code").as[(Long, Long)].collect()
+    val got = enc.select("skew", "__zenc_skew").as[(Long, Long)].collect()
+    got.foreach { case (v, code) =>
+      val want = bounds.filter(_._1 <= v).map(_._2).maxOption
+      assert(want.contains(code), s"code mismatch for $v")
+    }
+    // …and the SYNTHETIC old shape (distinct → global row_number) is
+    // exactly what the gate flags — the regression can't come back quiet
+    val oldShape = df.select($"skew".as("value")).distinct()
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number()
+          .over(Window.orderBy("value")))
+    val flagged = graft.PlanGates.distinctFedGlobalWindows(
+      oldShape.queryExecution.sparkPlan, Set("__pid"))
+    assert(flagged.nonEmpty, "the gate failed to flag the old build shape")
+    graft.PinnedFrames.release()
+  }
+
+  test("extendEncoders: later dict values take codes above the current " +
+    "max — resident buckets untouched, box reads exact across old+new; " +
+    "interior insertions and code-budget overflow abort") {
+    val months = (1 to 6).map(m => f"2024-$m%02d")
+    val mk = (ms: Seq[String], off: Int) => ms.zipWithIndex.flatMap {
+      case (m, k) => (0 until 40).map(i =>
+        ((off + k * 40 + i).toLong, m, (i % 8).toLong))
+    }.toDF("row", "month", "id")
+    val path = java.nio.file.Files.createTempDirectory("zext").toString + "/t"
+    val bits = 3; val bucketBits = 2
+    Layout.writeZClusteredEncoded(mk(months, 0), Seq("month", "id"),
+      bits, bucketBits, numFiles = 2, path = path)
+    // an append carrying an UNSEEN month still aborts without extension
+    val jul = (8000 until 8040).map(i =>
+      (i.toLong, "2024-07", (i % 8).toLong)).toDF("row", "month", "id")
+    val e0 = intercept[Throwable] {
+      Layout.appendZClusteredEncoded(jul, Seq("month", "id"),
+        bits, bucketBits, numFiles = 1, path = path)
+    }
+    assert(causeChain(e0).exists(_.contains("unsound")))
+    // extension assigns the NEXT code; resident files stay byte-identical
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    val before = files()
+    val added = Layout.extendEncoders(jul, Seq("month", "id"), bits, path)
+    assert(added == Map("month" -> 1L, "id" -> 0L), s"got $added")
+    val encM = Layout.readEncoder(spark, path, "month")
+      .orderBy("code").select("value", "code").as[(String, Long)].collect()
+    assert(encM.last == ("2024-07", 6L), s"got ${encM.last}")
+    Layout.appendZClusteredEncoded(jul, Seq("month", "id"),
+      bits, bucketBits, numFiles = 1, path = path)
+    assert(before.subsetOf(files()), "extension rewrote resident files")
+    // box read across the old/new boundary is exact
+    val got = Layout.readZBoxEncoded(spark, path,
+      Seq(("month", "2024-05", "2024-07"), ("id", 2L, 5L)),
+      bits, bucketBits).select("row").as[Long].collect().toSet
+    val want = mk(months, 0).unionByName(jul)
+      .where($"month".between("2024-05", "2024-07") && $"id".between(2, 5))
+      .select("row").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.exists(_ >= 8000L), "the appended month missed the box read")
+    // an unseen value INTERIOR to the dictionary aborts the extension
+    val interior = Seq((9000L, "2024-03x", 1L)).toDF("row", "month", "id")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.extendEncoders(interior, Seq("month", "id"), bits, path)
+    }
+    assert(e1.getMessage.contains("INTERIOR"))
+    // overflowing the 2^bits code budget aborts (codes 0..6 used; +2 > 7)
+    val over = Seq((9100L, "2024-08", 1L), (9101L, "2024-09", 1L))
+      .toDF("row", "month", "id")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.extendEncoders(over, Seq("month", "id"), bits, path)
+    }
+    assert(e2.getMessage.contains("overflow"))
+  }
+
+  test("Compaction.recover heals an interrupted swap without running a " +
+    "compaction pass") {
+    val df = (0 until 500).map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val path = java.nio.file.Files.createTempDirectory("zpubrec").toString + "/t"
+    Layout.writeZClustered(df, Seq("x", "y"), bits = 8, bucketBits = 4,
+      numFiles = 2, path = path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val total = spark.read.parquet(path).count()
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("zb="))
+      .map(_.getPath).minBy(_.getName)
+    // crash between the two renames: aside holds the only copy
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(live.getParent,
+      Compaction.asideName(live.getName))))
+    assert(spark.read.parquet(path).count() < total) // silently short reads
+    assert(Compaction.recover(spark, path))
+    assert(spark.read.parquet(path).count() == total)
+    assert(!Compaction.recover(spark, path)) // idempotent, nothing to heal
   }
 
   test("zbox TVF parameters are not shadowed by table columns named " +
