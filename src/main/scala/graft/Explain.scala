@@ -79,7 +79,9 @@ object Explain {
       "q233_targeted_delete", "q234_sql_ann_one_call",
       "q235_versioned_delete_travel", "q236_zorder_encoded",
       "q237_ivf_index_delete", "q238_versioned_compaction",
-      "q239_streaming_zingest", "q240_sql_zbox_encoded_one_call")
+      "q239_streaming_zingest", "q240_sql_zbox_encoded_one_call",
+      "q241_zorder_encoded_skewed_id", "q242_zorder_encoder_extension",
+      "q243_versioned_zlayout", "q244_versioned_ann_forget")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -265,6 +265,25 @@ object SqlSurface {
        |    $tableStructs)) ex AS tb""".stripMargin
   }
 
+  /** The EXACT (vid, v, side) derivation a pre-materialized `sidesTable`
+    * for [[createMarginMiningFunction]] must contain — emitted as
+    * runnable SQL so the session admin materializes THIS text (any drift
+    * would silently change scores; the shared oracle hash would catch it
+    * as a mismatch). Same expressions as the TVF's default es/et CTEs. */
+  def marginSidesViewSql(table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      srcPred: String = "vec_id % 2 = 0",
+      tgtPred: String = "vec_id % 2 = 1"): String = {
+    val qTable = table.split('.').map(quotePart).mkString(".")
+    val qId = quotePart(idCol)
+    val qVec = quotePart(vecCol)
+    s"""SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v, 0 AS side
+       |FROM $qTable WHERE ($srcPred)
+       |UNION ALL
+       |SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v, 1 AS side
+       |FROM $qTable WHERE ($tgtPred)""".stripMargin
+  }
+
   def createMarginMiningFunction(spark: SparkSession,
       table: String = "embeddings", idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -273,7 +292,8 @@ object SqlSurface {
       dims: Int = 64, nPlanes: Int = 12, nTables: Int = 6, cap: Int = 256,
       k: Int = 4, minMargin: Double = 1.0,
       funcName: String = "graft_margin_pairs",
-      bandTable: Option[String] = None): Unit = {
+      bandTable: Option[String] = None,
+      sidesTable: Option[String] = None): Unit = {
     require(nPlanes <= 62, s"nPlanes=$nPlanes must fit a long bucket id")
     Seq("srcPred" -> srcPred, "tgtPred" -> tgtPred).foreach { case (what, p) =>
       try spark.sessionState.sqlParser.parseExpression(p)
@@ -327,14 +347,27 @@ object SqlSurface {
            |  LATERAL VIEW explode(array(
            |    $tableStructs)) ex AS tb""".stripMargin
     }
+    // sidesTable ([[marginSidesViewSql]]'s exact derivation, persisted by
+    // the session admin): the SCORE stage's two vector fetches become
+    // cache reads too — without it, es/et are re-derived (pushed-filter
+    // scan + cast) once per consumer, the measured ~1 s residual of the
+    // TVF over its Column twin at sf0.1 after the band view landed
+    val sideDefs = sidesTable match {
+      case Some(st) =>
+        val qSt = st.split('.').map(quotePart).mkString(".")
+        s"""es AS (SELECT vid, v FROM $qSt WHERE side = 0),
+           |et AS (SELECT vid, v FROM $qSt WHERE side = 1)""".stripMargin
+      case None =>
+        s"""es AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+           |            FROM $qTable WHERE ($srcPred)),
+           |et AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
+           |       FROM $qTable WHERE ($tgtPred))""".stripMargin
+    }
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION $qFunc()
          |RETURNS TABLE (src_id BIGINT, tgt_id BIGINT, cos DOUBLE, margin DOUBLE)
          |RETURN
-         |WITH es AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
-         |            FROM $qTable WHERE ($srcPred)),
-         |et AS (SELECT $qId AS vid, CAST($qVec AS ARRAY<DOUBLE>) AS v
-         |       FROM $qTable WHERE ($tgtPred)),
+         |WITH $sideDefs,
          |e AS (SELECT vid, v, 0 AS side FROM es
          |      UNION ALL SELECT vid, v, 1 AS side FROM et),
          |b AS (

@@ -822,13 +822,17 @@ object SimilarityQueries {
       def searchAt(v: Int) = Similarity.ivfTopKFromIndexVersioned(s, tbl,
         emb.where(col("vec_id") < NQueries), "vec_id", "embedding",
         cents, nProbe = 4, k = TopK, version = v)
-      // the audit property the hash also proves, pinned explicitly: the
-      // deleted ids are still RETRIEVABLE at the pre-delete version and
-      // gone from the post-delete one
-      require(searchAt(v1).where(col("nid").isin(del: _*)).count() > 0,
-        "pinned pre-delete search lost the audit trail")
-      require(searchAt(v2).where(col("nid").isin(del: _*)).count() == 0,
-        "post-delete search still returns forgotten ids")
+      // the audit property, pinned scale-independently on the SNAPSHOTS
+      // (whether the ids also surface in a top-k is corpus-size-dependent
+      // — at sf0.01 they do, and the oracle hash proves it): the pinned
+      // pre-delete version still HOLDS the forgotten vectors, the
+      // post-delete version does not, and no search at v2 can return them
+      require(graft.io.Versioned.snapshot(s, tbl, v1)
+        .where(col("nid").isin(del: _*)).count() == del.size,
+        "pinned pre-delete version lost the audit trail")
+      require(graft.io.Versioned.snapshot(s, tbl, v2)
+        .where(col("nid").isin(del: _*)).count() == 0,
+        "post-delete version still holds forgotten ids")
       def report(v: Int, ver: Int) = searchAt(v)
         .select(lit(ver).as("version"), col("qid"), col("nid"),
           dround(col("cos"), 6).as("cos"))
@@ -1166,11 +1170,23 @@ object SimilarityQueries {
           srcPred = "vec_id % 2 = 0", tgtPred = "vec_id % 2 = 1",
           dims = Dims, nPlanes = 12, nTables = 6)).persist())
       bands.createOrReplaceTempView("margin_bands")
+      // …and the sides view (the registrar's sidesTable option): the
+      // SCORE stage's two vector fetches re-derived es/et per consumer —
+      // the measured ~1 s residual after the band view landed
+      // (ProbeMargin breakdown in SCALE.md). Same persist the Column
+      // twin's cached frames amount to.
+      val sides = graft.PinnedFrames.pin(
+        s.sql(SqlSurface.marginSidesViewSql(table = "embeddings",
+          idCol = "vec_id", vecCol = "embedding",
+          srcPred = "vec_id % 2 = 0", tgtPred = "vec_id % 2 = 1"))
+          .persist())
+      sides.createOrReplaceTempView("margin_sides")
       SqlSurface.createMarginMiningFunction(s, table = "embeddings",
         idCol = "vec_id", vecCol = "embedding",
         srcPred = "vec_id % 2 = 0", tgtPred = "vec_id % 2 = 1",
         dims = Dims, nPlanes = 12, nTables = 6, cap = 256, k = 4,
-        minMargin = 1.0, bandTable = Some("margin_bands"))
+        minMargin = 1.0, bandTable = Some("margin_bands"),
+        sidesTable = Some("margin_sides"))
       s.sql("SELECT src_id, tgt_id, cos, margin FROM graft_margin_pairs() " +
         "ORDER BY src_id, tgt_id")
     },

@@ -81,4 +81,28 @@ class SurfaceEquivalenceSpec extends SparkSpec {
     assert(d.nonEmpty && d == res("ann_mat"))
     PinnedFrames.release()
   }
+
+  test("createMarginMiningFunction sidesTable+bandTable body ≡ default " +
+    "body (the pre-materialized views change the plan, never the rows)") {
+    graft.io.Tables.embeddings(spark, sf)
+      .createOrReplaceTempView("embeddings")
+    SqlSurface.register(spark)
+    SqlSurface.createMarginMiningFunction(spark, funcName = "margin_default")
+    val bands = PinnedFrames.pin(
+      spark.sql(SqlSurface.marginBandViewSql(spark,
+        funcName = "margin_mat")).persist())
+    bands.createOrReplaceTempView("margin_bands_eq")
+    val sides = PinnedFrames.pin(
+      spark.sql(SqlSurface.marginSidesViewSql()).persist())
+    sides.createOrReplaceTempView("margin_sides_eq")
+    SqlSurface.createMarginMiningFunction(spark, funcName = "margin_mat",
+      bandTable = Some("margin_bands_eq"),
+      sidesTable = Some("margin_sides_eq"))
+    def res(f: String) = spark.sql(
+      s"SELECT src_id, tgt_id, cos, margin FROM $f() " +
+        "ORDER BY src_id, tgt_id").collect().map(_.toString).toSeq
+    val d = res("margin_default")
+    assert(d.nonEmpty && d == res("margin_mat"))
+    PinnedFrames.release()
+  }
 }
