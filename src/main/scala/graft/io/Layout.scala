@@ -150,12 +150,16 @@ object Layout {
   // predicate over the already-pruned file set.
 
   /** Commit `df` z-clustered into the versioned table (first commit
-    * creates it; later calls append). Returns the new version. */
+    * creates it; later calls append). `tag` lands in the manifest header
+    * (the streaming sink's exactly-once epoch id). Returns the new
+    * version. */
   def writeZClusteredVersioned(df: DataFrame, cols: Seq[String], bits: Int,
                                bucketBits: Int, numFiles: Int,
-                               table: String): Int =
+                               table: String,
+                               tag: Option[String] = None): Int =
     Versioned.commitPartitioned(
-      zClusteredFrame(df, cols, bits, bucketBits, numFiles), table, "zb")
+      zClusteredFrame(df, cols, bits, bucketBits, numFiles), table, "zb",
+      tag = tag)
 
   /** Snapshot-isolated OPTIMIZE of the versioned z-layout: small files
     * coalesce per bucket (zv order restored within files), the manifest

@@ -225,6 +225,23 @@ object DomainQueries {
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
       .stripMargin
 
+  /** Shared by q243 (batch versioned z-layout) and q245 (the STREAMED
+    * versioned z-layout) — the q230/q239 twin discipline applied to the
+    * table-format path: the mod-256 residues and the 16-bit interleave
+    * replayed as a plain filter. */
+  private val versionedZOracle: String =
+    """WITH z AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+      |         CAST(list_reduce(list_transform(generate_series(0, 15), j ->
+      |           (((CASE WHEN j % 2 = 0 THEN l_partkey % 256
+      |                   ELSE l_suppkey % 256 END)
+      |             >> (j // 2)) & 1) << j), (a, b) -> a + b) AS BIGINT) AS zv
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, pk, sk, zv
+      |FROM z WHERE pk BETWEEN 50 AND 120 AND sk BETWEEN 1 AND 90
+      |ORDER BY l_orderkey, l_linenumber, pk, sk""".stripMargin
+
   /** Shared by q236 (Column read path) and q240 (the one-call TVF) —
     * the hash-for-hash twin discipline. */
   private val zorderEncodedOracle: String =
@@ -990,18 +1007,7 @@ object DomainQueries {
     // 16-bit interleave. require() also pins snapshot isolation: the
     // pre-OPTIMIZE version reads the same rows after the compaction
     // landed.
-    Q.sql("q243_versioned_zlayout",
-      """WITH z AS (
-        |  SELECT l_orderkey, l_linenumber,
-        |         l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
-        |         CAST(list_reduce(list_transform(generate_series(0, 15), j ->
-        |           (((CASE WHEN j % 2 = 0 THEN l_partkey % 256
-        |                   ELSE l_suppkey % 256 END)
-        |             >> (j // 2)) & 1) << j), (a, b) -> a + b) AS BIGINT) AS zv
-        |  FROM lineitem)
-        |SELECT l_orderkey, l_linenumber, pk, sk, zv
-        |FROM z WHERE pk BETWEEN 50 AND 120 AND sk BETWEEN 10 AND 90
-        |ORDER BY l_orderkey, l_linenumber, pk, sk""".stripMargin) { (s, d) =>
+    Q.sql("q243_versioned_zlayout", versionedZOracle) { (s, d) =>
       import org.apache.spark.sql.functions._
       val bits = 8; val bucketBits = 4
       val tbl = java.nio.file.Files
@@ -1023,12 +1029,55 @@ object DomainQueries {
       require(v3 > v2, "OPTIMIZE must land a commit")
       require(graft.io.Versioned.snapshot(s, tbl, v2).count() == preOpt,
         "pinned pre-OPTIMIZE version changed")
-      val dims = Seq(("pk", 50L, 120L), ("sk", 10L, 90L))
+      val dims = Seq(("pk", 50L, 120L), ("sk", 1L, 90L))
       val box = graft.io.Layout.readZBoxVersioned(s, tbl, dims,
         bits, bucketBits)
       def nFiles(df: org.apache.spark.sql.DataFrame) =
         df.select(input_file_name()).distinct().count()
       require(nFiles(box) < nFiles(graft.io.Versioned.snapshot(s, tbl, v3)),
+        "manifest metadata failed to prune the box read's file set")
+      box.select("l_orderkey", "l_linenumber", "pk", "sk", "zv")
+        .orderBy("l_orderkey", "l_linenumber", "pk", "sk")
+    },
+
+    // STREAMING ingest into the VERSIONED z-layout — q239's real
+    // Structured Streaming ingest composed with q243's table format
+    // (Streaming.zLayoutVersionedSink): each micro-batch lands as an
+    // EXACTLY-ONCE epoch commit (the epoch: manifest tag), the trigger
+    // lands versioned OPTIMIZE commits instead of directory swaps, and
+    // the post-ingest box read resolves the pinned latest manifest with
+    // file-level bucket pruning. Held to q243's oracle VERBATIM: the
+    // streamed, twice-compacted versioned table must box-read
+    // hash-identical to the batch-committed one. require() pins the
+    // epoch accounting (4 tagged epochs), the OPTIMIZE commits landing,
+    // and the manifest-pruned file subset.
+    Q.sql("q245_streaming_versioned_zlayout", versionedZOracle) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 8; val bucketBits = 4
+      val dir = java.nio.file.Files.createTempDirectory("q245vzs").toString
+      val tbl = s"$dir/t"
+      val li = graft.io.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256)).cast("long").as("pk"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("sk"))
+      li.repartition(4).write.parquet(s"$dir/stage")
+      val src = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/stage")
+      val q = graft.streaming.Streaming.zLayoutVersionedSink(src,
+        Seq("pk", "sk"), bits, bucketBits, numFiles = 4, table = tbl,
+        checkpoint = s"$dir/ckpt", compactEvery = 2,
+        smallBytes = 1L << 20)
+      try q.processAllAvailable() finally q.stop()
+      require(graft.io.Versioned.latestTaggedSuffix(tbl, "epoch:")
+        .contains(3L), "expected 4 tagged epoch commits")
+      require(graft.io.Versioned.latestVersion(tbl) >= 5,
+        "OPTIMIZE commits did not land")
+      val dims = Seq(("pk", 50L, 120L), ("sk", 1L, 90L))
+      val box = graft.io.Layout.readZBoxVersioned(s, tbl, dims,
+        bits, bucketBits)
+      def nFiles(df: org.apache.spark.sql.DataFrame) =
+        df.select(input_file_name()).distinct().count()
+      require(nFiles(box) < nFiles(graft.io.Versioned.snapshot(s, tbl)),
         "manifest metadata failed to prune the box read's file set")
       box.select("l_orderkey", "l_linenumber", "pk", "sk", "zv")
         .orderBy("l_orderkey", "l_linenumber", "pk", "sk")

@@ -787,6 +787,54 @@ object Streaming {
       .start()
   }
 
+  /** Stream → VERSIONED z-layout: the round's table-format capstone —
+    * [[zLayoutSink]]'s ingest with [[versionedSink]]'s guarantees. Each
+    * micro-batch commits z-clustered through
+    * [[graft.io.Layout.writeZClusteredVersioned]] (manifest entries carry
+    * the zb bucket per file), so:
+    *  - EXACTLY-ONCE per epoch (the `epoch:` manifest tag — replayed
+    *    batches skip, where [[zLayoutSink]]'s directory appends would
+    *    duplicate rows on a crash-replay);
+    *  - box reads resolve a PINNED manifest and prune files by bucket
+    *    from metadata ([[graft.io.Layout.readZBoxVersioned]]) — readers
+    *    are snapshot-isolated from the ingest;
+    *  - the compaction trigger lands OPTIMIZE COMMITS
+    *    ([[graft.io.Layout.compactZBucketsVersioned]]) instead of
+    *    directory swaps: pinned readers keep their version, and the
+    *    trigger is [[CompactionGuard]]-bounded like the other sinks. */
+  def zLayoutVersionedSink(df: DataFrame, cols: Seq[String], bits: Int,
+                           bucketBits: Int, numFiles: Int, table: String,
+                           checkpoint: String, compactEvery: Int = 16,
+                           smallBytes: Long = 8L << 20,
+                           maxConsecutiveSkips: Int = 10,
+                           onSkip: (Long, Exception) => Unit =
+                             stderrSkip("zLayoutVersionedSink"))
+      : StreamingQuery = {
+    val guard = new CompactionGuard("zLayoutVersionedSink",
+      maxConsecutiveSkips, onSkip)
+    var landedThrough = Option.empty[Long]
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (landedThrough.isEmpty)
+          landedThrough = Some(
+            if (graft.io.Versioned.latestVersion(table) < 1) -1L
+            else graft.io.Versioned.latestTaggedSuffix(table, "epoch:")
+              .getOrElse(-1L))
+        if (batchId > landedThrough.get) {
+          graft.io.Layout.writeZClusteredVersioned(batch, cols, bits,
+            bucketBits, numFiles, table, tag = Some(s"epoch:$batchId")): Unit
+          landedThrough = Some(batchId)
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          guard(batchId) {
+            graft.io.Layout.compactZBucketsVersioned(batch.sparkSession,
+              table, smallBytes): Unit
+          }
+      }
+      .start()
+  }
+
   /** Stream → IVF ANN index with the same integrated compaction trigger:
     * micro-batches assign to the FIXED trained centroids and append into
     * their cell partitions ([[graft.operators.Similarity.appendToIvfIndex]]
