@@ -82,7 +82,8 @@ object Explain {
       "q239_streaming_zingest", "q240_sql_zbox_encoded_one_call",
       "q241_zorder_encoded_skewed_id", "q242_zorder_encoder_extension",
       "q243_versioned_zlayout", "q244_versioned_ann_forget",
-      "q245_streaming_versioned_zlayout")
+      "q245_streaming_versioned_zlayout",
+      "q246_versioned_vacuum_retention")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -379,14 +379,15 @@ object Similarity {
     * contract of [[appendToIvfIndex]], as commits. Returns the version. */
   def writeIvfIndexVersioned(corpus: DataFrame, idCol: String,
                              vecCol: String, cents: Seq[Array[Double]],
-                             table: String): Int =
+                             table: String,
+                             tag: Option[String] = None): Int =
     graft.io.Versioned.commitPartitioned(
       withUnitVec(
         corpus.select(col(idCol).as("nid"),
           col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
         .withColumn("cell", nearestCentroid(col("nu"), cents))
         .select("nid", "nvec", "cell"),
-      table, "cell")
+      table, "cell", tag = tag)
 
   /** RIGHT-TO-BE-FORGOTTEN as a COMMIT: only the files of cells holding a
     * deleted id are rewritten (file-targeted, metadata preserved so probe

@@ -1083,6 +1083,57 @@ object DomainQueries {
         .orderBy("l_orderkey", "l_linenumber", "pk", "sk")
     },
 
+    // VACUUM with a reviewable plan and retention windows (io.Versioned.
+    // vacuum — the module's ONE destructive operation, exercised through
+    // the registry): v1 is orphaned by an OVERWRITE commit, the DRY RUN
+    // reports exactly v1's files while destroying nothing (v1 still
+    // reads — require-pinned), a generous TIME window retains everything
+    // despite retainLast=1 (the "retain 7 days" policy), and the real
+    // count-window sweep then removes exactly the planned files while
+    // every retained version keeps reading. The final snapshot is the
+    // overwrite ∪ the re-append = the full table, so the oracle is the
+    // plain status aggregate — a hash match proves the sweep touched
+    // only unreferenced files.
+    Q.sql("q246_versioned_vacuum_retention",
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q246vac").toString + "/orders_vac"
+      val orders = graft.io.Tables.orders(s, d)
+      val v1 = graft.io.Versioned.commit(orders, tbl)
+      val n1 = graft.io.Versioned.snapshot(s, tbl, v1).count()
+      graft.io.Versioned.commit(orders.where(col("o_orderkey") % 3 =!= 0),
+        tbl, overwrite = true)
+      val v3 = graft.io.Versioned.commit(
+        orders.where(col("o_orderkey") % 3 === 0), tbl)
+      // the dry run PLANS the sweep (exactly the orphaned commit's dir)
+      // and performs no destructive action — v1 still reads in full
+      val planned = graft.io.Versioned.vacuum(tbl, retainLast = 2,
+        dryRun = true)
+      require(planned.nonEmpty && planned.forall(_.contains("/c1/")),
+        s"dry run must plan exactly the orphaned commit (got $planned)")
+      require(graft.io.Versioned.snapshot(s, tbl, v1).count() == n1,
+        "dry run destroyed data")
+      // time-based retention: everything is younger than a day
+      require(graft.io.Versioned.vacuum(tbl, retainLast = 1,
+        olderThanMs = 24L * 3600 * 1000, dryRun = true).isEmpty,
+        "time window failed to retain young versions")
+      // the real sweep removes exactly the plan; retained versions intact
+      val removed = graft.io.Versioned.vacuum(tbl, retainLast = 2)
+      require(removed.toSet == planned.toSet,
+        s"sweep diverged from its dry-run plan ($removed vs $planned)")
+      graft.io.Versioned.snapshot(s, tbl, v3)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("status")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

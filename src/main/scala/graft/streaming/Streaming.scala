@@ -835,6 +835,50 @@ object Streaming {
       .start()
   }
 
+  /** Stream → VERSIONED IVF index — [[zLayoutVersionedSink]]'s contract
+    * on the cell layout, completing the versioned-sink family: each
+    * micro-batch assigns to the FIXED trained centroids and lands as an
+    * exactly-once epoch COMMIT
+    * ([[graft.operators.Similarity.writeIvfIndexVersioned]] with the
+    * `epoch:` tag — a crash-replay that would duplicate vectors in the
+    * directory index skips here), the trigger lands versioned OPTIMIZE
+    * commits, and searches
+    * ([[graft.operators.Similarity.ivfTopKFromIndexVersioned]]) resolve
+    * pinned manifests with file-level cell pruning — snapshot-isolated
+    * from the ingest, time-travelable per epoch. */
+  def ivfIndexVersionedSink(df: DataFrame, idCol: String, vecCol: String,
+                            cents: Seq[Array[Double]], table: String,
+                            checkpoint: String, compactEvery: Int = 16,
+                            smallBytes: Long = 8L << 20,
+                            maxConsecutiveSkips: Int = 10,
+                            onSkip: (Long, Exception) => Unit =
+                              stderrSkip("ivfIndexVersionedSink"))
+      : StreamingQuery = {
+    val guard = new CompactionGuard("ivfIndexVersionedSink",
+      maxConsecutiveSkips, onSkip)
+    var landedThrough = Option.empty[Long]
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (landedThrough.isEmpty)
+          landedThrough = Some(
+            if (graft.io.Versioned.latestVersion(table) < 1) -1L
+            else graft.io.Versioned.latestTaggedSuffix(table, "epoch:")
+              .getOrElse(-1L))
+        if (batchId > landedThrough.get) {
+          graft.operators.Similarity.writeIvfIndexVersioned(batch, idCol,
+            vecCol, cents, table, tag = Some(s"epoch:$batchId")): Unit
+          landedThrough = Some(batchId)
+        }
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          guard(batchId) {
+            graft.io.Versioned.compactSmallFiles(batch.sparkSession,
+              table, smallBytes, sortCols = Seq("nid")): Unit
+          }
+      }
+      .start()
+  }
+
   /** Stream → IVF ANN index with the same integrated compaction trigger:
     * micro-batches assign to the FIXED trained centroids and append into
     * their cell partitions ([[graft.operators.Similarity.appendToIvfIndex]]

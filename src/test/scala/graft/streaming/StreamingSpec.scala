@@ -1030,6 +1030,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ivfIndexVersionedSink: epoch commits are exactly-once, searches " +
+    "at pinned versions are isolated from later epochs, the post-stream " +
+    "search ≡ one-shot index over the full corpus") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Similarity
+    val all = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j) * 2)))
+    val cents = Similarity.trainCentroids(
+      all.take(30).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nLists = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("annvstream").toString
+    val tbl = s"$dir/idx"
+    val in = MemoryStream[(Long, Array[Double])]
+    val q = Streaming.ivfIndexVersionedSink(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents,
+      table = tbl, checkpoint = s"$dir/ckpt", compactEvery = 2,
+      smallBytes = 1L << 20)
+    val queries = all.take(3).toDF("vec_id", "embedding")
+    try {
+      in.addData(all.take(30)); q.processAllAvailable()
+      val v1 = graft.io.Versioned.latestVersion(tbl)
+      val pinned = Similarity.ivfTopKFromIndexVersioned(spark, tbl, queries,
+          "vec_id", "embedding", cents, nProbe = 4, k = 5, version = v1)
+        .as[(Long, Long, Double)].collect().toSet
+      in.addData(all.slice(30, 60)); q.processAllAvailable() // + OPTIMIZE
+      spark.catalog.clearCache()
+      // the pinned search replays the pre-ingest answer EXACTLY even
+      // though a later epoch and an OPTIMIZE commit landed since
+      assert(Similarity.ivfTopKFromIndexVersioned(spark, tbl, queries,
+          "vec_id", "embedding", cents, nProbe = 4, k = 5, version = v1)
+        .as[(Long, Long, Double)].collect().toSet === pinned)
+      spark.catalog.clearCache()
+      assert(graft.io.Versioned.latestTaggedSuffix(tbl, "epoch:")
+        .contains(1L))
+      // post-stream search at latest ≡ the one-shot directory index
+      val got = Similarity.ivfTopKFromIndexVersioned(spark, tbl, queries,
+          "vec_id", "embedding", cents, nProbe = 4, k = 5)
+        .as[(Long, Long, Double)].collect().toSet
+      Similarity.writeIvfIndex(all.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, s"$dir/ref")
+      val want = Similarity.ivfTopKFromIndex(spark, s"$dir/ref", queries,
+          "vec_id", "embedding", cents, nProbe = 4, k = 5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally { q.stop(); spark.catalog.clearCache() }
+    // a fresh checkpoint re-delivering epochs 0 and 1 adds NO duplicates
+    val n = graft.io.Versioned.snapshot(spark, tbl).count()
+    val in2 = MemoryStream[(Long, Array[Double])]
+    val q2 = Streaming.ivfIndexVersionedSink(
+      in2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cents,
+      table = tbl, checkpoint = s"$dir/ckpt2", compactEvery = 0)
+    try {
+      in2.addData(all.take(30)); q2.processAllAvailable()
+      in2.addData(all.slice(30, 60)); q2.processAllAvailable()
+      assert(graft.io.Versioned.snapshot(spark, tbl).count() === n,
+        "replayed epochs duplicated vectors in the versioned index")
+    } finally q2.stop()
+  }
+
   test("streaming ANN ingest (ivfIndexSink): micro-batches append to the " +
     "IVF index, the integrated trigger bounds per-cell file counts, and " +
     "the post-stream search ≡ one-shot index over the full corpus") {
