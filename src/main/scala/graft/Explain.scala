@@ -83,7 +83,8 @@ object Explain {
       "q241_zorder_encoded_skewed_id", "q242_zorder_encoder_extension",
       "q243_versioned_zlayout", "q244_versioned_ann_forget",
       "q245_streaming_versioned_zlayout",
-      "q246_versioned_vacuum_retention")
+      "q246_versioned_vacuum_retention",
+      "q247_versioned_stats_skipping")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

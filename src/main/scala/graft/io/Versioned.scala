@@ -75,22 +75,32 @@ object Versioned {
   // stored exactly as the writer's partition-directory segment encodes
   // them (Spark's Hive escaping), so they round-trip verbatim.
 
-  private def parseEntry(line: String): (String, Option[(String, String)]) =
-    line.indexOf('\t') match {
-      case -1 => (line, None)
-      case i =>
-        val meta = line.substring(i + 1)
-        val eq = meta.indexOf('=')
-        (line.substring(0, i),
-          Some((meta.substring(0, eq), meta.substring(eq + 1))))
-    }
+  // An entry line is `path` plus tab-separated `key=value` metadata
+  // fields: a plain `col=value` pair is the file's PARTITION value
+  // ([[commitPartitioned]]); an `s:col=min..max` pair is a FILE STAT
+  // (long-valued inclusive range — the Delta/Iceberg data-skipping
+  // model: [[snapshotRange]] prunes files whose range cannot intersect a
+  // predicate, no footer reads, no directory listing).
+  private def parseEntryAll(line: String): (String, Seq[(String, String)]) = {
+    val parts = line.split('\t')
+    (parts.head, parts.tail.toSeq.map { meta =>
+      val eq = meta.indexOf('=')
+      (meta.substring(0, eq), meta.substring(eq + 1))
+    })
+  }
+
+  private def parseEntry(line: String): (String, Option[(String, String)]) = {
+    val (path, metas) = parseEntryAll(line)
+    (path, metas.find(!_._1.startsWith("s:")))
+  }
 
   private def formatEntry(path: String,
                           meta: Option[(String, String)]): String =
-    meta match {
-      case Some((c, v)) => s"$path\t$c=$v"
-      case None => path
-    }
+    formatEntryAll(path, meta.toSeq)
+
+  private def formatEntryAll(path: String,
+                             metas: Seq[(String, String)]): String =
+    (path +: metas.map { case (k, v) => s"$k=$v" }).mkString("\t")
 
   /** Latest LANDED version — claim files (`<v>.claim`) and staging names
     * are ignored, so an in-flight or crashed commit never changes what
@@ -249,23 +259,79 @@ object Versioned {
     Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim")): Unit
   }
 
-  /** Every (parquet file, partition metadata) pair a manifest entry
+  /** Every (parquet file, metadata fields) pair a manifest entry
     * resolves to, absolute paths (dir entries enumerate their current
     * listing; immutability of committed dirs makes that deterministic
     * until [[vacuum]]). Dir-grain entries carry no metadata. */
-  private def expandEntry(entry: String): Seq[(String, Option[(String, String)])] = {
-    val (path, meta) = parseEntry(entry)
+  private def expandEntryAll(entry: String): Seq[(String, Seq[(String, String)])] = {
+    val (path, metas) = parseEntryAll(entry)
     val p = Paths.get(path)
     if (Files.isDirectory(p))
       walkDir(p)
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".parquet"))
-        .map(f => (f.toAbsolutePath.toString, meta)).sortBy(_._1)
-    else Seq((p.toAbsolutePath.toString, meta))
+        .map(f => (f.toAbsolutePath.toString, Seq.empty[(String, String)]))
+        .sortBy(_._1)
+    else Seq((p.toAbsolutePath.toString, metas))
   }
 
+  private def expandEntry(entry: String): Seq[(String, Option[(String, String)])] =
+    expandEntryAll(entry).map { case (f, metas) =>
+      (f, metas.find(!_._1.startsWith("s:")))
+    }
+
   private def expandFiles(entry: String): Seq[String] =
-    expandEntry(entry).map(_._1)
+    expandEntryAll(entry).map(_._1)
+
+  /** Per-file long-valued min/max stats for `cols` over the given
+    * parquet files — ONE scan grouped by input_file_name, metadata-sized
+    * result (the Delta write-time stats model as a post-write pass).
+    * All-null columns in a file yield no stat (conservatively kept by
+    * [[snapshotRange]]). Columns must cast to long (integral keys,
+    * dates, z-values). */
+  private def fileStats(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): Map[String, Seq[(String, String)]] = {
+    if (cols.isEmpty || files.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__mn_$c"),
+      max(col(c).cast("long")).as(s"__mx_$c")))
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val f = fileOfUri(r.getString(0))
+        f -> cols.flatMap { c =>
+          val mn = r.getAs[Any](s"__mn_$c")
+          val mx = r.getAs[Any](s"__mx_$c")
+          if (mn == null || mx == null) Nil
+          else Seq((s"s:$c", s"$mn..$mx"))
+        }
+      }.toMap
+  }
+
+  /** Manifest lines for a freshly written commit dir: file grain when
+    * partition metadata or stats are requested (each line carrying
+    * `partCol=value` from its `__pv=` dir segment and `s:col=min..max`
+    * ranges), dir grain otherwise. */
+  private def commitEntries(spark: SparkSession, dataDir: Path,
+      partCol: Option[String], statsCols: Seq[String]): Seq[String] = {
+    if (partCol.isEmpty && statsCols.isEmpty) return Seq(dataDir.toString)
+    val files = walkDir(dataDir)
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath).sortBy(_.toString)
+    val stats = fileStats(spark, files.map(_.toString), statsCols)
+    files.map { f =>
+      val part = partCol.map { c =>
+        val seg = f.getParent.getFileName.toString
+        require(seg.startsWith(partDirCol + "="),
+          s"partitioned commit file $f not under a $partDirCol= dir")
+        (c, seg.stripPrefix(partDirCol + "="))
+      }
+      formatEntryAll(f.toString,
+        part.toSeq ++ stats.getOrElse(f.toString, Nil))
+    }
+  }
 
   private def fileOfUri(uri: String): String =
     Paths.get(new java.net.URI(uri)).toAbsolutePath.toString
@@ -279,12 +345,17 @@ object Versioned {
     * versions, each containing all prior commits; none is ever silently
     * replaced (VersionedSpec races N threads and checks every commit's
     * rows survive into the final snapshot). */
+  /** `statsCols`: record per-file min/max (long-valued) for these columns
+    * in the manifest — [[snapshotRange]] then prunes FILES by range
+    * predicate from metadata alone (the Delta/Iceberg data-skipping
+    * model). Entries switch to file grain when stats are requested. */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
              predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
-             tag: Option[String] = None): Int =
+             tag: Option[String] = None,
+             statsCols: Seq[String] = Nil): Int =
     commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
       df.write.parquet(dataDir.toString)
-      Seq(dataDir.toString)
+      commitEntries(df.sparkSession, dataDir, None, statsCols)
     }
 
   /** Append `df` as a new commit whose manifest entries carry PARTITION
@@ -301,7 +372,8 @@ object Versioned {
   def commitPartitioned(df: DataFrame, table: String, partCol: String,
       overwrite: Boolean = false,
       predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
-      tag: Option[String] = None): Int =
+      tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int =
     commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
       df.withColumn(partDirCol,
           when(col(partCol).isNull, raise_error(lit(
@@ -309,28 +381,13 @@ object Versioned {
               "every pruned snapshot read")))
             .otherwise(col(partCol).cast("string")))
         .write.partitionBy(partDirCol).parquet(dataDir.toString)
-      partitionedEntries(dataDir, partCol)
+      commitEntries(df.sparkSession, dataDir, Some(partCol), statsCols)
     }
 
   /** The internal Hive-dir column [[commitPartitioned]] writes — a COPY
     * of the caller's partition column, so the original stays IN the data
     * files (manifest-pruned reads never reconstruct columns from paths). */
   private val partDirCol = "__pv"
-
-  /** file-grain manifest lines `path\tpartCol=value` for every parquet
-    * file under a partitioned commit dir, value taken verbatim from the
-    * writer's directory segment (Hive-escaped — round-trips exactly). */
-  private def partitionedEntries(dataDir: Path, partCol: String): Seq[String] =
-    walkDir(dataDir)
-      .filter(f => Files.isRegularFile(f) &&
-        f.getFileName.toString.endsWith(".parquet"))
-      .map { f =>
-        val seg = f.getParent.getFileName.toString
-        require(seg.startsWith(partDirCol + "="),
-          s"partitioned commit file $f not under a $partDirCol= dir")
-        formatEntry(f.toAbsolutePath.toString,
-          Some((partCol, seg.stripPrefix(partDirCol + "="))))
-      }.sorted
 
   /** Shared claim → write → land skeleton of [[commit]] /
     * [[commitPartitioned]]; `write` produces the new manifest entries. */
@@ -385,6 +442,36 @@ object Versioned {
     else spark.read.parquet(kept.distinct: _*)
   }
 
+  /** Read the snapshot PRUNED by FILE STATS: keep only files whose
+    * recorded `s:col=min..max` range can intersect [lo, hi] — range
+    * data-skipping on a NON-partition column from the manifest alone,
+    * the other half of the Delta/Iceberg metadata-pruning model next to
+    * [[snapshotWhere]]'s partition pruning. Files without a stat for
+    * `column` (dir-grain commits, all-null files) are kept
+    * conservatively — correctness never depends on the pruning; the
+    * caller applies the exact predicate on top. */
+  def snapshotRange(spark: SparkSession, table: String, column: String,
+                    lo: Long, hi: Long,
+                    version: Int = Int.MaxValue): DataFrame = {
+    val v = math.min(version, latestVersion(table))
+    require(v >= 1, s"no commits in $table")
+    val key = s"s:$column"
+    val kept = manifestEntries(table, v).flatMap(expandEntryAll).collect {
+      case (f, metas) =>
+        metas.find(_._1 == key) match {
+          case Some((_, rng)) =>
+            val i = rng.indexOf("..")
+            val (mn, mx) = (rng.substring(0, i).toLong,
+              rng.substring(i + 2).toLong)
+            if (mx >= lo && mn <= hi) Some(f) else None
+          case None => Some(f)
+        }
+    }.flatten
+    if (kept.isEmpty)
+      snapshot(spark, table, v).where(lit(false))
+    else spark.read.parquet(kept.distinct: _*)
+  }
+
   /** SNAPSHOT-ISOLATED row-level delete — [[Deletes.deleteWhere]]'s
     * file-targeted shape expressed as a manifest commit: one discovery
     * scan finds the affected files, ONLY their survivors are rewritten
@@ -420,7 +507,7 @@ object Versioned {
                   sortCols: Seq[String] = Nil): Int = {
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
-    val allEntries = manifestEntries(table, v).flatMap(expandEntry)
+    val allEntries = manifestEntries(table, v).flatMap(expandEntryAll)
       .distinctBy(_._1)
     val allFiles = allEntries.map(_._1)
     val df = spark.read.parquet(allFiles: _*)
@@ -430,18 +517,24 @@ object Versioned {
       .collect().map(r => fileOfUri(r.getString(0))).toSet
     if (affected.isEmpty) return v
     val aff = spark.read.parquet(affected.toSeq: _*)
-    // PARTITION-METADATA PRESERVATION: when every affected file carries
-    // metadata on one column, the survivors are rewritten partitioned on
-    // it and the new entries carry per-file metadata again — a compliance
-    // delete on a versioned z-layout/IVF index keeps [[snapshotWhere]]'s
-    // file pruning intact through the rewrite (untouched files keep
-    // their original metadata lines verbatim either way).
-    val affectedMetaCols = allEntries
-      .filter(e => affected.contains(e._1)).map(_._2.map(_._1)).distinct
-    val partMetaCol = affectedMetaCols match {
+    // METADATA PRESERVATION through the rewrite: when every affected file
+    // carries partition metadata on one column, the survivors are
+    // rewritten partitioned on it; stat columns present on EVERY affected
+    // file are recomputed for the rewritten files — a compliance delete
+    // on a versioned z-layout/IVF/stats table keeps [[snapshotWhere]] and
+    // [[snapshotRange]] pruning intact (untouched files keep their
+    // original metadata lines verbatim either way).
+    val affectedMetas = allEntries.filter(e => affected.contains(e._1))
+    val partMetaCol = affectedMetas
+      .map(_._2.collectFirst { case (k, _) if !k.startsWith("s:") => k })
+      .distinct match {
       case Seq(Some(c)) => Some(c)
       case _ => None
     }
+    val statCols = affectedMetas
+      .map(_._2.collect { case (k, _) if k.startsWith("s:") =>
+        k.stripPrefix("s:") }.toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty).toSeq.sorted
     val nv = claimMaintenance(table, v)
     val newDir = Paths.get(table, "data", s"c$nv")
     try {
@@ -451,7 +544,10 @@ object Versioned {
         case Some(c) =>
           survivors.withColumn(partDirCol, col(c).cast("string"))
             .write.partitionBy(partDirCol).parquet(newDir.toString)
-          partitionedEntries(newDir, c)
+          commitEntries(spark, newDir, Some(c), statCols)
+        case None if statCols.nonEmpty =>
+          survivors.write.parquet(newDir.toString)
+          commitEntries(spark, newDir, None, statCols)
         case None =>
           survivors.write.parquet(newDir.toString)
           // an all-matching delete leaves survivors empty and the commit
@@ -462,7 +558,7 @@ object Versioned {
           else Nil
       }
       val entries = allEntries.filterNot(e => affected.contains(e._1))
-        .map((formatEntry _).tupled) ++ newEntries
+        .map((formatEntryAll _).tupled) ++ newEntries
       require(entries.nonEmpty,
         s"deleteWhere would remove EVERY row of $table — a manifest " +
           "cannot represent a schema-less empty table; land an explicit " +
@@ -493,25 +589,32 @@ object Versioned {
     require(smallBytes > 0, "smallBytes must be positive")
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
-    val allEntries = manifestEntries(table, v).flatMap(expandEntry)
+    val allEntries = manifestEntries(table, v).flatMap(expandEntryAll)
       .distinctBy(_._1)
-    val sized = allEntries.map { case (f, meta) =>
-      (f, meta, Files.size(Paths.get(f)))
+    val sized = allEntries.map { case (f, metas) =>
+      (f, metas, Files.size(Paths.get(f)))
     }
     val (small, big) = sized.partition(_._3 < smallBytes)
     if (small.size < 2) return v
     val nOut = math.max(1,
       math.ceil(small.map(_._3).sum.toDouble / smallBytes).toInt)
-    // as in [[deleteWhere]]: uniform single-column metadata on the small
-    // files → the compacted replacement is rewritten per partition value
-    // (shuffle at small-file grain — each value's rows coalesce into one
-    // output) and its entries carry metadata, so manifest pruning
-    // survives the OPTIMIZE. Mixed/absent metadata falls back to the
-    // order-preserving coalesce (no shuffle).
-    val partMetaCol = small.map(_._2.map(_._1)).distinct match {
+    // as in [[deleteWhere]]: uniform single-column partition metadata on
+    // the small files → the compacted replacement is rewritten per
+    // partition value (shuffle at small-file grain — each value's rows
+    // coalesce into one output); stat columns present on EVERY small
+    // file are recomputed for the replacements — manifest pruning
+    // survives the OPTIMIZE on both axes. Mixed/absent metadata falls
+    // back to the order-preserving coalesce (no shuffle).
+    val partMetaCol = small
+      .map(_._2.collectFirst { case (k, _) if !k.startsWith("s:") => k })
+      .distinct match {
       case Seq(Some(c)) => Some(c)
       case _ => None
     }
+    val statCols = small
+      .map(_._2.collect { case (k, _) if k.startsWith("s:") =>
+        k.stripPrefix("s:") }.toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty).toSeq.sorted
     val nv = claimMaintenance(table, v)
     val newDir = Paths.get(table, "data", s"c$nv")
     try {
@@ -522,13 +625,16 @@ object Versioned {
             .sortWithinPartitions((c +: sortCols).map(col): _*)
             .withColumn(partDirCol, col(c).cast("string"))
             .write.partitionBy(partDirCol).parquet(newDir.toString)
-          partitionedEntries(newDir, c)
+          commitEntries(spark, newDir, Some(c), statCols)
+        case None if statCols.nonEmpty =>
+          sm.coalesce(nOut).write.parquet(newDir.toString)
+          commitEntries(spark, newDir, None, statCols)
         case None =>
           sm.coalesce(nOut).write.parquet(newDir.toString)
           Seq(newDir.toString)
       }
       landManifest(table, nv,
-        big.map(e => formatEntry(e._1, e._2)) ++ newEntries)
+        big.map(e => formatEntryAll(e._1, e._2)) ++ newEntries)
     } catch {
       case t: Throwable => abandonClaim(table, nv, newDir); throw t
     }

@@ -1134,6 +1134,53 @@ object DomainQueries {
         .orderBy("status")
     },
 
+    // FILE-STATS data skipping in the versioned manifest (io.Versioned
+    // snapshotRange — the Delta/Iceberg min/max model next to
+    // snapshotWhere's partition pruning): orders land range-clustered on
+    // a bounded key residue with per-file min/max recorded in the
+    // manifest, a range read prunes FILES from metadata alone
+    // (require-pinned strict subset, no footer reads), a delete INSIDE
+    // the range rewrites survivors WITH fresh stats so pruning survives
+    // the maintenance commit, and the exact predicates apply on top. The
+    // oracle is the plain residue-range filter minus the deleted band.
+    Q.sql("q247_versioned_stats_skipping",
+      """WITH m AS (
+        |  SELECT o_orderkey % 4096 AS k, o_orderkey, o_totalprice
+        |  FROM orders)
+        |SELECT k // 256 AS kb, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM m
+        |WHERE k BETWEEN 1000 AND 2000 AND NOT (k BETWEEN 1200 AND 1300)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q247vst").toString + "/orders_st"
+      val base = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          pmod(col("o_orderkey"), lit(4096)).cast("long").as("k"))
+        .repartitionByRange(12, col("k")).sortWithinPartitions("k")
+      val v1 = graft.io.Versioned.commit(base, tbl, statsCols = Seq("k"))
+      def nFiles(df: org.apache.spark.sql.DataFrame) =
+        df.select(input_file_name()).distinct().count()
+      val r1 = graft.io.Versioned.snapshotRange(s, tbl, "k", 1000L, 2000L)
+      require(nFiles(r1) < nFiles(graft.io.Versioned.snapshot(s, tbl, v1)),
+        "manifest stats failed to prune the range read")
+      val v2 = graft.io.Versioned.deleteWhere(s, tbl,
+        col("k").between(1200, 1300), sortCols = Seq("k"))
+      require(v2 == v1 + 1, "delete must land one commit")
+      val r2 = graft.io.Versioned.snapshotRange(s, tbl, "k", 1000L, 2000L)
+      require(nFiles(r2) < nFiles(graft.io.Versioned.snapshot(s, tbl, v2)),
+        "stats pruning lost through the delete rewrite")
+      r2.where(col("k").between(1000, 2000))
+        .groupBy((col("k") / 256).cast("long").as("kb"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("kb")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

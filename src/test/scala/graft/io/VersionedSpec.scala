@@ -255,6 +255,46 @@ class VersionedSpec extends SparkSpec {
     intercept[Exception] { Versioned.snapshot(spark, tbl, 1).count() }
   }
 
+  test("manifest file stats: snapshotRange prunes files by recorded " +
+    "min/max; delete and OPTIMIZE recompute stats for rewritten files; " +
+    "stat-less files are kept conservatively") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("verstat").toString + "/t"
+    val df = (0 until 4000).map(i => (i.toLong, s"p_$i")).toDF("id", "pay")
+      .repartitionByRange(8, $"id").sortWithinPartitions("id")
+    Versioned.commit(df, tbl, statsCols = Seq("id"))
+    def files(d: org.apache.spark.sql.DataFrame) =
+      d.select(input_file_name()).distinct().as[String].collect().toSet
+    val full = Versioned.snapshot(spark, tbl)
+    val ranged = Versioned.snapshotRange(spark, tbl, "id", 500L, 999L)
+    assert(files(ranged).size < files(full).size,
+      "stats failed to prune the range read")
+    // conservative superset: every in-range row present; exact predicate
+    // on top gives exactly the range
+    assert(ranged.where($"id".between(500, 999)).count() === 500L)
+    // delete inside the range: survivors are rewritten WITH fresh stats,
+    // so the pruned read stays pruned and exact
+    val v2 = Versioned.deleteWhere(spark, tbl, $"id".between(600, 699),
+      sortCols = Seq("id"))
+    val ranged2 = Versioned.snapshotRange(spark, tbl, "id", 500L, 999L)
+    assert(files(ranged2).size <
+      files(Versioned.snapshot(spark, tbl, v2)).size,
+      "delete dropped the file stats — range pruning lost")
+    assert(ranged2.where($"id".between(500, 999)).count() === 400L)
+    // OPTIMIZE recomputes stats on the coalesced replacements too
+    val v3 = Versioned.compactSmallFiles(spark, tbl, smallBytes = 64L << 20,
+      sortCols = Seq("id"))
+    assert(v3 == v2 + 1)
+    val ranged3 = Versioned.snapshotRange(spark, tbl, "id", 500L, 999L)
+    assert(ranged3.where($"id".between(500, 999)).count() === 400L)
+    // a stat-less commit (plain dir grain) is kept conservatively
+    Versioned.commit(Seq((100000L, "x")).toDF("id", "pay"), tbl)
+    val ranged4 = Versioned.snapshotRange(spark, tbl, "id", 500L, 999L)
+    assert(ranged4.where($"id".between(500, 999)).count() === 400L)
+    assert(Versioned.snapshotRange(spark, tbl, "id", 99000L, 200000L)
+      .where($"id" >= 99000L).count() === 1L)
+  }
+
   test("vacuum's empty-dir prune leaves a data dir above the landed " +
     "boundary alone — an in-flight writer's dir mid-write is never swept") {
     val tbl = java.nio.file.Files.createTempDirectory("verinf").toString + "/t"
