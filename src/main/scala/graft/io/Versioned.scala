@@ -9,37 +9,53 @@ import org.apache.spark.sql.functions._
 
 /** Minimal snapshot-versioned parquet table — the table-format kernel
   * (Delta/Iceberg's core idea) expressed engine-side: data files are
-  * IMMUTABLE once written, and a numbered manifest lists exactly the files
-  * belonging to each version. Readers resolve a manifest, never a
+  * IMMUTABLE once written, and a numbered manifest log defines exactly the
+  * files belonging to each version. Readers resolve the log, never a
   * directory listing, so:
-  *  - time travel = read an old manifest (q165);
+  *  - time travel = resolve an old version (q165);
   *  - snapshot isolation = a reader holding version N is untouched by any
   *    later commit (new files are invisible until their manifest lands);
   *  - commits are atomic at the manifest-file level (staging write +
-  *    ATOMIC_MOVE rename), the same unit every real table format relies
+  *    CREATE-NEW hard link), the same unit every real table format relies
   *    on.
   *
+  * SCALE MODEL — delta-log + checkpoints (the Delta Lake shape): each
+  * commit's manifest records only that commit's CHANGES (`+entry` adds,
+  * `-path` removes), so commit cost is O(files touched), never O(table
+  * files) — at ~10⁶ files (100 TB) an append writes a few lines, not a
+  * corpus-sized snapshot. Every [[checkpointInterval]] versions a
+  * CHECKPOINT file materializes the full resolved entry list; snapshot
+  * resolution reads latest-checkpoint-≤-v plus the delta tail, so read
+  * cost is O(table files + interval·Δ) once, not O(versions · files).
+  * [[lastResolveCost]] exposes the work each resolution actually did —
+  * VersionedSpec gates the bound so an O(chain) read path can't silently
+  * return.
+  *
   * Layout: `<table>/data/c<N>/part-*.parquet` per commit,
-  * `<table>/_versions/<N>` = newline-separated entry list. An entry is a
-  * data DIR (whole-commit grain — append/overwrite commits) or an
+  * `<table>/_versions/<N>` = the version's manifest,
+  * `<table>/_versions/<N>.ckpt` = full entry-list checkpoint. An entry is
+  * a data DIR (whole-commit grain — append/overwrite commits) or an
   * individual parquet FILE (the grain [[deleteWhere]] and
   * [[compactSmallFiles]] need to retire a file subset while older
-  * manifests keep resolving it), optionally carrying a PARTITION VALUE
+  * versions keep resolving it), optionally carrying a PARTITION VALUE
   * ([[commitPartitioned]] — [[snapshotWhere]] then prunes files from the
   * manifest alone, the Delta/Iceberg metadata-pruning model the zb=/cell=
-  * layouts compose with). A `#tag=` header line records an idempotency
-  * tag atomically with the commit (the streaming sink's exactly-once
-  * epoch boundary). Manifests are metadata-sized; the parquet reader
-  * accepts both grains directly.
+  * layouts compose with) and per-file MIN/MAX STATS (read from parquet
+  * FOOTERS at commit time — no extra data scan; [[snapshotRange]] prunes
+  * by them). A `#tag=` header line records an idempotency tag atomically
+  * with the commit (the streaming sink's exactly-once epoch boundary);
+  * a `#ts=` header records the commit wall-clock, the retention clock
+  * [[vacuum]] trusts (file mtimes don't survive object-store copies).
   *
   * MAINTENANCE AS COMMITS (the transactional counterpart of
   * [[Deletes]]/[[Compaction]]'s directory-swap operations): a versioned
-  * delete or compaction writes ONLY NEW files and lands a new manifest —
-  * no live file is ever renamed or removed, so a reader pinned to
-  * version N sees identical results before, during, and after the
-  * operation, and a crash mid-operation leaves at worst an orphaned
-  * data dir that [[vacuum]] clears. Physical removal of retired files is
-  * deferred to [[vacuum]], the explicit retention boundary. */
+  * delete or compaction writes ONLY NEW files and lands a delta manifest
+  * removing exactly the entries it retired — no live file is ever renamed
+  * or removed, so a reader pinned to version N sees identical results
+  * before, during, and after the operation, and a crash mid-operation
+  * leaves at worst an orphaned data dir that [[vacuum]] clears. Physical
+  * removal of retired files is deferred to [[vacuum]], the explicit
+  * retention boundary. */
 object Versioned {
 
   private def versionsDir(table: String) = Paths.get(table, "_versions")
@@ -61,30 +77,35 @@ object Versioned {
 
   // --- manifest line format ---
   //
-  // A manifest is newline-separated lines, oldest format first:
-  //   <path>                      data dir or parquet file (whole grain)
-  //   <path>\t<col>=<value>       parquet FILE carrying its partition
-  //                               value — the grain [[commitPartitioned]]
-  //                               writes so reads can prune FILES by
-  //                               partition value from the manifest alone
-  //                               (no Hive directory listing — the
-  //                               Delta/Iceberg metadata-pruning model)
-  //   #key=value                  header comment (e.g. the idempotency
-  //                               tag [[commit]] records); never a path
-  // Paths may not contain tabs or leading '#'; partition values are
-  // stored exactly as the writer's partition-directory segment encodes
-  // them (Spark's Hive escaping), so they round-trip verbatim.
-
+  // A manifest is newline-separated lines:
+  //   #key=value                  header (e.g. `#ts=` commit epoch-millis,
+  //                               `#tag=` idempotency tag); never a path
+  //   #delta                      marks a DELTA manifest: body lines are
+  //                               `+<entry>` (add) / `-<path>` (remove
+  //                               every resolved entry with that path)
+  //   <entry>                     (no `#delta` header) a FULL manifest —
+  //                               the body REPLACES the resolved list
+  //                               (overwrite commits; pre-delta-format
+  //                               manifests read unchanged)
+  //
   // An entry line is `path` plus tab-separated `key=value` metadata
   // fields: a plain `col=value` pair is the file's PARTITION value
-  // ([[commitPartitioned]]); an `s:col=min..max` pair is a FILE STAT
-  // (long-valued inclusive range — the Delta/Iceberg data-skipping
-  // model: [[snapshotRange]] prunes files whose range cannot intersect a
-  // predicate, no footer reads, no directory listing).
+  // ([[commitPartitioned]]) recorded UNESCAPED (the raw value, not
+  // Spark's Hive-escaped dir segment — [[snapshotWhere]] compares raw
+  // caller values); an `s:col=min..max` pair is a FILE STAT (long-valued
+  // inclusive range — the Delta/Iceberg data-skipping model:
+  // [[snapshotRange]] prunes files whose range cannot intersect a
+  // predicate, no footer reads at read time, no directory listing).
+  // [[landManifest]] VALIDATES every line at write time (no tabs in
+  // paths, no '='-less metadata, no '#'/'+'/'-'-leading paths), so a
+  // malformed manifest fails loudly at commit, never as an opaque parse
+  // error at read.
   private def parseEntryAll(line: String): (String, Seq[(String, String)]) = {
     val parts = line.split('\t')
     (parts.head, parts.tail.toSeq.map { meta =>
       val eq = meta.indexOf('=')
+      if (eq < 0) throw new IllegalArgumentException(
+        s"malformed manifest entry (metadata field without '='): $line")
       (meta.substring(0, eq), meta.substring(eq + 1))
     })
   }
@@ -94,17 +115,18 @@ object Versioned {
     (path, metas.find(!_._1.startsWith("s:")))
   }
 
-  private def formatEntry(path: String,
-                          meta: Option[(String, String)]): String =
-    formatEntryAll(path, meta.toSeq)
-
   private def formatEntryAll(path: String,
                              metas: Seq[(String, String)]): String =
     (path +: metas.map { case (k, v) => s"$k=$v" }).mkString("\t")
 
-  /** Latest LANDED version — claim files (`<v>.claim`) and staging names
-    * are ignored, so an in-flight or crashed commit never changes what
-    * readers resolve. */
+  private def entryPath(line: String): String = {
+    val t = line.indexOf('\t')
+    if (t < 0) line else line.substring(0, t)
+  }
+
+  /** Latest LANDED version — claim files (`<v>.claim`), checkpoints and
+    * staging names are ignored, so an in-flight or crashed commit never
+    * changes what readers resolve. */
   def latestVersion(table: String): Int = {
     val d = versionsDir(table)
     if (!Files.exists(d)) 0
@@ -170,14 +192,110 @@ object Versioned {
     }
   }
 
-  private def manifestLines(table: String, v: Int): Seq[String] =
-    Files.readAllLines(versionsDir(table).resolve(v.toString),
-      StandardCharsets.UTF_8).asScala.toSeq
+  private def manifestLines(table: String, v: Int): Seq[String] = {
+    val p = versionsDir(table).resolve(v.toString)
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"manifest $v of $table is missing — the version is below the " +
+          "vacuum retention boundary (time travel there is declared gone) " +
+          "or never landed")
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+  }
 
-  /** Path-bearing manifest lines of version `v` (header comments
-    * filtered; partition metadata retained on each line). */
-  private def manifestEntries(table: String, v: Int): Seq[String] =
-    manifestLines(table, v).filterNot(_.startsWith("#"))
+  // --- snapshot resolution: checkpoint + delta tail ---
+
+  /** Versions between checkpoints. Every commit landing a version
+    * divisible by this writes `<v>.ckpt` (full resolved entry list) after
+    * its manifest, so resolution work is bounded by one checkpoint plus
+    * at most this many delta manifests regardless of chain length. The
+    * checkpoint write is BEST-EFFORT (derivable, idempotent — identical
+    * content for a given version): a crash between manifest and
+    * checkpoint just lengthens the next reader's tail. */
+  val checkpointInterval: Int = 16
+
+  /** Work the most recent [[resolvedEntries]] call did — the CI hook for
+    * the O(checkpoint + tail) read bound (VersionedSpec asserts
+    * `manifestsRead <= checkpointInterval` over a long commit chain; a
+    * full-chain parse fails the gate). */
+  private[graft] final case class ResolveCost(manifestsRead: Int,
+                                              linesParsed: Long,
+                                              checkpointUsed: Option[Int])
+  @volatile private[graft] var lastResolveCost: ResolveCost =
+    ResolveCost(0, 0L, None)
+
+  private def checkpointPath(table: String, v: Int): Path =
+    versionsDir(table).resolve(s"$v.ckpt")
+
+  /** Newest landed checkpoint at or below `v`, if any. */
+  private def latestCheckpointAtOrBelow(table: String, v: Int): Option[Int] = {
+    val d = versionsDir(table)
+    if (!Files.exists(d)) return None
+    listDir(d).map(_.getFileName.toString)
+      .filter(_.endsWith(".ckpt"))
+      .map(_.stripSuffix(".ckpt"))
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toInt).filter(_ <= v)
+      .maxOption
+  }
+
+  /** The full entry list of version `v`: nearest checkpoint ≤ v, then the
+    * delta manifests of the tail applied in order (a FULL manifest in the
+    * tail — an overwrite commit or a pre-delta-format manifest — replaces
+    * the list). This is the ONLY resolution path; every read and every
+    * maintenance commit goes through it, so the cost gate above covers
+    * them all. */
+  private def resolvedEntries(table: String, v: Int): Seq[String] = {
+    var manifests = 0
+    var lines = 0L
+    val ckpt = latestCheckpointAtOrBelow(table, v)
+    var entries: Vector[String] = ckpt match {
+      case Some(k) =>
+        val ls = Files.readAllLines(checkpointPath(table, k),
+          StandardCharsets.UTF_8).asScala.toVector.filter(_.nonEmpty)
+        lines += ls.size
+        ls
+      case None => Vector.empty
+    }
+    var j = ckpt.getOrElse(0) + 1
+    while (j <= v) {
+      val ls = manifestLines(table, j)
+      manifests += 1
+      lines += ls.size
+      val isDelta = ls.contains("#delta")
+      val body = ls.filterNot(l => l.startsWith("#") || l.isEmpty)
+      if (isDelta) {
+        val removes = body.collect { case l if l.startsWith("-") =>
+          l.substring(1) }.toSet
+        val adds = body.collect { case l if l.startsWith("+") =>
+          l.substring(1) }
+        entries =
+          (if (removes.isEmpty) entries
+           else entries.filterNot(e => removes.contains(entryPath(e)))) ++ adds
+      } else entries = body.toVector
+      j += 1
+    }
+    lastResolveCost = ResolveCost(manifests, lines, ckpt)
+    entries
+  }
+
+  /** Write the checkpoint for version `v` (full resolved entry list),
+    * atomically via temp + move. Safe to call concurrently or repeatedly:
+    * the content is a pure function of the version. */
+  private def writeCheckpoint(table: String, v: Int): Unit = {
+    val entries = resolvedEntries(table, v)
+    val target = checkpointPath(table, v)
+    val staging = versionsDir(table).resolve(
+      s"$v.ckpt.staging.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(staging,
+      entries.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def maybeCheckpoint(table: String, v: Int): Unit =
+    if (v % checkpointInterval == 0)
+      try writeCheckpoint(table, v)
+      catch { case _: Exception => () } // derivable; next reader's tail grows
 
   /** The idempotency tag recorded in version `v`'s manifest header, if
     * any — landed atomically WITH the entry list (one file, one
@@ -187,9 +305,28 @@ object Versioned {
     manifestLines(table, v).find(_.startsWith("#tag="))
       .map(_.stripPrefix("#tag="))
 
+  /** The commit wall-clock of version `v` (epoch millis) — the `#ts=`
+    * header [[landManifest]] stamps, falling back to the manifest file's
+    * mtime for pre-format manifests. [[vacuum]]'s time retention keys off
+    * THIS, not the filesystem: mtimes don't survive object-store copies
+    * or backup restores, the commit header does. */
+  def versionTimestamp(table: String, v: Int): Long =
+    manifestLines(table, v).find(_.startsWith("#ts="))
+      .flatMap(_.stripPrefix("#ts=").toLongOption)
+      .getOrElse(Files.getLastModifiedTime(
+        versionsDir(table).resolve(v.toString)).toMillis)
+
   /** Largest numeric suffix among landed tags with the given prefix
     * (e.g. prefix "epoch:" over tags "epoch:7") — the streaming sink's
-    * replay boundary, resolved ONCE at stream (re)start. */
+    * replay boundary, resolved ONCE at stream (re)start. Tags whose
+    * suffix is not a number are SKIPPED (an operator-written "epoch:final"
+    * must not kill stream startup). Manifests below the vacuum retention
+    * boundary are gone along with their tags: for the exactly-once replay
+    * contract to hold across restarts, vacuum retention MUST cover at
+    * least the last tagged epoch (retainLast ≥ 1 always keeps the latest
+    * version, so a sink tagging every commit is safe by construction —
+    * the caveat bites only when untagged maintenance commits land AFTER
+    * the last epoch and retention is count-tight). */
   def latestTaggedSuffix(table: String, prefix: String): Option[Long] = {
     val v = latestVersion(table)
     if (v < 1) None
@@ -197,7 +334,7 @@ object Versioned {
       .filter(k => Files.exists(versionsDir(table).resolve(k.toString)))
       .flatMap(k => versionTag(table, k))
       .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong)
+      .flatMap(_.stripPrefix(prefix).toLongOption)
       .foldLeft(Option.empty[Long])((m, x) => Some(math.max(m.getOrElse(x), x)))
   }
 
@@ -210,6 +347,29 @@ object Versioned {
         n.stripSuffix(".claim").forall(_.isDigit))
       .map(_.stripSuffix(".claim").toInt).sorted
 
+  /** Reject a body line the parser could not round-trip — called at LAND
+    * time so a path with a tab, an '='-less metadata field, or a
+    * prefix-ambiguous path fails the commit loudly instead of corrupting
+    * the log for every later reader. */
+  private def validateBodyLine(raw: String, delta: Boolean): Unit = {
+    val line =
+      if (delta) {
+        require(raw.startsWith("+") || raw.startsWith("-"),
+          s"delta manifest body line must start with +/-: $raw")
+        raw.substring(1)
+      } else raw
+    if (delta && raw.startsWith("-")) {
+      require(line.nonEmpty && !line.contains('\t'),
+        s"malformed remove line (empty or tabbed path): $raw")
+      return
+    }
+    val (path, _) = parseEntryAll(line) // throws on '='-less metadata
+    require(path.nonEmpty, s"empty path in manifest entry: $raw")
+    require(!path.startsWith("#") && !path.startsWith("+") &&
+      !path.startsWith("-"),
+      s"manifest entry path may not start with '#', '+' or '-': $raw")
+  }
+
   /** Land manifest `v` atomically and CREATE-NEW: the full content goes
     * to a PER-WRITER staging name (a shared name would let one racer
     * truncate another's bytes mid-move), then a hard link claims the
@@ -217,15 +377,21 @@ object Versioned {
     * writers holding the same number (an operator cleared a LIVE
     * writer's claim) can never silently replace a landed manifest; the
     * loser gets a loud error. A reader never observes a partial
-    * manifest; a crash mid-land leaves only a staging file. */
+    * manifest; a crash mid-land leaves only a staging file. Every line
+    * is VALIDATED here (format constraints enforced at write, not
+    * discovered as parse errors at read). */
   private def landManifest(table: String, v: Int,
-                           entries: Seq[String]): Unit = {
+                           lines: Seq[String]): Unit = {
+    val delta = lines.contains("#delta")
+    lines.foreach { l =>
+      if (!l.startsWith("#") && l.nonEmpty) validateBodyLine(l, delta)
+    }
     Files.createDirectories(versionsDir(table))
     val target = versionsDir(table).resolve(v.toString)
     val staging = versionsDir(table).resolve(
       s"$v.staging.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(staging,
-      entries.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(target, staging)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -283,36 +449,69 @@ object Versioned {
   private def expandFiles(entry: String): Seq[String] =
     expandEntryAll(entry).map(_._1)
 
-  /** Per-file long-valued min/max stats for `cols` over the given
-    * parquet files — ONE scan grouped by input_file_name, metadata-sized
-    * result (the Delta write-time stats model as a post-write pass).
-    * All-null columns in a file yield no stat (conservatively kept by
-    * [[snapshotRange]]). Columns must cast to long (integral keys,
-    * dates, z-values). */
-  private def fileStats(spark: SparkSession, files: Seq[String],
+  /** Per-file long-valued min/max for `cols` read from the parquet
+    * FOOTERS — zero data-scan cost (the footers already hold per-chunk
+    * statistics; re-reading every ingested byte to recompute them is the
+    * anti-pattern this replaces). Per file: min of chunk minima / max of
+    * chunk maxima over all row groups; a chunk with MISSING statistics
+    * makes the whole file stat-less for that column (conservative — the
+    * file is then always kept by [[snapshotRange]]); all-null chunks
+    * contribute nothing; an all-null file yields no stat. INT32/INT64
+    * primitive columns only (integral keys, epoch days/millis, z-values
+    * — the long-valued contract `s:` ranges encode). */
+  private[io] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[String],
       cols: Seq[String]): Map[String, Seq[(String, String)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     if (cols.isEmpty || files.isEmpty) return Map.empty
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__mn_$c"),
-      max(col(c).cast("long")).as(s"__mx_$c")))
-    spark.read.parquet(files: _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val f = fileOfUri(r.getString(0))
-        f -> cols.flatMap { c =>
-          val mn = r.getAs[Any](s"__mn_$c")
-          val mx = r.getAs[Any](s"__mx_$c")
-          if (mn == null || mx == null) Nil
-          else Seq((s"s:$c", s"$mn..$mx"))
+    files.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+      val blocks =
+        try reader.getFooter.getBlocks.asScala.toSeq
+        finally reader.close()
+      f -> cols.flatMap { c =>
+        // (min, max) per chunk; None for an all-null chunk; the whole
+        // column drops to stat-less on any unusable chunk
+        val perChunk: Seq[Option[Option[(Long, Long)]]] = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case None => None // column absent from this file's schema
+            case Some(chunk) =>
+              val st = chunk.getStatistics
+              if (st == null || st.isEmpty) None // stats not written
+              else if (!st.hasNonNullValue) {
+                if (st.isNumNullsSet && st.getNumNulls == chunk.getValueCount)
+                  Some(None) // provably all-null chunk: contributes nothing
+                else None    // can't prove all-null: unusable
+              } else chunk.getPrimitiveType.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT64 => Some(Some((
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue())))
+                case PrimitiveTypeName.INT32 => Some(Some((
+                  st.genericGetMin.asInstanceOf[java.lang.Integer].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Integer].longValue())))
+                case _ => None // non-integral physical type: no s: range
+              }
+          }
         }
-      }.toMap
+        if (perChunk.exists(_.isEmpty)) Nil
+        else {
+          val ranges = perChunk.flatten.flatten
+          if (ranges.isEmpty) Nil // all-null file
+          else Seq((s"s:$c",
+            s"${ranges.map(_._1).min}..${ranges.map(_._2).max}"))
+        }
+      }
+    }.toMap
   }
 
   /** Manifest lines for a freshly written commit dir: file grain when
-    * partition metadata or stats are requested (each line carrying
-    * `partCol=value` from its `__pv=` dir segment and `s:col=min..max`
-    * ranges), dir grain otherwise. */
+    * partition metadata or stats are requested (each line carrying the
+    * UNESCAPED `partCol=value` decoded from its `__pv=` dir segment, and
+    * `s:col=min..max` ranges from the parquet footers), dir grain
+    * otherwise. */
   private def commitEntries(spark: SparkSession, dataDir: Path,
       partCol: Option[String], statsCols: Seq[String]): Seq[String] = {
     if (partCol.isEmpty && statsCols.isEmpty) return Seq(dataDir.toString)
@@ -320,13 +519,19 @@ object Versioned {
       .filter(f => Files.isRegularFile(f) &&
         f.getFileName.toString.endsWith(".parquet"))
       .map(_.toAbsolutePath).sortBy(_.toString)
-    val stats = fileStats(spark, files.map(_.toString), statsCols)
+    val stats = footerStats(spark.sparkContext.hadoopConfiguration,
+      files.map(_.toString), statsCols)
     files.map { f =>
       val part = partCol.map { c =>
         val seg = f.getParent.getFileName.toString
         require(seg.startsWith(partDirCol + "="),
           s"partitioned commit file $f not under a $partDirCol= dir")
-        (c, seg.stripPrefix(partDirCol + "="))
+        // store the RAW value: Spark Hive-escapes special characters
+        // (space, ':', '/') into the dir segment — recording the escaped
+        // form would make snapshotWhere(raw value) silently prune
+        // matching files (the ADVICE-r14 finding)
+        (c, org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.stripPrefix(partDirCol + "=")))
       }
       formatEntryAll(f.toString,
         part.toSeq ++ stats.getOrElse(f.toString, Nil))
@@ -337,18 +542,21 @@ object Versioned {
     Paths.get(new java.net.URI(uri)).toAbsolutePath.toString
 
   /** Append `df` as a new commit; returns the new version number.
-    * `overwrite = true` starts the file list fresh (replace semantics).
+    * `overwrite = true` starts the file list fresh (replace semantics —
+    * lands a FULL manifest; appends land DELTA manifests whose size is
+    * O(files in this commit), independent of table size).
     *
     * Concurrency: the version number is CLAIMED atomically before any
-    * write, and the entry list is built from the predecessor manifest
-    * AFTER it lands — concurrent appends serialize into consecutive
-    * versions, each containing all prior commits; none is ever silently
+    * write; concurrent appends serialize into consecutive versions, each
+    * resolving to all prior commits plus its own; none is ever silently
     * replaced (VersionedSpec races N threads and checks every commit's
-    * rows survive into the final snapshot). */
-  /** `statsCols`: record per-file min/max (long-valued) for these columns
+    * rows survive into the final snapshot).
+    *
+    * `statsCols`: record per-file min/max (long-valued) for these columns
     * in the manifest — [[snapshotRange]] then prunes FILES by range
     * predicate from metadata alone (the Delta/Iceberg data-skipping
-    * model). Entries switch to file grain when stats are requested. */
+    * model). Entries switch to file grain when stats are requested; the
+    * ranges come from the parquet FOOTERS (no post-write data scan). */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
              predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
              tag: Option[String] = None,
@@ -361,13 +569,14 @@ object Versioned {
   /** Append `df` as a new commit whose manifest entries carry PARTITION
     * METADATA: the commit dir is written Hive-partitioned on an internal
     * copy of `partCol` (so every data file RETAINS the original column),
-    * and each file's manifest line records its `partCol=value`. Reads
-    * via [[snapshotWhere]] then prune FILES from the manifest alone —
-    * no directory listing, no Hive-layout coupling — which is what lets
-    * the zb=/cell= layouts ([[Layout]], `Similarity`) commit appends and
-    * maintenance as snapshot-isolated versions instead of directory
-    * swaps. NULL partition values abort the write (a null would vanish
-    * into the default partition and silently miss every pruned read —
+    * and each file's manifest line records its `partCol=value` (raw —
+    * dir-segment escaping is decoded). Reads via [[snapshotWhere]] then
+    * prune FILES from the manifest alone — no directory listing, no
+    * Hive-layout coupling — which is what lets the zb=/cell= layouts
+    * ([[Layout]], `Similarity`) commit appends and maintenance as
+    * snapshot-isolated versions instead of directory swaps. NULL and
+    * EMPTY-STRING partition values abort the write (both would vanish
+    * into Hive's default partition and silently miss every pruned read —
     * the same guard as the z-layout's). */
   def commitPartitioned(df: DataFrame, table: String, partCol: String,
       overwrite: Boolean = false,
@@ -376,9 +585,11 @@ object Versioned {
       statsCols: Seq[String] = Nil): Int =
     commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
       df.withColumn(partDirCol,
-          when(col(partCol).isNull, raise_error(lit(
-            s"NULL $partCol — a null partition value would vanish from " +
-              "every pruned snapshot read")))
+          when(col(partCol).isNull || col(partCol).cast("string") === "",
+            raise_error(lit(
+              s"NULL or empty-string $partCol — either would land in " +
+                "Hive's default partition and vanish from every pruned " +
+                "snapshot read")))
             .otherwise(col(partCol).cast("string")))
         .write.partitionBy(partDirCol).parquet(dataDir.toString)
       commitEntries(df.sparkSession, dataDir, Some(partCol), statsCols)
@@ -390,7 +601,10 @@ object Versioned {
   private val partDirCol = "__pv"
 
   /** Shared claim → write → land skeleton of [[commit]] /
-    * [[commitPartitioned]]; `write` produces the new manifest entries. */
+    * [[commitPartitioned]]; `write` produces the new manifest entries.
+    * Lands a DELTA manifest (adds only) unless overwriting — the commit
+    * never reads, rewrites, or re-parses the predecessor's entry list,
+    * which is the O(ΔF) commit-cost contract. */
   private def commitWith(table: String, overwrite: Boolean,
       predecessorTimeoutMs: Long, tag: Option[String])
       (write: Path => Seq[String]): Int = {
@@ -399,15 +613,18 @@ object Versioned {
     try {
       val newEntries = write(dataDir)
       awaitPredecessor(table, v, predecessorTimeoutMs)
-      val prev =
-        if (overwrite || v == 1) Seq.empty
-        else manifestEntries(table, v - 1)
-      landManifest(table, v,
-        tag.map(t => s"#tag=$t").toSeq ++ prev ++ newEntries)
+      val headers = Seq(s"#ts=${System.currentTimeMillis()}") ++
+        tag.map(t => s"#tag=$t")
+      if (overwrite || v == 1)
+        landManifest(table, v, headers ++ newEntries)
+      else
+        landManifest(table, v,
+          headers ++ Seq("#delta") ++ newEntries.map("+" + _))
     } catch {
       case t: Throwable => abandonClaim(table, v, dataDir); throw t
     }
     Files.deleteIfExists(versionsDir(table).resolve(s"$v.claim"))
+    maybeCheckpoint(table, v)
     v
   }
 
@@ -416,7 +633,7 @@ object Versioned {
                version: Int = Int.MaxValue): DataFrame = {
     val v = math.min(version, latestVersion(table))
     require(v >= 1, s"no commits in $table")
-    spark.read.parquet(manifestEntries(table, v).map(parseEntry(_)._1): _*)
+    spark.read.parquet(resolvedEntries(table, v).map(entryPath): _*)
   }
 
   /** Read the snapshot PRUNED to the files whose manifest metadata says
@@ -426,21 +643,12 @@ object Versioned {
     * the files of the requested buckets/cells at any table size. Entries
     * WITHOUT metadata for `partCol` (plain commits mixed into the table)
     * are kept conservatively — correctness never depends on the pruning.
-    * `values` are compared against the writer's directory-segment
-    * encoding (identical to the raw value for numeric layouts). */
+    * `values` are the RAW partition values (escaping is decoded at
+    * commit time). */
   def snapshotWhere(spark: SparkSession, table: String, partCol: String,
                     values: Set[String],
-                    version: Int = Int.MaxValue): DataFrame = {
-    val v = math.min(version, latestVersion(table))
-    require(v >= 1, s"no commits in $table")
-    val kept = manifestEntries(table, v).flatMap(expandEntry).collect {
-      case (f, Some((c, pv))) if c == partCol && values.contains(pv) => f
-      case (f, meta) if !meta.exists(_._1 == partCol) => f
-    }
-    if (kept.isEmpty)
-      snapshot(spark, table, v).where(lit(false))
-    else spark.read.parquet(kept.distinct: _*)
-  }
+                    version: Int = Int.MaxValue): DataFrame =
+    snapshotWhereRanges(spark, table, partCol, values, Nil, version)
 
   /** Read the snapshot PRUNED by FILE STATS: keep only files whose
     * recorded `s:col=min..max` range can intersect [lo, hi] — range
@@ -455,36 +663,51 @@ object Versioned {
                     version: Int = Int.MaxValue): DataFrame = {
     val v = math.min(version, latestVersion(table))
     require(v >= 1, s"no commits in $table")
-    val key = s"s:$column"
-    val kept = manifestEntries(table, v).flatMap(expandEntryAll).collect {
-      case (f, metas) =>
-        metas.find(_._1 == key) match {
-          case Some((_, rng)) =>
-            val i = rng.indexOf("..")
-            val (mn, mx) = (rng.substring(0, i).toLong,
-              rng.substring(i + 2).toLong)
-            if (mx >= lo && mn <= hi) Some(f) else None
-          case None => Some(f)
-        }
-    }.flatten
-    if (kept.isEmpty)
-      snapshot(spark, table, v).where(lit(false))
+    val kept = resolvedEntries(table, v).flatMap(expandEntryAll)
+      .filter { case (_, metas) => statsIntersect(metas, column, lo, hi) }
+      .map(_._1)
+    if (kept.isEmpty) snapshot(spark, table, v).where(lit(false))
     else spark.read.parquet(kept.distinct: _*)
   }
 
-  /** SNAPSHOT-ISOLATED row-level delete — [[Deletes.deleteWhere]]'s
-    * file-targeted shape expressed as a manifest commit: one discovery
-    * scan finds the affected files, ONLY their survivors are rewritten
-    * into the next commit dir (file-locality preserved: survivors stay
-    * grouped by source file, `sortCols` restores within-file order), and
-    * the new manifest lists untouched files at file grain plus the new
-    * dir. Nothing live is renamed or removed, so concurrent readers on
-    * any pinned version are never exposed to a partial table and a crash
-    * anywhere leaves every landed version fully readable. Returns the new
-    * version (the current one when nothing matched — no empty commits).
-    *
-    * NULL discipline as [[Deletes.deleteWhere]]: a NULL-predicate row is
-    * kept. */
+  private def statsIntersect(metas: Seq[(String, String)], column: String,
+                             lo: Long, hi: Long): Boolean =
+    metas.find(_._1 == s"s:$column") match {
+      case Some((_, rng)) =>
+        val i = rng.indexOf("..")
+        val (mn, mx) = (rng.substring(0, i).toLong,
+          rng.substring(i + 2).toLong)
+        mx >= lo && mn <= hi
+      case None => true // no stat: kept conservatively
+    }
+
+  /** Combined metadata pruning in ONE manifest pass: partition-value AND
+    * per-file stat ranges (every range must be able to intersect). The
+    * encoded z-layout's versioned box read composes both — bucket set
+    * via `partCol`, per-dimension CODE ranges via `ranges` — so the file
+    * set shrinks on each axis before any data file opens. Conservative
+    * on missing metadata, like both single-axis reads. */
+  def snapshotWhereRanges(spark: SparkSession, table: String,
+                          partCol: String, values: Set[String],
+                          ranges: Seq[(String, Long, Long)],
+                          version: Int = Int.MaxValue): DataFrame = {
+    val v = math.min(version, latestVersion(table))
+    require(v >= 1, s"no commits in $table")
+    val kept = resolvedEntries(table, v).flatMap(expandEntryAll)
+      .filter { case (_, metas) =>
+        val partOk = metas.find(m => !m._1.startsWith("s:")) match {
+          case Some((c, pv)) if c == partCol => values.contains(pv)
+          case _ => true // no partition metadata: kept conservatively
+        }
+        partOk && ranges.forall { case (c, lo, hi) =>
+          statsIntersect(metas, c, lo, hi)
+        }
+      }
+      .map(_._1)
+    if (kept.isEmpty) snapshot(spark, table, v).where(lit(false))
+    else spark.read.parquet(kept.distinct: _*)
+  }
+
   /** Claim the next version for a MAINTENANCE commit (delete/compaction):
     * unlike an append, a maintenance commit REWRITES part of the base
     * snapshot's file list, so its base must still be the immediate
@@ -503,13 +726,37 @@ object Versioned {
     v
   }
 
+  /** Land a MAINTENANCE delta: `-` lines for every touched base entry
+    * (at its STORED grain), `+` lines for the survivors of touched
+    * dir-grain entries and the operation's new files. Untouched entries
+    * are never rewritten — manifest bytes written scale with files
+    * TOUCHED, not table size. */
+  private def landMaintenanceDelta(table: String, v: Int,
+      removedPaths: Seq[String], added: Seq[String]): Unit =
+    landManifest(table, v,
+      Seq(s"#ts=${System.currentTimeMillis()}", "#delta") ++
+        removedPaths.map("-" + _) ++ added.map("+" + _))
+
+  /** SNAPSHOT-ISOLATED row-level delete — [[Deletes.deleteWhere]]'s
+    * file-targeted shape expressed as a manifest commit: one discovery
+    * scan finds the affected files, ONLY their survivors are rewritten
+    * into the next commit dir (file-locality preserved: survivors stay
+    * grouped by source file, `sortCols` restores within-file order), and
+    * the delta manifest retires exactly the touched entries. Nothing
+    * live is renamed or removed, so concurrent readers on any pinned
+    * version are never exposed to a partial table and a crash anywhere
+    * leaves every landed version fully readable. Returns the new version
+    * (the current one when nothing matched — no empty commits).
+    *
+    * NULL discipline as [[Deletes.deleteWhere]]: a NULL-predicate row is
+    * kept. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
                   sortCols: Seq[String] = Nil): Int = {
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
-    val allEntries = manifestEntries(table, v).flatMap(expandEntryAll)
-      .distinctBy(_._1)
-    val allFiles = allEntries.map(_._1)
+    val stored = resolvedEntries(table, v)
+    val expanded = stored.map(e => (e, expandEntryAll(e)))
+    val allFiles = expanded.flatMap(_._2.map(_._1)).distinct
     val df = spark.read.parquet(allFiles: _*)
     val matchP = coalesce(pred, lit(false))
     val affected = df.where(matchP)
@@ -517,6 +764,13 @@ object Versioned {
       .collect().map(r => fileOfUri(r.getString(0))).toSet
     if (affected.isEmpty) return v
     val aff = spark.read.parquet(affected.toSeq: _*)
+    // touched entries: any stored entry resolving to an affected file —
+    // removed at stored grain; their UNAFFECTED files are re-added
+    // verbatim (file grain, metadata preserved)
+    val touched = expanded.filter(_._2.exists(e => affected.contains(e._1)))
+    val keptOfTouched = touched.flatMap(_._2)
+      .filterNot(e => affected.contains(e._1)).distinctBy(_._1)
+      .map((formatEntryAll _).tupled)
     // METADATA PRESERVATION through the rewrite: when every affected file
     // carries partition metadata on one column, the survivors are
     // rewritten partitioned on it; stat columns present on EVERY affected
@@ -524,7 +778,8 @@ object Versioned {
     // on a versioned z-layout/IVF/stats table keeps [[snapshotWhere]] and
     // [[snapshotRange]] pruning intact (untouched files keep their
     // original metadata lines verbatim either way).
-    val affectedMetas = allEntries.filter(e => affected.contains(e._1))
+    val affectedMetas = touched.flatMap(_._2)
+      .filter(e => affected.contains(e._1)).distinctBy(_._1)
     val partMetaCol = affectedMetas
       .map(_._2.collectFirst { case (k, _) if !k.startsWith("s:") => k })
       .distinct match {
@@ -557,30 +812,32 @@ object Versioned {
           if (expandFiles(newDir.toString).nonEmpty) Seq(newDir.toString)
           else Nil
       }
-      val entries = allEntries.filterNot(e => affected.contains(e._1))
-        .map((formatEntryAll _).tupled) ++ newEntries
-      require(entries.nonEmpty,
+      val touchedPaths = touched.map(t => entryPath(t._1)).toSet
+      val remaining = stored.count(e => !touchedPaths.contains(entryPath(e)))
+      require(remaining + keptOfTouched.size + newEntries.size > 0,
         s"deleteWhere would remove EVERY row of $table — a manifest " +
           "cannot represent a schema-less empty table; land an explicit " +
           "empty frame via commit(emptyDf, overwrite = true) instead")
-      landManifest(table, nv, entries)
+      landMaintenanceDelta(table, nv, touchedPaths.toSeq.sorted,
+        keptOfTouched ++ newEntries)
     } catch {
       case t: Throwable => abandonClaim(table, nv, newDir); throw t
     }
     Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    maybeCheckpoint(table, nv)
     nv
   }
 
   /** SNAPSHOT-ISOLATED small-file compaction — the OPTIMIZE commit:
-    * files under `smallBytes` are coalesced (no shuffle — partition
-    * concatenation preserves row order and clustering) into ~`smallBytes`
-    * outputs in the next commit dir; the new manifest keeps every large
-    * file at file grain and swaps the small ones for the new dir. Same
+    * files under `smallBytes` are coalesced into ~`smallBytes` outputs in
+    * the next commit dir; the delta manifest keeps every large file
+    * untouched and swaps the small ones for the new files. Same
     * isolation story as [[deleteWhere]]: pinned readers never see the
     * transition; retired small files stay on disk for older versions
     * until [[vacuum]]. Returns the new version (current when <2 small
-    * files — nothing to gain). */
-  /** `sortCols`: within-file order restored in the PARTITIONED rewrite
+    * files — nothing to gain).
+    *
+    * `sortCols`: within-file order restored in the PARTITIONED rewrite
     * path (a z-layout's zv clustering must survive its own OPTIMIZE);
     * the plain coalesce path preserves row order by construction. */
   def compactSmallFiles(spark: SparkSession, table: String,
@@ -589,22 +846,21 @@ object Versioned {
     require(smallBytes > 0, "smallBytes must be positive")
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
-    val allEntries = manifestEntries(table, v).flatMap(expandEntryAll)
-      .distinctBy(_._1)
-    val sized = allEntries.map { case (f, metas) =>
-      (f, metas, Files.size(Paths.get(f)))
-    }
-    val (small, big) = sized.partition(_._3 < smallBytes)
+    val stored = resolvedEntries(table, v)
+    val expanded = stored.map(e => (e, expandEntryAll(e).map { case (f, m) =>
+      (f, m, Files.size(Paths.get(f))) }))
+    val small = expanded.flatMap(_._2).distinctBy(_._1)
+      .filter(_._3 < smallBytes)
     if (small.size < 2) return v
+    val smallSet = small.map(_._1).toSet
     val nOut = math.max(1,
       math.ceil(small.map(_._3).sum.toDouble / smallBytes).toInt)
     // as in [[deleteWhere]]: uniform single-column partition metadata on
     // the small files → the compacted replacement is rewritten per
-    // partition value (shuffle at small-file grain — each value's rows
-    // coalesce into one output); stat columns present on EVERY small
-    // file are recomputed for the replacements — manifest pruning
-    // survives the OPTIMIZE on both axes. Mixed/absent metadata falls
-    // back to the order-preserving coalesce (no shuffle).
+    // partition value; stat columns present on EVERY small file are
+    // recomputed for the replacements — manifest pruning survives the
+    // OPTIMIZE on both axes. Mixed/absent metadata falls back to the
+    // order-preserving coalesce (no shuffle).
     val partMetaCol = small
       .map(_._2.collectFirst { case (k, _) if !k.startsWith("s:") => k })
       .distinct match {
@@ -621,7 +877,18 @@ object Versioned {
       val sm = spark.read.parquet(small.map(_._1): _*)
       val newEntries = partMetaCol match {
         case Some(c) =>
-          sm.repartition(math.max(nOut, 1), col(c))
+          // RANGE-partition the rewrite on (partition value, sortCols) —
+          // a hash repartition on the value alone funnels a HOT partition
+          // value into ONE task and one arbitrarily large unsplittable
+          // output file (the ADVICE-r14 skew finding); ranging on the
+          // sort key splits a hot value across ~nOut bounded files while
+          // cold values stay contiguous (≈1 file each). With no sortCols
+          // to range on, a deterministic row hash salts the boundary.
+          val rangeCols =
+            if (sortCols.nonEmpty) (c +: sortCols).map(col)
+            else Seq(col(c),
+              pmod(xxhash64(sm.columns.map(col): _*), lit(1 << 16)))
+          sm.repartitionByRange(math.max(nOut, 1), rangeCols: _*)
             .sortWithinPartitions((c +: sortCols).map(col): _*)
             .withColumn(partDirCol, col(c).cast("string"))
             .write.partitionBy(partDirCol).parquet(newDir.toString)
@@ -633,16 +900,24 @@ object Versioned {
           sm.coalesce(nOut).write.parquet(newDir.toString)
           Seq(newDir.toString)
       }
-      landManifest(table, nv,
-        big.map(e => formatEntryAll(e._1, e._2)) ++ newEntries)
+      // touched entries: any stored entry resolving to a small file;
+      // their big files are re-added verbatim at file grain
+      val touched = expanded.filter(_._2.exists(e => smallSet.contains(e._1)))
+      val keptOfTouched = touched.flatMap(_._2)
+        .filterNot(e => smallSet.contains(e._1)).distinctBy(_._1)
+        .map(e => formatEntryAll(e._1, e._2))
+      landMaintenanceDelta(table, nv,
+        touched.map(t => entryPath(t._1)).distinct.sorted,
+        keptOfTouched ++ newEntries)
     } catch {
       case t: Throwable => abandonClaim(table, nv, newDir); throw t
     }
     Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    maybeCheckpoint(table, nv)
     nv
   }
 
-  /** Physically remove data files referenced by NO retained manifest and
+  /** Physically remove data files referenced by NO retained version and
     * drop manifests older than the retention window. This is the ONLY
     * destructive operation in the module — everything else strictly adds
     * files; time travel below the retention boundary stops working, by
@@ -651,16 +926,20 @@ object Versioned {
     *
     * Retention is the UNION of two windows: the last `retainLast`
     * versions by count, plus (when `olderThanMs >= 0`) every version
-    * whose manifest landed within the last `olderThanMs` milliseconds —
-    * the "retain 7 days" policy real operators set (versions land in
+    * whose COMMIT TIMESTAMP (`#ts=` manifest header; file mtime for
+    * pre-format manifests) is within the last `olderThanMs` milliseconds
+    * — the "retain 7 days" policy real operators set (versions land in
     * number order, so the time-retained set is always a suffix and the
     * kept range stays contiguous). `olderThanMs < 0` disables the time
-    * window (count-only, the original behavior).
+    * window (count-only, the original behavior). Before dropping old
+    * manifests, a CHECKPOINT is written at the new retention head so
+    * every retained version keeps resolving without the dropped tail.
     *
     * `dryRun = true` REPORTS the files the sweep would remove and
     * performs NO destructive action of any kind — no file deletes, no
-    * manifest drops, no claim/staging cleanup — so an operator can
-    * review the plan before the one destructive operation here. */
+    * manifest drops, no claim/staging cleanup. The dry-run plan passes
+    * the SAME late-claim re-check the real sweep enforces, so plan and
+    * execution see the same guard (a racing writer aborts both). */
   def vacuum(table: String, retainLast: Int = 1,
              olderThanMs: Long = -1L, dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
@@ -690,14 +969,23 @@ object Versioned {
       else {
         val cutoff = System.currentTimeMillis() - olderThanMs
         val timeHead = (1 to v).find { k =>
-          val m = versionsDir(table).resolve(k.toString)
-          Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= cutoff
+          Files.exists(versionsDir(table).resolve(k.toString)) &&
+            versionTimestamp(table, k) >= cutoff
         }.getOrElse(v)
         math.min(countHead, timeHead)
       }
-    val keep = keepHead to v
-    val referenced = keep.flatMap(k =>
-      manifestEntries(table, k).flatMap(expandFiles)).toSet
+    // referenced = resolved list at the retention head ∪ every entry
+    // ADDED after it — one incremental pass, not one full resolution per
+    // retained version (removed-then-re-kept files stay safe: a file in
+    // any retained version is either in the head's list or added after)
+    val referenced = (resolvedEntries(table, keepHead) ++
+      ((keepHead + 1) to v).flatMap { k =>
+        val ls = manifestLines(table, k)
+        val body = ls.filterNot(l => l.startsWith("#") || l.isEmpty)
+        if (ls.contains("#delta"))
+          body.collect { case l if l.startsWith("+") => l.substring(1) }
+        else body
+      }).flatMap(expandFiles).toSet
     val dataRoot = Paths.get(table, "data")
     val removed = Seq.newBuilder[String]
     if (Files.exists(dataRoot)) {
@@ -706,13 +994,15 @@ object Versioned {
           f.getFileName.toString.endsWith(".parquet"))
         .map(_.toAbsolutePath)
       val toDelete = all.filterNot(f => referenced.contains(f.toString))
-      if (dryRun) return toDelete.map(_.toString)
       // second look after enumerating the deletion list: a commit that
-      // claimed while we walked would lose its files to the sweep
+      // claimed while we walked would lose its files to the sweep. The
+      // dry-run plan takes the SAME guard, so the reported plan is one
+      // the real sweep could actually execute.
       val late = inflightClaims()
       require(late.isEmpty,
         s"vacuum aborted before deleting anything: commit claim(s) " +
           s"${late.mkString(", ")} appeared during the file walk")
+      if (dryRun) return toDelete.map(_.toString)
       toDelete.foreach { f =>
         if (Files.deleteIfExists(f)) removed += f.toString
       }
@@ -736,8 +1026,13 @@ object Versioned {
         }
       }
     } else if (dryRun) return Nil
-    (1 until keep.head).foreach { k =>
+    // the retention head must stay resolvable after its delta ancestry is
+    // dropped: materialize its checkpoint BEFORE removing any manifest
+    if (keepHead > 1 && !Files.exists(checkpointPath(table, keepHead)))
+      writeCheckpoint(table, keepHead)
+    (1 until keepHead).foreach { k =>
       Files.deleteIfExists(versionsDir(table).resolve(k.toString)): Unit
+      Files.deleteIfExists(checkpointPath(table, k)): Unit
     }
     // orphaned claims of writers that died before landing: any claim at
     // or below the latest LANDED version can never land (the number is

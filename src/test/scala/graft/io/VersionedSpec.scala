@@ -241,12 +241,29 @@ class VersionedSpec extends SparkSpec {
     // a generous time window retains everything despite retainLast=1
     assert(Versioned.vacuum(tbl, retainLast = 1,
       olderThanMs = 24L * 3600 * 1000, dryRun = true).isEmpty)
-    // age manifests 1 and 2 beyond the window → the sweep may take c1
-    (1 to 2).foreach { k =>
+    // retention keys off the COMMIT TIMESTAMP header, not file mtime —
+    // mtimes don't survive object-store copies or backup restores, so
+    // tampering them must change NOTHING about what's retained
+    (1 to 3).foreach { k =>
       java.nio.file.Files.setLastModifiedTime(
         java.nio.file.Paths.get(tbl, "_versions", k.toString),
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3600 * 1000))
+          System.currentTimeMillis() - 48L * 3600 * 1000))
+    }
+    assert(Versioned.vacuum(tbl, retainLast = 1,
+      olderThanMs = 24L * 3600 * 1000, dryRun = true).isEmpty,
+      "vacuum trusted a filesystem mtime over the #ts= commit header")
+    // age commits 1 and 2 FOR REAL — rewrite their #ts= headers beyond
+    // the window (the only clock retention reads) → the sweep takes c1
+    (1 to 2).foreach { k =>
+      val p = java.nio.file.Paths.get(tbl, "_versions", k.toString)
+      val aged = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.map { l =>
+          if (l.startsWith("#ts="))
+            s"#ts=${System.currentTimeMillis() - 3600 * 1000}"
+          else l
+        }.mkString("\n")
+      java.nio.file.Files.write(p, aged.getBytes("UTF-8"))
     }
     val removed = Versioned.vacuum(tbl, retainLast = 1, olderThanMs = 60000)
     assert(removed.nonEmpty && removed.forall(_.contains("/c1/")))
@@ -293,6 +310,202 @@ class VersionedSpec extends SparkSpec {
     assert(ranged4.where($"id".between(500, 999)).count() === 400L)
     assert(Versioned.snapshotRange(spark, tbl, "id", 99000L, 200000L)
       .where($"id" >= 99000L).count() === 1L)
+  }
+
+  test("delta-log commits are O(files added) — manifest bytes never grow " +
+    "with table size; snapshot resolution is bounded by checkpoint + " +
+    "tail, and the cost gate FAILS on a synthetic full-chain parse") {
+    val tbl = java.nio.file.Files.createTempDirectory("verdl").toString + "/t"
+    val interval = Versioned.checkpointInterval
+    val n = interval * 2 + 5
+    (1 to n).foreach(i => Versioned.commit(Seq(i).toDF("x"), tbl): Unit)
+    // COMMIT COST: a delta manifest late in the chain is the same size
+    // as one early in it (one add line + headers) — the full-snapshot
+    // model this replaces grew every manifest with the table
+    def mBytes(k: Int) = java.nio.file.Files.size(
+      java.nio.file.Paths.get(tbl, "_versions", k.toString))
+    assert(mBytes(n) <= mBytes(2) + 8,
+      s"manifest $n (${mBytes(n)}B) grew vs manifest 2 (${mBytes(2)}B): " +
+        "commit cost is not O(files added)")
+    // checkpoints landed on the interval
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tbl, "_versions", s"$interval.ckpt")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tbl, "_versions", s"${interval * 2}.ckpt")))
+    // READ COST GATE: resolving the head parses checkpoint + tail only
+    val head = Versioned.snapshot(spark, tbl)
+    val cost = Versioned.lastResolveCost
+    assert(cost.checkpointUsed.contains(interval * 2) &&
+      cost.manifestsRead == n - interval * 2,
+      s"resolution did not ride the checkpoint: $cost")
+    assert(cost.manifestsRead <= interval,
+      s"snapshot resolution read ${cost.manifestsRead} manifests — " +
+        "the O(chain) read path is back")
+    assert(head.count() == n)
+    // PINNED READS across checkpoint boundaries are exact
+    assert(Versioned.snapshot(spark, tbl, interval).count() == interval)
+    assert(Versioned.snapshot(spark, tbl, interval + 1)
+      .count() == interval + 1)
+    assert(Versioned.snapshot(spark, tbl, interval * 2 + 1)
+      .as[Int].collect().sorted === (1 to interval * 2 + 1).toArray)
+    // SYNTHETIC O(chain) PARSE: with the checkpoints gone, resolution
+    // falls back to the full chain — and the gate assertion above would
+    // fail, which is exactly what it guards
+    Seq(interval, interval * 2).foreach { k =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(tbl, "_versions", s"$k.ckpt"))
+    }
+    assert(Versioned.snapshot(spark, tbl).count() == n) // still correct
+    val fullChain = Versioned.lastResolveCost
+    assert(fullChain.checkpointUsed.isEmpty && fullChain.manifestsRead == n,
+      s"expected the checkpoint-less fallback to parse the chain: $fullChain")
+    assert(!(fullChain.manifestsRead <= interval),
+      "the gate failed to flag a full-chain parse")
+  }
+
+  test("commitPartitioned stores RAW partition values — Hive-escaped " +
+    "characters round-trip through snapshotWhere; empty-string values " +
+    "abort like NULLs") {
+    val tbl = java.nio.file.Files.createTempDirectory("veresc").toString + "/t"
+    val df = Seq((1, "a b"), (2, "c:d"), (3, "e/f"), (4, "plain"))
+      .toDF("id", "p")
+    Versioned.commitPartitioned(df, tbl, "p")
+    def ids(vs: Set[String]) =
+      Versioned.snapshotWhere(spark, tbl, "p", vs)
+        .select("id").as[Int].collect().toSet
+    // each escaped value resolves its rows (pre-fix: the manifest held
+    // 'a%20b' etc. and the raw-value lookup silently pruned EVERYTHING)
+    assert(ids(Set("a b")) === Set(1))
+    assert(ids(Set("c:d")) === Set(2))
+    assert(ids(Set("e/f")) === Set(3))
+    assert(ids(Set("plain", "a b")) === Set(1, 4))
+    // and the pruning is real: a one-value read touches a strict subset
+    import org.apache.spark.sql.functions.input_file_name
+    def nFiles(d: org.apache.spark.sql.DataFrame) =
+      d.select(input_file_name()).distinct().count()
+    assert(nFiles(Versioned.snapshotWhere(spark, tbl, "p", Set("a b"))) <
+      nFiles(Versioned.snapshot(spark, tbl)))
+    // empty string would land in Hive's default partition and vanish
+    // from every pruned read — aborted at write, like NULL
+    intercept[Exception] {
+      Versioned.commitPartitioned(Seq((5, "")).toDF("id", "p"), tbl, "p")
+    }
+    // the failed commit released its claim — the log is not wedged
+    assert(Versioned.commitPartitioned(
+      Seq((6, "late")).toDF("id", "p"), tbl, "p") >= 2)
+    assert(ids(Set("late")) === Set(6))
+  }
+
+  test("file stats come from parquet FOOTERS — no Spark job, values " +
+    "equal the per-file min/max; unusable columns yield no stat") {
+    val dir = java.nio.file.Files.createTempDirectory("verfoot")
+      .toString + "/pq"
+    (0 until 4000).map(i => (i.toLong, i % 97, s"p_$i",
+        if (i < 2000) Some(i * 2L) else None))
+      .toDF("k", "i", "s", "half")
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+      .write.parquet(dir)
+    val files = new java.io.File(dir).listFiles.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(files.size == 4)
+    val nonMarkerJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        if (grp.contains("footer-marker")) markerSeen.set(true)
+        else nonMarkerJobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stats = Versioned.footerStats(
+        spark.sparkContext.hadoopConfiguration, files,
+        Seq("k", "i", "s", "half"))
+      // marker job: listener events are delivered in order, so once the
+      // marker's start arrived, any job footerStats had launched would
+      // already be counted
+      spark.sparkContext.setJobGroup("footer-marker", "barrier")
+      try spark.range(1).count(): Unit
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 10000000000L
+      while (!markerSeen.get() && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(markerSeen.get(), "marker job never observed")
+      assert(nonMarkerJobs.get() == 0,
+        s"footer stats launched ${nonMarkerJobs.get()} Spark job(s) — " +
+          "the stats pass must be footer-reads only")
+      import org.apache.spark.sql.functions._
+      files.foreach { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("k"), max("k"), min("i"), max("i"),
+            min("half"), max("half")).head()
+        val m = stats(f).toMap
+        assert(m(s"s:k") == s"${r.getLong(0)}..${r.getLong(1)}",
+          s"k range mismatch for $f")
+        assert(m(s"s:i") == s"${r.getInt(2)}..${r.getInt(3)}",
+          s"i (int32) range mismatch for $f")
+        // string column: non-integral physical type → no s: range
+        assert(!m.contains("s:s"))
+        // nullable long: present where any non-null value exists, absent
+        // for all-null files — both conservative for snapshotRange
+        if (r.isNullAt(4)) assert(!m.contains("s:half"))
+        else assert(m(s"s:half") == s"${r.getLong(4)}..${r.getLong(5)}")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("landManifest validates at WRITE time — a path the parser cannot " +
+    "round-trip (embedded tab) fails the commit loudly instead of " +
+    "corrupting the log; non-numeric tag suffixes don't kill " +
+    "latestTaggedSuffix") {
+    val root = java.nio.file.Files.createTempDirectory("verval")
+    val tbl = root.toString + "/bad\ttab"
+    intercept[Exception] { Versioned.commit(Seq(1).toDF("x"), tbl) }
+    // no manifest landed for the rejected commit
+    assert(Versioned.latestVersion(tbl) == 0)
+    // an operator-written non-numeric tag is SKIPPED, not a crash
+    val ok = root.toString + "/t"
+    Versioned.commit(Seq(1).toDF("x"), ok, tag = Some("epoch:3"))
+    Versioned.commit(Seq(2).toDF("x"), ok, tag = Some("epoch:final"))
+    assert(Versioned.latestTaggedSuffix(ok, "epoch:").contains(3L))
+  }
+
+  test("compactSmallFiles caps a HOT partition value: the skewed value's " +
+    "rows split across multiple outputs instead of one unsplittable " +
+    "file; rows and pruning survive") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("verskew").toString + "/t"
+    val pay = "x" * 64
+    // 10 append commits, each dominated by hot value b=1
+    (0 until 10).foreach { k =>
+      val part = (0 until 3000).map(i =>
+        (k * 10000L + i, if (i < 2700) 1 else 2 + i % 3, pay))
+        .toDF("id", "b", "pay").coalesce(1) // one file per value per commit
+      Versioned.commitPartitioned(part, tbl, "b"): Unit
+    }
+    val before = Versioned.snapshot(spark, tbl)
+      .select("id").as[Long].collect().sorted
+    def valueFiles(b: String) =
+      Versioned.snapshotWhere(spark, tbl, "b", Set(b))
+        .where(col("b") === b.toInt)
+        .select(input_file_name()).distinct().count()
+    assert(valueFiles("1") == 10) // one per append
+    val smallBytes = 96L << 10 // every file small; hot total >> smallBytes
+    val v = Versioned.compactSmallFiles(spark, tbl, smallBytes,
+      sortCols = Seq("id"))
+    assert(v == 11)
+    // the hot value spread over >1 bounded file (pre-fix: exactly 1,
+    // arbitrarily large); cold values stayed compact
+    assert(valueFiles("1") > 1,
+      "hot partition value collapsed into one unsplittable compacted file")
+    assert(valueFiles("1") < 10, "compaction made no progress on the hot value")
+    assert(valueFiles("2") <= 2)
+    val after = Versioned.snapshot(spark, tbl, v)
+      .select("id").as[Long].collect().sorted
+    assert(after === before)
   }
 
   test("vacuum's empty-dir prune leaves a data dir above the landed " +
