@@ -123,6 +123,26 @@ object Layout {
                        bucketBits: Int, numFiles: Int, path: String): Unit =
     zClusteredWrite(df, cols, bits, bucketBits, numFiles, path, "append")
 
+  /** [[appendZClustered]] with the [[EpochLedger]] EXACTLY-ONCE
+    * contract — the streaming sink's append: a crash-replayed epoch is
+    * either SKIPPED (it landed) or self-healed (partial leftovers purged
+    * by their `e<E>-` prefix, the batch re-staged and re-promoted), so a
+    * restart never duplicates rows where the plain dynamic append would.
+    * Returns false when the epoch was already landed (nothing written).
+    * Single-writer per layout, the same discipline the sinks already
+    * serialize via foreachBatch. */
+  def appendZClusteredExactlyOnce(df: DataFrame, cols: Seq[String],
+      bits: Int, bucketBits: Int, numFiles: Int, path: String,
+      epoch: Long): Boolean = {
+    if (epoch <= EpochLedger.lastEpoch(path)) return false
+    EpochLedger.purge(path, epoch)
+    zClusteredWrite(df, cols, bits, bucketBits, numFiles,
+      EpochLedger.stagingPath(path, epoch), "overwrite")
+    EpochLedger.promote(path, epoch)
+    EpochLedger.record(path, epoch)
+    true
+  }
+
   /** Compact the small files [[appendZClustered]] accumulates in the
     * z-bucket directories — [[Compaction.compactPartitionedDirs]] on the
     * `zb` layout (the same engine `Similarity.compactIvfIndex` runs on
@@ -414,7 +434,26 @@ object Layout {
   def readZBoxEncoded(spark: SparkSession, path: String,
                       dims: Seq[(String, Any, Any)], bits: Int,
                       bucketBits: Int): DataFrame = {
-    val ranges = dims.map { case (c, lo, hi) =>
+    val ranges = encodedRanges(spark, path, dims)
+    val exact: Column = dims.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (ranges.exists(_.isEmpty))
+      spark.read.parquet(path).where(lit(false))
+    else {
+      val buckets = zBoxBuckets(ranges.map(_.get), bits, bucketBits)
+      spark.read.parquet(path)
+        .where(col("zb").isin(buckets: _*) && exact)
+    }
+  }
+
+  /** Per-dimension CODE range an inclusive value box maps to through the
+    * persisted encoders (the [[readZBoxEncoded]] math, shared with the
+    * versioned read): None = provably empty (see readZBoxEncoded's
+    * per-kind contract). */
+  private def encodedRanges(spark: SparkSession, path: String,
+      dims: Seq[(String, Any, Any)]): Seq[Option[(Long, Long)]] =
+    dims.map { case (c, lo, hi) =>
       val enc = readEncoder(spark, path, c)
       if (encoderKind(enc) == DictKind) {
         val r = enc
@@ -429,16 +468,83 @@ object Layout {
         else Some(((if (r.isNullAt(0)) 0L else r.getLong(0)), r.getLong(1)))
       }
     }
+
+  // --- VERSIONED × ENCODED: stats skipping on the code columns ---
+  //
+  // The versioned z-layout (above) prunes FILES by zb bucket from the
+  // manifest; the encoders (above) map arbitrary ordered dims to codes.
+  // Their composition adds the third pruning axis: each commit records
+  // per-file min/max of every dimension's CODE column in the manifest
+  // (parquet-footer stats — no extra scan), and a box read maps value
+  // ranges → code ranges through the encoders, then prunes files by
+  // BOTH the bucket set and each code range in one manifest pass
+  // ([[Versioned.snapshotWhereRanges]]). Within a kept bucket, the
+  // zv-range file split makes per-file code ranges narrow, so a
+  // string-dimension range predicate skips files bucket pruning alone
+  // cannot — before any data file opens.
+
+  /** Commit `df` z-clustered on ENCODED dims into the versioned table
+    * with per-file code-column stats in the manifest. The FIRST commit
+    * builds and persists the encoders (sibling `<table>_encoders/`);
+    * later calls append THROUGH them — the [[appendZClusteredEncoded]]
+    * unseen-value contract applies (`dict` dims need [[extendEncoders]]
+    * for later values; `bounds` dims accept above-max natively). Returns
+    * the new version. */
+  def writeZClusteredEncodedVersioned(df: DataFrame, cols: Seq[String],
+      bits: Int, bucketBits: Int, numFiles: Int, table: String,
+      tag: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    if (Versioned.latestVersion(table) < 1)
+      cols.foreach(c => buildEncoder(df, c, bits, encoderPath(table, c)))
+    Versioned.commitPartitioned(
+      zClusteredFrame(encodeDims(df, spark, table, cols), cols.map(encCol),
+        bits, bucketBits, numFiles),
+      table, "zb", tag = tag, statsCols = cols.map(encCol))
+  }
+
+  /** Box read over the versioned ENCODED z-layout as of `version`: value
+    * ranges map to code ranges through the encoders, the pinned manifest
+    * prunes files by bucket AND by per-file code-range stats in one
+    * metadata pass, and the exact original-value predicates apply on
+    * top. A provably empty code range (see [[readZBoxEncoded]]) skips
+    * the scan outright. */
+  def readZBoxEncodedVersioned(spark: SparkSession, table: String,
+      dims: Seq[(String, Any, Any)], bits: Int, bucketBits: Int,
+      version: Int = Int.MaxValue): DataFrame = {
+    val ranges = encodedRanges(spark, table, dims)
     val exact: Column = dims.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     if (ranges.exists(_.isEmpty))
-      spark.read.parquet(path).where(lit(false))
+      Versioned.snapshot(spark, table, version).where(lit(false))
     else {
-      val buckets = zBoxBuckets(ranges.map(_.get), bits, bucketBits)
-      spark.read.parquet(path)
+      val rs = ranges.map(_.get)
+      val buckets = zBoxBuckets(rs, bits, bucketBits)
+      prunedZBoxEncodedVersioned(spark, table, dims, bits, bucketBits,
+        version)
         .where(col("zb").isin(buckets: _*) && exact)
     }
+  }
+
+  /** The manifest-pruned frame a [[readZBoxEncodedVersioned]] box read
+    * scans, BEFORE any predicate — exactly the file set left after the
+    * bucket-set AND per-file code-range pruning. This is the pinning
+    * surface: queries/specs assert this set is strictly smaller than
+    * bucket pruning alone (predicates on the full read would conflate
+    * row filtering with file skipping). Requires a non-empty code range
+    * on every dimension (the full read handles the provably-empty case). */
+  def prunedZBoxEncodedVersioned(spark: SparkSession, table: String,
+      dims: Seq[(String, Any, Any)], bits: Int, bucketBits: Int,
+      version: Int = Int.MaxValue): DataFrame = {
+    val rs = encodedRanges(spark, table, dims).map(_.getOrElse(
+      throw new IllegalArgumentException(
+        "provably empty code range — use readZBoxEncodedVersioned")))
+    val buckets = zBoxBuckets(rs, bits, bucketBits)
+    Versioned.snapshotWhereRanges(spark, table, "zb",
+      buckets.map(_.toString).toSet,
+      dims.map(_._1).zip(rs).map { case (c, (lo, hi)) =>
+        (encCol(c), lo, hi) },
+      version)
   }
 
   /** The z-buckets whose dyadic rectangle intersects the box — driver-side

@@ -302,11 +302,7 @@ object Similarity {
     * (IvfIndexSpec asserts `PartitionFilters` on the probed read). */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: Seq[Array[Double]], path: String): Unit =
-    withUnitVec(
-      corpus.select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
-      .withColumn("cell", nearestCentroid(col("nu"), cents))
-      .select("nid", "nvec", "cell")
+    ivfAssignFrame(corpus, idCol, vecCol, cents)
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
   /** Append a shard to a WRITTEN IVF index without touching resident data
@@ -318,12 +314,38 @@ object Similarity {
     * the distribution enough to earn a full [[writeIvfIndex]] rebuild. */
   def appendToIvfIndex(appended: DataFrame, idCol: String, vecCol: String,
                        cents: Seq[Array[Double]], path: String): Unit =
+    ivfAssignFrame(appended, idCol, vecCol, cents)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** The (nid, nvec, cell) assignment frame [[writeIvfIndex]] /
+    * [[appendToIvfIndex]] write — fixed-centroid nearest assignment,
+    * one map pass. */
+  private def ivfAssignFrame(df: DataFrame, idCol: String, vecCol: String,
+                             cents: Seq[Array[Double]]): DataFrame =
     withUnitVec(
-      appended.select(col(idCol).as("nid"),
+      df.select(col(idCol).as("nid"),
         col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
       .withColumn("cell", nearestCentroid(col("nu"), cents))
       .select("nid", "nvec", "cell")
-      .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** [[appendToIvfIndex]] with the [[graft.io.EpochLedger]] EXACTLY-ONCE
+    * contract — the streaming sink's append: a crash-replayed epoch is
+    * either SKIPPED (already landed) or self-healed (its `e<E>-`-prefixed
+    * partial leftovers purged, the batch re-staged and re-promoted), so
+    * a restart never duplicates vectors in the index. Returns false when
+    * the epoch was already landed. */
+  def appendToIvfIndexExactlyOnce(appended: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[Array[Double]], path: String,
+      epoch: Long): Boolean = {
+    if (epoch <= graft.io.EpochLedger.lastEpoch(path)) return false
+    graft.io.EpochLedger.purge(path, epoch)
+    ivfAssignFrame(appended, idCol, vecCol, cents)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(graft.io.EpochLedger.stagingPath(path, epoch))
+    graft.io.EpochLedger.promote(path, epoch)
+    graft.io.EpochLedger.record(path, epoch)
+    true
+  }
 
   /** Compact the small files [[appendToIvfIndex]] accumulates: every
     * dynamic append writes ≥1 new parquet file per touched cell, so daily

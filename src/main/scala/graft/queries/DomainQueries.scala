@@ -1181,6 +1181,85 @@ object DomainQueries {
         .orderBy("kb")
     },
 
+    // STATS SKIPPING × ENCODED DIMENSIONS (io.Layout
+    // writeZClusteredEncodedVersioned / readZBoxEncodedVersioned — the
+    // composition of q241's encoders, q243's versioned z-layout, and
+    // q247's manifest stats): orders commit z-clustered on two encoded
+    // STRING dims (month, zero-padded customer residue — both above the
+    // 2^5 budget, so the bounds encoders span the full code domain), with
+    // per-file min/max of the CODE columns landed in the manifest from
+    // the parquet FOOTERS. A value-range box maps to code ranges through
+    // the encoders and prunes the pinned manifest on BOTH axes — bucket
+    // set AND per-file code stats. require() pins the pruning ladder:
+    // the stats-pruned file set is STRICTLY smaller than bucket pruning
+    // alone, which is strictly smaller than the full snapshot — the
+    // within-bucket zv-range file split is what the code stats exploit
+    // and bucket grain cannot. The second commit appends THROUGH the
+    // persisted encoders (interior values, binary-search encode — no
+    // rebuild); the oracle is the plain two-range string filter.
+    Q.sql("q248_versioned_encoded_stats",
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS omonth,
+        |         lpad(CAST(o_custkey % 100 AS VARCHAR), 3, '0') AS ck,
+        |         o_orderkey
+        |  FROM orders)
+        |SELECT omonth, count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum
+        |FROM m
+        |WHERE omonth >= '1995-09' AND omonth <= '1996-06'
+        |  AND ck >= '040' AND ck <= '089'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 5; val bucketBits = 2
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q248ves").toString + "/orders_ves"
+      val base = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("omonth"),
+          lpad(pmod(col("o_custkey"), lit(100)).cast("string"), 3, "0")
+            .as("ck"))
+      // bounds encoders on both dims: ~80 months / 100 residues > 2^5
+      val v1 = graft.io.Layout.writeZClusteredEncodedVersioned(
+        base.where(col("o_orderkey") % 3 =!= 0), Seq("omonth", "ck"),
+        bits, bucketBits, numFiles = 12, table = tbl)
+      val v2 = graft.io.Layout.writeZClusteredEncodedVersioned(
+        base.where(col("o_orderkey") % 3 === 0), Seq("omonth", "ck"),
+        bits, bucketBits, numFiles = 12, table = tbl)
+      require(v2 == v1 + 1, "append must land one commit")
+      val dims = Seq(("omonth", "1995-09", "1996-06"),
+        ("ck", "040", "089"))
+      val box = graft.io.Layout.readZBoxEncodedVersioned(s, tbl, dims,
+        bits, bucketBits)
+      def nFiles(df: org.apache.spark.sql.DataFrame) =
+        df.select(input_file_name()).distinct().count()
+      // the pruning ladder on the MANIFEST-PRUNED file sets (no row
+      // predicates — file skipping, not row filtering): stats < buckets
+      // < full
+      val statsPruned = graft.io.Layout.prunedZBoxEncodedVersioned(
+        s, tbl, dims, bits, bucketBits)
+      val bucketOnly = {
+        val rs = dims.map { case (c, lo, hi) =>
+          val r = graft.io.Layout.readEncoder(s, tbl, c).agg(
+            max(when(col("value") <= lit(lo), col("code"))),
+            max(when(col("value") <= lit(hi), col("code")))).head()
+          ((if (r.isNullAt(0)) 0L else r.getLong(0)), r.getLong(1))
+        }
+        val buckets = graft.io.Layout.zBoxBuckets(rs, bits, bucketBits)
+        graft.io.Versioned.snapshotWhere(s, tbl, "zb",
+          buckets.map(_.toString).toSet)
+      }
+      val (nBox, nBucket, nFull) = (nFiles(statsPruned), nFiles(bucketOnly),
+        nFiles(graft.io.Versioned.snapshot(s, tbl, v2)))
+      require(nBucket < nFull,
+        s"bucket pruning failed ($nBucket/$nFull files)")
+      require(nBox < nBucket,
+        s"code-range stats pruned nothing beyond buckets ($nBox/$nBucket)")
+      box.groupBy("omonth")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("omonth")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

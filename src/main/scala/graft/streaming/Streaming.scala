@@ -744,17 +744,23 @@ object Streaming {
   }
 
   /** Stream → z-clustered layout with the COMPACTION TRIGGER integrated:
-    * each micro-batch dynamic-appends into the z-bucket directories
-    * ([[graft.io.Layout.appendZClustered]]), and every `compactEvery`
-    * batches the standing maintenance pass rewrites directories over
-    * `maxFilesPerDir` to one file ([[graft.io.Layout.compactZBuckets]]) —
-    * a long-running ingest keeps file counts bounded by construction
-    * instead of waiting for an operator to remember a manual compaction.
+    * each micro-batch lands EXACTLY-ONCE into the z-bucket directories
+    * ([[graft.io.Layout.appendZClusteredExactlyOnce]] — the
+    * [[graft.io.EpochLedger]] protocol: a crash-replayed epoch is
+    * skipped if landed, self-healed by purge if partial, so a restart
+    * never duplicates rows where a bare dynamic append would), and every
+    * `compactEvery` batches the standing maintenance pass rewrites
+    * directories over `maxFilesPerDir` to one file
+    * ([[graft.io.Layout.compactZBuckets]]) — a long-running ingest keeps
+    * file counts bounded by construction instead of waiting for an
+    * operator to remember a manual compaction.
     *
     * Single-writer discipline, made EXPLICIT: the trigger runs inside the
     * same foreachBatch epoch as the append, and streaming epochs are
     * serialized — appender and compactor are the one table writer, so the
-    * directory swap never races another writer. The trigger fires on
+    * directory swap never races another writer (and the compactor only
+    * ever rewrites LANDED epochs' files, which the ledger's purge never
+    * touches). The trigger fires on
     * `batchId % compactEvery == compactEvery - 1` (epoch ids survive
     * checkpoint recovery, so a restarted stream keeps the cadence);
     * `compactEvery <= 0` disables it. Reads return identical rows before
@@ -771,13 +777,13 @@ object Streaming {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.io.Layout.appendZClustered(batch, cols, bits, bucketBits,
-          numFiles, path)
+        graft.io.Layout.appendZClusteredExactlyOnce(batch, cols, bits,
+          bucketBits, numFiles, path, batchId): Unit
         // guarded, not bare: the epoch's append is already durable here,
         // and a transient compaction failure aborting the epoch would
-        // REPLAY the batch on restart — duplicating its rows in the
-        // layout (the append is not idempotent). Same contract as
-        // versionedSink's trigger, bounded by maxConsecutiveSkips.
+        // force a replay on restart (now harmless — the ledger skips it —
+        // but still wasted work). Same contract as versionedSink's
+        // trigger, bounded by maxConsecutiveSkips.
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           guard(batchId) {
             graft.io.Layout.compactZBuckets(batch.sparkSession, path,
@@ -898,10 +904,11 @@ object Streaming {
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Similarity.appendToIvfIndex(batch, idCol, vecCol,
-          cents, path)
+        graft.operators.Similarity.appendToIvfIndexExactlyOnce(batch,
+          idCol, vecCol, cents, path, batchId): Unit
         // same guarded-trigger rationale as zLayoutSink: the append is
-        // durable, a failed compaction must not force a duplicating replay
+        // durable and ledger-recorded; a failed compaction must not
+        // abort the epoch (its replay is skipped, but wasted)
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           guard(batchId) {
             graft.operators.Similarity.compactIvfIndex(batch.sparkSession,

@@ -567,4 +567,73 @@ class LayoutSpec extends SparkSpec {
     assert(fs.exists(b) && !fs.exists(bAside), "state B aside not cleared")
     assert(spark.read.parquet(path).count() == total)
   }
+
+  test("versioned encoded layout: code-column stats prune files beyond " +
+    "bucket pruning; box reads exact across an append through the " +
+    "persisted encoders; pinned versions isolated") {
+    import org.apache.spark.sql.functions.input_file_name
+    // two string dims above the 2^4 budget → bounds encoders spanning
+    // the full code domain (dict ranks would leave top bits zero and
+    // give the bucket math nothing to prune at this cardinality)
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, f"m${i % 40}%03d", f"u${(i * 7) % 60}%03d")
+    }.toDF("row", "mon", "usr")
+    val tbl = java.nio.file.Files.createTempDirectory("zvenc")
+      .toString + "/t"
+    val bits = 4; val bucketBits = 2
+    val v1 = Layout.writeZClusteredEncodedVersioned(mk(0 until 2000),
+      Seq("mon", "usr"), bits, bucketBits, numFiles = 32, table = tbl)
+    // append THROUGH the persisted encoders: interior values, no rebuild
+    val v2 = Layout.writeZClusteredEncodedVersioned(mk(2000 until 3000),
+      Seq("mon", "usr"), bits, bucketBits, numFiles = 32, table = tbl)
+    assert(v1 == 1 && v2 == 2)
+    // box inside the LOWER half of both code domains (codes ≈ mon 0..4,
+    // usr 1..5 of 0..15): the top interleave bits prune buckets, the
+    // finer code ranges prune zv-split files within the kept bucket
+    val dims = Seq[(String, Any, Any)](("mon", "m002", "m012"),
+      ("usr", "u005", "u020"))
+    val got = Layout.readZBoxEncodedVersioned(spark, tbl, dims,
+      bits, bucketBits)
+    val want = mk(0 until 3000)
+      .where($"mon".between("m002", "m012") && $"usr".between("u005", "u020"))
+    assert(got.select("row").as[Long].collect().sorted ===
+      want.select("row").as[Long].collect().sorted)
+    assert(got.count() > 0)
+    // pruning ladder on the MANIFEST file sets: stats < bucket < full
+    def nFiles(d: org.apache.spark.sql.DataFrame) =
+      d.select(input_file_name()).distinct().count()
+    val statsPruned = Layout.prunedZBoxEncodedVersioned(spark, tbl, dims,
+      bits, bucketBits)
+    val full = Versioned.snapshot(spark, tbl, v2)
+    // bucket-only = the same bucket set WITHOUT the code ranges
+    val bucketOnly = {
+      val enc = (c: String) => Layout.readEncoder(spark, tbl, c)
+      val rs = dims.map { case (c, lo, hi) =>
+        val r = enc(c).agg(
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.when(
+              $"value" <= lo.toString, $"code")),
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.when(
+              $"value" <= hi.toString, $"code"))).head()
+        ((if (r.isNullAt(0)) 0L else r.getLong(0)), r.getLong(1))
+      }
+      val buckets = Layout.zBoxBuckets(rs, bits, bucketBits)
+      Versioned.snapshotWhere(spark, tbl, "zb",
+        buckets.map(_.toString).toSet)
+    }
+    val (nStats, nBucket, nFull) =
+      (nFiles(statsPruned), nFiles(bucketOnly), nFiles(full))
+    assert(nBucket < nFull, s"bucket pruning inert: $nBucket/$nFull")
+    assert(nStats < nBucket,
+      s"code-range stats pruned nothing beyond buckets: $nStats/$nBucket")
+    // snapshot isolation: the pinned pre-append version reads only the
+    // first commit's rows, through the same double-pruned path
+    val pinned = Layout.readZBoxEncodedVersioned(spark, tbl, dims,
+      bits, bucketBits, version = v1)
+    val wantV1 = mk(0 until 2000)
+      .where($"mon".between("m002", "m012") && $"usr".between("u005", "u020"))
+    assert(pinned.select("row").as[Long].collect().sorted ===
+      wantV1.select("row").as[Long].collect().sorted)
+  }
 }

@@ -1198,4 +1198,123 @@ class StreamingSpec extends SparkSpec {
       prev.fold(spark.conf.unset(providerKey))(spark.conf.set(providerKey, _))
     }
   }
+
+  test("zLayout directory sink is EXACTLY-ONCE on crash-replay: a " +
+    "mid-promote crash's partial epoch files are purged and the epoch " +
+    "lands once; a full checkpoint loss replays with zero duplicates") {
+    import graft.io.{EpochLedger, Layout}
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zxonce").toString
+    val tbl = s"$dir/t"
+    val b0 = mk(0 until 400).toDF("id", "x", "y")
+    val b1 = mk(400 until 800).toDF("id", "x", "y")
+    assert(Layout.appendZClusteredExactlyOnce(b0, Seq("x", "y"), 8, 4,
+      numFiles = 2, path = tbl, epoch = 0L))
+    assert(EpochLedger.lastEpoch(tbl) == 0L)
+    // CRASH MID-PROMOTE for epoch 1: fabricate the exact artifact — some
+    // e1-* files already moved into the layout, ledger still at 0 —
+    // by running the epoch on a scratch layout and copying its files in
+    val scratch = s"$dir/scratch"
+    assert(Layout.appendZClusteredExactlyOnce(b1, Seq("x", "y"), 8, 4,
+      numFiles = 2, path = scratch, epoch = 1L))
+    val partial = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.filter(f =>
+          java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.startsWith("e1-")).take(2)
+      } finally s.close()
+    }
+    assert(partial.nonEmpty, "scratch layout produced no e1- files")
+    partial.foreach { f =>
+      val rel = java.nio.file.Paths.get(scratch).relativize(f)
+      val tgt = java.nio.file.Paths.get(tbl).resolve(rel)
+      java.nio.file.Files.createDirectories(tgt.getParent)
+      java.nio.file.Files.copy(f, tgt): Unit
+    }
+    assert(EpochLedger.lastEpoch(tbl) == 0L) // the crash: ledger behind
+    // the REPLAY of epoch 1: purge removes the partial files, the epoch
+    // lands exactly once
+    assert(Layout.appendZClusteredExactlyOnce(b1, Seq("x", "y"), 8, 4,
+      numFiles = 2, path = tbl, epoch = 1L))
+    val after = spark.read.parquet(tbl).select("id").as[Long]
+      .collect().sorted
+    assert(after === (0L until 800L).toArray,
+      "crash-replay duplicated or lost rows")
+    // a re-delivered LANDED epoch is a no-op
+    assert(!Layout.appendZClusteredExactlyOnce(b1, Seq("x", "y"), 8, 4,
+      numFiles = 2, path = tbl, epoch = 1L))
+    assert(spark.read.parquet(tbl).count() == 800)
+    // END-TO-END: run the sink over a file source, then run it AGAIN
+    // with a FRESH checkpoint (total checkpoint loss — every epoch
+    // replays): the ledger absorbs the replay, zero duplicates
+    val tbl2 = s"$dir/t2"
+    mk(0 until 600).toDF("id", "x", "y").repartition(3)
+      .write.parquet(s"$dir/stage")
+    val schema = b0.schema
+    def runOnce(ckpt: String): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/stage")
+      val q = Streaming.zLayoutSink(src, Seq("x", "y"), bits = 8,
+        bucketBits = 4, numFiles = 2, path = tbl2, checkpoint = ckpt,
+        compactEvery = 0)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(s"$dir/ck1")
+    assert(spark.read.parquet(tbl2).count() == 600)
+    runOnce(s"$dir/ck2") // full replay — pre-ledger this DOUBLED the rows
+    assert(spark.read.parquet(tbl2).select("id").as[Long]
+      .collect().sorted === (0L until 600L).toArray,
+      "checkpoint-loss replay duplicated rows in the directory layout")
+  }
+
+  test("IVF directory sink is EXACTLY-ONCE on crash-replay: partial " +
+    "epoch files purged, re-delivered epochs skipped — no duplicate " +
+    "vectors in the index") {
+    import graft.io.EpochLedger
+    import graft.operators.Similarity
+    val dim = 4
+    val mkv = (r: Range) => r.map { i =>
+      (i.toLong, Array.tabulate(dim)(j => math.sin(i * 13 + j * 7)))
+    }
+    val cents = Seq(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+      Array(0, 0, 1.0, 0), Array(0, 0, 0, 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("ivfonce").toString
+    val idx = s"$dir/idx"
+    val b0 = mkv(0 until 200).toDF("doc", "vec")
+    val b1 = mkv(200 until 400).toDF("doc", "vec")
+    assert(Similarity.appendToIvfIndexExactlyOnce(b0, "doc", "vec", cents,
+      idx, epoch = 0L))
+    // partial epoch-1 leftovers (mid-promote crash), ledger behind
+    val scratch = s"$dir/scratch"
+    assert(Similarity.appendToIvfIndexExactlyOnce(b1, "doc", "vec", cents,
+      scratch, epoch = 1L))
+    val partial = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(scratch))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.filter(f =>
+          java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.startsWith("e1-")).take(1)
+      } finally s.close()
+    }
+    assert(partial.nonEmpty)
+    partial.foreach { f =>
+      val rel = java.nio.file.Paths.get(scratch).relativize(f)
+      val tgt = java.nio.file.Paths.get(idx).resolve(rel)
+      java.nio.file.Files.createDirectories(tgt.getParent)
+      java.nio.file.Files.copy(f, tgt): Unit
+    }
+    assert(EpochLedger.lastEpoch(idx) == 0L)
+    assert(Similarity.appendToIvfIndexExactlyOnce(b1, "doc", "vec", cents,
+      idx, epoch = 1L))
+    assert(!Similarity.appendToIvfIndexExactlyOnce(b1, "doc", "vec", cents,
+      idx, epoch = 1L)) // re-delivery: no-op
+    val ids = spark.read.parquet(idx).select("nid").as[Long].collect()
+    assert(ids.sorted === (0L until 400L).toArray,
+      "crash-replay duplicated or lost vectors in the IVF index")
+  }
 }
