@@ -658,9 +658,10 @@ object Streaming {
   /** Best-effort maintenance trigger shared by the ingest sinks: the
     * epoch's APPEND is already durable when the trigger fires, so a
     * transient compaction failure must NOT abort the epoch — a restart
-    * would replay the batch into a layout that already holds its rows
-    * (zLayoutSink/ivfIndexSink appends are not idempotent) or burn a
-    * duplicate version (versionedSink). A skipped compaction is retried
+    * would replay the batch for nothing (every sink skips a landed
+    * epoch — the ledger for the directory sinks, the `#tag=epoch:`
+    * header for the versioned ones — but the replay itself is wasted
+    * source reads and recovery time). A skipped compaction is retried
     * at the next trigger, surfaced through `onSkip` (default: stderr,
     * visible in driver logs), and BOUNDED: `maxConsecutiveSkips`
     * consecutive failures fail the stream loudly instead of letting
@@ -799,8 +800,9 @@ object Streaming {
     * [[graft.io.Layout.writeZClusteredVersioned]] (manifest entries carry
     * the zb bucket per file), so:
     *  - EXACTLY-ONCE per epoch (the `epoch:` manifest tag — replayed
-    *    batches skip, where [[zLayoutSink]]'s directory appends would
-    *    duplicate rows on a crash-replay);
+    *    batches skip; [[zLayoutSink]] gets the same guarantee from its
+    *    [[graft.io.EpochLedger]], here the tag lands ATOMICALLY with the
+    *    commit itself);
     *  - box reads resolve a PINNED manifest and prune files by bucket
     *    from metadata ([[graft.io.Layout.readZBoxVersioned]]) — readers
     *    are snapshot-isolated from the ingest;
@@ -846,8 +848,9 @@ object Streaming {
     * micro-batch assigns to the FIXED trained centroids and lands as an
     * exactly-once epoch COMMIT
     * ([[graft.operators.Similarity.writeIvfIndexVersioned]] with the
-    * `epoch:` tag — a crash-replay that would duplicate vectors in the
-    * directory index skips here), the trigger lands versioned OPTIMIZE
+    * `epoch:` tag, landed atomically with the commit — [[ivfIndexSink]]
+    * gets the same replay skip from its ledger), the trigger lands
+    * versioned OPTIMIZE
     * commits, and searches
     * ([[graft.operators.Similarity.ivfTopKFromIndexVersioned]]) resolve
     * pinned manifests with file-level cell pruning — snapshot-isolated
