@@ -316,6 +316,19 @@ object Versioned {
       .getOrElse(Files.getLastModifiedTime(
         versionsDir(table).resolve(v.toString)).toMillis)
 
+  /** The TABLE SCHEMA as of version `v` — the `#schema=` header each
+    * commit stamps (the schema the snapshot read applies, so files
+    * written BEFORE a column was added read the column as NULL instead
+    * of the read schema depending on which file the reader sampled).
+    * None for pre-format manifests (reads fall back to parquet
+    * inference, the pre-r15 behavior). */
+  def versionSchema(table: String, v: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(table, v).find(_.startsWith("#schema="))
+      .map(s => org.apache.spark.sql.types.DataType
+        .fromJson(s.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Largest numeric suffix among landed tags with the given prefix
     * (e.g. prefix "epoch:" over tags "epoch:7") — the streaming sink's
     * replay boundary, resolved ONCE at stream (re)start. Tags whose
@@ -561,7 +574,8 @@ object Versioned {
              predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
              tag: Option[String] = None,
              statsCols: Seq[String] = Nil): Int =
-    commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
+    commitWith(table, overwrite, predecessorTimeoutMs, tag,
+      df.schema) { dataDir =>
       df.write.parquet(dataDir.toString)
       commitEntries(df.sparkSession, dataDir, None, statsCols)
     }
@@ -583,7 +597,8 @@ object Versioned {
       predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
       tag: Option[String] = None,
       statsCols: Seq[String] = Nil): Int =
-    commitWith(table, overwrite, predecessorTimeoutMs, tag) { dataDir =>
+    commitWith(table, overwrite, predecessorTimeoutMs, tag,
+      df.schema) { dataDir =>
       df.withColumn(partDirCol,
           when(col(partCol).isNull || col(partCol).cast("string") === "",
             raise_error(lit(
@@ -600,21 +615,84 @@ object Versioned {
     * files (manifest-pruned reads never reconstruct columns from paths). */
   private val partDirCol = "__pv"
 
+  /** Top-level fields forced nullable — the schema the `#schema=` header
+    * records. Spark's parquet READ path converts every top-level column
+    * to nullable for compatibility, so recording the writer's exact
+    * nullability would make evolved reads differ from inferred ones for
+    * no semantic gain (and files written before a column existed read it
+    * as NULL regardless). */
+  private def asNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.map(_.copy(nullable = true)))
+
+  /** Recursive nullability-normalized type — the COMPARISON form for
+    * append compatibility: nested containsNull/valueContainsNull flags
+    * differ between write-side casts and read-side inference without any
+    * semantic difference, and must not fail an append. */
+  private def normType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, normType(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(normType(a.elementType), true)
+      case m: MapType =>
+        MapType(normType(m.keyType), normType(m.valueType), true)
+      case o => o
+    }
+  }
+
+  /** SCHEMA EVOLUTION + ENFORCEMENT for an append: every column of the
+    * predecessor's schema must be present with the SAME type (a missing
+    * or retyped column fails LOUDLY — the silent alternative is a table
+    * whose read schema depends on which file the reader samples); NEW
+    * columns are allowed and appended AFTER the existing ones, so column
+    * order stays stable as the table evolves. Returns the schema to
+    * record for this version. No predecessor schema (pre-format table,
+    * or v == 1/overwrite) records the frame's own schema. */
+  private def evolvedSchema(prev: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = prev match {
+    case None => asNullable(next)
+    case Some(p) =>
+      val nextByName = next.fields.map(f => f.name -> f).toMap
+      p.fields.foreach { f =>
+        val cur = nextByName.get(f.name)
+        require(cur.isDefined,
+          s"incompatible append: column '${f.name}' (${f.dataType.sql}) " +
+            "is missing from the appended frame — the table schema only " +
+            "grows; drop columns via an explicit overwrite commit")
+        require(normType(cur.get.dataType) == normType(f.dataType),
+          s"incompatible append: column '${f.name}' retyped " +
+            s"${f.dataType.sql} -> ${cur.get.dataType.sql}")
+      }
+      val added = next.fields.filterNot(f => p.fieldNames.contains(f.name))
+      asNullable(org.apache.spark.sql.types.StructType(p.fields ++ added))
+  }
+
   /** Shared claim → write → land skeleton of [[commit]] /
     * [[commitPartitioned]]; `write` produces the new manifest entries.
     * Lands a DELTA manifest (adds only) unless overwriting — the commit
     * never reads, rewrites, or re-parses the predecessor's entry list,
-    * which is the O(ΔF) commit-cost contract. */
+    * which is the O(ΔF) commit-cost contract. The LOGICAL schema lands
+    * as a `#schema=` header (checked/evolved against the predecessor's
+    * — see [[evolvedSchema]]), so every version knows its own read
+    * schema. */
   private def commitWith(table: String, overwrite: Boolean,
-      predecessorTimeoutMs: Long, tag: Option[String])
+      predecessorTimeoutMs: Long, tag: Option[String],
+      schema: org.apache.spark.sql.types.StructType)
       (write: Path => Seq[String]): Int = {
     val v = claimVersion(table)
     val dataDir = Paths.get(table, "data", s"c$v")
     try {
       val newEntries = write(dataDir)
       awaitPredecessor(table, v, predecessorTimeoutMs)
-      val headers = Seq(s"#ts=${System.currentTimeMillis()}") ++
-        tag.map(t => s"#tag=$t")
+      val recorded =
+        if (overwrite || v == 1) asNullable(schema)
+        else evolvedSchema(versionSchema(table, v - 1), schema)
+      val headers = Seq(s"#ts=${System.currentTimeMillis()}",
+        s"#schema=${recorded.json}") ++ tag.map(t => s"#tag=$t")
       if (overwrite || v == 1)
         landManifest(table, v, headers ++ newEntries)
       else
@@ -628,12 +706,25 @@ object Versioned {
     v
   }
 
-  /** Read the table as of `version` (defaults to latest). */
+  /** Parquet reader pinned to version `v`'s RECORDED schema (files
+    * written before a column was added read it as NULL; inference
+    * fallback for pre-format tables). Also skips footer-sampling schema
+    * inference on every versioned read. */
+  private def readerFor(spark: SparkSession, table: String,
+                        v: Int): org.apache.spark.sql.DataFrameReader =
+    versionSchema(table, v).map(spark.read.schema)
+      .getOrElse(spark.read)
+
+  /** Read the table as of `version` (defaults to latest) under that
+    * version's recorded schema — a pinned read sees the columns the
+    * table had THEN; the latest read sees every evolved column, NULL
+    * where a file predates it. */
   def snapshot(spark: SparkSession, table: String,
                version: Int = Int.MaxValue): DataFrame = {
     val v = math.min(version, latestVersion(table))
     require(v >= 1, s"no commits in $table")
-    spark.read.parquet(resolvedEntries(table, v).map(entryPath): _*)
+    readerFor(spark, table, v)
+      .parquet(resolvedEntries(table, v).map(entryPath): _*)
   }
 
   /** Read the snapshot PRUNED to the files whose manifest metadata says
@@ -667,7 +758,7 @@ object Versioned {
       .filter { case (_, metas) => statsIntersect(metas, column, lo, hi) }
       .map(_._1)
     if (kept.isEmpty) snapshot(spark, table, v).where(lit(false))
-    else spark.read.parquet(kept.distinct: _*)
+    else readerFor(spark, table, v).parquet(kept.distinct: _*)
   }
 
   private def statsIntersect(metas: Seq[(String, String)], column: String,
@@ -705,7 +796,7 @@ object Versioned {
       }
       .map(_._1)
     if (kept.isEmpty) snapshot(spark, table, v).where(lit(false))
-    else spark.read.parquet(kept.distinct: _*)
+    else readerFor(spark, table, v).parquet(kept.distinct: _*)
   }
 
   /** Claim the next version for a MAINTENANCE commit (delete/compaction):
@@ -730,11 +821,14 @@ object Versioned {
     * (at its STORED grain), `+` lines for the survivors of touched
     * dir-grain entries and the operation's new files. Untouched entries
     * are never rewritten — manifest bytes written scale with files
-    * TOUCHED, not table size. */
+    * TOUCHED, not table size. The base version's schema carries forward
+    * verbatim (maintenance never changes the logical table). */
   private def landMaintenanceDelta(table: String, v: Int,
       removedPaths: Seq[String], added: Seq[String]): Unit =
     landManifest(table, v,
-      Seq(s"#ts=${System.currentTimeMillis()}", "#delta") ++
+      Seq(s"#ts=${System.currentTimeMillis()}") ++
+        versionSchema(table, v - 1).map(s => s"#schema=${s.json}") ++
+        Seq("#delta") ++
         removedPaths.map("-" + _) ++ added.map("+" + _))
 
   /** SNAPSHOT-ISOLATED row-level delete — [[Deletes.deleteWhere]]'s
@@ -757,13 +851,13 @@ object Versioned {
     val stored = resolvedEntries(table, v)
     val expanded = stored.map(e => (e, expandEntryAll(e)))
     val allFiles = expanded.flatMap(_._2.map(_._1)).distinct
-    val df = spark.read.parquet(allFiles: _*)
+    val df = readerFor(spark, table, v).parquet(allFiles: _*)
     val matchP = coalesce(pred, lit(false))
     val affected = df.where(matchP)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
       .collect().map(r => fileOfUri(r.getString(0))).toSet
     if (affected.isEmpty) return v
-    val aff = spark.read.parquet(affected.toSeq: _*)
+    val aff = readerFor(spark, table, v).parquet(affected.toSeq: _*)
     // touched entries: any stored entry resolving to an affected file —
     // removed at stored grain; their UNAFFECTED files are re-added
     // verbatim (file grain, metadata preserved)
@@ -828,6 +922,131 @@ object Versioned {
     nv
   }
 
+  /** SNAPSHOT-ISOLATED MERGE (upsert) — Delta's `MERGE INTO` with
+    * update-all-columns / insert-unmatched semantics, expressed as a
+    * file-targeted maintenance commit: one discovery join finds the
+    * files holding matched keys, ONLY those files are rewritten (their
+    * unmatched survivors + every source row land in the next commit
+    * dir), and the delta manifest retires exactly the touched entries —
+    * merge cost scales with AFFECTED files + source size, never table
+    * size, which is what makes a daily upsert viable at 10⁶ files.
+    * Unmatched-key sources degrade to a pure append (no files touched).
+    * Pinned readers never see a partial merge; a crash leaves every
+    * landed version readable.
+    *
+    * Contract guards (all loud):
+    *  - `keyCols` must exist in both sides with compatible types;
+    *  - source keys must be UNIQUE (two source rows matching one target
+    *    row make the result order-dependent — Delta errors identically);
+    *  - NULL source keys are rejected (they can never match and would
+    *    silently insert unkeyable rows);
+    *  - source schema may ADD columns (evolution — older files read
+    *    NULL) but never drop or retype, the [[commit]] append contract.
+    *
+    * `sortCols` restores within-file order in the rewrite. `tag` lands
+    * in the manifest header (the streaming upsert sink's exactly-once
+    * epoch id). Returns the new version. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String], sortCols: Seq[String] = Nil,
+            tag: Option[String] = None): Int = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val v = latestVersion(table)
+    require(v >= 1, s"no commits in $table")
+    val tableSchema = versionSchema(table, v)
+    keyCols.foreach { k =>
+      require(source.columns.contains(k), s"source lacks key column $k")
+      tableSchema.foreach(ts => require(ts.fieldNames.contains(k),
+        s"table lacks key column $k"))
+    }
+    // schema evolution/enforcement identical to an append
+    val recorded = evolvedSchema(tableSchema, source.schema)
+    val srcKeys = source.select(keyCols.map(col): _*)
+    val srcStats = srcKeys
+      .agg(count(lit(1)).as("n"), count_distinct(struct(
+        keyCols.map(col): _*)).as("d"),
+        sum(keyCols.map(c => when(col(c).isNull, 1).otherwise(0))
+          .reduce(_ + _)).as("nulls")).head()
+    if (srcStats.getLong(0) == 0L) return v // empty source: no-op
+    require(srcStats.getLong(2) == 0L,
+      s"merge source carries NULL keys — they can never match a target " +
+        "row and would insert unkeyable rows")
+    require(srcStats.getLong(0) == srcStats.getLong(1),
+      s"merge source keys are not unique (${srcStats.getLong(0)} rows, " +
+        s"${srcStats.getLong(1)} distinct keys) — two source rows " +
+        "matching one target row make the result order-dependent")
+    val stored = resolvedEntries(table, v)
+    val expanded = stored.map(e => (e, expandEntryAll(e)))
+    val allFiles = expanded.flatMap(_._2.map(_._1)).distinct
+    val target = readerFor(spark, table, v).parquet(allFiles: _*)
+    // discovery: the files holding at least one matched key (one join;
+    // AQE broadcasts a small source side on its own). input_file_name()
+    // is captured IN THE SCAN STAGE — after a shuffle join it would
+    // evaluate to "" and silently mark nothing affected
+    val affected = target.withColumn("__vf", input_file_name())
+      .join(srcKeys, keyCols, "left_semi")
+      .groupBy(col("__vf")).agg(count(lit(1)).as("n"))
+      .collect().map(r => fileOfUri(r.getString(0))).toSet
+    val touched = expanded.filter(_._2.exists(e => affected.contains(e._1)))
+    val keptOfTouched = touched.flatMap(_._2)
+      .filterNot(e => affected.contains(e._1)).distinctBy(_._1)
+      .map((formatEntryAll _).tupled)
+    // metadata preservation through the rewrite, as in [[deleteWhere]]
+    val affectedMetas = touched.flatMap(_._2)
+      .filter(e => affected.contains(e._1)).distinctBy(_._1)
+    val partMetaCol = affectedMetas
+      .map(_._2.collectFirst { case (k, _) if !k.startsWith("s:") => k })
+      .distinct match {
+      case Seq(Some(c)) => Some(c)
+      case _ => None
+    }
+    val statCols = affectedMetas
+      .map(_._2.collect { case (k, _) if k.startsWith("s:") =>
+        k.stripPrefix("s:") }.toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty).toSeq.sorted
+    val nv = claimMaintenance(table, v)
+    val newDir = Paths.get(table, "data", s"c$nv")
+    try {
+      // survivors of affected files (unmatched rows) + EVERY source row
+      // (matched = the update, unmatched = the insert), aligned to the
+      // evolved schema so pre-evolution survivors carry NULL new columns
+      val aligned = (d: DataFrame) => d.select(recorded.fieldNames.map(n =>
+        if (d.columns.contains(n)) col(n)
+        else lit(null).cast(recorded(n).dataType).as(n)): _*)
+      val survivors =
+        if (affected.isEmpty) aligned(source)
+        else aligned(readerFor(spark, table, v)
+            .parquet(affected.toSeq: _*)
+            .join(srcKeys, keyCols, "left_anti"))
+          .unionByName(aligned(source))
+      val sorted =
+        if (sortCols.isEmpty) survivors
+        else survivors.sortWithinPartitions(sortCols.map(col): _*)
+      val newEntries = partMetaCol match {
+        case Some(c) =>
+          sorted.withColumn(partDirCol, col(c).cast("string"))
+            .write.partitionBy(partDirCol).parquet(newDir.toString)
+          commitEntries(spark, newDir, Some(c), statCols)
+        case None if statCols.nonEmpty =>
+          sorted.write.parquet(newDir.toString)
+          commitEntries(spark, newDir, None, statCols)
+        case None =>
+          sorted.write.parquet(newDir.toString)
+          Seq(newDir.toString)
+      }
+      landManifest(table, nv,
+        Seq(s"#ts=${System.currentTimeMillis()}",
+          s"#schema=${recorded.json}") ++
+          tag.map(t => s"#tag=$t") ++ Seq("#delta") ++
+          touched.map(t => entryPath(t._1)).distinct.sorted.map("-" + _) ++
+          (keptOfTouched ++ newEntries).map("+" + _))
+    } catch {
+      case t: Throwable => abandonClaim(table, nv, newDir); throw t
+    }
+    Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    maybeCheckpoint(table, nv)
+    nv
+  }
+
   /** SNAPSHOT-ISOLATED small-file compaction — the OPTIMIZE commit:
     * files under `smallBytes` are coalesced into ~`smallBytes` outputs in
     * the next commit dir; the delta manifest keeps every large file
@@ -874,7 +1093,7 @@ object Versioned {
     val nv = claimMaintenance(table, v)
     val newDir = Paths.get(table, "data", s"c$nv")
     try {
-      val sm = spark.read.parquet(small.map(_._1): _*)
+      val sm = readerFor(spark, table, v).parquet(small.map(_._1): _*)
       val newEntries = partMetaCol match {
         case Some(c) =>
           // RANGE-partition the rewrite on (partition value, sortCols) —

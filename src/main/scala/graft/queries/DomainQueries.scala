@@ -1260,6 +1260,127 @@ object DomainQueries {
         .orderBy("omonth")
     },
 
+    // SCHEMA EVOLUTION on the versioned table (io.Versioned `#schema=`
+    // headers): the 1997+ append ADDS a priority column; the snapshot
+    // read applies the RECORDED evolved schema, so pre-evolution files
+    // read the column as NULL instead of the read schema depending on
+    // which file the reader samples — and an append that DROPS a column
+    // aborts loudly (require-pinned), never silently shrinking the
+    // table. The pinned pre-evolution version keeps its own two-column
+    // schema (require-pinned). The oracle states the evolution directly:
+    // priority exists only for post-1997 rows, NULL (bucketed as
+    // '(pre-evolution)') before.
+    Q.sql("q249_versioned_schema_evolution",
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |              THEN o_orderpriority END AS prio,
+        |         o_orderkey, o_totalprice
+        |  FROM orders)
+        |SELECT coalesce(prio, '(pre-evolution)') AS prio,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q249evo").toString + "/orders_evo"
+      val orders = graft.io.Tables.orders(s, d)
+      val cut = lit("1997-01-01").cast("timestamp")
+      val v1 = graft.io.Versioned.commit(
+        orders.where(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_totalprice"), tbl)
+      val v2 = graft.io.Versioned.commit(
+        orders.where(col("o_orderdate") >= cut)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("prio")), tbl)
+      require(v2 == v1 + 1, "evolution append must land one commit")
+      // the pinned pre-evolution version keeps its own schema
+      require(graft.io.Versioned.snapshot(s, tbl, v1).columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice"),
+        "pinned pre-evolution version grew a column")
+      // a column-dropping append aborts loudly
+      val dropped = try {
+        graft.io.Versioned.commit(
+          orders.limit(1).select("o_orderkey"), tbl): Unit
+        false
+      } catch { case _: IllegalArgumentException => true }
+      require(dropped, "column-dropping append must abort")
+      val snap = graft.io.Versioned.snapshot(s, tbl)
+      require(snap.columns.toSeq ==
+        Seq("o_orderkey", "o_totalprice", "prio"),
+        s"evolved schema mismatch: ${snap.columns.toSeq}")
+      snap.groupBy(coalesce(col("prio"), lit("(pre-evolution)")).as("prio"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("prio")
+    },
+
+    // MERGE INTO the versioned table (io.Versioned.merge — Delta's
+    // upsert as a FILE-TARGETED maintenance commit): the table lands
+    // range-clustered on a bounded key residue, the merge source updates
+    // one residue band (doubled price) and inserts offset keys; only the
+    // files holding matched keys rewrite — require() pins that the
+    // post-merge snapshot REUSES untouched files verbatim and retires
+    // some (file-targeted, not read-filter-rewrite-everything) and that
+    // the pinned pre-merge version still reads the original prices. The
+    // oracle states the upsert directly: band rows doubled, inserts
+    // appended, everything else untouched.
+    Q.sql("q250_versioned_merge",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS p
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, CASE WHEN k % 256 BETWEEN 50 AND 80 THEN p * 2
+        |                 ELSE p END AS p
+        |  FROM base
+        |  UNION ALL
+        |  SELECT k + 100000000, p FROM base WHERE k % 13 = 0)
+        |SELECT (k % 256) // 32 AS band, count(*) AS n_rows,
+        |       CAST(SUM(k) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q250mrg").toString + "/orders_mrg"
+      val base = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("k"),
+          pmod(col("o_orderkey"), lit(256)).cast("long").as("kb"),
+          col("o_totalprice").as("p"))
+        .repartitionByRange(12, col("kb")).sortWithinPartitions("kb")
+      val v1 = graft.io.Versioned.commit(base, tbl, statsCols = Seq("kb"))
+      val source = base.where(col("kb").between(50, 80))
+        .withColumn("p", col("p") * 2)
+        .unionByName(base.where(col("k") % 13 === 0)
+          .withColumn("k", col("k") + 100000000L)
+          .withColumn("kb", pmod(col("k"), lit(256))))
+      val v2 = graft.io.Versioned.merge(s, tbl, source, Seq("k"),
+        sortCols = Seq("kb"))
+      require(v2 == v1 + 1, "merge must land one commit")
+      def files(df: org.apache.spark.sql.DataFrame) =
+        df.select(input_file_name()).distinct()
+          .collect().map(_.getString(0)).toSet
+      val (f1, f2) = (files(graft.io.Versioned.snapshot(s, tbl, v1)),
+        files(graft.io.Versioned.snapshot(s, tbl, v2)))
+      require((f1 intersect f2).nonEmpty,
+        "merge rewrote EVERY file — not file-targeted")
+      require((f1 diff f2).nonEmpty, "merge retired no files")
+      // pinned pre-merge version still reads original prices
+      require(graft.io.Versioned.snapshot(s, tbl, v1)
+        .where(col("kb").between(50, 80)).agg(sum("p")).head().getDouble(0)
+        < graft.io.Versioned.snapshot(s, tbl, v2)
+        .where(col("kb").between(50, 80)).agg(sum("p")).head().getDouble(0),
+        "pinned pre-merge version saw the update")
+      graft.io.Versioned.snapshot(s, tbl, v2)
+        .groupBy((col("kb") / 32).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("key_sum"),
+          Qutil.msum(col("p"), 2).as("total_price"))
+        .orderBy("band")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

@@ -744,6 +744,57 @@ object Streaming {
       .start()
   }
 
+  /** Stream → VERSIONED UPSERT (CDC apply): each micro-batch lands as
+    * ONE [[graft.io.Versioned.merge]] commit — matched keys update,
+    * unmatched insert, only the files holding matched keys rewrite —
+    * with the `#tag=epoch:` header for EXACTLY-ONCE replay skipping
+    * (the [[versionedSink]] contract on the merge path). The first epoch
+    * on a fresh table creates it with a plain commit.
+    *
+    * `orderCol`: when a batch can carry SEVERAL rows per key (the CDC
+    * norm — multiple updates between triggers), the sink keeps the row
+    * with the MAX `orderCol` per key before merging (last-writer-wins at
+    * batch grain; ties break on the remaining columns via the same
+    * deterministic argmax the batch dedup operators use). Without it the
+    * merge's unique-key guard fails loudly on a duplicated key. */
+  def versionedMergeSink(df: DataFrame, table: String, keyCols: Seq[String],
+                         checkpoint: String,
+                         orderCol: Option[String] = None,
+                         sortCols: Seq[String] = Nil): StreamingQuery = {
+    var landedThrough = Option.empty[Long]
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (landedThrough.isEmpty)
+          landedThrough = Some(
+            if (graft.io.Versioned.latestVersion(table) < 1) -1L
+            else graft.io.Versioned.latestTaggedSuffix(table, "epoch:")
+              .getOrElse(-1L))
+        if (batchId > landedThrough.get) {
+          val deduped = orderCol match {
+            case None => batch
+            case Some(oc) =>
+              import org.apache.spark.sql.expressions.Window
+              batch.withColumn("__rn",
+                  org.apache.spark.sql.functions.row_number().over(
+                    Window.partitionBy(keyCols.map(batch(_)): _*)
+                      .orderBy((oc +: batch.columns.filterNot(_ == oc).toSeq)
+                        .map(c => batch(c).desc): _*)))
+                .where(org.apache.spark.sql.functions.col("__rn") === 1)
+                .drop("__rn")
+          }
+          if (graft.io.Versioned.latestVersion(table) < 1)
+            graft.io.Versioned.commit(deduped, table,
+              tag = Some(s"epoch:$batchId")): Unit
+          else
+            graft.io.Versioned.merge(batch.sparkSession, table, deduped,
+              keyCols, sortCols, tag = Some(s"epoch:$batchId")): Unit
+          landedThrough = Some(batchId)
+        }
+      }
+      .start()
+  }
+
   /** Stream → z-clustered layout with the COMPACTION TRIGGER integrated:
     * each micro-batch lands EXACTLY-ONCE into the z-bucket directories
     * ([[graft.io.Layout.appendZClusteredExactlyOnce]] — the

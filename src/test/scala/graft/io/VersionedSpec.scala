@@ -508,6 +508,109 @@ class VersionedSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("schema evolution: appends may ADD columns (older files read " +
+    "NULL under the recorded schema), never drop or retype; maintenance " +
+    "carries the schema; pinned versions keep their own; column order " +
+    "is stable") {
+    val tbl = java.nio.file.Files.createTempDirectory("verevo").toString + "/t"
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "pay"), tbl)
+    // EVOLVE: the append adds `score`
+    Versioned.commit(Seq((3L, "c", 7.5)).toDF("id", "pay", "score"), tbl)
+    val snap = Versioned.snapshot(spark, tbl)
+    assert(snap.columns.toSeq == Seq("id", "pay", "score"))
+    assert(snap.orderBy("id").as[(Long, String, Option[Double])]
+      .collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(7.5))),
+      "pre-evolution files must read the new column as NULL")
+    // a PINNED pre-evolution read sees the schema the table had THEN
+    assert(Versioned.snapshot(spark, tbl, 1).columns.toSeq ==
+      Seq("id", "pay"))
+    // dropping or retyping a column fails LOUDLY (the silent alternative
+    // is a read schema that depends on which file the reader samples)
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq(4L).toDF("id"), tbl)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((4L, 9, 1.0)).toDF("id", "pay", "score"), tbl)
+    }
+    // the failed commits released their claims; the log is not wedged
+    assert(Versioned.latestVersion(tbl) == 2)
+    // existing columns REORDERED in the appended frame: recorded order
+    // stays stable (parquet reads are name-based)
+    Versioned.commit(Seq((4.5, "d", 4L)).toDF("score", "pay", "id"), tbl)
+    assert(Versioned.snapshot(spark, tbl).columns.toSeq ==
+      Seq("id", "pay", "score"))
+    assert(Versioned.snapshot(spark, tbl).where($"id" === 4L)
+      .select("pay", "score").as[(String, Double)].head() == ("d", 4.5))
+    // maintenance carries the evolved schema verbatim
+    val v = Versioned.deleteWhere(spark, tbl, $"id" === 1L)
+    val after = Versioned.snapshot(spark, tbl, v)
+    assert(after.columns.toSeq == Seq("id", "pay", "score"))
+    assert(after.orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(2L, 3L, 4L))
+  }
+
+  test("MERGE (upsert): matched keys update, unmatched insert, ONLY " +
+    "files holding matched keys rewrite; guards reject duplicate and " +
+    "NULL source keys; schema may evolve through the merge; pinned " +
+    "pre-merge versions unchanged") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("vermrg").toString + "/t"
+    val base = (0 until 2000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "pay")
+      .repartitionByRange(8, $"id").sortWithinPartitions("id")
+    val v1 = Versioned.commit(base, tbl)
+    // update ids 100-199 (one clustered band), insert 5000-5004
+    val source = ((100 until 200).map(i => (i.toLong, s"UPD$i")) ++
+      (5000 until 5005).map(i => (i.toLong, s"NEW$i"))).toDF("id", "pay")
+    val v2 = Versioned.merge(spark, tbl, source, Seq("id"),
+      sortCols = Seq("id"))
+    assert(v2 == v1 + 1)
+    val after = Versioned.snapshot(spark, tbl, v2)
+    assert(after.count() == 2005)
+    assert(after.where($"id" === 150L).select("pay").as[String]
+      .head() == "UPD150")
+    assert(after.where($"id" === 5002L).select("pay").as[String]
+      .head() == "NEW5002")
+    assert(after.where($"id" === 50L).select("pay").as[String]
+      .head() == "v50", "unmatched target row changed")
+    // file-targeted: untouched clustered files are REUSED verbatim
+    def files(d: org.apache.spark.sql.DataFrame) =
+      d.select(input_file_name()).distinct().as[String].collect().toSet
+    val (f1, f2) = (files(Versioned.snapshot(spark, tbl, v1)), files(after))
+    assert((f1 intersect f2).nonEmpty, "merge rewrote every file")
+    assert((f1 diff f2).nonEmpty, "merge retired no files")
+    // pinned pre-merge version unchanged
+    assert(Versioned.snapshot(spark, tbl, v1).where($"id" === 150L)
+      .select("pay").as[String].head() == "v150")
+    // duplicate source keys rejected loudly
+    intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "pay"), Seq("id"))
+    }
+    // NULL source keys rejected loudly
+    intercept[IllegalArgumentException] {
+      Versioned.merge(spark, tbl,
+        Seq((Some(1L), "a"), (None, "b")).toDF("id", "pay"), Seq("id"))
+    }
+    // schema EVOLUTION through the merge: source adds a column; matched
+    // rows carry it, everything else reads NULL
+    val v3 = Versioned.merge(spark, tbl,
+      Seq((150L, "UPD150b", 9.9)).toDF("id", "pay", "score"), Seq("id"))
+    val evolved = Versioned.snapshot(spark, tbl, v3)
+    assert(evolved.columns.toSeq == Seq("id", "pay", "score"))
+    assert(evolved.where($"id" === 150L)
+      .select("pay", "score").as[(String, Double)].head() == ("UPD150b", 9.9))
+    assert(evolved.where($"id" === 50L).select("score").head().isNullAt(0))
+    // an all-insert merge (no matches) degrades to a pure append:
+    // every resident file reused
+    val fBefore = files(Versioned.snapshot(spark, tbl))
+    Versioned.merge(spark, tbl,
+      Seq((9000L, "NEW9000", 1.0)).toDF("id", "pay", "score"), Seq("id"))
+    assert(fBefore.subsetOf(files(Versioned.snapshot(spark, tbl))),
+      "an unmatched-key merge rewrote resident files")
+  }
+
   test("vacuum's empty-dir prune leaves a data dir above the landed " +
     "boundary alone — an in-flight writer's dir mid-write is never swept") {
     val tbl = java.nio.file.Files.createTempDirectory("verinf").toString + "/t"
