@@ -84,7 +84,8 @@ object Explain {
       "q243_versioned_zlayout", "q244_versioned_ann_forget",
       "q245_streaming_versioned_zlayout",
       "q246_versioned_vacuum_retention",
-      "q247_versioned_stats_skipping")
+      "q247_versioned_stats_skipping", "q248_versioned_encoded_stats",
+      "q249_versioned_schema_evolution", "q250_versioned_merge")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

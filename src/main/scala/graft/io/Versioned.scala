@@ -727,6 +727,33 @@ object Versioned {
       .parquet(resolvedEntries(table, v).map(entryPath): _*)
   }
 
+  /** The latest version whose COMMIT TIMESTAMP (`#ts=` header) is at or
+    * before `tsMillis` — Delta's `TIMESTAMP AS OF` resolution. Versions
+    * land in number order with monotone wall-clocks under the
+    * single-writer/serialized disciplines; a racing multi-writer pair
+    * can land within the same millisecond, where the higher version wins
+    * (deterministic either way). Fails loudly when `tsMillis` predates
+    * the table (or its vacuumed history — retention declares that gone). */
+  def versionAt(table: String, tsMillis: Long): Int = {
+    val v = latestVersion(table)
+    require(v >= 1, s"no commits in $table")
+    val at = (1 to v).filter(k =>
+        Files.exists(versionsDir(table).resolve(k.toString)) &&
+          versionTimestamp(table, k) <= tsMillis)
+      .maxOption
+    require(at.isDefined,
+      s"no version of $table at or before ts=$tsMillis — the timestamp " +
+        "predates the table or its vacuum retention window")
+    at.get
+  }
+
+  /** [[snapshot]] pinned by wall-clock instead of version number —
+    * `TIMESTAMP AS OF`: the table exactly as a reader at that moment
+    * resolved it. */
+  def snapshotAsOf(spark: SparkSession, table: String,
+                   tsMillis: Long): DataFrame =
+    snapshot(spark, table, versionAt(table, tsMillis))
+
   /** Read the snapshot PRUNED to the files whose manifest metadata says
     * `partCol` ∈ `values` — the manifest-as-index read: file selection is
     * metadata-only (no directory listing, no partition discovery), so a

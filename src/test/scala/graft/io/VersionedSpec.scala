@@ -550,6 +550,33 @@ class VersionedSpec extends SparkSpec {
       Seq(2L, 3L, 4L))
   }
 
+  test("TIMESTAMP AS OF: snapshotAsOf resolves the latest commit at or " +
+    "before the wall-clock; pre-table timestamps fail loudly; the clock " +
+    "is the #ts= header, not file mtime") {
+    val tbl = java.nio.file.Files.createTempDirectory("verasof").toString + "/t"
+    val t0 = System.currentTimeMillis() - 1
+    Versioned.commit(Seq(1).toDF("x"), tbl)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Versioned.commit(Seq(2).toDF("x"), tbl)
+    Thread.sleep(5)
+    Versioned.commit(Seq(3).toDF("x"), tbl)
+    assert(Versioned.versionAt(tbl, t1) == 1)
+    assert(Versioned.snapshotAsOf(spark, tbl, t1).as[Int]
+      .collect().toSeq == Seq(1))
+    assert(Versioned.versionAt(tbl, System.currentTimeMillis()) == 3)
+    assert(Versioned.snapshotAsOf(spark, tbl, System.currentTimeMillis())
+      .count() == 3)
+    intercept[IllegalArgumentException] { Versioned.versionAt(tbl, t0) }
+    // the clock is the header: back-dating v3's #ts= moves the boundary
+    val p = java.nio.file.Paths.get(tbl, "_versions", "3")
+    val reclocked = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .linesIterator.map(l =>
+        if (l.startsWith("#ts=")) s"#ts=${t1 + 1}" else l).mkString("\n")
+    java.nio.file.Files.write(p, reclocked.getBytes("UTF-8"))
+    assert(Versioned.versionAt(tbl, t1 + 1) == 3)
+  }
+
   test("MERGE (upsert): matched keys update, unmatched insert, ONLY " +
     "files holding matched keys rewrite; guards reject duplicate and " +
     "NULL source keys; schema may evolve through the merge; pinned " +
