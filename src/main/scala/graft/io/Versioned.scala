@@ -251,7 +251,8 @@ object Versioned {
     var entries: Vector[String] = ckpt match {
       case Some(k) =>
         val ls = Files.readAllLines(checkpointPath(table, k),
-          StandardCharsets.UTF_8).asScala.toVector.filter(_.nonEmpty)
+          StandardCharsets.UTF_8).asScala.toVector
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
         lines += ls.size
         ls
       case None => Vector.empty
@@ -278,16 +279,59 @@ object Versioned {
     entries
   }
 
-  /** Write the checkpoint for version `v` (full resolved entry list),
-    * atomically via temp + move. Safe to call concurrently or repeatedly:
-    * the content is a pure function of the version. */
+  /** Per-prefix maxima of NUMERIC-suffixED tags recorded in checkpoint
+    * `k` (the `#maxtag=<prefix>\t<n>` header lines) — present exactly
+    * when the `#tags-recorded` marker is (older checkpoints without it
+    * force [[latestTaggedSuffix]]'s full-chain fallback). */
+  private def checkpointTagMaxima(table: String,
+                                  k: Int): Option[Map[String, Long]] = {
+    val ls = Files.readAllLines(checkpointPath(table, k),
+      StandardCharsets.UTF_8).asScala
+    if (!ls.contains("#tags-recorded")) None
+    else Some(ls.filter(_.startsWith("#maxtag=")).map { l =>
+      val body = l.stripPrefix("#maxtag=")
+      val t = body.lastIndexOf('\t')
+      body.substring(0, t) -> body.substring(t + 1).toLong
+    }.toMap)
+  }
+
+  /** Split a numeric-suffixed tag into (prefix incl. separator, value) —
+    * "epoch:7" → ("epoch:", 7). Non-numeric-suffixed tags yield None and
+    * are never folded into maxima. */
+  private def tagSplit(tag: String): Option[(String, Long)] = {
+    val i = tag.lastIndexWhere(!_.isDigit)
+    if (i == tag.length - 1) None
+    else tag.substring(i + 1).toLongOption.map((tag.substring(0, i + 1), _))
+  }
+
+  /** Write the checkpoint for version `v` (full resolved entry list,
+    * plus the running per-prefix tag maxima so [[latestTaggedSuffix]]
+    * stays checkpoint+tail-bounded), atomically via temp + move. Safe to
+    * call concurrently or repeatedly: the content is a pure function of
+    * the version. */
   private def writeCheckpoint(table: String, v: Int): Unit = {
     val entries = resolvedEntries(table, v)
+    // tag maxima: previous RECORDING checkpoint's maxima + the tags of
+    // the manifests after it (full-chain fold when no prior recording —
+    // once, after which every later checkpoint is incremental)
+    val prevCkpt = latestCheckpointAtOrBelow(table, v - 1)
+    val base = prevCkpt.flatMap(checkpointTagMaxima(table, _))
+    val from = if (base.isDefined) prevCkpt.get + 1 else 1
+    val folded = (from to v).foldLeft(base.getOrElse(Map.empty[String, Long])) {
+      (m, k) =>
+        if (!Files.exists(versionsDir(table).resolve(k.toString))) m
+        else versionTag(table, k).flatMap(tagSplit) match {
+          case Some((p, n)) => m.updated(p, math.max(m.getOrElse(p, n), n))
+          case None => m
+        }
+    }
     val target = checkpointPath(table, v)
     val staging = versionsDir(table).resolve(
       s"$v.ckpt.staging.${java.util.UUID.randomUUID().toString.take(8)}")
+    val headers = "#tags-recorded" +:
+      folded.toSeq.sorted.map { case (p, n) => s"#maxtag=$p\t$n" }
     Files.write(staging,
-      entries.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (headers ++ entries).mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING): Unit
   }
@@ -333,21 +377,30 @@ object Versioned {
     * (e.g. prefix "epoch:" over tags "epoch:7") — the streaming sink's
     * replay boundary, resolved ONCE at stream (re)start. Tags whose
     * suffix is not a number are SKIPPED (an operator-written "epoch:final"
-    * must not kill stream startup). Manifests below the vacuum retention
-    * boundary are gone along with their tags: for the exactly-once replay
-    * contract to hold across restarts, vacuum retention MUST cover at
-    * least the last tagged epoch (retainLast ≥ 1 always keeps the latest
-    * version, so a sink tagging every commit is safe by construction —
-    * the caveat bites only when untagged maintenance commits land AFTER
-    * the last epoch and retention is count-tight). */
+    * must not kill stream startup).
+    *
+    * CHECKPOINT+TAIL bounded, like snapshot resolution: checkpoints
+    * record the running per-prefix maxima (`#maxtag=` headers), so a
+    * stream restarting on a 10⁵-epoch table opens one checkpoint plus at
+    * most [[checkpointInterval]] manifests — not the whole chain — AND
+    * the maxima survive vacuum (a tag whose manifest was dropped below
+    * retention is still counted from the retained checkpoint, so the
+    * exactly-once replay boundary holds across restarts regardless of
+    * retention). `prefix` must end exactly where the numeric suffix
+    * begins (the maxima are keyed that way). Pre-maxima checkpoints fall
+    * back to the full chain scan. */
   def latestTaggedSuffix(table: String, prefix: String): Option[Long] = {
     val v = latestVersion(table)
-    if (v < 1) None
-    else (1 to v).iterator
+    if (v < 1) return None
+    val ckpt = latestCheckpointAtOrBelow(table, v)
+    val maxima = ckpt.flatMap(checkpointTagMaxima(table, _))
+    val from = if (maxima.isDefined) ckpt.get + 1 else 1
+    val tail = (from to v).iterator
       .filter(k => Files.exists(versionsDir(table).resolve(k.toString)))
       .flatMap(k => versionTag(table, k))
       .filter(_.startsWith(prefix))
       .flatMap(_.stripPrefix(prefix).toLongOption)
+    (maxima.flatMap(_.get(prefix)).iterator ++ tail)
       .foldLeft(Option.empty[Long])((m, x) => Some(math.max(m.getOrElse(x), x)))
   }
 

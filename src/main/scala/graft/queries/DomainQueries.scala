@@ -1381,6 +1381,72 @@ object DomainQueries {
         .orderBy("band")
     },
 
+    // STREAMING CDC UPSERT into the versioned table (Streaming.
+    // versionedMergeSink over io.Versioned.merge): a real file-source
+    // stream replays an initial load plus three update batches (each
+    // bumping one key-residue class), every epoch landing as ONE
+    // exactly-once tagged MERGE commit. Epoch ORDER is forced through
+    // file modification times (the FileStreamSource ordering contract),
+    // because upserts do not commute. require() pins the 4 tagged
+    // epochs and that the pinned initial-load version still reads the
+    // original prices. The oracle states last-writer-wins directly:
+    // residue r>0 was updated exactly once by batch r.
+    Q.sql("q251_streaming_cdc_merge",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS p
+        |  FROM orders),
+        |fin AS (
+        |  SELECT k, CASE WHEN k % 4 = 0 THEN p
+        |                 ELSE p * (1 + k % 4) END AS p
+        |  FROM base)
+        |SELECT k % 4 AS r, count(*) AS n_rows,
+        |       CAST(SUM(k) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files.createTempDirectory("q251cdc").toString
+      val tbl = s"$dir/t"
+      val base = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").as("p"))
+      val batches = base +: (1 to 3).map(b =>
+        base.where(pmod(col("k"), lit(4)) === b)
+          .withColumn("p", col("p") * (1 + b)))
+      // one parquet file per batch, modification times strictly
+      // increasing in batch order — the source's processing order
+      val stage = java.nio.file.Paths.get(dir, "stage")
+      java.nio.file.Files.createDirectories(stage)
+      batches.zipWithIndex.foreach { case (bdf, b) =>
+        val raw = s"$dir/raw$b"
+        bdf.coalesce(1).write.parquet(raw)
+        val part = new java.io.File(raw).listFiles
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val target = stage.resolve(f"b$b%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (10 - b) * 60000L))
+      }
+      val src = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = graft.streaming.Streaming.versionedMergeSink(src, tbl,
+        Seq("k"), checkpoint = s"$dir/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      require(graft.io.Versioned.latestTaggedSuffix(tbl, "epoch:")
+        .contains(3L), "expected 4 tagged CDC epochs")
+      require(graft.io.Versioned.snapshot(s, tbl, 1)
+        .agg(sum("p")).head().getDouble(0) <
+        graft.io.Versioned.snapshot(s, tbl).agg(sum("p")).head().getDouble(0),
+        "pinned initial-load version saw the updates")
+      graft.io.Versioned.snapshot(s, tbl)
+        .groupBy(pmod(col("k"), lit(4)).as("r"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("key_sum"),
+          Qutil.msum(col("p"), 2).as("total_price"))
+        .orderBy("r")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

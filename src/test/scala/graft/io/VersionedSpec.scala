@@ -550,6 +550,36 @@ class VersionedSpec extends SparkSpec {
       Seq(2L, 3L, 4L))
   }
 
+  test("tag maxima ride the checkpoints: latestTaggedSuffix reads " +
+    "checkpoint+tail, and the replay boundary SURVIVES vacuum dropping " +
+    "every tagged manifest") {
+    val tbl = java.nio.file.Files.createTempDirectory("vertagm").toString + "/t"
+    val n = Versioned.checkpointInterval + 3
+    (0 until n).foreach { i =>
+      Versioned.commit(Seq(i).toDF("x"), tbl, tag = Some(s"epoch:$i")): Unit
+    }
+    assert(Versioned.latestTaggedSuffix(tbl, "epoch:").contains(n - 1L))
+    // the interval checkpoint recorded the running maxima
+    val ck = java.nio.file.Paths.get(tbl, "_versions",
+      s"${Versioned.checkpointInterval}.ckpt")
+    val ckLines = new String(java.nio.file.Files.readAllBytes(ck), "UTF-8")
+      .linesIterator.toSeq
+    assert(ckLines.contains("#tags-recorded"))
+    assert(ckLines.contains(
+      s"#maxtag=epoch:\t${Versioned.checkpointInterval - 1}"))
+    // an UNTAGGED maintenance-style commit lands after the epochs, then
+    // vacuum retains ONLY it: every tagged manifest is dropped, yet the
+    // boundary resolves from the retained checkpoint's maxima (the
+    // pre-r15 full-scan form returned None here — the retention caveat
+    // this closes)
+    Versioned.commit(Seq(999).toDF("x"), tbl): Unit
+    Versioned.vacuum(tbl, retainLast = 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tbl, "_versions", "1")))
+    assert(Versioned.latestTaggedSuffix(tbl, "epoch:").contains(n - 1L),
+      "vacuum destroyed the exactly-once replay boundary")
+  }
+
   test("TIMESTAMP AS OF: snapshotAsOf resolves the latest commit at or " +
     "before the wall-clock; pre-table timestamps fail loudly; the clock " +
     "is the #ts= header, not file mtime") {
