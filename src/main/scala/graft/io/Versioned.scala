@@ -924,8 +924,12 @@ object Versioned {
     *
     * NULL discipline as [[Deletes.deleteWhere]]: a NULL-predicate row is
     * kept. */
+  /** `emitChanges = true` records the deleted rows as the commit's
+    * CHANGE FEED (`delete` rows for [[changes]]) — one extra filtered
+    * pass over the affected files, never the table. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
-                  sortCols: Seq[String] = Nil): Int = {
+                  sortCols: Seq[String] = Nil,
+                  emitChanges: Boolean = false): Int = {
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
     val stored = resolvedEntries(table, v)
@@ -967,6 +971,11 @@ object Versioned {
     val nv = claimMaintenance(table, v)
     val newDir = Paths.get(table, "data", s"c$nv")
     try {
+      if (emitChanges)
+        aff.where(matchP)
+          .withColumn(ChangeTypeCol, lit("delete"))
+          .withColumn(CommitVersionCol, lit(nv))
+          .write.parquet(changesDir(table, nv).toString)
       val survivors =
         Deletes.rewriteSurvivors(aff, !matchP, affected.size, Nil, sortCols)
       val newEntries = partMetaCol match {
@@ -995,11 +1004,137 @@ object Versioned {
       landMaintenanceDelta(table, nv, touchedPaths.toSeq.sorted,
         keptOfTouched ++ newEntries)
     } catch {
-      case t: Throwable => abandonClaim(table, nv, newDir); throw t
+      case t: Throwable =>
+        abandonClaim(table, nv, newDir)
+        try {
+          if (Files.exists(changesDir(table, nv)))
+            walkDir(changesDir(table, nv)).reverse
+              .foreach(f => Files.deleteIfExists(f): Unit)
+        } catch { case _: Exception => () }
+        throw t
     }
     Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
     maybeCheckpoint(table, nv)
     nv
+  }
+
+  /** DISCOVERY PRUNING for [[merge]]: with a single key column and
+    * `s:<key>` manifest stats, only files whose recorded range
+    * intersects the source-key range can hold a match — the discovery
+    * scan shrinks to the stats-pruned candidate set (conservative:
+    * stat-less files stay; multi-column keys and non-integral keys fall
+    * back to every file). On a key-clustered stats-enabled table this
+    * makes the WHOLE merge affected-files-sized, discovery included.
+    * Package-private so the spec can pin the strict candidate subset. */
+  private[io] def mergeDiscoveryCandidates(
+      expanded: Seq[(String, Seq[(String, Seq[(String, String)])])],
+      keyCols: Seq[String], srcKeys: DataFrame): Seq[String] = {
+    val allFiles = expanded.flatMap(_._2.map(_._1)).distinct
+    if (keyCols.size != 1) return allFiles
+    val kc = keyCols.head
+    val hasStats = expanded.exists(_._2.exists(
+      _._2.exists(_._1 == s"s:$kc")))
+    if (!hasStats) return allFiles
+    val r = srcKeys.agg(min(col(kc).cast("long")),
+      max(col(kc).cast("long"))).head()
+    if (r.isNullAt(0)) allFiles // non-integral key: no pruning
+    else expanded.flatMap(_._2)
+      .filter { case (_, metas) =>
+        statsIntersect(metas, kc, r.getLong(0), r.getLong(1)) }
+      .map(_._1).distinct
+  }
+
+  /** The candidate file set a `merge(table, source, keyCols)` would scan
+    * for discovery at the CURRENT version — the spec's pinning surface
+    * for [[mergeDiscoveryCandidates]]. */
+  private[io] def mergeCandidatesForSpec(spark: SparkSession,
+      table: String, keyCols: Seq[String],
+      source: DataFrame): Seq[String] = {
+    val v = latestVersion(table)
+    mergeDiscoveryCandidates(
+      resolvedEntries(table, v).map(e => (e, expandEntryAll(e))),
+      keyCols, source.select(keyCols.map(col): _*))
+  }
+
+  // --- CHANGE DATA FEED (Delta CDF): row-level changes per commit ---
+
+  /** Where commit `v`'s recorded change rows live (parquet; written by
+    * [[merge]]/[[deleteWhere]] with `emitChanges = true`). Underscore
+    * dir — never manifest-referenced, invisible to snapshot readers. */
+  private def changesDir(table: String, v: Int): Path =
+    Paths.get(table, "_changes", s"c$v")
+
+  /** Change-feed column names ([[changes]] output): the change class
+    * (`insert` / `update_preimage` / `update_postimage` / `delete`) and
+    * the commit version that produced the row. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** Row-level CHANGES between versions (exclusive `fromV`, inclusive
+    * `toV`) — the Delta Change Data Feed read: each commit contributes
+    * its typed change rows, aligned to `toV`'s schema (pre-evolution
+    * rows null-fill later columns).
+    *
+    *  - APPEND commits (including partitioned/clustered appends and the
+    *    streaming epoch commits) need nothing recorded: their own new
+    *    files ARE the insert set, read directly.
+    *  - MERGE / DELETE commits contribute their recorded feed
+    *    (`emitChanges = true` at the operation). A rewriting commit
+    *    WITHOUT a recorded feed fails this read loudly — its physical
+    *    adds/removes (rewritten survivors) do not represent logical row
+    *    changes, and silently returning them would corrupt any
+    *    downstream incremental consumer.
+    *  - OVERWRITE commits are not representable (the pre-image is the
+    *    whole prior table) and fail loudly.
+    *
+    * Physical feed files below the vacuum retention boundary are swept
+    * with their versions; reading a vacuumed range fails on the missing
+    * manifest, same as time travel. */
+  def changes(spark: SparkSession, table: String, fromV: Int,
+              toV: Int = Int.MaxValue): DataFrame = {
+    val hi = math.min(toV, latestVersion(table))
+    require(fromV >= 0 && hi > fromV,
+      s"empty change range ($fromV, $toV] on $table")
+    val schema = versionSchema(table, hi)
+    val aligned = (d: DataFrame) => schema match {
+      case None => d
+      case Some(sc) =>
+        val keep = sc.fieldNames.toSeq ++
+          Seq(ChangeTypeCol, CommitVersionCol).filter(d.columns.contains)
+        d.select(keep.map(n =>
+          if (d.columns.contains(n)) col(n)
+          else lit(null).cast(sc(n).dataType).as(n)): _*)
+    }
+    val parts = ((fromV + 1) to hi).map { v =>
+      val recorded = changesDir(table, v)
+      if (Files.exists(recorded))
+        aligned(spark.read.parquet(recorded.toString))
+      else {
+        val ls = manifestLines(table, v)
+        val body = ls.filterNot(l => l.startsWith("#") || l.isEmpty)
+        val isDelta = ls.contains("#delta")
+        require(v == 1 || isDelta,
+          s"version $v of $table is an OVERWRITE commit — its pre-image " +
+            "is the whole prior table; the change feed cannot represent " +
+            "it. Re-seed consumers from a snapshot instead")
+        require(!isDelta || !body.exists(_.startsWith("-")),
+          s"version $v of $table rewrites files but recorded no change " +
+            "feed (merge/delete ran with emitChanges = false) — its " +
+            "physical adds are NOT logical inserts; rerun the operation " +
+            "with emitChanges = true or re-seed consumers from a snapshot")
+        val added =
+          if (isDelta) body.collect { case l if l.startsWith("+") =>
+            l.substring(1) }
+          else body
+        val files = added.flatMap(expandFiles)
+        val rd = versionSchema(table, v).map(spark.read.schema)
+          .getOrElse(spark.read)
+        aligned(rd.parquet(files: _*)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(v)))
+      }
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** SNAPSHOT-ISOLATED MERGE (upsert) — Delta's `MERGE INTO` with
@@ -1013,6 +1148,12 @@ object Versioned {
     * Unmatched-key sources degrade to a pure append (no files touched).
     * Pinned readers never see a partial merge; a crash leaves every
     * landed version readable.
+    *
+    * `emitChanges = true` additionally records the commit's CHANGE FEED
+    * (matched targets as `update_preimage`, matched source rows as
+    * `update_postimage`, unmatched source rows as `insert`) for
+    * [[changes]] — one extra pass over the affected files + source,
+    * never the table.
     *
     * Contract guards (all loud):
     *  - `keyCols` must exist in both sides with compatible types;
@@ -1028,7 +1169,8 @@ object Versioned {
     * epoch id). Returns the new version. */
   def merge(spark: SparkSession, table: String, source: DataFrame,
             keyCols: Seq[String], sortCols: Seq[String] = Nil,
-            tag: Option[String] = None): Int = {
+            tag: Option[String] = None,
+            emitChanges: Boolean = false): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = latestVersion(table)
     require(v >= 1, s"no commits in $table")
@@ -1056,8 +1198,8 @@ object Versioned {
         "matching one target row make the result order-dependent")
     val stored = resolvedEntries(table, v)
     val expanded = stored.map(e => (e, expandEntryAll(e)))
-    val allFiles = expanded.flatMap(_._2.map(_._1)).distinct
-    val target = readerFor(spark, table, v).parquet(allFiles: _*)
+    val candidates = mergeDiscoveryCandidates(expanded, keyCols, srcKeys)
+    val target = readerFor(spark, table, v).parquet(candidates: _*)
     // discovery: the files holding at least one matched key (one join;
     // AQE broadcasts a small source side on its own). input_file_name()
     // is captured IN THE SCAN STAGE — after a shuffle join it would
@@ -1098,6 +1240,26 @@ object Versioned {
             .parquet(affected.toSeq: _*)
             .join(srcKeys, keyCols, "left_anti"))
           .unionByName(aligned(source))
+      if (emitChanges) {
+        val tgtAff =
+          if (affected.isEmpty) None
+          else Some(readerFor(spark, table, v).parquet(affected.toSeq: _*))
+        val pre = tgtAff.map(t =>
+          aligned(t.join(srcKeys, keyCols, "left_semi"))
+            .withColumn(ChangeTypeCol, lit("update_preimage")))
+        val post = tgtAff.map(t =>
+          aligned(source.join(t.select(keyCols.map(col): _*),
+              keyCols, "left_semi"))
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+        val ins = aligned(tgtAff match {
+          case Some(t) => source.join(t.select(keyCols.map(col): _*),
+            keyCols, "left_anti")
+          case None => source
+        }).withColumn(ChangeTypeCol, lit("insert"))
+        (pre.toSeq ++ post.toSeq :+ ins).reduce(_ unionByName _)
+          .withColumn(CommitVersionCol, lit(nv))
+          .write.parquet(changesDir(table, nv).toString)
+      }
       val sorted =
         if (sortCols.isEmpty) survivors
         else survivors.sortWithinPartitions(sortCols.map(col): _*)
@@ -1120,7 +1282,14 @@ object Versioned {
           touched.map(t => entryPath(t._1)).distinct.sorted.map("-" + _) ++
           (keptOfTouched ++ newEntries).map("+" + _))
     } catch {
-      case t: Throwable => abandonClaim(table, nv, newDir); throw t
+      case t: Throwable =>
+        abandonClaim(table, nv, newDir)
+        try {
+          if (Files.exists(changesDir(table, nv)))
+            walkDir(changesDir(table, nv)).reverse
+              .foreach(f => Files.deleteIfExists(f): Unit)
+        } catch { case _: Exception => () }
+        throw t
     }
     Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
     maybeCheckpoint(table, nv)
@@ -1332,6 +1501,11 @@ object Versioned {
     (1 until keepHead).foreach { k =>
       Files.deleteIfExists(versionsDir(table).resolve(k.toString)): Unit
       Files.deleteIfExists(checkpointPath(table, k)): Unit
+      // the version's change-feed files go with it (changes() below the
+      // retention boundary already fails on the missing manifest)
+      if (Files.exists(changesDir(table, k)))
+        walkDir(changesDir(table, k)).reverse
+          .foreach(f => Files.deleteIfExists(f): Unit)
     }
     // orphaned claims of writers that died before landing: any claim at
     // or below the latest LANDED version can never land (the number is

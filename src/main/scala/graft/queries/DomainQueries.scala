@@ -1447,6 +1447,68 @@ object DomainQueries {
         .orderBy("r")
     },
 
+    // CHANGE DATA FEED (io.Versioned.changes — Delta CDF): the table
+    // takes a MERGE (band update + offset inserts) and a DELETE (a
+    // disjoint band, which can also catch freshly inserted keys), both
+    // recording their row-level changes; the feed read then returns the
+    // typed change classes across the commit range — update pre/post
+    // images, inserts, deletes — which is what an incremental downstream
+    // consumer replays instead of re-reading the table. The oracle
+    // derives every class from the same arithmetic; a hash match proves
+    // the recorded feed equals the logical row changes exactly.
+    Q.sql("q252_versioned_change_feed",
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS p
+        |  FROM orders),
+        |ups AS (
+        |  SELECT k, CASE WHEN k % 256 BETWEEN 50 AND 80 THEN p * 2
+        |                 ELSE p END AS p FROM base),
+        |ins AS (
+        |  SELECT k + 100000000 AS k, p FROM base WHERE k % 13 = 0),
+        |merged AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, k, p FROM ins
+        |  UNION ALL
+        |  SELECT 'update_preimage', k, p FROM base
+        |  WHERE k % 256 BETWEEN 50 AND 80
+        |  UNION ALL
+        |  SELECT 'update_postimage', k, p * 2 FROM base
+        |  WHERE k % 256 BETWEEN 50 AND 80
+        |  UNION ALL
+        |  SELECT 'delete', k, p FROM merged
+        |  WHERE k % 256 BETWEEN 150 AND 170)
+        |SELECT change_type, count(*) AS n_rows,
+        |       CAST(SUM(k) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM feed GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q252cdf").toString + "/orders_cdf"
+      val base = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").as("p"))
+        .repartitionByRange(12, col("k")).sortWithinPartitions("k")
+      val v1 = graft.io.Versioned.commit(base, tbl, statsCols = Seq("k"))
+      val source = base.where(pmod(col("k"), lit(256)).between(50, 80))
+        .withColumn("p", col("p") * 2)
+        .unionByName(base.where(col("k") % 13 === 0)
+          .withColumn("k", col("k") + 100000000L))
+      val v2 = graft.io.Versioned.merge(s, tbl, source, Seq("k"),
+        sortCols = Seq("k"), emitChanges = true)
+      val v3 = graft.io.Versioned.deleteWhere(s, tbl,
+        pmod(col("k"), lit(256)).between(150, 170), sortCols = Seq("k"),
+        emitChanges = true)
+      require(v2 == v1 + 1 && v3 == v2 + 1,
+        "merge and delete must land one commit each")
+      graft.io.Versioned.changes(s, tbl, v1, v3)
+        .groupBy(col(graft.io.Versioned.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).as("key_sum"),
+          Qutil.msum(col("p"), 2).as("total_price"))
+        .orderBy("change_type")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

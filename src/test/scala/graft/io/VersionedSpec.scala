@@ -580,6 +580,85 @@ class VersionedSpec extends SparkSpec {
       "vacuum destroyed the exactly-once replay boundary")
   }
 
+  test("change data feed: appends synthesize inserts, merge/delete " +
+    "record typed changes; a rewriting commit WITHOUT a feed fails the " +
+    "read loudly; evolution aligns older rows") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("vercdf").toString + "/t"
+    Versioned.commit(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "pay"), tbl)
+    // v2: merge with feed — update 10..19, insert 200..204
+    Versioned.merge(spark, tbl,
+      ((10 until 20).map(i => (i.toLong, s"u$i")) ++
+        (200 until 205).map(i => (i.toLong, s"n$i"))).toDF("id", "pay"),
+      Seq("id"), emitChanges = true)
+    // v3: delete with feed — ids 50..54
+    Versioned.deleteWhere(spark, tbl, $"id".between(50, 54),
+      emitChanges = true)
+    // v4: plain append (no recorded feed needed — its files ARE inserts)
+    Versioned.commit(Seq((300L, "a300")).toDF("id", "pay"), tbl)
+    val feed = Versioned.changes(spark, tbl, 0)
+    val byType = feed.groupBy(Versioned.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 106L, "update_preimage" -> 10L,
+      "update_postimage" -> 10L, "delete" -> 5L), s"got $byType")
+    // per-commit attribution and content
+    val v2feed = Versioned.changes(spark, tbl, 1, 2)
+    assert(v2feed.where(col(Versioned.ChangeTypeCol) === "update_preimage"
+        && $"id" === 15L).select("pay").as[String].head() == "v15")
+    assert(v2feed.where(col(Versioned.ChangeTypeCol) === "update_postimage"
+        && $"id" === 15L).select("pay").as[String].head() == "u15")
+    assert(Versioned.changes(spark, tbl, 2, 3)
+      .select("id").as[Long].collect().sorted === (50L to 54L).toArray)
+    // a rewriting commit WITHOUT a recorded feed fails the read loudly
+    Versioned.deleteWhere(spark, tbl, $"id" === 60L) // no emitChanges
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, tbl, 4).collect()
+    }
+    // an overwrite commit is not representable
+    Versioned.commit(Seq((1L, "x")).toDF("id", "pay"), tbl,
+      overwrite = true)
+    intercept[IllegalArgumentException] {
+      Versioned.changes(spark, tbl, 5).collect()
+    }
+    // evolution: a feed spanning a column-adding commit aligns older
+    // rows with NULL
+    val tbl2 = java.nio.file.Files.createTempDirectory("vercdf2")
+      .toString + "/t"
+    Versioned.commit(Seq((1L, "a")).toDF("id", "pay"), tbl2)
+    Versioned.commit(Seq((2L, "b", 5.0)).toDF("id", "pay", "score"), tbl2)
+    val evo = Versioned.changes(spark, tbl2, 0)
+    assert(evo.columns.contains("score"))
+    assert(evo.where($"id" === 1L).select("score").head().isNullAt(0))
+  }
+
+  test("merge discovery pruning: with key-column stats the discovery " +
+    "scan covers only files whose range intersects the source keys — " +
+    "strict subset, identical merge result") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("vermdp").toString + "/t"
+    val base = (0 until 4000).map(i => (i.toLong, s"v$i")).toDF("id", "pay")
+      .repartitionByRange(8, $"id").sortWithinPartitions("id")
+    Versioned.commit(base, tbl, statsCols = Seq("id"))
+    val source = (1000 until 1100).map(i => (i.toLong, s"U$i"))
+      .toDF("id", "pay")
+    // the candidate set the discovery scan reads is a strict subset
+    val expanded = Versioned.snapshot(spark, tbl)
+      .select(input_file_name()).distinct().count()
+    val cands = Versioned.mergeCandidatesForSpec(spark, tbl,
+      Seq("id"), source)
+    assert(cands.size < expanded,
+      s"discovery not pruned: ${cands.size}/$expanded")
+    val v = Versioned.merge(spark, tbl, source, Seq("id"),
+      sortCols = Seq("id"))
+    val after = Versioned.snapshot(spark, tbl, v)
+    assert(after.count() == 4000)
+    assert(after.where($"id" === 1050L).select("pay").as[String]
+      .head() == "U1050")
+    assert(after.where($"id" === 3000L).select("pay").as[String]
+      .head() == "v3000")
+  }
+
   test("TIMESTAMP AS OF: snapshotAsOf resolves the latest commit at or " +
     "before the wall-clock; pre-table timestamps fail loudly; the clock " +
     "is the #ts= header, not file mtime") {
