@@ -626,12 +626,14 @@ object Versioned {
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
              predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
              tag: Option[String] = None,
-             statsCols: Seq[String] = Nil): Int =
+             statsCols: Seq[String] = Nil): Int = {
+    val guarded = checkGuard(df, table)
     commitWith(table, overwrite, predecessorTimeoutMs, tag,
       df.schema) { dataDir =>
-      df.write.parquet(dataDir.toString)
+      guarded.write.parquet(dataDir.toString)
       commitEntries(df.sparkSession, dataDir, None, statsCols)
     }
+  }
 
   /** Append `df` as a new commit whose manifest entries carry PARTITION
     * METADATA: the commit dir is written Hive-partitioned on an internal
@@ -649,10 +651,11 @@ object Versioned {
       overwrite: Boolean = false,
       predecessorTimeoutMs: Long = defaultPredecessorTimeoutMs,
       tag: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int =
+      statsCols: Seq[String] = Nil): Int = {
+    val guarded = checkGuard(df, table)
     commitWith(table, overwrite, predecessorTimeoutMs, tag,
       df.schema) { dataDir =>
-      df.withColumn(partDirCol,
+      guarded.withColumn(partDirCol,
           when(col(partCol).isNull || col(partCol).cast("string") === "",
             raise_error(lit(
               s"NULL or empty-string $partCol — either would land in " +
@@ -662,6 +665,7 @@ object Versioned {
         .write.partitionBy(partDirCol).parquet(dataDir.toString)
       commitEntries(df.sparkSession, dataDir, Some(partCol), statsCols)
     }
+  }
 
   /** The internal Hive-dir column [[commitPartitioned]] writes — a COPY
     * of the caller's partition column, so the original stays IN the data
@@ -678,6 +682,97 @@ object Versioned {
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       s.fields.map(_.copy(nullable = true)))
+
+  // --- CHECK constraints: table-level row invariants ---
+
+  /** The CHECK constraints in force at version `v` — `#check=<name>\t
+    * <sql expr>` headers, carried forward by every commit like the
+    * schema. SQL CHECK semantics: a row violates a check only when the
+    * expression evaluates to FALSE (NULL passes). */
+  def tableChecks(table: String, v: Int): Seq[(String, String)] =
+    if (v < 1) Nil
+    else manifestLines(table, v).filter(_.startsWith("#check=")).map { l =>
+      val body = l.stripPrefix("#check=")
+      val t = body.indexOf('\t')
+      (body.substring(0, t), body.substring(t + 1))
+    }
+
+  private def checkHeaders(checks: Seq[(String, String)]): Seq[String] =
+    checks.map { case (n, e) => s"#check=$n\t$e" }
+
+  /** Fuse constraint validation INTO the commit's own write (no extra
+    * pass): the first written column is wrapped so any violating row
+    * aborts the write task with the check's name — the same fused
+    * raise_error shape as the partition NULL guard. Applied against the
+    * LATEST LANDED version's checks at call time (a check landed
+    * concurrently with an in-flight commit applies from the next commit
+    * — the single-writer discipline every other maintenance facility
+    * assumes). */
+  private def checkGuard(df: DataFrame, table: String): DataFrame = {
+    val checks = tableChecks(table, latestVersion(table))
+    if (checks.isEmpty || df.columns.isEmpty) return df
+    val violated = checks.map { case (n, e) =>
+      (n, !coalesce(expr(e), lit(true)))
+    }
+    val c0 = df.columns.head
+    val guard = violated.foldRight(col(c0)) { case ((n, bad), acc) =>
+      when(bad, raise_error(concat(
+        lit(s"CHECK constraint '$n' violated by row: "),
+        to_json(struct(df.columns.map(col): _*)))))
+        .otherwise(acc)
+    }
+    df.withColumn(c0, guard)
+  }
+
+  /** ADD a CHECK constraint — a metadata-only commit. The EXISTING table
+    * must already satisfy it (one validating scan, like Delta's ADD
+    * CONSTRAINT); every later commit/merge validates incoming rows
+    * against it inside the write itself. Returns the new version. */
+  def addCheck(spark: SparkSession, table: String, name: String,
+               sqlExpr: String): Int = {
+    require(name.nonEmpty && !name.contains('\t') && !sqlExpr.contains('\t')
+      && !name.contains('\n') && !sqlExpr.contains('\n'),
+      "check name/expr may not contain tabs or newlines")
+    val v = latestVersion(table)
+    require(v >= 1, s"no commits in $table")
+    require(!tableChecks(table, v).exists(_._1 == name),
+      s"check '$name' already exists on $table")
+    val bad = snapshot(spark, table, v)
+      .where(!coalesce(expr(sqlExpr), lit(true))).limit(1).collect()
+    require(bad.isEmpty,
+      s"existing rows of $table violate CHECK '$name' ($sqlExpr): " +
+        s"e.g. ${bad.headOption.getOrElse("")}")
+    landCheckCommit(table, v, tableChecks(table, v) :+ (name -> sqlExpr))
+  }
+
+  /** DROP a CHECK constraint by name — a metadata-only commit. */
+  def dropCheck(table: String, name: String): Int = {
+    val v = latestVersion(table)
+    require(v >= 1, s"no commits in $table")
+    require(tableChecks(table, v).exists(_._1 == name),
+      s"no check '$name' on $table")
+    landCheckCommit(table, v,
+      tableChecks(table, v).filterNot(_._1 == name))
+  }
+
+  /** Land a metadata-only commit (empty delta body) whose headers carry
+    * the predecessor's schema plus the given check set. */
+  private def landCheckCommit(table: String, base: Int,
+                              checks: Seq[(String, String)]): Int = {
+    val nv = claimMaintenance(table, base)
+    try landManifest(table, nv,
+      Seq(s"#ts=${System.currentTimeMillis()}") ++
+        versionSchema(table, base).map(s => s"#schema=${s.json}") ++
+        checkHeaders(checks) ++ Seq("#delta"))
+    catch {
+      case t: Throwable =>
+        Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+        throw t
+    }
+    Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    maybeCheckpoint(table, nv)
+    nv
+  }
 
   /** Recursive nullability-normalized type — the COMPARISON form for
     * append compatibility: nested containsNull/valueContainsNull flags
@@ -744,8 +839,12 @@ object Versioned {
       val recorded =
         if (overwrite || v == 1) asNullable(schema)
         else evolvedSchema(versionSchema(table, v - 1), schema)
+      // checks survive even a data overwrite (constraints are table
+      // properties, not data)
       val headers = Seq(s"#ts=${System.currentTimeMillis()}",
-        s"#schema=${recorded.json}") ++ tag.map(t => s"#tag=$t")
+        s"#schema=${recorded.json}") ++
+        (if (v > 1) checkHeaders(tableChecks(table, v - 1)) else Nil) ++
+        tag.map(t => s"#tag=$t")
       if (overwrite || v == 1)
         landManifest(table, v, headers ++ newEntries)
       else
@@ -908,6 +1007,7 @@ object Versioned {
     landManifest(table, v,
       Seq(s"#ts=${System.currentTimeMillis()}") ++
         versionSchema(table, v - 1).map(s => s"#schema=${s.json}") ++
+        checkHeaders(tableChecks(table, v - 1)) ++
         Seq("#delta") ++
         removedPaths.map("-" + _) ++ added.map("+" + _))
 
@@ -1105,10 +1205,10 @@ object Versioned {
           if (d.columns.contains(n)) col(n)
           else lit(null).cast(sc(n).dataType).as(n)): _*)
     }
-    val parts = ((fromV + 1) to hi).map { v =>
+    val parts = ((fromV + 1) to hi).flatMap { v =>
       val recorded = changesDir(table, v)
       if (Files.exists(recorded))
-        aligned(spark.read.parquet(recorded.toString))
+        Some(aligned(spark.read.parquet(recorded.toString)))
       else {
         val ls = manifestLines(table, v)
         val body = ls.filterNot(l => l.startsWith("#") || l.isEmpty)
@@ -1127,14 +1227,23 @@ object Versioned {
             l.substring(1) }
           else body
         val files = added.flatMap(expandFiles)
-        val rd = versionSchema(table, v).map(spark.read.schema)
-          .getOrElse(spark.read)
-        aligned(rd.parquet(files: _*)
-          .withColumn(ChangeTypeCol, lit("insert"))
-          .withColumn(CommitVersionCol, lit(v)))
+        if (files.isEmpty) None // metadata-only commit (e.g. addCheck)
+        else {
+          val rd = versionSchema(table, v).map(spark.read.schema)
+            .getOrElse(spark.read)
+          Some(aligned(rd.parquet(files: _*)
+            .withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(CommitVersionCol, lit(v))))
+        }
       }
     }
-    parts.reduce(_ unionByName _)
+    if (parts.nonEmpty) parts.reduce(_ unionByName _)
+    else { // only metadata commits in range: empty frame, right shape
+      import org.apache.spark.sql.types._
+      val base = schema.getOrElse(new StructType())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        base.add(ChangeTypeCol, StringType).add(CommitVersionCol, IntegerType))
+    }
   }
 
   /** SNAPSHOT-ISOLATED MERGE (upsert) — Delta's `MERGE INTO` with
@@ -1260,9 +1369,12 @@ object Versioned {
           .withColumn(CommitVersionCol, lit(nv))
           .write.parquet(changesDir(table, nv).toString)
       }
+      // constraints validate the whole written frame (survivors re-pass
+      // trivially; source rows are the real subjects) — fused, no pass
+      val checked = checkGuard(survivors, table)
       val sorted =
-        if (sortCols.isEmpty) survivors
-        else survivors.sortWithinPartitions(sortCols.map(col): _*)
+        if (sortCols.isEmpty) checked
+        else checked.sortWithinPartitions(sortCols.map(col): _*)
       val newEntries = partMetaCol match {
         case Some(c) =>
           sorted.withColumn(partDirCol, col(c).cast("string"))
@@ -1278,6 +1390,7 @@ object Versioned {
       landManifest(table, nv,
         Seq(s"#ts=${System.currentTimeMillis()}",
           s"#schema=${recorded.json}") ++
+          checkHeaders(tableChecks(table, v)) ++
           tag.map(t => s"#tag=$t") ++ Seq("#delta") ++
           touched.map(t => entryPath(t._1)).distinct.sorted.map("-" + _) ++
           (keptOfTouched ++ newEntries).map("+" + _))

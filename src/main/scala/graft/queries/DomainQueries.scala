@@ -1509,6 +1509,51 @@ object DomainQueries {
         .orderBy("change_type")
     },
 
+    // CHECK CONSTRAINTS on the versioned table (io.Versioned.addCheck —
+    // Delta's ADD CONSTRAINT): the constraint validates the existing
+    // rows once at ADD time, then enforces INSIDE every later commit's
+    // own write (fused raise_error — no extra validation pass). A batch
+    // carrying a violating row aborts the whole commit and releases its
+    // claim (require-pinned: the version number does not advance), so
+    // the table can never hold a row the constraint forbids — the final
+    // aggregate over the two CLEAN commits equals the plain full-table
+    // oracle, which is the proof the rejected batch landed nothing.
+    Q.sql("q253_versioned_check_constraints",
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+        |       CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q253chk").toString + "/orders_chk"
+      val orders = graft.io.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      graft.io.Versioned.commit(
+        orders.where(col("o_orderkey") % 2 === 0), tbl)
+      val vc = graft.io.Versioned.addCheck(s, tbl, "price_pos",
+        "o_totalprice > 0")
+      // a batch with negated prices must abort the WHOLE commit
+      val rejected = try {
+        graft.io.Versioned.commit(
+          orders.where(col("o_orderkey") % 2 =!= 0)
+            .withColumn("o_totalprice", -col("o_totalprice")), tbl): Unit
+        false
+      } catch { case _: Exception => true }
+      require(rejected, "violating batch must abort")
+      require(graft.io.Versioned.latestVersion(tbl) == vc,
+        "rejected batch advanced the version")
+      graft.io.Versioned.commit(
+        orders.where(col("o_orderkey") % 2 =!= 0), tbl): Unit
+      graft.io.Versioned.snapshot(s, tbl)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          Qutil.msum(col("o_totalprice"), 2).as("total_price"))
+        .orderBy("status")
+    },
+
     // Snapshot time travel (io.Versioned): commit 1 = history, commit 2 =
     // the 2001 append; reading version 1 AFTER commit 2 landed must see
     // exactly the pre-append table (the manifest, not the directory,

@@ -580,6 +580,51 @@ class VersionedSpec extends SparkSpec {
       "vacuum destroyed the exactly-once replay boundary")
   }
 
+  test("CHECK constraints: addCheck validates existing rows, later " +
+    "commits/merges enforce inside the write, NULL passes (SQL CHECK " +
+    "semantics), dropCheck lifts, constraints survive maintenance and " +
+    "overwrite") {
+    import org.apache.spark.sql.functions._
+    val tbl = java.nio.file.Files.createTempDirectory("verchk").toString + "/t"
+    Versioned.commit(
+      Seq((1L, Some(10.0)), (2L, None)).toDF("id", "p"), tbl)
+    // a check the existing rows violate is rejected
+    intercept[IllegalArgumentException] {
+      Versioned.addCheck(spark, tbl, "p_big", "p > 100")
+    }
+    // NULL passes (row 2), positive passes (row 1)
+    val vc = Versioned.addCheck(spark, tbl, "p_pos", "p > 0")
+    assert(Versioned.tableChecks(tbl, vc) == Seq("p_pos" -> "p > 0"))
+    // a violating append fails INSIDE the write; the claim is released
+    intercept[Exception] {
+      Versioned.commit(Seq((3L, Some(-5.0))).toDF("id", "p"), tbl)
+    }
+    assert(Versioned.latestVersion(tbl) == vc)
+    // clean and null rows land
+    val v2 = Versioned.commit(
+      Seq((3L, Some(7.0)), (4L, None)).toDF("id", "p"), tbl)
+    assert(Versioned.snapshot(spark, tbl, v2).count() == 4)
+    // a violating MERGE source fails too
+    intercept[Exception] {
+      Versioned.merge(spark, tbl,
+        Seq((1L, Some(-1.0))).toDF("id", "p"), Seq("id"))
+    }
+    // constraints ride through maintenance and data overwrite
+    val v3 = Versioned.deleteWhere(spark, tbl, $"id" === 4L)
+    assert(Versioned.tableChecks(tbl, v3) == Seq("p_pos" -> "p > 0"))
+    val v4 = Versioned.commit(
+      Seq((9L, Some(1.0))).toDF("id", "p"), tbl, overwrite = true)
+    assert(Versioned.tableChecks(tbl, v4) == Seq("p_pos" -> "p > 0"))
+    intercept[Exception] {
+      Versioned.commit(Seq((10L, Some(-2.0))).toDF("id", "p"), tbl)
+    }
+    // dropCheck lifts the constraint
+    val v5 = Versioned.dropCheck(tbl, "p_pos")
+    assert(Versioned.tableChecks(tbl, v5).isEmpty)
+    assert(Versioned.commit(
+      Seq((10L, Some(-2.0))).toDF("id", "p"), tbl) == v5 + 1)
+  }
+
   test("change data feed: appends synthesize inserts, merge/delete " +
     "record typed changes; a rewriting commit WITHOUT a feed fails the " +
     "read loudly; evolution aligns older rows") {
