@@ -85,7 +85,9 @@ object Explain {
       "q245_streaming_versioned_zlayout",
       "q246_versioned_vacuum_retention",
       "q247_versioned_stats_skipping", "q248_versioned_encoded_stats",
-      "q249_versioned_schema_evolution", "q250_versioned_merge")
+      "q249_versioned_schema_evolution", "q250_versioned_merge",
+      "q251_streaming_cdc_merge", "q252_versioned_change_feed",
+      "q253_versioned_check_constraints")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
