@@ -87,7 +87,7 @@ object Explain {
       "q247_versioned_stats_skipping", "q248_versioned_encoded_stats",
       "q249_versioned_schema_evolution", "q250_versioned_merge",
       "q251_streaming_cdc_merge", "q252_versioned_change_feed",
-      "q253_versioned_check_constraints")
+      "q253_versioned_check_constraints", "q254_versioned_zorder_optimize")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -189,6 +189,23 @@ object Layout {
     Versioned.compactSmallFiles(spark, table, smallBytes,
       sortCols = Seq("zv"))
 
+  /** FULL Z-ORDER OPTIMIZE of the versioned z-layout — Delta's
+    * `OPTIMIZE ZORDER BY` as one snapshot-isolated maintenance commit:
+    * the whole table re-interleaves and re-splits into `numFiles`
+    * zv-contiguous files ([[Versioned.rewriteAll]]), collapsing the
+    * per-epoch file fragmentation a long append/merge history leaves
+    * behind where [[compactZBucketsVersioned]] only coalesces the small
+    * tail. Pinned readers keep their version; racing commits abort the
+    * rewrite with a conflict (retry), never a lost update. Run rarely —
+    * this is the table-sized re-clustering pass. */
+  def reclusterZVersioned(spark: SparkSession, table: String,
+      cols: Seq[String], bits: Int, bucketBits: Int,
+      numFiles: Int): Int =
+    Versioned.rewriteAll(spark, table,
+      df => zClusteredFrame(df.drop("zv", "zb"), cols, bits, bucketBits,
+        numFiles),
+      partCol = Some("zb"))
+
   /** Box read over the versioned z-layout as of `version` (latest by
     * default): bucket set from the same exact dyadic math, file set from
     * the pinned manifest's zb metadata, exact predicates on top. */

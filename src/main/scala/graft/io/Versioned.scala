@@ -1409,6 +1409,53 @@ object Versioned {
     nv
   }
 
+  /** SNAPSHOT-ISOLATED full-table REWRITE — the `OPTIMIZE ZORDER BY`
+    * shape: the whole current snapshot passes through `transform` (a
+    * re-layout — row CONTENT must be preserved, only physical
+    * organization changes) and lands as ONE conflict-checked maintenance
+    * commit that retires every current entry and adds the rewritten
+    * files (partitioned on `partCol` with per-file metadata, plus
+    * `statsCols` footer stats). Pinned readers keep their version;
+    * a commit landing between the snapshot read and the claim aborts
+    * the rewrite with the standard conflict error (the caller re-reads
+    * and retries) — never a lost update. Unlike the incremental
+    * [[compactSmallFiles]], this rewrites EVERYTHING: it is the
+    * re-clustering maintenance pass (run rarely, budgeted table-sized),
+    * not the per-epoch small-file sweep. */
+  def rewriteAll(spark: SparkSession, table: String,
+                 transform: DataFrame => DataFrame,
+                 partCol: Option[String] = None,
+                 statsCols: Seq[String] = Nil): Int = {
+    val v = latestVersion(table)
+    require(v >= 1, s"no commits in $table")
+    val stored = resolvedEntries(table, v)
+    val df = transform(snapshot(spark, table, v))
+    val nv = claimMaintenance(table, v)
+    val newDir = Paths.get(table, "data", s"c$nv")
+    try {
+      val newEntries = partCol match {
+        case Some(c) =>
+          df.withColumn(partDirCol,
+              when(col(c).isNull, raise_error(lit(
+                s"NULL $c — a null partition value would vanish from " +
+                  "every pruned snapshot read")))
+                .otherwise(col(c).cast("string")))
+            .write.partitionBy(partDirCol).parquet(newDir.toString)
+          commitEntries(spark, newDir, Some(c), statsCols)
+        case None =>
+          df.write.parquet(newDir.toString)
+          commitEntries(spark, newDir, None, statsCols)
+      }
+      landMaintenanceDelta(table, nv,
+        stored.map(entryPath).distinct.sorted, newEntries)
+    } catch {
+      case t: Throwable => abandonClaim(table, nv, newDir); throw t
+    }
+    Files.deleteIfExists(versionsDir(table).resolve(s"$nv.claim"))
+    maybeCheckpoint(table, nv)
+    nv
+  }
+
   /** SNAPSHOT-ISOLATED small-file compaction — the OPTIMIZE commit:
     * files under `smallBytes` are coalesced into ~`smallBytes` outputs in
     * the next commit dir; the delta manifest keeps every large file

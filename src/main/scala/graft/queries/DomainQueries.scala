@@ -1040,6 +1040,47 @@ object DomainQueries {
         .orderBy("l_orderkey", "l_linenumber", "pk", "sk")
     },
 
+    // FULL Z-ORDER OPTIMIZE on the versioned z-layout (io.Layout.
+    // reclusterZVersioned over io.Versioned.rewriteAll — Delta's
+    // OPTIMIZE ZORDER BY): four append commits fragment every bucket,
+    // then ONE snapshot-isolated maintenance commit re-interleaves the
+    // whole table into zv-contiguous files. require() pins the ≥2×
+    // file-count collapse, the manifest-pruned box read staying a strict
+    // subset on the rewritten layout, and the pinned pre-OPTIMIZE
+    // version still resolving its fragmented files. Held to q243's
+    // oracle VERBATIM — the reclustered table box-reads hash-identical.
+    Q.sql("q254_versioned_zorder_optimize", versionedZOracle) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val bits = 8; val bucketBits = 4
+      val tbl = java.nio.file.Files
+        .createTempDirectory("q254zo").toString + "/lineitem_zo"
+      val li = graft.io.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256)).cast("long").as("pk"),
+          pmod(col("l_suppkey"), lit(256)).cast("long").as("sk"))
+      (0 until 4).foreach { m =>
+        graft.io.Layout.writeZClusteredVersioned(
+          li.where(col("l_orderkey") % 4 === m), Seq("pk", "sk"),
+          bits, bucketBits, numFiles = 8, table = tbl): Unit
+      }
+      def nFiles(df: org.apache.spark.sql.DataFrame) =
+        df.select(input_file_name()).distinct().count()
+      val fragmented = nFiles(graft.io.Versioned.snapshot(s, tbl))
+      val vr = graft.io.Layout.reclusterZVersioned(s, tbl,
+        Seq("pk", "sk"), bits, bucketBits, numFiles = 8)
+      require(vr == 5, "OPTIMIZE must land exactly one commit")
+      val compacted = nFiles(graft.io.Versioned.snapshot(s, tbl, vr))
+      require(compacted * 2 <= fragmented,
+        s"recluster failed to collapse fragments ($fragmented -> $compacted)")
+      val dims = Seq(("pk", 50L, 120L), ("sk", 1L, 90L))
+      val box = graft.io.Layout.readZBoxVersioned(s, tbl, dims,
+        bits, bucketBits)
+      require(nFiles(box) < compacted,
+        "manifest pruning lost on the reclustered layout")
+      box.select("l_orderkey", "l_linenumber", "pk", "sk", "zv")
+        .orderBy("l_orderkey", "l_linenumber", "pk", "sk")
+    },
+
     // STREAMING ingest into the VERSIONED z-layout — q239's real
     // Structured Streaming ingest composed with q243's table format
     // (Streaming.zLayoutVersionedSink): each micro-batch lands as an

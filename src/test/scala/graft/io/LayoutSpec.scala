@@ -636,4 +636,42 @@ class LayoutSpec extends SparkSpec {
     assert(pinned.select("row").as[Long].collect().sorted ===
       wantV1.select("row").as[Long].collect().sorted)
   }
+
+  test("reclusterZVersioned (OPTIMIZE ZORDER): a fragmented append " +
+    "history collapses in ONE commit; box reads identical; the pinned " +
+    "pre-OPTIMIZE version is untouched") {
+    import org.apache.spark.sql.functions.input_file_name
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val tbl = java.nio.file.Files.createTempDirectory("zrecl")
+      .toString + "/t"
+    // six appends → every touched bucket holds ~6 file fragments
+    val vLast = (0 until 6).map { k =>
+      Layout.writeZClusteredVersioned(mk(k * 300 until (k + 1) * 300),
+        Seq("x", "y"), bits = 8, bucketBits = 4, numFiles = 4,
+        table = tbl)
+    }.last
+    def nFiles(d: org.apache.spark.sql.DataFrame) =
+      d.select(input_file_name()).distinct().count()
+    val dims = Seq(("x", 10L, 60L), ("y", 100L, 140L))
+    val before = Layout.readZBoxVersioned(spark, tbl, dims, 8, 4)
+      .select("id").as[Long].collect().sorted
+    val fragmented = nFiles(Versioned.snapshot(spark, tbl))
+    val vr = Layout.reclusterZVersioned(spark, tbl, Seq("x", "y"),
+      bits = 8, bucketBits = 4, numFiles = 4)
+    assert(vr == vLast + 1, "recluster must land one commit")
+    val compacted = nFiles(Versioned.snapshot(spark, tbl, vr))
+    assert(compacted * 3 <= fragmented,
+      s"recluster barely compacted: $fragmented -> $compacted files")
+    // identical rows through the same pruned read path
+    assert(Layout.readZBoxVersioned(spark, tbl, dims, 8, 4)
+      .select("id").as[Long].collect().sorted === before)
+    // pruning still real on the rewritten layout
+    assert(nFiles(Layout.readZBoxVersioned(spark, tbl, dims, 8, 4)) <
+      compacted)
+    // the pinned pre-OPTIMIZE version still reads its fragmented files
+    assert(Versioned.snapshot(spark, tbl, vLast).count() == 1800)
+    assert(nFiles(Versioned.snapshot(spark, tbl, vLast)) == fragmented)
+  }
 }
