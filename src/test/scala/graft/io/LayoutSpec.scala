@@ -674,4 +674,26 @@ class LayoutSpec extends SparkSpec {
     assert(Versioned.snapshot(spark, tbl, vLast).count() == 1800)
     assert(nFiles(Versioned.snapshot(spark, tbl, vLast)) == fragmented)
   }
+
+  test("reclusterZVersioned aborts on a concurrency conflict — an " +
+    "interleaved commit is never silently dropped by the rewrite") {
+    val mk = (r: Range) => r.map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 91 % 256).toLong)
+    }.toDF("id", "x", "y")
+    val tbl = java.nio.file.Files.createTempDirectory("zreclc")
+      .toString + "/t"
+    Layout.writeZClusteredVersioned(mk(0 until 500), Seq("x", "y"),
+      bits = 8, bucketBits = 4, numFiles = 2, table = tbl)
+    // a concurrent writer holds the next version number
+    val claim = java.nio.file.Paths.get(tbl, "_versions", "2.claim")
+    java.nio.file.Files.createFile(claim)
+    intercept[java.util.ConcurrentModificationException] {
+      Layout.reclusterZVersioned(spark, tbl, Seq("x", "y"), 8, 4, 2)
+    }
+    assert(Versioned.latestVersion(tbl) == 1)
+    java.nio.file.Files.delete(claim)
+    assert(Layout.reclusterZVersioned(spark, tbl, Seq("x", "y"), 8, 4, 2)
+      == 2)
+    assert(Versioned.snapshot(spark, tbl).count() == 500)
+  }
 }
