@@ -546,11 +546,13 @@ object SqlSurface {
          |  JOIN sz sb ON sb.$qId = t.id_b
          |  WHERE CAST(t.inter AS DOUBLE)
          |        / (sa.sz + sb.sz - t.inter) >= CAST($tauNum AS DOUBLE) / $tauDen),
-         |hits AS (SELECT c.id_a FROM cand c
-         |         JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b),
-         |m AS (SELECT (SELECT count(*) FROM cand) AS n_cand,
-         |             (SELECT count(*) FROM truth) AS n_true,
-         |             (SELECT count(*) FROM hits) AS n_hit),
+         |j AS (SELECT c.id_a IS NOT NULL AS in_c, t.id_a IS NOT NULL AS in_t
+         |      FROM cand c FULL OUTER JOIN truth t
+         |        ON t.id_a = c.id_a AND t.id_b = c.id_b),
+         |m AS (SELECT count(CASE WHEN in_c THEN 1 END) AS n_cand,
+         |             count(CASE WHEN in_t THEN 1 END) AS n_true,
+         |             count(CASE WHEN in_c AND in_t THEN 1 END) AS n_hit
+         |      FROM j),
          |e AS (SELECT n_cand, n_true, n_hit,
          |             CAST(n_hit AS DOUBLE) / n_cand AS p_est,
          |             CAST(n_hit AS DOUBLE) / n_true AS r_est,
