@@ -26,7 +26,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spread(spark, spark.read.parquet(s"$sfDir/$name.parquet"), name)
     tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       import org.apache.spark.sql.functions.expr
       d.schema(c).dataType match {
@@ -37,6 +37,31 @@ object Tables {
         case _ => d
       }
     }
+  }
+
+  /** True lookup dims — always broadcast sides; splitting them would only
+    * add an exchange in front of a broadcast build. */
+  private val noSpread = Set("region", "nation")
+
+  /** Guard against the under-split scan (optimization guide §2.5 "input
+    * skew: one huge unsplittable file — repartition immediately after the
+    * read"): each test table is ONE single-row-group parquet file, so its
+    * scan stage is ONE task and every map-side operator fused into it —
+    * shingling, signature hashing, edit-distance kernels, vector scoring,
+    * partial aggregation — runs on one core no matter the session's core
+    * count (measured: q176's whole 4M-pair scoring stage was a single
+    * 3.4 s task at local[32]). A conditional round-robin repartition
+    * spreads the rows across the session's cores; on a real cluster the
+    * scan already has ≥ cores splits and this is a no-op — the condition
+    * derives from the actual scan partitioning, never a local constant.
+    * Round-robin is retry-safe (sortBeforeRepartition, SPARK-23207), and
+    * every operator downstream is partition-count/order invariant by the
+    * oracle discipline. */
+  private def spread(spark: SparkSession, df: DataFrame,
+                     name: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (noSpread(name) || df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")

@@ -289,8 +289,7 @@ object Graph {
     // bfsHops/pageRank discipline: without it every round's join (and the
     // node derivation) re-runs the caller's whole edge pipeline (for q152
     // that is lineitem⋈orders + distinct + symmetric union, re-executed
-    // rounds+1 times — measured 3.97 s → 2.55 s at sf0.1 for 3 rounds).
-    // Caller-owned: released by [[releaseGraphCaches]].
+    // rounds+1 times). Caller-owned: released by [[releaseGraphCaches]].
     val e = pinned(edges.select(col("src"), col("dst"))
       .repartition(col("src")))
     val nodes = e.select(col("src").as("node")).distinct()

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
@@ -67,19 +67,36 @@ object TopKPerGroupStrategy extends SparkStrategy {
     case TopKPerGroup(g, o, k, child) =>
       val bound = org.apache.spark.sql.internal.SQLConf.get
         .getConfString(MaxStateRowsKey, MaxStateRowsDefault.toString).toLong
-      TopKPerGroupExec(g, o, k, planLater(child), bound) :: Nil
+      // partial → exchange → final, the aggregation shape (guide §2.3
+      // "aggregate before you shuffle"): the map-side pass caps what the
+      // exchange carries at partitions × groups × k rows, where the single
+      // exec shuffled EVERY scored row (the corpus × queries stream for the
+      // ANN rerank paths). With the operator's documented total-order
+      // contract, top-k over per-partition top-k's is exactly top-k.
+      TopKPerGroupExec(g, o, k,
+        TopKPerGroupExec(g, o, k, planLater(child), bound, partial = true),
+        bound) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
                             k: Int, child: SparkPlan,
-                            maxStateRows: Long = TopKPerGroupStrategy.MaxStateRowsDefault)
+                            maxStateRows: Long = TopKPerGroupStrategy.MaxStateRowsDefault,
+                            partial: Boolean = false)
     extends UnaryExecNode {
   require(maxStateRows > 0, "maxStateRows must be positive")
   override def output: Seq[Attribute] = child.output
+  // the partial (map-side) pass runs on whatever partitioning the child
+  // has — only the FINAL pass demands clustering, so EnsureRequirements
+  // places the exchange between them and it carries ≤ groups × k rows per
+  // map partition instead of the full scored stream
   override def requiredChildDistribution: Seq[Distribution] =
-    if (group.isEmpty) AllTuples :: Nil else ClusteredDistribution(group) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (group.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(group) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
   // deliberately NO requiredChildOrdering — the point is to never sort input
 
   override lazy val metrics = Map(
