@@ -275,14 +275,20 @@ object Layout {
     val lim = 1L << bits
     val distinctVals = df.select(col(c).as("value"))
       .where(col("value").isNotNull).distinct()
-    val n = distinctVals.count()
-    require(n >= 1, s"dimension $c has no non-null values")
     // exact global rank at #distinct grain via range partitioning +
     // broadcast partition offsets — scale-safe where a global row_number
-    // window would funnel every distinct value through one task
-    val ranked = graft.ops.Windows.globalIndex(distinctVals, Seq("value"),
-        "rank")
-      .withColumn("rank", col("rank") - 1L)
+    // window would funnel every distinct value through one task.
+    // Cardinality comes from the RANKED frame (max 1-based rank) instead
+    // of a separate distinct().count(): globalIndex pins its range-
+    // partitioned input, so this evaluates the scan+distinct pipeline
+    // ONCE per build where the previous shape ran it twice (guide §2.4),
+    // with no additional persisted copy.
+    val ranked1 = graft.ops.Windows.globalIndex(distinctVals, Seq("value"),
+      "rank")
+    val maxRank = ranked1.agg(max(col("rank"))).head()
+    val n = if (maxRank.isNullAt(0)) 0L else maxRank.getLong(0)
+    require(n >= 1, s"dimension $c has no non-null values")
+    val ranked = ranked1.withColumn("rank", col("rank") - 1L)
     if (n <= lim)
       ranked.select(col("value"), col("rank").as("code"),
         lit(DictKind).as("kind"))

@@ -11,7 +11,14 @@ object Writers {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
     df.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite")
+    // hash-distribute by the partition column before the partitioned write
+    // (guide §6, Iceberg's write.distribution-mode=hash): without it every
+    // upstream task holding rows of a partition value opens its own file
+    // in that value's directory — tasks × values files (measured: the
+    // month-partitioned q123 table went 32× once the input scan was
+    // spread). With it each value's rows land in one task → one file.
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode("overwrite")
       .partitionBy(partitionCol)
       .option("compression", "snappy")
       .parquet(path)

@@ -356,7 +356,11 @@ object Dedup {
                         threshold: Double,
                         lsh: Option[(Int, Int, Int)] = None,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // spread: both the exact-mode quadratic scoring and the LSH banding
+    // (nTables × nPlanes dot products per row) run in the input's scan
+    // stage — an under-split single-file scan serializes them
+    val base = graft.io.Tables.spreadDf(
+      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")))
     val a = base.select(col(idCol).as("id_a"), col("__v").as("__va"))
     val b = base.select(col(idCol).as("id_b"), col("__v").as("__vb"))
     val cand = lsh match {

@@ -58,9 +58,12 @@ object Similarity {
     * row_number formulation; q25's oracle still states the window form). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    // squared norms once per ROW, not once per PAIR (see [[cosinePreNorm]])
-    val c = corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast("array<double>").as("nvec"))
+    // squared norms once per ROW, not once per PAIR (see [[cosinePreNorm]]);
+    // corpus side spread: the n×m scoring loop runs in the corpus scan's
+    // stage, and an under-split (single-file) scan serializes it
+    val c = graft.io.Tables.spreadDf(
+      corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec")))
       .withColumn("__nn", normSq(col("nvec")))
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
@@ -87,10 +90,11 @@ object Similarity {
     * buckets exactly as the ANN path does; the window stage is unchanged. */
   def hardPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, labelCol: String): DataFrame = {
-    // same per-row norm precompute as [[bruteForceTopK]]
-    val c = corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast("array<double>").as("nvec"),
-      col(labelCol).as("nlabel"))
+    // same per-row norm precompute + corpus spread as [[bruteForceTopK]]
+    val c = graft.io.Tables.spreadDf(
+      corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec"),
+        col(labelCol).as("nlabel")))
       .withColumn("__nn", normSq(col("nvec")))
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"),
@@ -354,6 +358,11 @@ object Similarity {
         col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
       .withColumn("cell", nearestCentroid(col("nu"), cents))
       .select("nid", "nvec", "cell")
+      // hash-distribute by cell before the partitionBy write (guide §6):
+      // assignment stays parallel across the input's partitions, then each
+      // cell's rows converge on one task → one file per cell per write,
+      // instead of (input tasks × cells) small files
+      .repartition(col("cell"))
 
   /** [[appendToIvfIndex]] with the [[graft.io.EpochLedger]] EXACTLY-ONCE
     * contract — the streaming sink's append: a crash-replayed epoch is
@@ -435,7 +444,10 @@ object Similarity {
         corpus.select(col(idCol).as("nid"),
           col(vecCol).cast("array<double>").as("nvec")), "nvec", "nu")
         .withColumn("cell", nearestCentroid(col("nu"), cents))
-        .select("nid", "nvec", "cell"),
+        .select("nid", "nvec", "cell")
+        // one task per cell before the partitioned commit — see
+        // ivfAssignFrame (guide §6 hash distribution)
+        .repartition(col("cell")),
       table, "cell", tag = tag)
 
   /** RIGHT-TO-BE-FORGOTTEN as a COMMIT: only the files of cells holding a

@@ -162,9 +162,14 @@ object Stats {
     * single-Aggregate plan (StatsCorrSpec pins wide ≡ narrow results).
     */
   val MaxPairsPerAgg = 256
-  def corrMatrix(df: DataFrame, cols: Seq[String],
+  def corrMatrix(df0: DataFrame, cols: Seq[String],
                  scale: Int = 6): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    // k(k+1)/2·6 decimal accumulators per input row is heavy per-row CPU
+    // fused into the scan stage — an under-split scan serializes the whole
+    // partial-aggregate pass (guide §2.5; measured 4.05 → 0.99 s at sf0.1
+    // once the single-file lineitem scan stopped running as one task)
+    val df = graft.io.Tables.spreadDf(df0)
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, scale)
     val pairs = for {

@@ -1526,10 +1526,13 @@ object DomainQueries {
       import org.apache.spark.sql.functions._
       val tbl = java.nio.file.Files
         .createTempDirectory("q252cdf").toString + "/orders_cdf"
+      // persisted: base feeds the v1 commit write AND both source branches
+      // — unpersisted, the scan + range shuffle ran three times
       val base = graft.io.Tables.orders(s, d)
         .select(col("o_orderkey").cast("long").as("k"),
           col("o_totalprice").as("p"))
         .repartitionByRange(12, col("k")).sortWithinPartitions("k")
+        .persist()
       val v1 = graft.io.Versioned.commit(base, tbl, statsCols = Seq("k"))
       val source = base.where(pmod(col("k"), lit(256)).between(50, 80))
         .withColumn("p", col("p") * 2)

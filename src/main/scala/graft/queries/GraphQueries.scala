@@ -60,7 +60,7 @@ object GraphQueries {
     // Iters rounds, contributions decimal-summed on a 9dp grid (see
     // operators.Graph scaladoc for the determinism discipline).
     Q.sql("q73_pagerank", pageRankSql) { (s, d) =>
-      val pairs = Tables.lineitem(s, d)
+      val pairs = Tables.spreadDf(Tables.lineitem(s, d))
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
@@ -107,7 +107,7 @@ object GraphQueries {
          |FROM nn GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val ok = Tables.part(s, d).where(col("p_size") <= TriMaxSize)
         .select(col("p_partkey"))
-      val li = Tables.lineitem(s, d)
+      val li = Tables.spreadDf(Tables.lineitem(s, d))
         .join(ok, col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("l_partkey"))
       val e0 = li.as("a").join(li.as("b"),
@@ -152,7 +152,7 @@ object GraphQueries {
     }) { (s, d) =>
       val ok = Tables.part(s, d).where(col("p_size") <= TriMaxSize)
         .select(col("p_partkey"))
-      val li = Tables.lineitem(s, d)
+      val li = Tables.spreadDf(Tables.lineitem(s, d))
         .join(ok, col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("l_partkey"))
       val e0 = li.as("a").join(li.as("b"),
@@ -194,7 +194,7 @@ object GraphQueries {
          |SELECT lab AS community, count(*) AS size
          |FROM l$LpaRounds GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
-      val pairs = Tables.lineitem(s, d)
+      val pairs = Tables.spreadDf(Tables.lineitem(s, d))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
@@ -232,7 +232,7 @@ object GraphQueries {
          |       CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS aa_score
          |FROM p GROUP BY 1, 2
          |ORDER BY aa_score DESC, a, b LIMIT 100""".stripMargin) { (s, d) =>
-      val e = Tables.lineitem(s, d)
+      val e = Tables.spreadDf(Tables.lineitem(s, d))
         .select(col("l_partkey").as("src"), col("l_orderkey").as("dst"))
         .distinct()
       Graph.adamicAdar(e, AaDegCap, scale = 6)
@@ -271,7 +271,7 @@ object GraphQueries {
          |SELECT node, CAST(hop AS BIGINT) AS hop
          |FROM l$BfsRounds ORDER BY node""".stripMargin
     }) { (s, d) =>
-      val pairs = Tables.lineitem(s, d)
+      val pairs = Tables.spreadDf(Tables.lineitem(s, d))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
