@@ -26,8 +26,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spread(spark, spark.read.parquet(s"$sfDir/$name.parquet"),
-      sfDir, name)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
     tsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
       import org.apache.spark.sql.functions.expr
       d.schema(c).dataType match {
@@ -40,28 +39,16 @@ object Tables {
     }
   }
 
-  /** Tables whose every consumer does heavy per-row CPU work (regex
-    * tokenization, shingle+hash pipelines, 64-dim vector kernels) — for
-    * these the spread's one extra exchange of KB-scale rows is always
-    * repaid. The relational tables are NOT in the set: their scans are
-    * light vectorized reads feeding broadcast joins/partial aggregates,
-    * and a same-window A/B measured the per-reference repartition tax
-    * DOUBLING multi-reference OLAP queries (q142 2.2 → 5.5 s) while
-    * CPU-bound consumers of the same tables are spread at the OPERATOR
-    * instead (Stats moments, Graph edge builders, the quadratic vector
-    * scorers). `embeddings` is deliberately NOT here: its iterative
-    * consumers (IVF k-means training — many tiny per-iteration stages)
-    * measured 1.5× SLOWER with a spread input in a same-window A/B
-    * (q41 1.4 → 2.3 s, q244 3.3 → 5.4 s), while its quadratic consumers
-    * spread at the operator (bruteForceTopK/hardPairs/embeddingNearDups). */
-  private val spreadTables = Set("documents")
-
-  /** Memoized spread decision per (sfDir, table, target): probing the
-    * scan's partition count builds a physical plan, and Tables.load runs
-    * several times per query — the file set under a scale-factor dir is
-    * immutable for the life of the JVM, so decide once. */
-  private val spreadDecision =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
+  // NOTE on catalog-level spreading, measured and rejected twice this
+  // round: a load-time spread of ANY table taxes every light consumer
+  // with one round-robin exchange per table reference (full benches:
+  // blanket spread = q142 2.2 → 5.5 s class losses across the OLAP tail;
+  // documents-only spread = +0.5–1.0 s on each of ~10 light text
+  // consumers, q93/q61/q114/q115/q100 class). The under-split-scan guard
+  // therefore lives in the OPERATORS whose per-row work provably repays
+  // it — Dedup.shingleTable, the SQL-twin corpus-view registrations,
+  // Stats.corrMatrix, the Graph edge builders, the quadratic vector
+  // scorers — via [[spreadDf]].
 
   /** Guard against the under-split scan (optimization guide §2.5 "input
     * skew: one huge unsplittable file — repartition immediately after the
@@ -77,29 +64,23 @@ object Tables {
     * Round-robin is retry-safe (sortBeforeRepartition, SPARK-23207), and
     * every operator downstream is partition-count/order invariant by the
     * oracle discipline. */
-  private def spread(spark: SparkSession, df: DataFrame,
-                     sfDir: String, name: String): DataFrame = {
-    // dev A/B knob: the host's CPU-steal stalls make cross-window
-    // comparisons lie, so the spread must be measurable against its own
-    // absence in ONE window (SPARK_GRAFT_NO_SPREAD=1 disables it)
-    if (!spreadTables(name) || sys.env.contains("SPARK_GRAFT_NO_SPREAD")) df
-    else {
-      val target = spark.sparkContext.defaultParallelism
-      val doSpread = spreadDecision.computeIfAbsent((sfDir, name, target),
-        _ => df.rdd.getNumPartitions < target)
-      if (doSpread) df.repartition(target) else df
-    }
-  }
-
-  /** Conditional under-split-scan guard, also used by operators whose
-    * per-row work is heavy over the RELATIONAL tables (Stats moments,
-    * Fuzzy edit-distance blocks, Graph edge derivations): round-robin to
-    * the session's cores iff the frame's current partitioning is
-    * narrower. A properly-split input at scale makes this a no-op — the
-    * condition reads the actual partitioning, never a local constant. */
+  /** Conditional under-split-scan guard for operators whose per-row work
+    * is heavy (shingle/hash pipelines, moment aggregates, edit-distance
+    * and vector kernels, graph edge derivations): round-robin to the
+    * session's cores iff the frame's current partitioning is narrower
+    * (guide §2.5 "input skew: one huge unsplittable file — repartition
+    * immediately after the read"; the test tables are single-row-group
+    * single files, so their scan stages are ONE task at any core count).
+    * A properly-split input at scale makes this a no-op — the condition
+    * reads the actual partitioning, never a local constant.
+    * `SPARK_GRAFT_NO_SPREAD=1` disables it for same-window A/Bs (the
+    * host's CPU-steal stalls make cross-window comparisons lie). */
   def spreadDf(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (sys.env.contains("SPARK_GRAFT_NO_SPREAD") ||
+    // streaming frames pass through: the partition probe below needs an
+    // RDD, and micro-batch partitioning is the source's to decide (the
+    // batch/stream-shared operators call this on both kinds)
+    if (df.isStreaming || sys.env.contains("SPARK_GRAFT_NO_SPREAD") ||
         df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
   }

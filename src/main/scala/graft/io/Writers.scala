@@ -31,6 +31,13 @@ object Writers {
     * the catalog). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int): Unit =
+    // NOTE (r15 optimization round, tried and reverted): repartitioning to
+    // exactly numBuckets before the write gives one file per bucket
+    // (Spark's bucket id and HashPartitioning share the Murmur3 pmod),
+    // but collapsing the write stage to numBuckets tasks serialized the
+    // heavy span-index pipeline above it — q103 measured +1 s at sf0.1
+    // for a file-count win its reads never noticed. File-per-(task,
+    // bucket) stays the documented behavior; compaction owns file counts.
     df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -323,7 +323,9 @@ object Multimodal {
   def withVideoMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // spread — see withRealMedia
+    graft.io.Tables.spreadDf(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { it =>
       it.map(id => (id, "video", videoPayload(id)))
     }.toDF(idCol, "kind", "payload")
   }
@@ -452,6 +454,10 @@ object Multimodal {
   def withRealMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NOT spread: image/audio synthesis is light enough that the extra
+    // exchange measurably cost more than it saved (q203/q220/q224 each
+    // +0.3–0.7 s with a spread input; contrast withVideoMedia below,
+    // whose per-id frame synthesis is heavy enough to repay it)
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
         if (id % 2 == 0) (id, "image", imagePayload(id)) else (id, "audio", wavPayload(id))

@@ -31,7 +31,12 @@ object Dedup {
     * slices the bound array (see TextFunctions.shinglesFromWords — an
     * inline split would re-run per shingle, ~50× the per-doc cost). */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), words(col(textCol)).as("__ws"))
+    // spread: the regex split + ~50× shingle explode + downstream md5 all
+    // run in this frame's scan stage — an under-split (single-file) corpus
+    // serializes the whole pipeline (guide §2.5; measured q212-class
+    // consumers 3.8 → 0.9 s at sf0.1 once the stage stopped being 1 task)
+    graft.io.Tables.spreadDf(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(shinglesFromWords(col("__ws"), n)).as("sh"))
 
   /** Mersenne-prime modulus and the deterministic universal-hash family
@@ -356,16 +361,17 @@ object Dedup {
                         threshold: Double,
                         lsh: Option[(Int, Int, Int)] = None,
                         maxBucketSize: Option[Int] = None): DataFrame = {
-    // spread: both the exact-mode quadratic scoring and the LSH banding
-    // (nTables × nPlanes dot products per row) run in the input's scan
-    // stage — an under-split single-file scan serializes them
-    val base = graft.io.Tables.spreadDf(
-      df.select(col(idCol), col(vecCol).cast("array<double>").as("__v")))
+    val base = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val a = base.select(col(idCol).as("id_a"), col("__v").as("__va"))
     val b = base.select(col(idCol).as("id_b"), col("__v").as("__vb"))
     val cand = lsh match {
       case None =>
-        a.join(b, col("id_a") < col("id_b"))
+        // exact mode only: the O(n²) scoring loop runs in this join's
+        // stream-side stage — spread an under-split corpus (guide §2.5).
+        // The LSH mode is deliberately NOT spread: its banding pass is
+        // row-linear and the extra exchange measurably cost more than it
+        // saved (q105 0.58 → 1.44 s with a spread input).
+        graft.io.Tables.spreadDf(a).join(b, col("id_a") < col("id_b"))
       case Some((dims, nPlanes, nTables)) =>
         // Band ONCE and self-join (the lshCandidatePairs shape): banding
         // per join side would compute nTables hyperplane signatures over

@@ -37,7 +37,11 @@ object SqlSurfaceQueries {
          |${DedupQueries.minhashCtes}
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       SqlSurface.register(s)
-      Tables.documents(s, d).createOrReplaceTempView("documents")
+      // session-admin view registration: spread the single-file corpus so
+      // the SQL body's shingle/profile pipelines parallelize (the same
+      // under-split-scan guard the Column twins get via shingleTable)
+      graft.io.Tables.spreadDf(Tables.documents(s, d))
+        .createOrReplaceTempView("documents")
       val bandCols = (1 to R).map(i => s"element_at(sig, band * $R + $i)")
         .mkString(", ")
       s.sql(
@@ -134,7 +138,11 @@ object SqlSurfaceQueries {
          |FROM t ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       SqlSurface.register(s)
-      Tables.documents(s, d).createOrReplaceTempView("documents")
+      // session-admin view registration: spread the single-file corpus so
+      // the SQL body's shingle/profile pipelines parallelize (the same
+      // under-split-scan guard the Column twins get via shingleTable)
+      graft.io.Tables.spreadDf(Tables.documents(s, d))
+        .createOrReplaceTempView("documents")
       s.sql(
         """SELECT doc_id,
           |       CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
@@ -157,7 +165,11 @@ object SqlSurfaceQueries {
       s"""${DedupQueries.shingleCte},
          |${DedupQueries.minhashCtes}
          |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Tables.documents(s, d).createOrReplaceTempView("documents")
+      // session-admin view registration: spread the single-file corpus so
+      // the SQL body's shingle/profile pipelines parallelize (the same
+      // under-split-scan guard the Column twins get via shingleTable)
+      graft.io.Tables.spreadDf(Tables.documents(s, d))
+        .createOrReplaceTempView("documents")
       SqlSurface.createLshCandidatesFunction(s,
         table = "documents", idCol = "doc_id", textCol = "text",
         n = ShingleN, k = K, bands = Bands)
@@ -173,7 +185,11 @@ object SqlSurfaceQueries {
     // arithmetic is hash-verified against the Column API's.
     Q.sql("q219_sql_lsh_eval_one_call", DedupQueries.lshEvalSampledOracle) {
       (s, d) =>
-        Tables.documents(s, d).createOrReplaceTempView("documents")
+        // session-admin view registration: spread the single-file corpus so
+      // the SQL body's shingle/profile pipelines parallelize (the same
+      // under-split-scan guard the Column twins get via shingleTable)
+      graft.io.Tables.spreadDf(Tables.documents(s, d))
+        .createOrReplaceTempView("documents")
         SqlSurface.register(s)
         // pre-materialized shingle view (the registrar's shingleTable
         // option): a SQL function body has no persist point, so the
