@@ -23,10 +23,18 @@ object Bench {
     // JIT/session warm-up outside the timed region.
     SparkEntry.queries.get("q01_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // A failed query's elapsed time is NOT a measurement: record the name
+    // so the report carries an explicit "failed" list — a query that
+    // starts throwing cheaply must not LOOK like a speedup (a non-empty
+    // list invalidates the run). The timing protocol is unchanged.
+    val failedNames = scala.collection.mutable.LinkedHashSet[String]()
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failedNames += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Cache-hygienic steady-state protocol (replaces the round-≤6
@@ -107,7 +115,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val remeasuredJson = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"queries":$qs,"sf":"$sfDir","remeasured":$remeasuredJson,"protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense); >1.5x-vs-baseline outliers re-measured when SPARK_GRAFT_BENCH_BASELINE is set (self-consistency gate)"}"""
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    if (failedNames.nonEmpty)
+      System.err.println(
+        s"[bench] RUN INVALID — queries failed: ${failedNames.mkString(",")}")
+    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"queries":$qs,"sf":"$sfDir","remeasured":$remeasuredJson,"failed":$failedJson,"protocol":"per-query isolated: clean cache, 1 cold + 1-2 steady runs, min reported; >5s outliers re-measured at suite end (stall-window defense); >1.5x-vs-baseline outliers re-measured when SPARK_GRAFT_BENCH_BASELINE is set (self-consistency gate); non-empty failed list invalidates the run"}"""
     // Full per-query document goes to a FILE; stdout carries only a small
     // summary object. The driver captures a bounded stdout tail, and the
     // full-registry line (214 queries) outgrew it two rounds running
@@ -121,7 +133,7 @@ object Bench {
     // FULL per-query map, and reusing the same key here for a 5-entry map
     // invites a consumer to treat it as complete (ADVICE r9) — distinct
     // key names make the two documents structurally distinguishable
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"sf":"$sfDir","slowest5":$slowest5,"perQueryFile":"${outPath.toAbsolutePath}"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","nQueries":${results.size},"sf":"$sfDir","slowest5":$slowest5,"failed":$failedJson,"perQueryFile":"${outPath.toAbsolutePath}"}""")
     spark.stop()
   }
 }

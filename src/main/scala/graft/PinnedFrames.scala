@@ -21,6 +21,15 @@ import org.apache.spark.sql.DataFrame
 object PinnedFrames {
   private val pinned = new java.util.ArrayList[DataFrame]()
 
+  /** Release CALLBACKS for operator-internal driver-side caches that obey
+    * the same lifetime as the pinned frames (e.g. Layout's collected
+    * encoder cache): registered once per module, run on every
+    * [[release]] — so every existing runner release site covers them
+    * without per-runner wiring. */
+  private val hooks = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  def onRelease(h: () => Unit): Unit = { hooks.add(h): Unit }
+
   /** Register an ALREADY-PERSISTED frame for [[release]]. Callers persist
     * at the exact storage level they need and pass the result here — this
     * registry only tracks lifetime, it never changes caching itself. */
@@ -43,5 +52,6 @@ object PinnedFrames {
       copy
     }
     toDrop.forEach(_.unpersist())
+    hooks.forEach(_.apply())
   }
 }

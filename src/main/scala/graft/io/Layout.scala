@@ -264,6 +264,51 @@ object Layout {
   val DictKind = "dict"
   val BoundsKind = "bounds"
 
+  /** IN-QUERY cache of COLLECTED encoder tables, keyed by encoder path.
+    * An encoder is ≤ 2^bits rows BY CONSTRUCTION (the config-declared
+    * budget), yet every encode/box-read was re-reading it through its own
+    * Spark actions — a parquet scan for the frame, a head() for the kind,
+    * an aggregate per range probe, a collect per bounds encode. On the
+    * versioned-family queries that stacked up to ~90 driver actions per
+    * query at ~50-80 ms fixed local latency each (measured: q248 = 92
+    * jobs, 6.1 s wall vs 12.3 s task-time at local[32]) — guide §2.4/§5
+    * driver-bound work. One collect per (encoder, query) serves every
+    * later probe from driver memory; encode joins build a LocalRelation
+    * from the cached rows (no re-scan), and range probes aggregate over
+    * that LocalRelation with the SAME expressions as before (SQL
+    * comparison semantics preserved exactly — nothing is re-implemented
+    * in Scala).
+    *
+    * Lifetime: invalidated on every encoder WRITE ([[buildEncoder]] /
+    * [[extendEncoders]]), cleared between queries via
+    * [[releaseEncoderCache]] (wired into the runners' release hooks next
+    * to PinnedFrames). In-query reuse only — every bench/oracle run still
+    * computes the encoders from the parquet inputs it just wrote. */
+  private val encoderCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
+  /** Drop every cached encoder (query runners call this between queries,
+    * the PinnedFrames discipline — wired into PinnedFrames.release so
+    * every existing runner release site covers it). */
+  def releaseEncoderCache(): Unit = encoderCache.clear()
+  graft.PinnedFrames.onRelease(() => releaseEncoderCache())
+
+  private def collectedEncoder(spark: SparkSession, path: String, c: String)
+      : (String, org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row]) =
+    encoderCache.computeIfAbsent(encoderPath(path, c), _ => {
+      val df = readEncoder(spark, path, c).orderBy("code")
+      (df.select("kind").head().getString(0), df.schema, df.collect())
+    })
+
+  /** The encoder as a LocalRelation over the cached rows — same schema,
+    * same rows, no parquet scan behind later probes. */
+  private def localEncoder(spark: SparkSession, path: String,
+                           c: String): DataFrame = {
+    val (_, schema, rows) = collectedEncoder(spark, path, c)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** The coded encoder FRAME for one dimension (value, code, kind) —
     * package-private so LayoutSpec can gate the PLAN: the value-carrying
     * frame never passes through a single-partition window. Determinism:
@@ -287,7 +332,14 @@ object Layout {
       "rank")
     val maxRank = ranked1.agg(max(col("rank"))).head()
     val n = if (maxRank.isNullAt(0)) 0L else maxRank.getLong(0)
-    require(n >= 1, s"dimension $c has no non-null values")
+    if (n < 1) {
+      // error path: globalIndex pinned its range-partitioned frame above;
+      // release it before aborting so the failed build leaks nothing
+      // (ADVICE r15) — the query is over either way
+      graft.PinnedFrames.release()
+      throw new IllegalArgumentException(
+        s"requirement failed: dimension $c has no non-null values")
+    }
     val ranked = ranked1.withColumn("rank", col("rank") - 1L)
     if (n <= lim)
       ranked.select(col("value"), col("rank").as("code"),
@@ -306,11 +358,13 @@ object Layout {
   }
 
   private def buildEncoder(df: DataFrame, c: String, bits: Int,
-                           path: String): Unit =
+                           path: String): Unit = {
     // ≤ 2^bits rows by construction for BOTH kinds — the coalesce(1) and
     // the downstream broadcast are config-bounded, never corpus-bounded
     buildEncoderFrame(df, c, bits).coalesce(1)
       .write.mode("overwrite").parquet(path)
+    encoderCache.remove(path): Unit // rebuilt encoder: drop the stale copy
+  }
 
   /** Encoder table for dimension `c` of an encoded z-layout at `path`:
     * (value, code, kind) rows, ascending in value and code; `kind` is
@@ -319,22 +373,21 @@ object Layout {
   def readEncoder(spark: SparkSession, path: String, c: String): DataFrame =
     spark.read.parquet(encoderPath(path, c))
 
-  private def encoderKind(enc: DataFrame): String =
-    enc.select("kind").head().getString(0)
-
   private[io] def encodeDims(df: DataFrame, spark: SparkSession, path: String,
                              cols: Seq[String]): DataFrame =
     cols.foldLeft(df) { (acc, c) =>
-      val enc = readEncoder(spark, path, c)
-      if (encoderKind(enc) == DictKind) {
-        val e = enc.select(col("value").as(s"${encCol(c)}_v"),
-          col("code").as(encCol(c)))
-        // broadcast: dict encoders are ≤ 2^bits rows by construction; an
-        // unseen value joins to a NULL code and the z-layout's NULL guard
-        // aborts the write — the dictionary is static until explicitly
-        // rebuilt or order-preservingly EXTENDED ([[extendEncoders]]);
-        // interior insertions are never accepted (codes are
-        // order-dependent; one would scramble resident buckets)
+      val (kind, schema, rows) = collectedEncoder(spark, path, c)
+      if (kind == DictKind) {
+        // broadcast of the cached LocalRelation: dict encoders are
+        // ≤ 2^bits rows by construction; an unseen value joins to a NULL
+        // code and the z-layout's NULL guard aborts the write — the
+        // dictionary is static until explicitly rebuilt or
+        // order-preservingly EXTENDED ([[extendEncoders]]); interior
+        // insertions are never accepted (codes are order-dependent; one
+        // would scramble resident buckets)
+        val e = localEncoder(spark, path, c)
+          .select(col("value").as(s"${encCol(c)}_v"),
+            col("code").as(encCol(c)))
         acc.join(broadcast(e), acc(c) === col(s"${encCol(c)}_v"), "left")
           .drop(s"${encCol(c)}_v")
       } else {
@@ -344,11 +397,12 @@ object Layout {
         // NULL guard aborts the write — it would need an interior code);
         // a value ABOVE the last boundary takes the last code, which is
         // order-preserving, so appends of later periods need no rebuild.
-        val rows = enc.orderBy("code").select("value", "code").collect()
+        // Rows come from the cache, sorted by code — no per-encode collect.
+        val vi = schema.fieldIndex("value"); val ci = schema.fieldIndex("code")
         acc.withColumn(encCol(c),
           graft.functions.catalyst.LayoutExpressions.boundaryCode(
             acc(c), df.schema(c).dataType,
-            rows.map(_.get(0)).toSeq, rows.map(_.getLong(1)).toSeq))
+            rows.map(_.get(vi)).toSeq, rows.map(_.getLong(ci)).toSeq))
       }
     }
 
@@ -374,13 +428,20 @@ object Layout {
     val spark = df.sparkSession
     val lim = 1L << bits
     cols.map { c =>
-      val enc = readEncoder(spark, path, c)
-      if (encoderKind(enc) == BoundsKind) c -> 0L
+      val enc = localEncoder(spark, path, c)
+      if (collectedEncoder(spark, path, c)._1 == BoundsKind) c -> 0L
       else {
         val m = enc.agg(max("value"), max("code")).head()
         val maxV = m.get(0); val maxCode = m.getLong(1)
-        val vals = df.select(col(c).as("value")).where(col("value").isNotNull)
-        val interior = vals.where(col("value") <= lit(maxV))
+        // ONE distinct pass over the batch per dimension, pinned — the
+        // interior check, the new-value count and the ranking all read it
+        // (the previous shape re-scanned the batch for each; guide §2.4).
+        // Dict dims are ≤ 2^bits distinct by contract, so the pin is
+        // config-sized; released by the runners like every operator pin.
+        val distinctVals = graft.PinnedFrames.pin(
+          df.select(col(c).as("value")).where(col("value").isNotNull)
+            .distinct().persist())
+        val interior = distinctVals.where(col("value") <= lit(maxV))
           .join(enc.select("value"), Seq("value"), "left_anti")
           .limit(1).collect()
         require(interior.isEmpty,
@@ -388,7 +449,7 @@ object Layout {
             s"dictionary (${interior.headOption.map(_.get(0))}): an " +
             "interior code would scramble resident buckets — rebuild the " +
             "layout instead")
-        val newVals = vals.where(col("value") > lit(maxV)).distinct()
+        val newVals = distinctVals.where(col("value") > lit(maxV))
         val nNew = newVals.count()
         if (nNew == 0L) c -> 0L
         else {
@@ -401,6 +462,7 @@ object Layout {
               lit(DictKind).as("kind"))
             .coalesce(1).write.mode("append")
             .parquet(encoderPath(path, c))
+          encoderCache.remove(encoderPath(path, c)): Unit // grew: re-collect
           c -> nNew
         }
       }
@@ -477,8 +539,11 @@ object Layout {
   private def encodedRanges(spark: SparkSession, path: String,
       dims: Seq[(String, Any, Any)]): Seq[Option[(Long, Long)]] =
     dims.map { case (c, lo, hi) =>
-      val enc = readEncoder(spark, path, c)
-      if (encoderKind(enc) == DictKind) {
+      // probes run over the cached LocalRelation with the SAME expressions
+      // as the original parquet-backed aggregates — one tiny local job per
+      // dimension instead of a scan + kind head() + aggregate each
+      val enc = localEncoder(spark, path, c)
+      if (collectedEncoder(spark, path, c)._1 == DictKind) {
         val r = enc
           .where(col("value") >= lit(lo) && col("value") <= lit(hi))
           .agg(min("code"), max("code")).head()
@@ -543,8 +608,10 @@ object Layout {
     else {
       val rs = ranges.map(_.get)
       val buckets = zBoxBuckets(rs, bits, bucketBits)
-      prunedZBoxEncodedVersioned(spark, table, dims, bits, bucketBits,
-        version)
+      // ranges computed ONCE and passed down — the previous shape
+      // re-derived them inside prunedZBoxEncodedVersioned (guide §2.4)
+      prunedZBoxEncodedRanges(spark, table, dims.map(_._1), rs, bits,
+        bucketBits, version)
         .where(col("zb").isin(buckets: _*) && exact)
     }
   }
@@ -562,11 +629,20 @@ object Layout {
     val rs = encodedRanges(spark, table, dims).map(_.getOrElse(
       throw new IllegalArgumentException(
         "provably empty code range — use readZBoxEncodedVersioned")))
+    prunedZBoxEncodedRanges(spark, table, dims.map(_._1), rs, bits,
+      bucketBits, version)
+  }
+
+  /** [[prunedZBoxEncodedVersioned]] with the code ranges already mapped —
+    * the shared tail, so [[readZBoxEncodedVersioned]] maps each box
+    * through the encoders exactly once. */
+  private def prunedZBoxEncodedRanges(spark: SparkSession, table: String,
+      cols: Seq[String], rs: Seq[(Long, Long)], bits: Int, bucketBits: Int,
+      version: Int): DataFrame = {
     val buckets = zBoxBuckets(rs, bits, bucketBits)
     Versioned.snapshotWhereRanges(spark, table, "zb",
       buckets.map(_.toString).toSet,
-      dims.map(_._1).zip(rs).map { case (c, (lo, hi)) =>
-        (encCol(c), lo, hi) },
+      cols.zip(rs).map { case (c, (lo, hi)) => (encCol(c), lo, hi) },
       version)
   }
 

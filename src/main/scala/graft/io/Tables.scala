@@ -80,9 +80,37 @@ object Tables {
     // streaming frames pass through: the partition probe below needs an
     // RDD, and micro-batch partitioning is the source's to decide (the
     // batch/stream-shared operators call this on both kinds)
-    if (df.isStreaming || sys.env.contains("SPARK_GRAFT_NO_SPREAD") ||
-        df.rdd.getNumPartitions >= target) df
+    if (df.isStreaming || sys.env.contains("SPARK_GRAFT_NO_SPREAD")) df
+    // The probe below is only safe (and only MEANINGFUL) on a NARROW,
+    // scan-rooted pipeline: with AQE enabled, .rdd on a plan containing
+    // exchanges eagerly EXECUTES those shuffle stages in a separate
+    // QueryExecution — a generic operator handed a shuffle-derived frame
+    // would silently double-execute its upstream (ADVICE r15). A
+    // shuffle-derived frame is also already distributed by the shuffle
+    // partitioning, so the under-split-SCAN guard has nothing to fix
+    // there: pass it through unchanged.
+    else if (!narrowScanRooted(df.queryExecution.analyzed)) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
+  }
+
+  /** True iff the analyzed plan is a scan/local leaf under only narrow
+    * (exchange-free) operators — the precondition for [[spreadDf]]'s
+    * partition probe. Conservative: any node outside the whitelist makes
+    * the frame pass through unspread. */
+  private def narrowScanRooted(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _: LocalRelation => true
+      case p: Project => narrowScanRooted(p.child)
+      case f: Filter => narrowScanRooted(f.child)
+      case a: SubqueryAlias => narrowScanRooted(a.child)
+      case g: Generate => narrowScanRooted(g.child)
+      case v: View => narrowScanRooted(v.child)
+      case _ => false
+    }
   }
 
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
