@@ -476,6 +476,7 @@ object SqlSurface {
     val qFunc = quotePart(funcName)
     register(spark)
     val r = k / bands
+    val aggParts = spark.sparkContext.defaultParallelism
     val bandCols = (1 to r).map(i => s"element_at(sig, band * $r + $i)")
       .mkString(", ")
     def samplePred(a: String, b: String): String =
@@ -484,6 +485,24 @@ object SqlSurface {
     // prefix length = sz − ⌈tau·sz⌉ + 1 and the PPJoin positional bound vs
     // α = ⌈tau·(a+b)/(1+tau)⌉, all integer arithmetic (Dedup
     // .prefixFilterPairs's formulas verbatim)
+    //
+    // The verify stage counts intersections ROW-LOCALLY on per-doc shingle
+    // arrays (jaccardForPairs' form), NOT by exploding each candidate into
+    // its shared-shingle rows: the explode join shuffled Σ|doc| rows per
+    // candidate (the q219-vs-q216 twin tax once everything else matched).
+    // Equivalence is exact: shingles are DISTINCT per doc (array_distinct
+    // in graft_shingles and in every shingleTable feeding the pre-
+    // materialized view), so size(array_intersect(a, b)) = the shared-
+    // shingle join's count(*), and a zero-intersection candidate fails
+    // the τ > 0 ratio in both forms. Keeping `tcs` referenced ONCE was
+    // the constraint (SQL CTEs inline — a second reference re-runs the
+    // whole prefix-join pipeline), so the arrays aggregate over ALL docs
+    // of the cached shingle view rather than semi-joining to candidate
+    // ids. The aggregate pins its own parallelism (REPARTITION hint at
+    // the session's core count, baked at registration like the other
+    // session-derived TVF constants): its rows are byte-light but
+    // CPU-dense, and AQE's byte-based coalescing squeezed the q98-shaped
+    // twin of this stage to 3 tasks on a 32-core session (guide §2.2).
     val shCte = shingleTable match {
       case Some(st) =>
         val qSt = st.split('.').map(quotePart).mkString(".")
@@ -534,18 +553,22 @@ object SqlSurface {
          |         div ${tauNum + tauDen}),
          |tcs AS (SELECT id_a, id_b FROM tc
          |        WHERE ${samplePred("id_a", "id_b")}),
+         |arrs AS (
+         |  SELECT /*+ REPARTITION($aggParts, $qId) */
+         |         $qId, collect_list(sh) AS arr, count(*) AS asz
+         |  FROM sh GROUP BY $qId),
          |ti AS (
-         |  SELECT p.id_a, p.id_b, count(*) AS inter
-         |  FROM tcs p
-         |  JOIN sh a ON a.$qId = p.id_a
-         |  JOIN sh b ON b.$qId = p.id_b AND b.sh = a.sh
-         |  GROUP BY p.id_a, p.id_b),
+         |  SELECT id_a, id_b, size(array_intersect(aa, ab)) AS inter,
+         |         sz_a, sz_b
+         |  FROM (SELECT p.id_a, p.id_b, a.arr AS aa, b.arr AS ab,
+         |               a.asz AS sz_a, b.asz AS sz_b
+         |        FROM tcs p
+         |        JOIN arrs a ON a.$qId = p.id_a
+         |        JOIN arrs b ON b.$qId = p.id_b)),
          |truth AS (
-         |  SELECT t.id_a, t.id_b FROM ti t
-         |  JOIN sz sa ON sa.$qId = t.id_a
-         |  JOIN sz sb ON sb.$qId = t.id_b
-         |  WHERE CAST(t.inter AS DOUBLE)
-         |        / (sa.sz + sb.sz - t.inter) >= CAST($tauNum AS DOUBLE) / $tauDen),
+         |  SELECT id_a, id_b FROM ti
+         |  WHERE CAST(inter AS DOUBLE)
+         |        / (sz_a + sz_b - inter) >= CAST($tauNum AS DOUBLE) / $tauDen),
          |j AS (SELECT c.id_a IS NOT NULL AS in_c, t.id_a IS NOT NULL AS in_t
          |      FROM cand c FULL OUTER JOIN truth t
          |        ON t.id_a = c.id_a AND t.id_b = c.id_b),

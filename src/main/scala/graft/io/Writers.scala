@@ -11,13 +11,18 @@ object Writers {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit = {
     df.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    // hash-distribute by the partition column before the partitioned write
-    // (guide §6, Iceberg's write.distribution-mode=hash): without it every
-    // upstream task holding rows of a partition value opens its own file
-    // in that value's directory — tasks × values files (measured: the
-    // month-partitioned q123 table went 32× once the input scan was
-    // spread). With it each value's rows land in one task → one file.
-    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+    // REBALANCE-distribute by the partition column before the partitioned
+    // write (guide §6 — Iceberg's write.distribution-mode=hash WITH the
+    // AQE rebalancing that backs it): a plain repartition(col) maps every
+    // partition VALUE to exactly one task, which fixes the tasks × values
+    // small-files blowup but funnels a HOT value (one month, one shard)
+    // through one straggler task writing one arbitrarily large file at
+    // scale (VERDICT r15). The rebalance hint keeps the hash distribution
+    // — cold values still land as one task → one file — while AQE splits
+    // any value over the advisory partition size into several size-capped
+    // tasks/files and coalesces tiny neighbors. Under an AQE-off session
+    // it degrades to the previous plain hash distribution.
+    df.hint("rebalance", org.apache.spark.sql.functions.col(partitionCol))
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .option("compression", "snappy")

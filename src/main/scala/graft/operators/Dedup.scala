@@ -242,10 +242,19 @@ object Dedup {
     // doc-length-bounded (LLM-scale docs are chunk-bounded — the
     // trimCovered argument), so a verify row is KB-sized, never corpus-
     // sized; array_intersect probes a per-row hash set, O(|A|+|B|).
+    // CPU-DENSE, BYTE-LIGHT stages must pin their own parallelism (guide
+    // §2.2): AQE coalesces shuffle reads by BYTES, and both the array
+    // aggregate and the verify map carry tiny rows with heavy per-row
+    // work — measured at sf0.1, AQE squeezed each to 3 tasks (~5 s of
+    // run time serialized 3-wide on a 32-core session: half of q98's
+    // wall). Explicit numPartitions repartitions are exempt from AQE
+    // coalescing; the count is the session's cores, never a constant.
+    val target = sh.sparkSession.sparkContext.defaultParallelism
     val arrs = sh.join(ids, Seq(idCol), "left_semi")
+      .repartition(target, col(idCol))
       .groupBy(col(idCol))
       .agg(collect_list(col("sh")).as("__arr"), count(lit(1)).as("sz"))
-    val verified = p
+    val verified = p.repartition(target, col("id_a"))
       .join(arrs.select(col(idCol).as("id_a"), col("__arr").as("__aa"),
         col("sz").as("sz_a")), "id_a")
       .join(arrs.select(col(idCol).as("id_b"), col("__arr").as("__ab"),

@@ -45,7 +45,13 @@ object Similarity {
     graft.functions.catalyst.VectorExpressions.dotProduct(v, v)
 
   def cosinePreNorm(a: Column, b: Column, aa: Column, bb: Column): Column =
-    when(aa === 0.0 || bb === 0.0, lit(null).cast("double"))
+    // the equal-length precondition is ENFORCED, not just documented
+    // (ADVICE r15): a ragged pair would silently score against full-vector
+    // norms where the fused [[cosine]] truncates to min(|a|,|b|) — NULL is
+    // the defined contract for a malformed pair, same as a zero norm. The
+    // size probe is O(1) per pair next to the O(d) dot product.
+    when(size(a) =!= size(b) || aa === 0.0 || bb === 0.0,
+        lit(null).cast("double"))
       .otherwise(graft.functions.catalyst.VectorExpressions.dotProduct(a, b) /
         (sqrt(aa) * sqrt(bb)))
 

@@ -192,7 +192,21 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
         heaps.clear()
         retained = 0L
       }
-      while (it.hasNext) {
+      // ABANDON-PARTIAL heuristic (the map-side pass only — Spark's own
+      // skip-partial-aggregate analog, ADVICE r15): with near-unique group
+      // keys the heap retains ~every row, and the pass would spill sorted
+      // runs to local disk for no shuffle reduction. After a probation
+      // window, a retention ratio ≥ 90% switches to PASS-THROUGH: any
+      // input superset of the per-partition top-k is a correct partial
+      // output (the final pass computes the exact result), so the
+      // remaining rows stream straight to the exchange. The probation is
+      // capped at the spill bound, so the decision always lands before
+      // the first pointless spill.
+      val partialPass = partial
+      val probation = math.min(bound, 131072L)
+      var seen = 0L
+      var abandoned = false
+      while (it.hasNext && !abandoned) {
         val row = it.next()
         val key = keyProj(row)
         heaps.get(key) match {
@@ -205,9 +219,14 @@ case class TopKPerGroupExec(group: Seq[Expression], order: Seq[SortOrder],
             heaps.put(keyProj(row).copy(), q)
             retained += 1
         }
-        if (retained >= bound) spill()
+        seen += 1
+        if (partialPass && runs.isEmpty && seen >= probation &&
+            retained * 10 >= seen * 9) abandoned = true
+        else if (retained >= bound) spill()
       }
-      if (runs.isEmpty) {
+      if (abandoned) {
+        heaps.valuesIterator.flatMap(bestToWorst(_).iterator) ++ it
+      } else if (runs.isEmpty) {
         // in-memory fast path: emit each group's survivors in sort order
         heaps.valuesIterator.flatMap(bestToWorst(_).iterator)
       } else {

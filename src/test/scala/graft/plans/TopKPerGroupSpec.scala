@@ -126,6 +126,34 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("abandon-partial: near-unique groups pass through the map-side " +
+      "pass instead of spilling, results identical") {
+    // ~unique group keys: the partial heap retains ~every row, so the
+    // pass abandons after its probation window (retention ≥ 90%) and
+    // streams the rest straight to the exchange — NO partial spill runs
+    // even under a tiny state bound; the final pass computes the exact
+    // result (and may itself spill — that's its job).
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, (i * 2654435761L % 10007).toDouble, i.toLong)
+    }
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("g", "v", "id")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .select("g", "v", "id").as[(Long, Double, Long)].collect().toSet
+    withConfs(TopKPerGroupStrategy.MaxStateRowsKey -> "100",
+              "spark.sql.adaptive.enabled" -> "false") {
+      val q = TopK.topKPerGroup(df, Seq("g"), Seq("v" -> true, "id" -> false), 2)
+        .select("g", "v", "id")
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == want)
+      val execs = q.queryExecution.executedPlan.collect { case t: TopKPerGroupExec => t }
+      val partialExec = execs.find(_.partial)
+      assert(partialExec.nonEmpty, q.queryExecution.executedPlan.toString)
+      assert(partialExec.get.metrics("spills").value == 0,
+        "partial pass must abandon, not spill, on near-unique groups")
+    }
+  }
+
   test("default state bound: the q89/q96 shape never spills") {
     withConfs("spark.sql.adaptive.enabled" -> "false") {
       val q = TopK.topKPerGroup(data, Seq("g"), Seq("v" -> true, "id" -> false), 3)
