@@ -8,8 +8,13 @@ object ProfileQ {
     // whether a query's scaling is partition-volume-bound (a real cluster
     // scales partitions with input splits; local[32] holds them fixed)
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    // SPARK_GRAFT_CODEC: shuffle/spill compression codec for same-window
+    // A/Bs (guide §9 — e.g. lz4 vs zstd at sf1+, where shuffle volumes are
+    // big enough to measure honestly). Dev knob only; Bench is untouched.
+    val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4")
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir", Runners.tempWarehouse()).master("local[32]")
+      .config("spark.io.compression.codec", codec)
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -119,11 +119,20 @@ object Compaction {
     if (hot.nonEmpty) {
       val tmp = new HPath(path + "_compact_tmp")
       fs.delete(tmp, true)
-      // pruned read (only hot partitions listed/read): the string compare
-      // on the casted partition column is a deterministic partition-only
-      // predicate, so it lands in PartitionFilters for any value type
-      val pruned = spark.read.parquet(path)
-        .where(col(partCol).cast("string").isin(hot: _*))
+      // pruned read built from the hot directories DIRECTLY (basePath
+      // keeps the partition column): the previous full-table read +
+      // partition filter re-listed EVERY partition directory through
+      // InMemoryFileIndex on each trigger — a per-trigger discovery job
+      // over the whole layout just to select the hot subset this function
+      // already enumerated above (guide §6; the streaming sinks run this
+      // every compactEvery epochs forever). Partition-type inference over
+      // the hot subset equals the full listing's for the layouts this
+      // serves (zb/cell — uniformly numeric dir names); a layout mixing
+      // numeric and non-numeric values in ONE partition column would
+      // infer differently and may not round-trip — the staging-existence
+      // check below still aborts with nothing destroyed in that case.
+      val pruned = spark.read.option("basePath", path)
+        .parquet(hot.map(v => s"$path/$prefix$v"): _*)
         .repartition(hot.size, col(partCol))
       val ordered =
         if (sortCols.isEmpty) pruned
